@@ -1,0 +1,1 @@
+"""joins query module (stub — being filled in this round)."""

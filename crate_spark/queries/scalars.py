@@ -1,0 +1,1 @@
+"""scalars query module (stub — being filled in this round)."""

@@ -1,0 +1,1 @@
+"""text query module (stub — being filled in this round)."""

@@ -1,0 +1,1 @@
+"""timeseries query module (stub — being filled in this round)."""

@@ -1,0 +1,1 @@
+"""windows query module (stub — being filled in this round)."""

@@ -1,0 +1,144 @@
+"""Session & catalog layer.
+
+CrateDB's query lifecycle (parse -> analyze -> plan -> execute;
+reference ``server/src/main/java/io/crate/session/Session.java:370-618``,
+``planner/Planner.java:273``) maps onto Spark Catalyst: we configure a
+SparkSession for analytic workloads, register the test-data tables as
+views and let Catalyst do analysis/optimization/physical planning.
+
+Scale notes (100 TB design intent, tested at local[32]):
+
+- AQE is enabled so shuffle partition counts, skew-join splitting and
+  join-strategy demotion re-plan at runtime from real statistics —
+  this replaces the reference's static ``planner/distribution``
+  MODULO/BROADCAST choice (``DistributionType.java:24``).
+- CBO + join reorder replaces ``planner/optimizer/rule/EliminateCrossJoin``
+  and ``ReorderHashJoin`` (reference rules; see SURVEY.md §4.1).
+- All timestamps are handled as TIMESTAMP_NTZ in UTC: CrateDB stores
+  epoch millis (``types/TimestampType.java``); the driver's parquet has
+  ms (lineitem/orders) and ns (events). Spark 4 rejects parquet NANOS
+  outright, so we read them as raw longs
+  (``spark.sql.legacy.parquet.nanosAsLong``) and convert to µs — the
+  same truncation DuckDB applies, keeping oracle comparisons exact.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Tables provided by the driver (TESTDATA.md). One parquet file each.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Confs that are safe to set at runtime on an existing session (the
+#: driver owns the SparkSession passed to ``queries()`` entries).
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet has TIMESTAMP(NANOS) which Spark 4 refuses; read as long.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
+    # Arrow for any pandas-UDF path (vector ops fall back to JVM exprs).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> None:
+    """Best-effort apply engine confs to a session we did not create."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # static conf on this build — keep going
+
+
+def get_spark(
+    app_name: str = "crate-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a local SparkSession sized from SPARK_GRAFT_CPUS.
+
+    On a real cluster this would be a plain ``SparkSession.builder``
+    with the same SQL confs; parallelism then comes from executors.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    apply_runtime_confs(spark)
+    return spark
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    """events.ts arrives as raw nanos (long). Produce:
+
+    - ``ts``     TIMESTAMP_NTZ at µs precision (floor-truncated from ns,
+      matching DuckDB's parquet ns -> TIMESTAMP read), and
+    - ``ts_ns``  the raw epoch-nanos long, kept for exact arithmetic
+      (sessionization, gap detection) without timezone concerns.
+    """
+    if dict(df.dtypes).get("ts") != "bigint":
+        return df.withColumn("ts_ns", (F.unix_micros(F.col("ts").cast("timestamp")) * 1000))
+    return (
+        df.withColumnRenamed("ts", "ts_ns")
+        .withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts_ns div 1000")).cast("timestamp_ntz"),
+        )
+        .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table; events gets timestamp normalization."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = _normalize_events(df)
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, register: bool = True
+) -> dict[str, DataFrame]:
+    """Load all driver tables, optionally registering temp views.
+
+    Equivalent of CrateDB's DocTableInfo catalog resolution
+    (``metadata/doc/DocTableInfo.java``) — here the "table" is a
+    Parquet-backed DataFrame and Spark's session catalog is the schema
+    registry.
+    """
+    apply_runtime_confs(spark)
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        if register:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
