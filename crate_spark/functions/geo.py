@@ -1,0 +1,100 @@
+"""Geo functions over geo_point (struct/array lon-lat) columns.
+
+Reference: ``types/GeoPointType.java:53`` (lon/lat point),
+``expression/scalar/geo/`` (distance, within, intersects, latitude,
+longitude, geohash, area). CrateDB's ``distance`` uses the Haversine
+great-circle formula on a sphere (Lucene's SloppyMath underneath) —
+we implement textbook haversine with the same earth radius, JVM-side.
+
+``geohash`` needs interleaved base-32 bit twiddling — that is the one
+place a pandas UDF is justified (arrow-batched; runs on a projected
+2-column batch only).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+EARTH_RADIUS_M = 6371008.7714  # mean earth radius, as Lucene SloppyMath
+
+_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def geo_distance(lon1, lat1, lon2, lat2) -> Column:
+    """Haversine great-circle distance in meters (reference ``distance``)."""
+    rlon1, rlat1 = F.radians(_col(lon1)), F.radians(_col(lat1))
+    rlon2, rlat2 = F.radians(_col(lon2)), F.radians(_col(lat2))
+    dlat = rlat2 - rlat1
+    dlon = rlon2 - rlon1
+    a = F.pow(F.sin(dlat / 2), 2) + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin(dlon / 2), 2)
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.least(F.lit(1.0), F.sqrt(a)))
+
+
+def within_bbox(lon, lat, min_lon: float, min_lat: float, max_lon: float, max_lat: float) -> Column:
+    """``within(point, shape)`` for rectangular shapes — pure JVM
+    comparison chain. Arbitrary-polygon containment is in
+    ``operators/geo.py`` as a pandas UDF (ray casting)."""
+    return (
+        (_col(lon) >= min_lon)
+        & (_col(lon) <= max_lon)
+        & (_col(lat) >= min_lat)
+        & (_col(lat) <= max_lat)
+    )
+
+
+def _geohash_batch(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """12-char geohash (reference ``scalar/geo/GeoHashFunction`` — Lucene
+    GeoHashUtils). Arrow-batched; bit interleave per value."""
+
+    def encode(lo: float, la: float) -> str | None:
+        if lo is None or la is None or pd.isna(lo) or pd.isna(la):
+            return None
+        lat_rng = [-90.0, 90.0]
+        lon_rng = [-180.0, 180.0]
+        out = []
+        bit = 0
+        ch = 0
+        even = True
+        while len(out) < 12:
+            if even:
+                mid = (lon_rng[0] + lon_rng[1]) / 2
+                if lo >= mid:
+                    ch = (ch << 1) | 1
+                    lon_rng[0] = mid
+                else:
+                    ch <<= 1
+                    lon_rng[1] = mid
+            else:
+                mid = (lat_rng[0] + lat_rng[1]) / 2
+                if la >= mid:
+                    ch = (ch << 1) | 1
+                    lat_rng[0] = mid
+                else:
+                    ch <<= 1
+                    lat_rng[1] = mid
+            even = not even
+            bit += 1
+            if bit == 5:
+                out.append(_BASE32[ch])
+                bit = 0
+                ch = 0
+        return "".join(out)
+
+    return pd.Series([encode(lo, la) for lo, la in zip(lon, lat)])
+
+
+def geohash(lon: Column | str, lat: Column | str) -> Column:
+    """geohash(point) -> 12-char string.
+
+    The pandas UDF is built lazily — decorating at import time requires
+    an active SparkSession.
+    """
+    fn = pandas_udf(_geohash_batch, "string")
+    return fn(_col(lon).cast("double"), _col(lat).cast("double"))

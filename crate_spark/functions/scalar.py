@@ -1,0 +1,167 @@
+"""Scalar functions missing from Spark's built-in library.
+
+Reference surface: SURVEY.md §2.8 (148 files under
+``server/src/main/java/io/crate/expression/scalar/``). Spark covers
+~80% with same-name built-ins; these fill the notable gaps, each as a
+pure Column composition (JVM-side, codegen-friendly, no Python in the
+row path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# ---------------------------------------------------------------------------
+# date/time
+# ---------------------------------------------------------------------------
+def date_bin(stride: str | Column, ts: Column | str, origin: Column | str) -> Column:
+    """Floor ``ts`` to an arbitrary interval anchored at ``origin``.
+
+    Reference: ``expression/scalar/DateBinFunction.java:41`` — CrateDB
+    semantics: bin start for negative offsets rounds toward -infinity
+    (floor division), which ``F.floor`` gives us. ``stride`` is an
+    interval string like '15 minutes' or a Column of day-time interval.
+
+    Pure epoch arithmetic — stays in whole-stage codegen; at 100 TB this
+    is the time-bucketing primitive for rollups, so it must not be a UDF.
+    """
+    # Casting a day-time interval to bigint yields units of its END field
+    # (e.g. INTERVAL '15 minutes' -> 15); normalize to seconds first.
+    iv = F.expr(f"INTERVAL '{stride}'") if isinstance(stride, str) else stride
+    stride_us = iv.cast("interval second").cast("bigint") * 1_000_000
+    ts_us = F.unix_micros(_col(ts).cast("timestamp"))
+    origin_us = F.unix_micros(_col(origin).cast("timestamp"))
+    binned = F.floor((ts_us - origin_us) / stride_us) * stride_us + origin_us
+    return F.timestamp_micros(binned.cast("bigint"))
+
+
+def age(ts1: Column | str, ts2: Column | str | None = None) -> Column:
+    """PG ``age(ts[, ts2])``: symbolic interval between timestamps.
+
+    Reference: ``expression/scalar/AgeFunction.java``. Matches PG
+    semantics of months-then-days decomposition via Spark's native
+    timestamp subtraction producing an INTERVAL DAY TO SECOND plus
+    months_between for the year/month part.
+    """
+    a = _col(ts1)
+    b = F.current_timestamp() if ts2 is None else _col(ts2)
+    months = F.floor(F.months_between(a, b))
+    rem_start = F.add_months(b, months)
+    return F.make_interval(
+        F.lit(0),
+        months.cast("int"),
+        F.lit(0),
+        F.datediff(a.cast("date"), rem_start.cast("date")).cast("int"),
+        F.lit(0),
+        F.lit(0),
+        F.lit(0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3-valued logic
+# ---------------------------------------------------------------------------
+def ignore3vl(c: Column | str) -> Column:
+    """NULL -> FALSE, so NOT/AND/OR behave 2-valued.
+
+    Reference: ``expression/scalar/Ignore3vlFunction``.
+    """
+    return F.coalesce(_col(c), F.lit(False))
+
+
+# ---------------------------------------------------------------------------
+# network
+# ---------------------------------------------------------------------------
+def ip_in_cidr(ip: Column | str, cidr: str) -> Column:
+    """IPv4 ``ip << 'net/prefix'`` containment (CIDROperator.java).
+
+    Converts dotted-quad to uint32 with JVM string ops — no UDF.
+    """
+    net, _, prefix = cidr.partition("/")
+    prefix_len = int(prefix)
+    mask = (0xFFFFFFFF << (32 - prefix_len)) & 0xFFFFFFFF if prefix_len else 0
+
+    def ip_to_long(c: Column) -> Column:
+        parts = F.split(c, r"\.")
+        return (
+            parts.getItem(0).cast("bigint") * 16777216
+            + parts.getItem(1).cast("bigint") * 65536
+            + parts.getItem(2).cast("bigint") * 256
+            + parts.getItem(3).cast("bigint")
+        )
+
+    net_long = sum(
+        int(p) * m for p, m in zip(net.split("."), (16777216, 65536, 256, 1))
+    )
+    return ip_to_long(_col(ip)).cast("bigint").bitwiseAND(F.lit(mask).cast("bigint")) == F.lit(
+        net_long & mask
+    )
+
+
+# ---------------------------------------------------------------------------
+# uri
+# ---------------------------------------------------------------------------
+def parse_uri(c: Column | str) -> Column:
+    """``parse_uri(text)`` -> struct(scheme, host, port, path, query, fragment).
+
+    Reference: ``expression/scalar/ParseUriFunction``; built on Spark's
+    JVM ``parse_url``.
+    """
+    u = _col(c)
+    return F.struct(
+        F.parse_url(u, F.lit("PROTOCOL")).alias("scheme"),
+        F.parse_url(u, F.lit("HOST")).alias("host"),
+        F.regexp_extract(F.parse_url(u, F.lit("AUTHORITY")), r":(\d+)$", 1)
+        .try_cast("int")
+        .alias("port"),
+        F.parse_url(u, F.lit("PATH")).alias("path"),
+        F.parse_url(u, F.lit("QUERY")).alias("query"),
+        F.parse_url(u, F.lit("REF")).alias("fragment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# arrays (reference array_* functions Spark spells differently or lacks)
+# ---------------------------------------------------------------------------
+def array_unique(*cols: Column | str) -> Column:
+    """``array_unique(a[, b])`` — distinct elements of concatenated arrays
+    (reference ``scalar/ArrayUniqueFunction``)."""
+    arrs = [_col(c) for c in cols]
+    merged = arrs[0] if len(arrs) == 1 else F.concat(*arrs)
+    return F.array_distinct(merged)
+
+
+def array_difference(a: Column | str, b: Column | str) -> Column:
+    """Elements of ``a`` not in ``b`` (reference ``ArrayDifferenceFunction``).
+    Unlike array_except, preserves duplicates in ``a`` — uses a filter HOF."""
+    return F.filter(_col(a), lambda x: ~F.array_contains(_col(b), x))
+
+
+def array_overlap(a: Column | str, b: Column | str) -> Column:
+    """``array_overlap/&&`` — true if arrays share any element."""
+    return F.arrays_overlap(_col(a), _col(b))
+
+
+def array_sum(c: Column | str) -> Column:
+    """``array_sum`` (reference ``ArraySummationFunction``) via aggregate HOF."""
+    return F.aggregate(_col(c), F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+
+
+def array_avg(c: Column | str) -> Column:
+    """``array_avg`` — NULL-element-aware mean."""
+    arr = F.filter(_col(c), lambda x: x.isNotNull())
+    return F.when(F.size(arr) > 0, array_sum(arr) / F.size(arr))
+
+
+def array_min(c: Column | str) -> Column:
+    return F.array_min(_col(c))
+
+
+def array_max(c: Column | str) -> Column:
+    return F.array_max(_col(c))

@@ -1,1 +1,402 @@
-"""scalars query module (stub — being filled in this round)."""
+"""Scalar function library exercised over the driver tables.
+
+Reference parity (SURVEY.md §2.8): the documented scalar surface from
+``docs/general/builtins/scalar-functions.rst`` — string, regexp,
+date/time, math, array, object/JSON, conditional, bitwise, hash and
+cast functions. ~80% are Spark same-name built-ins; gaps are filled in
+``crate_spark/functions`` (date_bin, array_* variants, parse_uri, ...).
+
+All expressions stay JVM-side (no Python UDFs in any of these paths);
+transcendental outputs are rounded in BOTH engines for exact hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crate_spark.functions import array_sum, date_bin
+from crate_spark.queries import query
+from crate_spark.session import load_tables
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS up,
+           LOWER(p_type) AS lo,
+           LENGTH(p_name) AS len,
+           SUBSTR(p_name, 1, 8) AS sub,
+           LEFT(p_type, 5) AS l5,
+           RIGHT(p_type, 5) AS r5,
+           REVERSE(p_brand) AS rev,
+           REPLACE(p_brand, 'Brand#', 'B-') AS repl,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+           TRIM('  ' || p_brand || ' ') AS trimmed,
+           CONCAT(p_brand, ':', p_type) AS joined,
+           SPLIT_PART(p_name, ' ', 2) AS word2,
+           STRPOS(p_name, 'a') AS pos_a,
+           REPEAT('-', 3) AS dashes,
+           ASCII(p_brand) AS first_code,
+           CHR(65 + p_size % 26) AS size_chr,
+           p_name LIKE '%gold%' AS has_gold,
+           p_brand LIKE 'Brand#1%' AS is_b1
+    FROM part WHERE p_partkey <= 500
+    """,
+)
+def scalar_string_funcs(spark, sf_dir):
+    """String function surface (concat/substr/trim/pad/split_part/...)."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"].filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("up"),
+        F.lower("p_type").alias("lo"),
+        F.length("p_name").alias("len"),
+        F.substring("p_name", 1, 8).alias("sub"),
+        F.expr("left(p_type, 5)").alias("l5"),
+        F.expr("right(p_type, 5)").alias("r5"),
+        F.reverse("p_brand").alias("rev"),
+        F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B-")).alias("repl"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias("trimmed"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("joined"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("word2"),
+        F.instr(F.col("p_name"), "a").alias("pos_a"),
+        F.repeat(F.lit("-"), 3).alias("dashes"),
+        F.ascii("p_brand").alias("first_code"),
+        F.chr(F.lit(65) + F.col("p_size") % 26).alias("size_chr"),
+        F.col("p_name").like("%gold%").alias("has_gold"),
+        F.col("p_brand").like("Brand#1%").alias("is_b1"),
+    )
+
+
+@query(
+    "scalar_regexp_funcs",
+    oracle="""
+    SELECT doc_id,
+           REGEXP_REPLACE(source, '[0-9]+', '#', 'g') AS src_norm,
+           REGEXP_EXTRACT(text, '([a-z]+)', 1) AS first_word,
+           LEN(REGEXP_EXTRACT_ALL(text, 'table')) AS n_table,
+           REGEXP_MATCHES(text, 'vector|spark') AS mentions_tech
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def scalar_regexp_funcs(spark, sf_dir):
+    """Regexp surface: replace (global), extract, count, match
+    (reference ``RegexpMatchOperator``, ``regexp_*`` scalars)."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.regexp_replace("source", "[0-9]+", "#").alias("src_norm"),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_count(F.col("text"), F.lit("table")).alias("n_table"),
+        F.col("text").rlike("vector|spark").alias("mentions_tech"),
+    )
+
+
+@query(
+    "scalar_datetime_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(DATE_TRUNC('quarter', o_orderdate) AS TIMESTAMP) AS q_start,
+           EXTRACT(year FROM o_orderdate) AS yr,
+           EXTRACT(month FROM o_orderdate) AS mon,
+           EXTRACT(day FROM o_orderdate) AS dom,
+           EXTRACT(quarter FROM o_orderdate) AS qtr,
+           EXTRACT(doy FROM o_orderdate) AS doy,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS fmt,
+           o_orderdate + INTERVAL 30 DAY AS due,
+           o_orderdate - INTERVAL 1 MONTH AS prev_month
+    FROM orders WHERE o_orderkey <= 400
+    """,
+)
+def scalar_datetime_funcs(spark, sf_dir):
+    """date_trunc/extract/date_format/interval arithmetic
+    (reference ``scalar/DateTruncFunction``, ``ExtractFunctions``,
+    ``arithmetic/IntervalArithmeticFunctions.java``)."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderkey") <= 400)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", d).cast("timestamp_ntz").alias("month_start"),
+        F.date_trunc("quarter", d).cast("timestamp_ntz").alias("q_start"),
+        F.year(d).cast("bigint").alias("yr"),
+        F.month(d).cast("bigint").alias("mon"),
+        F.dayofmonth(d).cast("bigint").alias("dom"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+        F.dayofyear(d).cast("bigint").alias("doy"),
+        F.date_format(d, "yyyy-MM-dd").alias("fmt"),
+        (d + F.expr("INTERVAL 30 DAY")).cast("timestamp_ntz").alias("due"),
+        (d - F.expr("INTERVAL 1 MONTH")).cast("timestamp_ntz").alias("prev_month"),
+    )
+
+
+@query(
+    "scalar_date_bin",
+    oracle="""
+    SELECT TIME_BUCKET(INTERVAL '15 minutes', ts, TIMESTAMP '2024-01-01 00:00:00') AS bucket,
+           COUNT(*) AS n,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM events
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def scalar_date_bin(spark, sf_dir):
+    """date_bin (reference ``scalar/DateBinFunction.java:41``) — floor
+    timestamps to an arbitrary stride anchored at an origin; THE
+    time-series rollup primitive. Pure epoch arithmetic, codegen-side."""
+    t = load_tables(spark, sf_dir)
+    bucket = date_bin(
+        "15 minutes", F.col("ts"), F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        t["events"]
+        .groupBy(bucket.cast("timestamp_ntz").alias("bucket"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(-l_quantity) AS a,
+           CEIL(l_discount * 100) AS c,
+           FLOOR(l_tax * 100) AS f,
+           ROUND(l_extendedprice / 1000, 2) AS r,
+           TRUNC(l_extendedprice / 1000) AS tr,
+           ROUND(SQRT(l_quantity), 9) AS sq,
+           ROUND(POWER(l_quantity, 2), 6) AS p2,
+           ROUND(EXP(l_discount), 9) AS e,
+           ROUND(LN(l_quantity + 1), 9) AS lg,
+           ROUND(LOG(10, l_quantity + 1), 9) AS l10,
+           MOD(CAST(l_quantity AS BIGINT), 7) AS m7,
+           SIGN(l_discount - 0.05) AS sg,
+           ROUND(SIN(l_quantity), 9) AS sn,
+           ROUND(COS(l_quantity), 9) AS cs,
+           ROUND(ATAN2(l_quantity, 10.0), 9) AS at2,
+           ROUND(DEGREES(l_discount), 9) AS dg,
+           ROUND(RADIANS(l_quantity), 9) AS rd,
+           ROUND(PI(), 9) AS pi_
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+)
+def scalar_math_funcs(spark, sf_dir):
+    """Math surface (abs..trig; reference ``scalar/MathFunctions`` et al.),
+    rounded identically in both engines."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_orderkey") <= 200)
+    q, dsc, tax, px = (F.col(c) for c in ("l_quantity", "l_discount", "l_tax", "l_extendedprice"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(-q).alias("a"),
+        F.ceil(dsc * 100).alias("c"),
+        F.floor(tax * 100).alias("f"),
+        F.round(px / 1000, 2).alias("r"),
+        # numeric trunc(x) = cast-to-bigint (truncates toward zero, as PG)
+        (px / 1000).cast("bigint").cast("double").alias("tr"),
+        F.round(F.sqrt(q), 9).alias("sq"),
+        F.round(F.pow(q, 2), 6).alias("p2"),
+        F.round(F.exp(dsc), 9).alias("e"),
+        F.round(F.ln(q + 1), 9).alias("lg"),
+        F.round(F.log(10.0, q + 1), 9).alias("l10"),
+        (q.cast("bigint") % 7).alias("m7"),
+        F.signum(dsc - 0.05).alias("sg"),
+        F.round(F.sin(q), 9).alias("sn"),
+        F.round(F.cos(q), 9).alias("cs"),
+        F.round(F.atan2(q, F.lit(10.0)), 9).alias("at2"),
+        F.round(F.degrees(dsc), 9).alias("dg"),
+        F.round(F.radians(q), 9).alias("rd"),
+        F.round(F.lit(3.141592653589793), 9).alias("pi_"),
+    )
+
+
+@query(
+    "scalar_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS size_class,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_alias,
+           GREATEST(o_totalprice, 150000.0) AS floor_price,
+           LEAST(o_totalprice, 150000.0) AS cap_price,
+           IF(o_orderpriority = '1-URGENT', 1, 0) AS urgent_flag
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def scalar_conditional(spark, sf_dir):
+    """CASE/WHEN, coalesce, nullif, greatest, least, if
+    (reference ``scalar/conditional/``)."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderkey") <= 1000)
+    tp = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(tp > 300000, "big").when(tp > 100000, "mid").otherwise("small").alias("size_class"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias("status_alias"),
+        F.greatest(tp, F.lit(150000.0)).alias("floor_price"),
+        F.least(tp, F.lit(150000.0)).alias("cap_price"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("urgent_flag"),
+    )
+
+
+@query(
+    "scalar_casts",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS INTEGER) AS q_int,
+           CAST(l_quantity AS VARCHAR) AS q_str,
+           CAST(l_extendedprice AS DECIMAL(18,2)) AS px_dec,
+           TRY_CAST(l_returnflag AS INTEGER) AS flag_int,
+           TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS q_roundtrip,
+           CAST(l_shipdate AS DATE) AS ship_day
+    FROM lineitem WHERE l_orderkey <= 300
+    """,
+)
+def scalar_casts(spark, sf_dir):
+    """cast / try_cast / :: surface (reference
+    ``scalar/cast/ExplicitCastFunction.java:40``, ``TryCastFunction``).
+    try_cast of a non-numeric string yields NULL, not an error."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_orderkey") <= 300)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("int").alias("q_int"),
+        F.col("l_quantity").cast("string").alias("q_str"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("px_dec"),
+        F.try_to_number(F.col("l_returnflag"), F.lit("999")).cast("int").alias("flag_int"),
+        F.col("l_quantity").cast("string").cast("double").alias("q_roundtrip"),
+        F.col("l_shipdate").cast("date").alias("ship_day"),
+    )
+
+
+@query(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT doc_id,
+           words[1] AS first_word,
+           words[3:4] AS slice_2,
+           LEN(words) AS n_words,
+           LEN(LIST_DISTINCT(words)) AS n_unique,
+           LIST_SORT(LIST_DISTINCT(words))[1] AS min_word,
+           LIST_CONTAINS(words, 'spark') AS has_spark,
+           LIST_POSITION(words, 'table') AS table_pos,
+           ARRAY_TO_STRING(words[1:3], '|') AS head3
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS words
+          FROM documents WHERE doc_id < 100)
+    """,
+)
+def scalar_array_funcs(spark, sf_dir):
+    """Array surface with CrateDB's 1-based subscripts
+    (``scalar/SubscriptFunction``, ``ArraySliceFunction``,
+    ``array_*`` family). Spark element_at/slice are 1-based too."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 100)
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.element_at(words, 1).alias("first_word"),
+        F.slice(words, 3, 2).alias("slice_2"),
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_unique"),
+        F.element_at(F.sort_array(F.array_distinct(words)), 1).alias("min_word"),
+        F.array_contains(words, "spark").alias("has_spark"),
+        F.array_position(words, "table").alias("table_pos"),
+        F.array_join(F.slice(words, 1, 3), "|").alias("head3"),
+    )
+
+
+@query(
+    "scalar_array_numeric",
+    oracle="""
+    SELECT vec_id,
+           ROUND(LIST_SUM(embedding), 5) AS vec_sum,
+           ROUND(LIST_AVG(embedding), 6) AS vec_avg,
+           ROUND(CAST(LIST_MIN(embedding) AS DOUBLE), 6) AS vec_min,
+           ROUND(CAST(LIST_MAX(embedding) AS DOUBLE), 6) AS vec_max,
+           LEN(embedding) AS dim
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def scalar_array_numeric(spark, sf_dir):
+    """array_sum/avg/min/max (reference ``ArraySummationFunction`` etc.)
+    over float_vector columns, via JVM aggregate HOFs.
+
+    Float32 sums: both engines accumulate in double over the same
+    64-element order -> exact match; rounded anyway for safety."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].filter(F.col("vec_id") < 100)
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.round(array_sum(emb), 5).alias("vec_sum"),
+        F.round(array_sum(emb) / F.size(emb), 6).alias("vec_avg"),
+        F.round(F.array_min(emb).cast("double"), 6).alias("vec_min"),
+        F.round(F.array_max(emb).cast("double"), 6).alias("vec_max"),
+        F.size(emb).alias("dim"),
+    )
+
+
+@query(
+    "scalar_json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_val,
+           JSON_EXTRACT_STRING(props, '$.missing') AS missing_val,
+           props LIKE '%"k"%' AS has_k
+    FROM events WHERE event_id < 500
+    """,
+)
+def scalar_json_funcs(spark, sf_dir):
+    """Dynamic object access: CrateDB ``props['k']`` subscripting on an
+    object(ignored) column == JSON path extraction here (SURVEY.md §7
+    hard part (a): ignored-policy objects -> JSON string + lazy cast)."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"].filter(F.col("event_id") < 500)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+        F.col("props").like('%"k"%').alias("has_k"),
+    )
+
+
+@query(
+    "scalar_bitwise_hash",
+    oracle="""
+    SELECT n_nationkey,
+           n_nationkey & 3 AS b_and,
+           n_nationkey | 8 AS b_or,
+           XOR(n_nationkey, 5) AS b_xor,
+           n_nationkey << 2 AS b_shl,
+           n_nationkey >> 1 AS b_shr,
+           MD5(n_name) AS name_md5,
+           SHA256(n_name) AS name_sha256
+    FROM nation
+    """,
+)
+def scalar_bitwise_hash(spark, sf_dir):
+    """Bitwise ops (reference ``scalar/bitwise/BitwiseFunctions.java``)
+    + md5/sha digests (reference has md5/sha1/blake3; blake3 has no JVM
+    builtin — documented gap, md5/sha2 provided)."""
+    t = load_tables(spark, sf_dir)
+    k = F.col("n_nationkey")
+    return t["nation"].select(
+        "n_nationkey",
+        k.bitwiseAND(F.lit(3)).alias("b_and"),
+        k.bitwiseOR(F.lit(8)).alias("b_or"),
+        k.bitwiseXOR(F.lit(5)).alias("b_xor"),
+        F.shiftleft(k, 2).alias("b_shl"),
+        F.shiftright(k, 1).alias("b_shr"),
+        F.md5(F.col("n_name").cast("binary")).alias("name_md5"),
+        F.sha2(F.col("n_name").cast("binary"), 256).alias("name_sha256"),
+    )

@@ -1,0 +1,112 @@
+"""Expression-eval unit tests for crate_spark.functions — the analog of
+the reference's ScalarTestCase.assertEvaluate
+(``server/src/testFixtures/java/io/crate/expression/scalar/ScalarTestCase.java:178``)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from crate_spark.functions import (
+    age,
+    array_avg,
+    array_difference,
+    array_overlap,
+    array_sum,
+    array_unique,
+    cosine_similarity,
+    date_bin,
+    geo_distance,
+    geohash,
+    ignore3vl,
+    ip_in_cidr,
+    l2_distance,
+    parse_uri,
+    vector_similarity,
+)
+
+
+def one(df, col):
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+@pytest.fixture(scope="module")
+def row(spark):
+    return spark.range(1)
+
+
+def test_date_bin(spark, row):
+    ts = F.lit("2024-03-15 10:37:42").cast("timestamp")
+    origin = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    assert str(one(row, date_bin("15 minutes", ts, origin))) == "2024-03-15 10:30:00"
+    # origin offset shifts the grid (DateBinFunction.java:41 semantics)
+    origin2 = F.lit("2024-01-01 00:05:00").cast("timestamp")
+    assert str(one(row, date_bin("15 minutes", ts, origin2))) == "2024-03-15 10:35:00"
+    # timestamps before the origin floor toward -infinity
+    early = F.lit("2023-12-31 23:59:00").cast("timestamp")
+    assert str(one(row, date_bin("1 hour", early, origin))) == "2023-12-31 23:00:00"
+
+
+def test_age(spark, row):
+    a = F.lit("2024-03-15 00:00:00").cast("timestamp")
+    b = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    # CalendarIntervalType is not collectable in PySpark; observe as string
+    iv = one(row, age(a, b).cast("string"))
+    assert "2 months 5 days" in iv
+
+
+def test_ignore3vl(spark, row):
+    assert one(row, ignore3vl(F.lit(None).cast("boolean"))) is False
+    assert one(row, ignore3vl(F.lit(True))) is True
+
+
+def test_ip_in_cidr(spark, row):
+    assert one(row, ip_in_cidr(F.lit("192.168.1.77"), "192.168.1.0/24")) is True
+    assert one(row, ip_in_cidr(F.lit("192.168.2.1"), "192.168.1.0/24")) is False
+    assert one(row, ip_in_cidr(F.lit("10.0.0.1"), "0.0.0.0/0")) is True
+
+
+def test_parse_uri(spark, row):
+    u = one(row, parse_uri(F.lit("https://example.com:8080/a/b?x=1#frag")))
+    assert u["scheme"] == "https"
+    assert u["host"] == "example.com"
+    assert u["port"] == 8080
+    assert u["path"] == "/a/b"
+    assert u["query"] == "x=1"
+    assert u["fragment"] == "frag"
+
+
+def test_array_helpers(spark, row):
+    arr = F.array(F.lit(1), F.lit(2), F.lit(2), F.lit(3))
+    other = F.array(F.lit(2), F.lit(5))
+    assert sorted(one(row, array_unique(arr))) == [1, 2, 3]
+    assert one(row, array_difference(arr, other)) == [1, 3]
+    assert one(row, array_overlap(arr, other)) is True
+    assert one(row, array_sum(arr)) == 8.0
+    assert one(row, array_avg(arr)) == 2.0
+
+
+def test_vector_functions(spark, row):
+    a = F.array(F.lit(1.0), F.lit(0.0))
+    b = F.array(F.lit(0.0), F.lit(1.0))
+    assert one(row, l2_distance(a, a)) == 0.0
+    assert abs(one(row, l2_distance(a, b)) - math.sqrt(2)) < 1e-12
+    # vector_similarity = 1/(1+l2) per FloatVectorType.java:56
+    assert abs(one(row, vector_similarity(a, b)) - 1 / (1 + math.sqrt(2))) < 1e-12
+    assert abs(one(row, cosine_similarity(a, b))) < 1e-12
+    assert abs(one(row, cosine_similarity(a, a)) - 1.0) < 1e-12
+
+
+def test_geo_distance(spark, row):
+    # Berlin -> Paris great-circle ≈ 877-880 km
+    d = one(row, geo_distance(F.lit(13.405), F.lit(52.52), F.lit(2.3522), F.lit(48.8566)))
+    assert 870_000 < d < 890_000
+    assert one(row, geo_distance(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(0.0))) == 0.0
+
+
+def test_geohash(spark, row):
+    # known value: (-5.6, 42.6) -> ezs42... ; use canonical example u4pruydqqvj
+    gh = one(row, geohash(F.lit(10.40744), F.lit(57.64911)))
+    assert gh.startswith("u4pruydqqvj")
