@@ -1,0 +1,162 @@
+"""Deduplication operators for large-scale text corpora.
+
+Not in the reference (CrateDB has no dedup surface) — this is the
+LLM-data-pipeline extension the BASELINE north star calls for. All
+variants are distributed, collect-free, and deterministic (fixed
+hash seeds) so they are testable against property oracles.
+
+Scale design (100 TB):
+- exact: hash-groupBy on a digest — one shuffle of (digest, id).
+- MinHash+LSH: per-doc signature (map-side, Arrow-free JVM hashes),
+  band -> bucket explode, shuffle on (band, bucket) only; candidate
+  pairs verified with true Jaccard. The full pairwise product never
+  materializes.
+- SimHash: 64-bit fingerprint via per-bit vote, explode-free bit
+  arithmetic; near-dups = equal fingerprint (or banded Hamming).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def normalize_text(c) -> F.Column:
+    """Lowercase, collapse whitespace — canonical form for hashing."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of rows whose normalized text is byte-identical.
+
+    Output: (digest, n_dups, doc_ids sorted). One shuffle on the digest.
+    """
+    return (
+        df.select(
+            F.md5(normalize_text(text_col).cast("binary")).alias("digest"),
+            F.col(id_col),
+        )
+        .groupBy("digest")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingles(text_col, n: int = 3) -> F.Column:
+    """Word n-gram shingle set (distinct) of the normalized text."""
+    words = F.split(normalize_text(text_col), " ")
+    # sliding word n-grams via transform over index range
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col, num_hashes: int = 32) -> F.Column:
+    """MinHash signature: per seed i, min over shingles of
+    xxhash64(shingle, i). Pure JVM (xxhash64 is a Spark builtin);
+    one pass over the shingle array per hash — map-side only.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash.
+
+    rows/band = num_hashes/bands; two docs collide if ANY band of
+    their signatures is identical (standard S-curve: P(collide) =
+    1-(1-j^r)^b for Jaccard j). Output: (id_a, id_b, n_shared_bands).
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("_sig", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def jaccard(shingles_a, shingles_b) -> F.Column:
+    """Exact Jaccard over two shingle arrays (JVM set ops)."""
+    inter = F.size(F.array_intersect(shingles_a, shingles_b))
+    union = F.size(F.array_union(shingles_a, shingles_b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def simhash64(text_col) -> F.Column:
+    """64-bit SimHash: bit b of the fingerprint is the sign of the
+    vote sum over tokens of (token_hash bit b ? +1 : -1).
+
+    Implemented as pure bit arithmetic over the token array — no
+    explode, no shuffle; the fingerprint computes inside the scan.
+    """
+    words = F.split(normalize_text(text_col), " ")
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    bit_terms = []
+    for b in range(64):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + (F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1).cast("bigint"))).cast("int") * 2
+            - 1,
+        )
+        bit_terms.append(F.when(votes > 0, F.lit(1).cast("bigint") * (2**b if b < 63 else -(2**63))).otherwise(F.lit(0).cast("bigint")))
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out
+
+
+def hamming64(a, b) -> F.Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of xor)."""
+    return F.bit_count((F.col(a) if isinstance(a, str) else a).bitwiseXOR(F.col(b) if isinstance(b, str) else b))

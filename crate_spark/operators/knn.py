@@ -1,0 +1,152 @@
+"""k-nearest-neighbor search over embedding columns.
+
+Reference: ``expression/scalar/KnnMatch.java:52-84`` runs Lucene HNSW
+(approximate) with EUCLIDEAN similarity (``types/FloatVectorType.java:56``).
+We implement EXACT brute-force as the correctness baseline (exact
+supersedes approximate) and random-hyperplane LSH as the scale path.
+
+Scale design (100 TB):
+- Query vectors are always the broadcast side; the corpus is never
+  shuffled for a kNN probe.
+- Per-partition top-k happens before the global top-k (Spark's
+  TakeOrderedAndProject already does this for single-query searches;
+  for batched query sets the window is per query id, shuffled by
+  query id — bounded by k * n_queries rows into the final stage).
+- The LSH variant prunes candidates by signature bucket so the
+  cross product never materializes: cost goes from |Q|x|C| to
+  sum over buckets of |Q_b|x|C_b|.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from crate_spark.functions.vector import cosine_similarity, dot_product, l2_distance
+
+
+def knn_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    metric: str = "euclidean",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k join: for every query row, the k nearest corpus rows.
+
+    Output: (query_id, corpus_id, distance, rank). The query side is
+    broadcast (it is small by contract); distances run as JVM HOFs
+    inside the corpus scan stage.
+    """
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("_qvec")
+    )
+    joined = corpus.select(
+        F.col(corpus_id), F.col(vec_col).alias("_cvec")
+    ).crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col(corpus_id) != F.col(query_id))
+    if metric == "euclidean":
+        dist = l2_distance(F.col("_cvec"), F.col("_qvec"))
+        order = F.col("distance").asc()
+    elif metric == "cosine":
+        dist = cosine_similarity(F.col("_cvec"), F.col("_qvec"))
+        order = F.col("distance").desc()
+    else:
+        raise ValueError(f"unknown metric: {metric}")
+    w = Window.partitionBy(query_id).orderBy(order, F.col(corpus_id))
+    return (
+        joined.withColumn("distance", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "distance", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes for sign-LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit signature of ``vec`` against fixed hyperplanes, as a
+    bigint. JVM-side: each bit is a dot product against a literal array
+    (no Python in the row path).
+    """
+    bits = []
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = (dot_product(vec, lit_plane) > 0).cast("bigint") * F.lit(2**i)
+        bits.append(bit)
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _lsh_buckets(vec: Column, dim: int, n_planes: int, n_tables: int, seed: int) -> Column:
+    """Array of (table, bucket) structs — one signature per hash table."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_signature(vec, random_hyperplanes(dim, n_planes, seed + t)).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+
+
+def knn_lsh_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    dim: int,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table sign-LSH
+    (OR-amplification): a corpus row is a candidate for a query if they
+    share a bucket in ANY of ``n_tables`` independent hash tables.
+
+    P(candidate) = 1 - (1 - (1 - theta/pi)^n_planes)^n_tables — the
+    standard S-curve; recall tunes via (n_planes, n_tables). At 100 TB
+    the (table, bucket) equi-join replaces the |Q|x|C| cross product
+    and the per-query window is bounded by the candidate set.
+    """
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col).alias("_cvec"),
+        F.explode(_lsh_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)).alias("_tb"),
+    )
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(_lsh_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)).alias("_tb"),
+    )
+    cands = (
+        c.join(F.broadcast(q), c["_tb"] == q["_tb"])
+        .filter(F.col(corpus_id) != F.col(query_id))
+        .select(query_id, corpus_id, "_cvec", "_qvec")
+        .dropDuplicates([query_id, corpus_id])
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("similarity").desc(), F.col(corpus_id))
+    return (
+        cands.withColumn("similarity", cosine_similarity(F.col("_cvec"), F.col("_qvec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "similarity", "rank")
+    )

@@ -1,1 +1,140 @@
-"""vectors query module (stub — being filled in this round)."""
+"""Vector search queries: exact kNN, vector_similarity, LSH ANN,
+embedding near-duplicate detection.
+
+Reference parity: ``knn_match`` (``expression/scalar/KnnMatch.java:52``,
+Lucene HNSW approx) and ``vector_similarity``
+(``FloatVectorType.java:56``, euclidean 1/(1+d)). Exact brute-force
+supersedes the approximate index for the correctness gate; the LSH
+variant is the documented 100 TB scale path (rows-only check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crate_spark.functions.vector import cosine_similarity, l2_distance, vector_similarity
+from crate_spark.operators.knn import knn_exact, knn_lsh_cosine
+from crate_spark.queries import query
+from crate_spark.session import load_tables
+
+#: DuckDB spelling of euclidean distance with double accumulation in
+#: list order — bit-identical to Spark's aggregate HOF fold.
+_DUCK_L2 = (
+    "SQRT(list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))^2)))"
+)
+_DUCK_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+
+
+@query(
+    "vector_knn_exact",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+    dists AS (
+      SELECT q.q_id, e.vec_id,
+             {_DUCK_L2.format(a='e.embedding', b='q.qvec')} AS d
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, d,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rank
+      FROM dists
+    )
+    SELECT q_id, vec_id, ROUND(d, 6) AS distance, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def vector_knn_exact(spark, sf_dir):
+    """Exact euclidean kNN: 5 query vectors x top-5 neighbors.
+
+    knn_match parity (KnnFloatVectorQuery); broadcast queries, per-query
+    window top-k — the corpus is scanned once, never shuffled."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    out = knn_exact(
+        emb,
+        emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding"),
+        k=5,
+        query_id="q_id",
+    )
+    return out.withColumn("distance", F.round("distance", 6))
+
+
+@query(
+    "vector_similarity_score",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(1.0 / (1.0 + {_DUCK_L2.format(a='e.embedding', b='q.qvec')}), 9) AS vsim,
+           ROUND({_DUCK_DOT.format(a='e.embedding', b='q.qvec')} /
+                 (SQRT({_DUCK_DOT.format(a='e.embedding', b='e.embedding')}) *
+                  SQRT({_DUCK_DOT.format(a='q.qvec', b='q.qvec')})), 9) AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id < 200
+    """,
+)
+def vector_similarity_score(spark, sf_dir):
+    """vector_similarity (1/(1+l2), FloatVectorType.java:56) and cosine
+    against a fixed query vector."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return (
+        emb.filter(F.col("vec_id") < 200)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(vector_similarity(F.col("embedding"), F.col("qvec")), 9).alias("vsim"),
+            F.round(cosine_similarity(F.col("embedding"), F.col("qvec")), 9).alias("cos_sim"),
+        )
+    )
+
+
+@query("vector_ann_lsh", oracle=None)
+def vector_ann_lsh(spark, sf_dir):
+    """Approximate cosine kNN via 8-bit random-hyperplane LSH — the
+    scale path (bucket join instead of cross product). Approximation is
+    not hash-matchable; recall-vs-exact is asserted in unit tests."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return knn_lsh_cosine(
+        emb,
+        emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding"),
+        k=5,
+        dim=64,
+    ).withColumn("similarity", F.round("similarity", 6))
+
+
+@query(
+    "embedding_neardup_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_DUCK_DOT.format(a='a.embedding', b='b.embedding')} /
+                 (SQRT({_DUCK_DOT.format(a='a.embedding', b='a.embedding')}) *
+                  SQRT({_DUCK_DOT.format(a='b.embedding', b='b.embedding')})), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DUCK_DOT.format(a='a.embedding', b='b.embedding')} /
+          (SQRT({_DUCK_DOT.format(a='a.embedding', b='a.embedding')}) *
+           SQRT({_DUCK_DOT.format(a='b.embedding', b='b.embedding')})) > 0.30
+    """,
+)
+def embedding_neardup_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, blocked by label (the
+    blocking key bounds the pair space — at 100 TB the block is an LSH
+    bucket; label stands in for it deterministically here)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("embedding").alias("eb"))
+    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos_sim_raw", cos)
+        .filter(F.col("cos_sim_raw") > 0.30)
+        .select("id_a", "id_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
+    )

@@ -1,0 +1,82 @@
+"""Property tests for the approximate operators (MinHash LSH, sign-LSH
+ANN, SimHash) — these have no SQL oracle, so we assert the statistical
+contracts instead: determinism, recall against the exact computation,
+and candidate quality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crate_spark.operators import dedup as dd
+from crate_spark.operators.knn import knn_exact, knn_lsh_cosine
+from crate_spark.session import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_minhash_deterministic(spark):
+    t = load_tables(spark, SF_DIR)
+    a = dd.minhash_lsh_candidates(t["documents"], "text", "doc_id").collect()
+    b = dd.minhash_lsh_candidates(t["documents"], "text", "doc_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_minhash_finds_high_jaccard_pairs(spark):
+    """Every pair with true Jaccard >= 0.8 must be an LSH candidate
+    (with 32 hashes / 8 bands / r=4: P(miss | j=0.8) = (1-0.8^4)^8 ≈ 0.9%
+    per pair; the sf0.001 corpus has few such pairs, so a miss is a bug,
+    not noise)."""
+    t = load_tables(spark, SF_DIR)
+    docs = t["documents"]
+    sh = docs.select("doc_id", dd.shingles("text", 3).alias("g"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    truth = (
+        a.join(b, F.col("id_b") > F.col("id_a"))
+        .withColumn("j", dd.jaccard(F.col("ga"), F.col("gb")))
+        .filter(F.col("j") >= 0.8)
+        .select("id_a", "id_b")
+        .collect()
+    )
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_candidates(docs, "text", "doc_id").collect()
+    }
+    missed = [t_ for t_ in ((r["id_a"], r["id_b"]) for r in truth) if t_ not in cands]
+    assert not missed, f"high-jaccard pairs missed by LSH: {missed}"
+
+
+def test_lsh_knn_recall_vs_exact(spark):
+    """Multi-table sign-LSH top-5 should recover a reasonable fraction of
+    the exact cosine top-5 (random 64-dim data: bucket collision is the
+    only pruning). We assert >= 20% average recall — the point is the
+    operator wiring, the knob is n_planes."""
+    t = load_tables(spark, SF_DIR)
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = knn_exact(emb, q, k=5, metric="cosine").collect()
+    approx = knn_lsh_cosine(emb, q, k=5, dim=64).collect()
+    exact_pairs = {(r["q_id"], r["vec_id"]) for r in exact}
+    approx_pairs = {(r["q_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.2, f"LSH recall too low: {recall}"
+
+
+def test_simhash_selfsimilar(spark):
+    """A doc is Hamming-0 from itself and deterministic across runs."""
+    t = load_tables(spark, SF_DIR)
+    d = t["documents"].filter(F.col("doc_id") < 20)
+    fp1 = {r["doc_id"]: r["fp"] for r in d.select("doc_id", dd.simhash64("text").alias("fp")).collect()}
+    fp2 = {r["doc_id"]: r["fp"] for r in d.select("doc_id", dd.simhash64("text").alias("fp")).collect()}
+    assert fp1 == fp2
+    assert all(isinstance(v, int) for v in fp1.values())
+
+
+def test_exact_dup_of_itself(spark):
+    """Union a table with itself -> every doc is an exact-dup group."""
+    t = load_tables(spark, SF_DIR)
+    d = t["documents"].limit(50)
+    doubled = d.unionAll(d.withColumn("doc_id", F.col("doc_id") + 100000))
+    groups = dd.exact_duplicates(doubled, "text", "doc_id").collect()
+    assert len(groups) == 50
+    assert all(r["n_dups"] == 2 for r in groups)
