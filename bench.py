@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Execution is forced with the noop datasource sink (full materialization,
+no driver collect). Each query runs once after a warmup of the Spark
+session (JVM+codegen warm, OS page cache hot from the schema read).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from crate_spark.queries import load_all
+from crate_spark.session import get_spark
+
+#: Headline queries: one per operator family, heaviest variants.
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_q5_regional_revenue",
+    "join_inner_multiway",
+    "agg_group_having",
+    "window_topk_per_group",
+    "window_running_sum",
+    "scalar_date_bin",
+    "ts_sessionize",
+    "ts_topk_event_values",
+    "text_minhash_lsh",
+    "text_stats",
+    "vector_knn_exact",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("crate-spark-bench")
+    registry = load_all()
+
+    # Warm up the session (JVM, codegen, parquet footers).
+    registry["count_star"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -46,11 +46,21 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingles(text_col, n: int = 3) -> F.Column:
-    """Word n-gram shingle set (distinct) of the normalized text."""
+    """Word n-gram shingle set (distinct) of the normalized text.
+
+    Built by zipping n shifted copies of the word array — NOT by a
+    transform over an index range: lambdas in higher-order functions
+    run interpreted (no codegen, no subexpression elimination), so an
+    index-lambda that slices the word array re-evaluates the full
+    split per shingle = O(words^2) per document. The zip form keeps it
+    O(words).
+    """
     words = F.split(normalize_text(text_col), " ")
-    # sliding word n-grams via transform over index range
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    shifted = [words if i == 0 else F.slice(words, i + 1, F.size(words)) for i in range(n)]
+    zipped = F.arrays_zip(*[c.alias(f"w{i}") for i, c in enumerate(shifted)])
+    # drop the tail entries whose later fields are null (incomplete grams)
+    full = F.slice(zipped, 1, F.greatest(F.size(words) - n + 1, F.lit(1)))
+    grams = F.transform(full, lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(n)]))
     return F.array_distinct(grams)
 
 
@@ -84,10 +94,65 @@ def minhash_lsh_candidates(
     their signatures is identical (standard S-curve: P(collide) =
     1-(1-j^r)^b for Jaccard j). Output: (id_a, id_b, n_shared_bands).
     """
+    from pyspark.sql import Window
+
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    # Shingle via posexplode + lead window, then num_hashes MIN
+    # aggregations. Array-expression shingling (transform/arrays_zip
+    # over the word array) runs interpreted (HOF lambdas skip codegen)
+    # and re-derives subexpressions per element — 30-100x slower. The
+    # window and the groupBy share the same hash partitioning on _id,
+    # so this is ONE shuffle of skinny (id, word) rows; the minima
+    # combine map-side.
+    words = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("_sig"),
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias("_pos", "_w"),
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    parts = [F.col("_w")] + [F.lead("_w", i).over(w) for i in range(1, shingle_n)]
+    doc_len = F.max("_pos").over(Window.partitionBy("_id"))
+    grams = (
+        words.select(
+            "_id",
+            F.col("_pos"),
+            F.concat_ws(" ", *parts).alias("_sh"),
+            # a gram is kept if complete, or if the whole doc is shorter
+            # than the shingle (parity with array shingling: short docs
+            # contribute their full text as one gram)
+            (parts[-1].isNotNull() | ((doc_len < shingle_n - 1) & (F.col("_pos") == 0))).alias("_keep"),
+        )
+        .filter(F.col("_keep"))
+        .select("_id", "_sh")
+        .dropDuplicates(["_id", "_sh"])
+    )
+    # Per-seed min via an exploded (id, seed, hash) stream instead of a
+    # num_hashes-column-wide aggregate: the wide form generates a huge
+    # whole-stage-codegen method (~45 s one-time janino compile); the
+    # exploded form keeps codegen units small and still combines
+    # map-side. The second aggregate runs over docs x num_hashes rows
+    # only.
+    seed_hashes = grams.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seed"),
+                        F.xxhash64("_sh", F.lit(i)).alias("h"),
+                    )
+                    for i in range(num_hashes)
+                ]
+            )
+        ).alias("_sh2"),
+    )
+    per_seed = seed_hashes.groupBy("_id", F.col("_sh2.seed").alias("_seed")).agg(
+        F.min("_sh2.h").alias("_h")
+    )
+    sig = per_seed.groupBy("_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("_seed"), F.col("_h")))),
+            lambda s: s["_h"],
+        ).alias("_sig")
     )
     banded = sig.select(
         "_id",

@@ -1,0 +1,103 @@
+"""Time-series operators: sessionization, gap detection, LTTB
+downsampling.
+
+Reference parity: CrateDB's time-series story is date_bin + window
+functions + LTTB (``extensions/functions/.../LTTBAggregation.java:50``,
+Largest-Triangle-Three-Buckets). Sessionization has no reference
+analog (LLM/eventstream extension) but composes from the same window
+primitives the reference has.
+
+Scale notes: everything partitions by the series key (user_id); LTTB
+runs as applyInPandas per series — Arrow-batched, one pass, state
+bounded by one series partition (the reference's LTTB is likewise a
+per-group aggregate).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap from the
+    previous event of the same user exceeds ``gap_minutes``.
+
+    lag + running sum over (user, ts) — two window passes over one
+    shuffle by user_col. This is the standard batch sessionization; the
+    streaming twin lives in crate_spark.streaming.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev_us = F.lag(F.unix_micros(F.col(ts_col).cast("timestamp"))).over(w)
+    new_session = (
+        prev_us.isNull()
+        | ((F.unix_micros(F.col(ts_col).cast("timestamp")) - prev_us) > gap_us)
+    ).cast("int")
+    return df.withColumn("_new_session", new_session).withColumn(
+        "session_id", F.sum("_new_session").over(w)
+    ).drop("_new_session")
+
+
+def lttb(
+    df: DataFrame,
+    n_buckets: int,
+    *,
+    series_col: str = "user_id",
+    x_col: str = "ts",
+    y_col: str = "value",
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling per series
+    (reference ``LTTBAggregation.java:50`` — same algorithm: first and
+    last points kept, each interior bucket contributes the point
+    maximizing the triangle area with the previously selected point and
+    the next bucket's centroid).
+
+    applyInPandas per series key: Arrow-batched, deterministic,
+    memory = one series. Output: (series, x, y) of <= n_buckets rows.
+    """
+    out_schema = f"{series_col} long, x_us long, y double"
+
+    def _lttb_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("x_us").reset_index(drop=True)
+        n = len(pdf)
+        key = pdf[series_col].iloc[0]
+        if n <= n_buckets:
+            return pdf[[series_col, "x_us", "y"]]
+        xs = pdf["x_us"].to_numpy(dtype="float64")
+        ys = pdf["y"].to_numpy(dtype="float64")
+        picked = [0]
+        # interior bucket boundaries over points 1..n-2
+        bucket_size = (n - 2) / (n_buckets - 2)
+        for b in range(n_buckets - 2):
+            start = int(b * bucket_size) + 1
+            end = min(int((b + 1) * bucket_size) + 1, n - 1)
+            nstart = end
+            nend = min(int((b + 2) * bucket_size) + 1, n)
+            if nstart < nend:
+                cx, cy = xs[nstart:nend].mean(), ys[nstart:nend].mean()
+            else:
+                cx, cy = xs[n - 1], ys[n - 1]
+            ax, ay = xs[picked[-1]], ys[picked[-1]]
+            areas = abs(
+                (ax - cx) * (ys[start:end] - ay) - (ax - xs[start:end]) * (cy - ay)
+            )
+            picked.append(start + int(areas.argmax()))
+        picked.append(n - 1)
+        sel = pdf.iloc[picked]
+        return sel[[series_col, "x_us", "y"]]
+
+    prepared = df.select(
+        F.col(series_col),
+        F.unix_micros(F.col(x_col).cast("timestamp")).alias("x_us"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    return prepared.groupBy(series_col).applyInPandas(_lttb_series, out_schema)
