@@ -48,7 +48,17 @@ def query(name: str, oracle: str | None = None):
 
 #: Query modules making up the operator inventory; each import
 #: registers its queries into REGISTRY via the @query decorator.
-_MODULES = ("core", "joins", "windows", "scalars", "vectors", "text", "timeseries")
+_MODULES = (
+    "core",
+    "joins",
+    "windows",
+    "scalars",
+    "vectors",
+    "text",
+    "timeseries",
+    "predicates",
+    "tablefns",
+)
 
 
 def load_all() -> dict[str, QuerySpec]:
