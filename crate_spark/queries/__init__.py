@@ -58,6 +58,7 @@ _MODULES = (
     "timeseries",
     "predicates",
     "tablefns",
+    "fulltext",
 )
 
 
