@@ -1,0 +1,158 @@
+"""DML semantics tests: INSERT / upsert / UPDATE / DELETE / COPY,
+generated columns, CHECK constraints, PK enforcement, partition drop,
+partition pruning. Mirrors the reference's t_pk fixture behaviors
+(FIXTURES.md §B) and insert.rst ON CONFLICT semantics."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crate_spark.dml import CheckViolation, CrateTable, DuplicateKeyError
+
+DDL = "id int, ts timestamp_ntz, val string, cnt int, gen_day timestamp_ntz"
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return CrateTable.create(
+        spark,
+        str(tmp_path / "t_pk"),
+        DDL,
+        primary_key=["id"],
+        generated={"gen_day": "date_trunc('day', ts)"},
+        checks=["cnt >= 0"],
+    )
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "id int, ts string, val string, cnt int"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+def test_insert_and_read(spark, table):
+    n = table.insert(_rows(spark, [(1, "2024-03-05 10:00:00", "a", 0),
+                                   (2, "2024-03-06 11:30:00", "b", 2)]))
+    assert n == 2
+    got = {r["id"]: r for r in table.read().collect()}
+    assert str(got[1]["gen_day"]) == "2024-03-05 00:00:00"  # generated column
+    assert got[2]["val"] == "b"
+
+
+def test_insert_returning(spark, table):
+    ret = table.insert(_rows(spark, [(5, "2024-01-01 00:00:00", "x", 1)]),
+                       returning=["id", "gen_day"])
+    rows = ret.collect()
+    assert rows[0]["id"] == 5 and str(rows[0]["gen_day"]).startswith("2024-01-01")
+
+
+def test_pk_duplicate_rejected(spark, table):
+    table.insert(_rows(spark, [(1, "2024-01-01 00:00:00", "a", 0)]))
+    with pytest.raises(DuplicateKeyError):
+        table.insert(_rows(spark, [(1, "2024-01-02 00:00:00", "b", 0)]))
+    with pytest.raises(DuplicateKeyError):
+        table.insert(_rows(spark, [(7, "2024-01-01 00:00:00", "x", 0),
+                                   (7, "2024-01-01 00:00:00", "y", 0)]))
+
+
+def test_check_constraint(spark, table):
+    with pytest.raises(CheckViolation):
+        table.insert(_rows(spark, [(1, "2024-01-01 00:00:00", "a", -5)]))
+
+
+def test_upsert_do_update(spark, table):
+    table.insert(_rows(spark, [(1, "2024-01-01 00:00:00", "old", 1),
+                               (2, "2024-01-02 00:00:00", "keep", 2)]))
+    stats = table.upsert(_rows(spark, [(1, "2024-02-01 00:00:00", "new", 9),
+                                       (3, "2024-02-03 00:00:00", "ins", 3)]))
+    assert stats == {"inserted": 1, "updated": 1}
+    got = {r["id"]: r for r in table.read().collect()}
+    assert got[1]["val"] == "new" and got[2]["val"] == "keep" and got[3]["val"] == "ins"
+
+
+def test_upsert_do_nothing(spark, table):
+    table.insert(_rows(spark, [(1, "2024-01-01 00:00:00", "old", 1)]))
+    stats = table.upsert(_rows(spark, [(1, "2024-02-01 00:00:00", "new", 9),
+                                       (2, "2024-02-02 00:00:00", "ins", 2)]),
+                         do_nothing=True)
+    assert stats == {"inserted": 1, "updated": 0}
+    got = {r["id"]: r for r in table.read().collect()}
+    assert got[1]["val"] == "old" and got[2]["val"] == "ins"
+
+
+def test_upsert_set_exprs(spark, table):
+    """ON CONFLICT DO UPDATE SET cnt = target.cnt + excluded.cnt."""
+    table.insert(_rows(spark, [(1, "2024-01-01 00:00:00", "a", 10)]))
+    table.upsert(
+        _rows(spark, [(1, "2024-03-01 00:00:00", "a2", 5)]),
+        set_exprs={"cnt": "target.cnt + excluded.cnt"},
+    )
+    got = table.read().collect()[0]
+    assert got["cnt"] == 15 and got["val"] == "a2"
+
+
+def test_update(spark, table):
+    table.insert(_rows(spark, [(1, "2024-01-01 00:00:00", "a", 1),
+                               (2, "2024-01-02 00:00:00", "b", 2)]))
+    n = table.update({"val": "upper(val)", "cnt": "cnt * 10"}, where="id = 2")
+    assert n == 1
+    got = {r["id"]: r for r in table.read().collect()}
+    assert got[1]["val"] == "a" and got[2]["val"] == "B" and got[2]["cnt"] == 20
+
+
+def test_delete(spark, table):
+    table.insert(_rows(spark, [(i, "2024-01-01 00:00:00", "v", i) for i in range(10)]))
+    n = table.delete("id >= 7")
+    assert n == 3
+    assert table.read().count() == 7
+    assert table.delete() == 7
+    assert table.read().count() == 0
+
+
+def test_partitioned_write_prune_and_drop(spark, tmp_path):
+    t = CrateTable.create(
+        spark, str(tmp_path / "metrics"),
+        "day string, region string, v double",
+        partitioned_by=["day"],
+    )
+    df = spark.createDataFrame(
+        [("2024-01-01", "eu", 1.0), ("2024-01-01", "us", 2.0),
+         ("2024-01-02", "eu", 3.0), ("2024-01-03", "ap", 4.0)],
+        "day string, region string, v double",
+    )
+    t.insert(df)
+    # partition pruning: filter on the partition column reads 1 dir
+    pruned = t.read().filter(F.col("day") == "2024-01-02")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan or "day#" in plan
+    assert pruned.count() == 1
+    # whole-partition DELETE = directory drop (DeletePartitions path)
+    assert t.drop_partition(day="2024-01-01") is True
+    assert sorted(r["day"] for r in t.read().select("day").distinct().collect()) == [
+        "2024-01-02", "2024-01-03",
+    ]
+    assert t.drop_partition(day="2099-01-01") is False
+
+
+def test_copy_roundtrip(spark, table, tmp_path):
+    table.insert(_rows(spark, [(i, "2024-01-01 00:00:00", f"v{i}", i) for i in range(5)]))
+    out = str(tmp_path / "export")
+    assert table.copy_to(out, format="json", columns=["id", "val"], where="id < 3") == 3
+    # reload the export into a fresh table via COPY FROM
+    t2 = CrateTable.create(spark, str(tmp_path / "t2"), "id int, val string")
+    summary = t2.copy_from(out, format="json")
+    assert summary == {"loaded": 3, "errors": 0}
+    assert sorted(r["val"] for r in t2.read().collect()) == ["v0", "v1", "v2"]
+
+
+def test_copy_from_csv_bad_records(spark, tmp_path):
+    csv = tmp_path / "in.csv"
+    csv.write_text("id,val\n1,a\nnot_an_int,b\n3,c\n")
+    t = CrateTable.create(spark, str(tmp_path / "t3"), "id int, val string")
+    summary = t.copy_from(str(csv), format="csv")
+    assert summary["loaded"] == 3  # permissive: bad cell -> NULL, row kept
+    ids = sorted((r["id"] is None, r["id"]) for r in t.read().collect())
+    assert [i for _, i in ids if i is not None] == [1, 3]
