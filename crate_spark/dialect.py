@@ -1,0 +1,143 @@
+"""CrateDB -> Spark SQL dialect shim.
+
+A thin, regex-based pre-rewrite of crate-isms before ``spark.sql``
+(SURVEY.md §4.3 item 1). Standard SQL passes through untouched;
+sqlglot is not available in this environment, so the shim is
+deliberately conservative: it rewrites the documented constructs and
+leaves everything else alone.
+
+Rewrites:
+- ``expr::type``            -> ``CAST(expr AS type)`` (identifier,
+                               literal, or parenthesized expr)
+- ``arr[n]`` (numeric)      -> ``element_at(arr, n)`` (CrateDB arrays
+                               are 1-based — AstBuilder subscripts;
+                               element_at is 1-based too)
+- ``a ~ 'p'`` / ``!~`` / ``~*`` -> RLIKE forms
+                               (``RegexpMatchOperator``)
+- ``x = ANY(expr)``         -> ``array_contains(expr, x)``
+                               (``AnyEqOperator``)
+- ``information_schema.X`` / ``sys.X`` -> flat view names registered
+                               by the session (Spark temp views are
+                               not schema-qualified)
+- ORDER BY items without an explicit NULLS direction get the PG
+  default (ASC -> NULLS LAST, DESC -> NULLS FIRST) — Spark's default
+  is the opposite (SURVEY.md §2.6).
+
+Deliberately NOT handled here: ON CONFLICT (DML layer), MATCH
+(operators/fulltext), CREATE ANALYZER (out of scope).
+"""
+
+from __future__ import annotations
+
+import re
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_.]*"
+#: operand for :: and [] rewrites: quoted literal, function call
+#: (one nesting level), identifier, or (expr)
+_OPERAND = rf"(?:'[^']*'|\d+(?:\.\d+)?|{_IDENT}\s*\((?:[^()]|\([^()]*\))*\)|{_IDENT}|\([^()]*\))"
+
+_CAST_RE = re.compile(rf"({_OPERAND})\s*::\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)")
+_SUBSCRIPT_RE = re.compile(rf"({_IDENT})\s*\[\s*(\d+)\s*\]")
+_REGEX_CI_RE = re.compile(rf"({_OPERAND})\s*~\*\s*({_OPERAND})")
+_REGEX_NOT_RE = re.compile(rf"({_OPERAND})\s*!~\s*({_OPERAND})")
+_REGEX_RE = re.compile(rf"({_OPERAND})\s*~\s*({_OPERAND})")
+_ANY_EQ_RE = re.compile(rf"({_OPERAND})\s*=\s*ANY\s*\(\s*([^()]+|\([^()]*\))\s*\)", re.IGNORECASE)
+_SCHEMA_RE = re.compile(r"\b(information_schema|sys)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)")
+
+
+def _rewrite_order_by(sql: str) -> str:
+    """Inject PG default null ordering into ORDER BY items that don't
+    specify one. Tracks paren depth so commas inside function calls
+    don't split items; stops at LIMIT/OFFSET/closing paren."""
+    out = []
+    i = 0
+    upper = sql.upper()
+    while True:
+        m = re.search(r"\bORDER\s+BY\b", upper[i:])
+        if not m:
+            out.append(sql[i:])
+            break
+        start = i + m.end()
+        out.append(sql[i : start])
+        # find the end of the ORDER BY clause at depth 0
+        depth = 0
+        j = start
+        while j < len(sql):
+            c = sql[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0:
+                tail = upper[j:]
+                if re.match(r"\b(LIMIT|OFFSET|FETCH|UNION|INTERSECT|EXCEPT|WINDOW)\b", tail):
+                    break
+                # ROWS/RANGE terminate a window ORDER BY
+                if re.match(r"\b(ROWS|RANGE|GROUPS)\b", tail):
+                    break
+            j += 1
+        clause = sql[start:j]
+        items, buf, d = [], "", 0
+        for ch in clause:
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+            if ch == "," and d == 0:
+                items.append(buf)
+                buf = ""
+            else:
+                buf += ch
+        items.append(buf)
+        fixed = []
+        for item in items:
+            s = item.strip()
+            if not s or re.search(r"\bNULLS\s+(FIRST|LAST)\b", s, re.IGNORECASE):
+                fixed.append(item)
+            elif re.search(r"\bDESC\b\s*$", s, re.IGNORECASE):
+                fixed.append(item.rstrip() + " NULLS FIRST")
+            else:
+                fixed.append(item.rstrip() + " NULLS LAST")
+        out.append(" " + ", ".join(f.strip() for f in fixed))
+        if j < len(sql):
+            out.append(" " if sql[j] not in ") " else "")
+        i = j
+    return "".join(out)
+
+
+_LIT_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def rewrite(sql: str) -> str:
+    """Apply all crate-ism rewrites to one statement.
+
+    String literals are masked as identifier-shaped placeholders first
+    so the operator regexes can never match text INSIDE a literal
+    (e.g. ``'a::b'`` must survive untouched), while a literal can
+    still BE an operand (``'5'::int``).
+    """
+    literals: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"__LIT_{len(literals) - 1}__"
+
+    sql = _LIT_RE.sub(_mask, sql)
+
+    # repeat :: rewrite to handle chains like a::text::int
+    prev = None
+    while prev != sql:
+        prev = sql
+        sql = _CAST_RE.sub(r"CAST(\1 AS \2)", sql)
+    sql = _SUBSCRIPT_RE.sub(r"element_at(\1, \2)", sql)
+    sql = _REGEX_CI_RE.sub(r"\1 RLIKE concat('(?i)', \2)", sql)
+    sql = _REGEX_NOT_RE.sub(r"NOT (\1 RLIKE \2)", sql)
+    sql = _REGEX_RE.sub(r"\1 RLIKE \2", sql)
+    sql = _ANY_EQ_RE.sub(r"array_contains(\2, \1)", sql)
+    sql = _SCHEMA_RE.sub(r"\1_\2", sql)
+    sql = _rewrite_order_by(sql)
+    for i, lit in enumerate(literals):
+        sql = sql.replace(f"__LIT_{i}__", lit)
+    return sql

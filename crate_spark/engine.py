@@ -1,0 +1,127 @@
+"""CrateSession — the engine's user-facing entry point.
+
+Maps the reference's session lifecycle (``session/Session.java:370``
+parse -> analyze -> plan -> execute; HTTP ``SqlHttpHandler.quickExec``)
+onto: dialect shim -> ``spark.sql`` -> Catalyst. One object per user
+session, holding the table catalog, system views and session settings.
+
+Surface:
+- ``execute(sql)``      -> DataFrame (SELECT/VALUES/EXPLAIN/SET/...)
+- ``explain(sql)``      -> formatted physical plan text
+- ``analyze(table)``    -> ANALYZE: Spark COMPUTE STATISTICS (feeds
+                           CBO — reference ``TableStatsService.java:101``)
+- system views: ``sys_cluster``, ``sys_tables``,
+  ``information_schema_tables``, ``information_schema_columns``
+  (queryable as ``sys.tables`` etc. through the shim —
+  reference ``SysTableDefinitions.java``,
+  ``InformationSchemaTableDefinitions.java``)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from crate_spark.dialect import rewrite
+from crate_spark.session import TABLES, apply_runtime_confs, load_tables
+
+
+class CrateSession:
+    """A SQL session over the engine's catalog."""
+
+    def __init__(self, spark: SparkSession, data_dir: str | None = None):
+        self.spark = spark
+        apply_runtime_confs(spark)
+        self.tables: dict[str, DataFrame] = {}
+        if data_dir:
+            self.tables = load_tables(spark, data_dir, register=True)
+        self._register_system_views()
+
+    # -- catalog ---------------------------------------------------------
+    def register(self, name: str, df: DataFrame) -> None:
+        df.createOrReplaceTempView(name)
+        self.tables[name] = df
+        self._register_system_views()
+
+    def _register_system_views(self) -> None:
+        spark = self.spark
+        rows = [(name, "doc", "BASE TABLE") for name in sorted(self.tables)]
+        spark.createDataFrame(
+            rows or [("", "", "")],
+            "table_name string, table_schema string, table_type string",
+        ).filter("table_name <> ''").createOrReplaceTempView("information_schema_tables")
+
+        col_rows = []
+        for name, df in sorted(self.tables.items()):
+            for pos, f in enumerate(df.schema.fields, start=1):
+                col_rows.append(
+                    (name, "doc", f.name, pos, f.dataType.simpleString(), f.nullable)
+                )
+        spark.createDataFrame(
+            col_rows or [("", "", "", 0, "", True)],
+            "table_name string, table_schema string, column_name string, "
+            "ordinal_position int, data_type string, is_nullable boolean",
+        ).filter("table_name <> ''").createOrReplaceTempView("information_schema_columns")
+
+        spark.createDataFrame(
+            [("crate-spark", spark.version, spark.sparkContext.defaultParallelism)],
+            "name string, version string, parallelism int",
+        ).createOrReplaceTempView("sys_cluster")
+        spark.createDataFrame(
+            [(n, "doc") for n in sorted(self.tables)] or [("", "")],
+            "table_name string, schema_name string",
+        ).filter("table_name <> ''").createOrReplaceTempView("sys_tables")
+
+    # -- statements ------------------------------------------------------
+    def execute(self, sql: str) -> DataFrame:
+        """Execute one statement (the quickExec analog)."""
+        stmt = sql.strip().rstrip(";")
+        upper = stmt.upper()
+
+        if upper.startswith("EXPLAIN"):
+            body = re.sub(r"^EXPLAIN\s+(ANALYZE\s+|VERBOSE\s+)?", "", stmt, flags=re.IGNORECASE)
+            plan = self.explain(body)
+            return self.spark.createDataFrame([(plan,)], "plan string")
+
+        m = re.match(r"SET\s+(\S+)\s*=\s*(.+)$", stmt, re.IGNORECASE)
+        if m:
+            self.spark.conf.set(m.group(1), m.group(2).strip("'\""))
+            return self.spark.createDataFrame([(m.group(1), m.group(2))], "setting string, value string")
+
+        m = re.match(r"RESET\s+(\S+)$", stmt, re.IGNORECASE)
+        if m:
+            self.spark.conf.unset(m.group(1))
+            return self.spark.createDataFrame([(m.group(1),)], "setting string")
+
+        m = re.match(r"ANALYZE\s+(\S+)$", stmt, re.IGNORECASE)
+        if m:
+            return self.analyze(m.group(1))
+
+        if re.match(r"REFRESH\s+TABLE\s+", upper):
+            # Lucene-refresh analog: parquet reads are always visible;
+            # clear any cached plans for the table.
+            name = stmt.split()[-1]
+            self.spark.catalog.refreshTable(name)
+            return self.spark.createDataFrame([(name,)], "refreshed string")
+
+        return self.spark.sql(rewrite(stmt))
+
+    def explain(self, sql: str) -> str:
+        """EXPLAIN — formatted physical plan (ExplainPlan.java:56)."""
+        df = self.spark.sql(rewrite(sql))
+        return df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+
+    def analyze(self, table: str) -> DataFrame:
+        """ANALYZE <table>: persist the view as a managed table snapshot
+        is out of scope — for temp-view catalogs Spark cannot collect
+        stats, so this is a no-op marker kept for API parity; with a
+        real metastore it issues COMPUTE STATISTICS FOR ALL COLUMNS."""
+        try:
+            self.spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR ALL COLUMNS")
+            status = "analyzed"
+        except Exception:
+            status = "skipped (temp view)"
+        return self.spark.createDataFrame([(table, status)], "table string, status string")
