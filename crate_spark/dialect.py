@@ -137,6 +137,27 @@ def rewrite(sql: str) -> str:
     sql = _REGEX_RE.sub(r"\1 RLIKE \2", sql)
     sql = _ANY_EQ_RE.sub(r"array_contains(\2, \1)", sql)
     sql = _SCHEMA_RE.sub(r"\1_\2", sql)
+
+    def _match_sub(m: re.Match) -> str:
+        col, lit_ref = m.group(1), m.group(2)
+        idx = int(re.match(r"__LIT_(\d+)__", lit_ref).group(1))
+        terms = [t for t in literals[idx].strip("'").lower().split() if t]
+        arr = "array(" + ", ".join(f"'{t}'" for t in terms) + ")"
+        toks = (
+            f"split(trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ')), ' ')"
+        )
+        return f"arrays_overlap({toks}, {arr})"
+
+    # MATCH(col, 'terms') -> token-overlap predicate (best_fields OR
+    # mode, the reference default — MatchPredicate.java:85; _score
+    # ranking needs operators/fulltext.bm25_scores, not plain SQL)
+    sql = re.sub(
+        rf"\bMATCH\s*\(\s*({_IDENT})\s*,\s*(__LIT_\d+__)\s*\)",
+        _match_sub,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
     sql = _rewrite_order_by(sql)
     for i, lit in enumerate(literals):
         sql = sql.replace(f"__LIT_{i}__", lit)

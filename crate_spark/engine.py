@@ -94,6 +94,15 @@ class CrateSession:
             self.spark.conf.unset(m.group(1))
             return self.spark.createDataFrame([(m.group(1),)], "setting string")
 
+        m = re.match(
+            r"CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*"
+            r"RETURNS\s+([\w()]+)\s+LANGUAGE\s+PYTHON\s+AS\s+'(.*)'\s*$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            return self._create_function(m.group(1), m.group(2), m.group(3), m.group(4))
+
         m = re.match(r"ANALYZE\s+(\S+)$", stmt, re.IGNORECASE)
         if m:
             return self.analyze(m.group(1))
@@ -106,6 +115,42 @@ class CrateSession:
             return self.spark.createDataFrame([(name,)], "refreshed string")
 
         return self.spark.sql(rewrite(stmt))
+
+    def _create_function(self, name: str, args: str, ret_type: str, body: str) -> DataFrame:
+        """CREATE FUNCTION name(args) RETURNS type LANGUAGE PYTHON AS
+        '<expression over the arg names>'.
+
+        Reference: ``expression/udf/UserDefinedFunctionService.java:67``
+        — scalar UDFs only, there in JavaScript on GraalVM; here the
+        body is a Python expression (JS-source compat is out of scope,
+        SURVEY.md §2.11). Registered as a row-at-a-time Python UDF —
+        the documented slow path; built-ins always win when available.
+        """
+        specs = [a.strip().split() for a in args.split(",") if a.strip()]
+        arg_names = [s[0] for s in specs]
+        # coerce inputs to natural Python types (SQL decimal literals
+        # arrive as decimal.Decimal, which breaks float arithmetic)
+        _float_types = {"double", "real", "float", "double precision"}
+        _int_types = {"int", "integer", "bigint", "smallint", "byte"}
+        coercers = []
+        for s in specs:
+            declared = " ".join(s[1:]).lower() if len(s) > 1 else ""
+            if declared in _float_types:
+                coercers.append(float)
+            elif declared in _int_types:
+                coercers.append(int)
+            else:
+                coercers.append(lambda x: x)
+        body_fn = eval(  # noqa: S307 - UDF bodies are user code by design,
+            # same trust model as the reference's JS UDFs
+            f"lambda {', '.join(arg_names)}: ({body})"
+        )
+
+        def fn(*vals):
+            return body_fn(*[None if v is None else c(v) for c, v in zip(coercers, vals)])
+
+        self.spark.udf.register(name, fn, ret_type)
+        return self.spark.createDataFrame([(name, ret_type)], "function string, returns string")
 
     def explain(self, sql: str) -> str:
         """EXPLAIN — formatted physical plan (ExplainPlan.java:56)."""

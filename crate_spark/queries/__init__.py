@@ -59,6 +59,8 @@ _MODULES = (
     "predicates",
     "tablefns",
     "fulltext",
+    "geo",
+    "aggregates",
 )
 
 

@@ -151,3 +151,30 @@ def test_rewrite_preserves_string_literals():
         rewrite("SELECT arr[1] FROM t WHERE s = 'arr[2]'")
         == "SELECT element_at(arr, 1) FROM t WHERE s = 'arr[2]'"
     )
+
+
+def test_match_predicate_via_sql(session):
+    """MATCH(col, 'terms') through the SQL front door -> token overlap."""
+    rows = session.execute(
+        "SELECT count(*) AS n FROM documents WHERE MATCH(text, 'spark vector')"
+    ).collect()
+    assert rows[0]["n"] > 0
+    both = session.execute(
+        "SELECT count(*) AS n FROM documents "
+        "WHERE MATCH(text, 'spark') AND lang = 'en'"
+    ).collect()[0]["n"]
+    assert 0 < both <= rows[0]["n"] + both  # sane bound; structured AND works
+
+
+def test_create_function(session):
+    session.execute(
+        "CREATE FUNCTION add_tax(price double, rate double) RETURNS double "
+        "LANGUAGE PYTHON AS 'price * (1.0 + rate)'"
+    )
+    v = session.execute("SELECT add_tax(100.0, 0.19) AS v").collect()[0]["v"]
+    assert abs(v - 119.0) < 1e-9
+    # usable over a real table
+    n = session.execute(
+        "SELECT count(*) AS n FROM orders WHERE add_tax(o_totalprice, 0.1) > o_totalprice"
+    ).collect()[0]["n"]
+    assert n > 0
