@@ -37,11 +37,16 @@ _IDENT = r"[A-Za-z_][A-Za-z0-9_.]*"
 _OPERAND = rf"(?:'[^']*'|\d+(?:\.\d+)?|{_IDENT}\s*\((?:[^()]|\([^()]*\))*\)|{_IDENT}|\([^()]*\))"
 
 _CAST_RE = re.compile(rf"({_OPERAND})\s*::\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)")
-_SUBSCRIPT_RE = re.compile(rf"({_IDENT})\s*\[\s*(\d+)\s*\]")
+_SUBSCRIPT_RE = re.compile(
+    rf"({_IDENT}\s*\((?:[^()]|\([^()]*\))*\)|{_IDENT})\s*\[\s*(\d+)\s*\]"
+)
 _REGEX_CI_RE = re.compile(rf"({_OPERAND})\s*~\*\s*({_OPERAND})")
 _REGEX_NOT_RE = re.compile(rf"({_OPERAND})\s*!~\s*({_OPERAND})")
 _REGEX_RE = re.compile(rf"({_OPERAND})\s*~\s*({_OPERAND})")
-_ANY_EQ_RE = re.compile(rf"({_OPERAND})\s*=\s*ANY\s*\(\s*([^()]+|\([^()]*\))\s*\)", re.IGNORECASE)
+_ANY_EQ_RE = re.compile(
+    rf"({_OPERAND})\s*=\s*ANY\s*\(\s*((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\s*\)",
+    re.IGNORECASE,
+)
 _SCHEMA_RE = re.compile(r"\b(information_schema|sys)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)")
 
 

@@ -114,3 +114,30 @@ def agg_median_corr(spark, sf_dir):
             F.round(davg(q), 9).alias("mean_qty"),
         )
     )
+
+
+@query(
+    "agg_distinct_sums",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_dist_qty,
+           ROUND(AVG(DISTINCT l_quantity), 9) AS avg_dist_qty,
+           COUNT(DISTINCT l_linenumber) AS n_linenos
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_sums(spark, sf_dir):
+    """sum(DISTINCT)/avg(DISTINCT)/count(DISTINCT)
+    (docs aggregation.rst:221). DISTINCT bounds the value set, so the
+    decimal sum is order-free and the avg rounds identically."""
+    t = load_tables(spark, sf_dir)
+    q = F.col("l_quantity")
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum_distinct(q.cast("decimal(38,6)")).cast("double").alias("sum_dist_qty"),
+            F.round(F.expr("avg(DISTINCT l_quantity)"), 9).alias("avg_dist_qty"),
+            F.count_distinct(F.col("l_linenumber")).alias("n_linenos"),
+        )
+    )
