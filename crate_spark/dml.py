@@ -155,6 +155,39 @@ class CrateTable:
             writer = writer.partitionBy(*self.partitioned_by)
         writer.parquet(self.path)
 
+    # -- dynamic columns -------------------------------------------------
+    def insert_dynamic(self, df: DataFrame, returning: list[str] | None = None):
+        """INSERT with ``column_policy='dynamic'`` semantics
+        (``execution/dml/DynamicIndexer.java``; SURVEY.md §7 hard part
+        (a)): columns in the batch that the table does not yet have are
+        ADDED to the table schema (existing rows read them as NULL via
+        schema merge); declared columns missing from the batch are
+        filled with NULL.
+        """
+        declared = self.spark.createDataFrame([], self.schema_ddl).schema
+        declared_types = {f.name: f.dataType for f in declared.fields}
+        # a dynamic batch may ADD columns but never change a type
+        # (DynamicIndexer raises a mapper conflict in the reference)
+        for f in df.schema.fields:
+            if f.name in declared_types and f.dataType != declared_types[f.name]:
+                raise ValueError(
+                    f"dynamic insert type conflict on '{f.name}': table has "
+                    f"{declared_types[f.name].simpleString()}, batch has "
+                    f"{f.dataType.simpleString()}"
+                )
+        new_fields = [f for f in df.schema.fields if f.name not in declared_types]
+        if new_fields:
+            self.schema_ddl = ", ".join(
+                [self.schema_ddl]
+                + [f"{f.name} {f.dataType.simpleString()}" for f in new_fields]
+            )
+            self._save_meta()
+        full = self.spark.createDataFrame([], self.schema_ddl).schema
+        for f in full.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return self.insert(df.select(*[f.name for f in full.fields]), returning=returning)
+
     # -- INSERT ----------------------------------------------------------
     def insert(self, df: DataFrame, returning: list[str] | None = None):
         """INSERT ... SELECT/VALUES. With a PK, duplicate keys (against

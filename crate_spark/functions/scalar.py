@@ -88,12 +88,15 @@ def ip_in_cidr(ip: Column | str, cidr: str) -> Column:
     mask = (0xFFFFFFFF << (32 - prefix_len)) & 0xFFFFFFFF if prefix_len else 0
 
     def ip_to_long(c: Column) -> Column:
+        # try_cast: malformed addresses yield NULL (and the predicate
+        # NULL) instead of an ANSI cast error — IpType validation
+        # rejects them rather than aborting the scan
         parts = F.split(c, r"\.")
         return (
-            parts.getItem(0).cast("bigint") * 16777216
-            + parts.getItem(1).cast("bigint") * 65536
-            + parts.getItem(2).cast("bigint") * 256
-            + parts.getItem(3).cast("bigint")
+            parts.getItem(0).try_cast("bigint") * 16777216
+            + parts.getItem(1).try_cast("bigint") * 65536
+            + parts.getItem(2).try_cast("bigint") * 256
+            + parts.getItem(3).try_cast("bigint")
         )
 
     net_long = sum(
