@@ -123,8 +123,11 @@ def minhash_lsh_candidates(
         )
         .filter(F.col("_keep"))
         .select("_id", "_sh")
-        .dropDuplicates(["_id", "_sh"])
     )
+    # No distinct on (_id, _sh): min() over a multiset equals min() over
+    # its distinct set, so duplicate grams cannot change the signature —
+    # and skipping dropDuplicates removes a whole shuffle of the gram
+    # stream (the widest intermediate in the pipeline at 100 TB).
     # Per-seed min via an exploded (id, seed, hash) stream instead of a
     # num_hashes-column-wide aggregate: the wide form generates a huge
     # whole-stage-codegen method (~45 s one-time janino compile); the

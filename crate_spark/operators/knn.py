@@ -23,7 +23,12 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from crate_spark.functions.vector import cosine_similarity, dot_product, l2_distance
+from crate_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    l2_distance,
+    l2_squared,
+)
 
 
 def knn_exact(
@@ -102,6 +107,117 @@ def _lsh_buckets(vec: Column, dim: int, n_planes: int, n_tables: int, seed: int)
             )
             for t in range(n_tables)
         ]
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    sample_size: int = 512,
+    n_iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means over a bounded deterministic sample.
+
+    The sample is selected by a hash of the id (not ``.sample()``, whose
+    row order dependence breaks determinism) and is bounded by
+    ``sample_size`` regardless of corpus size — at 100 TB this collect
+    is still a few hundred vectors. Lloyd iterations run driver-side in
+    numpy on that sample only; the distributed corpus is never pulled.
+    Deterministic init: first ``n_centroids`` sample rows in id order.
+    """
+    sample = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("_h")
+        .limit(sample_size)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    pts = np.array([r[0] for r in sample], dtype=np.float64)
+    cents = pts[:n_centroids].copy()
+    for _ in range(n_iters):
+        # (sample, centroid) distance matrix; argmin assignment
+        d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_centroids):
+            mask = assign == c
+            if mask.any():
+                cents[c] = pts[mask].mean(axis=0)
+    return cents
+
+
+def _nearest_cells(vec: Column, cents: np.ndarray, nprobe: int) -> Column:
+    """Array of the ``nprobe`` nearest centroid ids for ``vec``.
+
+    Pure JVM: squared distance to each literal centroid, struct-sort
+    (lexicographic on (dist, cid)), slice. No Python in the row path.
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                l2_squared(vec, F.array(*[F.lit(float(x)) for x in c])).alias("d"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    return F.transform(F.slice(F.array_sort(cells), 1, nprobe), lambda s: s["cid"])
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate euclidean top-k via an IVF coarse quantizer.
+
+    Every corpus row is assigned to its nearest centroid cell (map-side,
+    literal-centroid expressions); each query probes its ``nprobe``
+    nearest cells. The exact distance is then computed only inside the
+    probed cells: cost drops from |Q|x|C| to ~|Q|x|C|*nprobe/n_centroids
+    with the usual IVF recall trade-off. At 100 TB the corpus can be
+    written bucketed/partitioned by ``_cell`` so a probe prunes whole
+    files (partition pruning), not just rows.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus,
+            vec_col=vec_col,
+            id_col=corpus_id,
+            n_centroids=n_centroids,
+            seed=seed,
+        )
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col).alias("_cvec"),
+        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("_cell"),
+    )
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(_nearest_cells(F.col(vec_col), centroids, nprobe)).alias("_cell"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("distance").asc(), F.col(corpus_id))
+    return (
+        c.join(F.broadcast(q), "_cell")
+        .filter(F.col(corpus_id) != F.col(query_id))
+        .withColumn("distance", l2_distance(F.col("_cvec"), F.col("_qvec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "distance", "rank")
     )
 
 

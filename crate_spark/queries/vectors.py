@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from crate_spark.functions.vector import cosine_similarity, l2_distance, vector_similarity
-from crate_spark.operators.knn import knn_exact, knn_lsh_cosine
+from crate_spark.operators.knn import knn_exact, knn_ivf, knn_lsh_cosine
 from crate_spark.queries import query
 from crate_spark.session import load_tables
 
@@ -107,6 +107,22 @@ def vector_ann_lsh(spark, sf_dir):
         k=5,
         dim=64,
     ).withColumn("similarity", F.round("similarity", 6))
+
+
+@query("vector_ann_ivf", oracle=None)
+def vector_ann_ivf(spark, sf_dir):
+    """Approximate euclidean kNN via an IVF coarse quantizer (16 cells,
+    nprobe=4): k-means centroids trained on a bounded deterministic
+    sample, map-side cell assignment, exact distance only inside probed
+    cells. Approximation is not hash-matchable; recall-vs-exact is
+    asserted in unit tests."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return knn_ivf(
+        emb,
+        emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding"),
+        k=5,
+    ).withColumn("distance", F.round("distance", 6))
 
 
 @query(

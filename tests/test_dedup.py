@@ -62,6 +62,25 @@ def test_lsh_knn_recall_vs_exact(spark):
     assert recall >= 0.2, f"LSH recall too low: {recall}"
 
 
+def test_ivf_knn_recall_vs_exact(spark):
+    """IVF top-5 (16 cells, nprobe=4) should recover a reasonable
+    fraction of the exact euclidean top-5, and be deterministic (fixed
+    sample hash seed + Lloyd iterations)."""
+    from crate_spark.operators.knn import knn_ivf
+
+    t = load_tables(spark, SF_DIR)
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = knn_exact(emb, q, k=5, metric="euclidean").collect()
+    approx1 = knn_ivf(emb, q, k=5).collect()
+    approx2 = knn_ivf(emb, q, k=5).collect()
+    assert sorted(map(tuple, approx1)) == sorted(map(tuple, approx2))
+    exact_pairs = {(r["q_id"], r["vec_id"]) for r in exact}
+    approx_pairs = {(r["q_id"], r["vec_id"]) for r in approx1}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.2, f"IVF recall too low: {recall}"
+
+
 def test_simhash_selfsimilar(spark):
     """A doc is Hamming-0 from itself and deterministic across runs."""
     t = load_tables(spark, SF_DIR)
