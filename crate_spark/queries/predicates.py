@@ -181,3 +181,44 @@ def pred_between_in(spark, sf_dir):
             & ~F.col("l_linenumber").isin(5, 6, 7)
         ).select("l_orderkey", "l_linenumber")
     )
+
+
+@query(
+    "pred_cidr_containment",
+    oracle="""
+    WITH ips AS (
+      SELECT DISTINCT user_id,
+             '10.' || (user_id % 256) || '.' || ((user_id * 7) % 256) || '.'
+                   || ((user_id * 13) % 256) AS ip,
+             10 * 16777216 + (user_id % 256) * 65536
+               + ((user_id * 7) % 256) * 256 + (user_id * 13) % 256 AS ip_num
+      FROM events
+    )
+    SELECT user_id, ip,
+           (ip_num & 4286578688) = 167772160 AS in_slash9,
+           (ip_num & 4290772992) = 171966464 AS in_slash10
+    FROM ips
+    """,
+)
+def pred_cidr_containment(spark, sf_dir):
+    """CIDR containment ``ip << 'net/prefix'`` (CIDROperator.java) on a
+    deterministic dotted-quad derived from user_id. The Spark side goes
+    through the string-parsing ip_in_cidr path (dotted quad -> uint32,
+    mask compare — pure JVM ops, pushdown-compatible); the oracle
+    recomputes the numeric form directly."""
+    from crate_spark.functions.scalar import ip_in_cidr
+
+    t = load_tables(spark, sf_dir)
+    u = F.col("user_id")
+    ip = F.concat_ws(
+        ".", F.lit("10"), (u % 256).cast("string"),
+        ((u * 7) % 256).cast("string"), ((u * 13) % 256).cast("string"),
+    )
+    return (
+        t["events"].select("user_id", ip.alias("ip")).distinct()
+        .select(
+            "user_id", "ip",
+            ip_in_cidr(F.col("ip"), "10.0.0.0/9").alias("in_slash9"),
+            ip_in_cidr(F.col("ip"), "10.64.0.0/10").alias("in_slash10"),
+        )
+    )
