@@ -98,3 +98,44 @@ def geohash(lon: Column | str, lat: Column | str) -> Column:
     """
     fn = pandas_udf(_geohash_batch, "string")
     return fn(_col(lon).cast("double"), _col(lat).cast("double"))
+
+
+def point_in_polygon(lon, lat, vertices: list[tuple[float, float]]) -> Column:
+    """within(point, polygon) by ray casting: odd number of edge
+    crossings of the +x ray => inside.
+
+    Reference: ``expression/scalar/geo/WithinFunction`` (geo_shape
+    containment). The polygon is a plan-time literal, so the unrolled
+    per-edge tests are plain JVM comparisons inside whole-stage codegen
+    — no UDF, no shuffle; runs inside the scan stage at any scale.
+    Edge rule: half-open [yi, yj) so vertices/shared edges count once.
+    """
+    x, y = _col(lon), _col(lat)
+    n = len(vertices)
+    crossings = None
+    for i in range(n):
+        xi, yi = vertices[i]
+        xj, yj = vertices[(i + 1) % n]
+        straddles = (F.lit(yi) > y) != (F.lit(yj) > y)
+        # lazy: the division only evaluates when yj != yi (straddling
+        # edges can't be horizontal)
+        x_at_y = (F.lit(xj - xi) * (y - F.lit(yi)) / F.lit(yj - yi)) + F.lit(xi)
+        hit = F.when(straddles & (x < x_at_y), 1).otherwise(0)
+        crossings = hit if crossings is None else crossings + hit
+    return crossings % 2 == 1
+
+
+def polygon_ray_cast_sql(lon_sql: str, lat_sql: str, vertices: list[tuple[float, float]]) -> str:
+    """The identical ray-cast unrolled as ANSI SQL (oracle twin of
+    ``point_in_polygon`` — same edge order, same arithmetic)."""
+    n = len(vertices)
+    terms = []
+    for i in range(n):
+        xi, yi = vertices[i]
+        xj, yj = vertices[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({yi} > {lat_sql}) <> ({yj} > {lat_sql}))"
+            f" AND {lon_sql} < ({xj - xi}) * ({lat_sql} - {yi}) / ({yj - yi}) + {xi}"
+            f" THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"

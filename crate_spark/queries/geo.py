@@ -94,3 +94,38 @@ def geo_geohash(spark, sf_dir):
         .filter(F.col("c_custkey") < 200)
         .select("c_custkey", geohash(_lon(), _lat()).alias("gh"))
     )
+
+
+#: Convex-ish pentagon over the Atlantic; no horizontal edges (consecutive
+#: vertex latitudes differ) so the ray-cast division is always guarded.
+_PENTAGON = [(-60.0, 5.0), (-10.0, 10.0), (20.0, 25.0), (-20.0, 44.0), (-55.0, 30.0)]
+
+
+def _pentagon_oracle() -> str:
+    from crate_spark.functions.geo import polygon_ray_cast_sql
+
+    cond = polygon_ray_cast_sql(_SQL_LON, _SQL_LAT, _PENTAGON)
+    return f"""
+    SELECT c_custkey, ROUND({_SQL_LON}, 6) AS lon, ROUND({_SQL_LAT}, 6) AS lat
+    FROM customer
+    WHERE {cond}
+    """
+
+
+@query("geo_within_polygon", oracle=_pentagon_oracle())
+def geo_within_polygon(spark, sf_dir):
+    """within(point, polygon) — ray-cast against a literal pentagon,
+    unrolled to plain JVM comparisons (geo_shape containment analog;
+    WithinFunction). The oracle unrolls the identical arithmetic."""
+    from crate_spark.functions.geo import point_in_polygon
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .filter(point_in_polygon(_lon(), _lat(), _PENTAGON))
+        .select(
+            "c_custkey",
+            F.round(_lon(), 6).alias("lon"),
+            F.round(_lat(), 6).alias("lat"),
+        )
+    )

@@ -400,3 +400,35 @@ def scalar_bitwise_hash(spark, sf_dir):
         F.md5(F.col("n_name").cast("binary")).alias("name_md5"),
         F.sha2(F.col("n_name").cast("binary"), 256).alias("name_sha256"),
     )
+
+
+@query(
+    "scalar_object_funcs",
+    oracle="""
+    SELECT event_id,
+           list_sort(CAST(json_keys(json_merge_patch(props,
+               json_object('extra', event_id))) AS VARCHAR[])) AS merged_keys,
+           CAST(json_extract_string(json_merge_patch(props,
+               json_object('extra', event_id)), '$.extra') AS BIGINT) AS extra_val,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_subscript
+    FROM events WHERE event_id < 300
+    """,
+)
+def scalar_object_funcs(spark, sf_dir):
+    """object_keys / object merge (concat) / subscript — the OBJECT
+    surface (ObjectKeys, ConcatObject scalars; subscript
+    SubscriptObjectFunction) over dynamic JSON-typed props, via
+    from_json -> map ops, all JVM-side."""
+    t = load_tables(spark, sf_dir)
+    obj = F.from_json(F.col("props"), "map<string,bigint>")
+    merged = F.map_concat(obj, F.create_map(F.lit("extra"), F.col("event_id")))
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 300)
+        .select(
+            "event_id",
+            F.array_sort(F.map_keys(merged)).alias("merged_keys"),
+            F.element_at(merged, "extra").alias("extra_val"),
+            F.element_at(obj, "k").alias("k_subscript"),
+        )
+    )
