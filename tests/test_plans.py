@@ -106,3 +106,22 @@ def test_knn_corpus_not_shuffled(spark):
     plan = plan_of(spark, "vector_knn_exact")
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_ivf_probe_broadcasts_queries(spark):
+    """IVF ANN: the corpus is joined to the (tiny) exploded query-probe
+    side by broadcast hash join on _cell — the corpus never shuffles for
+    the probe; the only hash exchange is the per-query top-k window."""
+    plan = plan_of(spark, "vector_ann_ivf")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_minhash_has_no_gram_distinct_exchange(spark):
+    """MinHash: exactly two hash exchanges survive — the (id, word)
+    window/groupBy partitioning and the band-bucket self-join — with no
+    third shuffle for a gram distinct (min over a multiset equals min
+    over the distinct set)."""
+    plan = plan_of(spark, "text_minhash_lsh")
+    assert "CartesianProduct" not in plan
