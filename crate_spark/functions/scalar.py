@@ -168,3 +168,76 @@ def array_min(c: Column | str) -> Column:
 
 def array_max(c: Column | str) -> Column:
     return F.array_max(_col(c))
+
+
+# ---------------------------------------------------------------------------
+# PG formatting
+# ---------------------------------------------------------------------------
+#: PG to_char template -> java.time pattern, longest-match-first.
+#: Reference: expression/scalar/formatting/ToCharFunction.java (common
+#: date/time subset; fill-mode/ordinal modifiers out of scope).
+_TO_CHAR_MAP = [
+    ("HH24", "HH"), ("HH12", "hh"), ("YYYY", "yyyy"), ("YYY", "yyy"),
+    ("MONTH", "LLLL"), ("Month", "LLLL"), ("MON", "LLL"), ("Mon", "LLL"),
+    ("DAY", "EEEE"), ("Day", "EEEE"), ("DY", "EEE"), ("Dy", "EEE"),
+    ("DDD", "DDD"), ("DD", "dd"), ("MM", "MM"), ("MI", "mm"),
+    ("SS", "ss"), ("MS", "SSS"), ("AM", "a"), ("PM", "a"),
+    ("YY", "yy"), ("HH", "hh"), ("D", "e"), ("Q", "Q"), ("WW", "ww"),
+    ("TZ", "zz"), ("J", "g"),
+]
+
+
+def _pg_template_to_java(fmt: str) -> str:
+    out, i = [], 0
+    while i < len(fmt):
+        for pg, java in _TO_CHAR_MAP:
+            if fmt.startswith(pg, i):
+                out.append(java)
+                i += len(pg)
+                break
+        else:
+            ch = fmt[i]
+            # literal text must be quoted if it is a pattern letter
+            out.append(f"'{ch}'" if ch.isalpha() else ch)
+            i += 1
+    return "".join(out)
+
+
+def to_char(ts: Column | str, fmt: str) -> Column:
+    """PG ``to_char(timestamp, template)`` for the common date/time
+    templates (YYYY/MM/DD/HH24/MI/SS/...), translated at plan time to a
+    ``date_format`` pattern — JVM-side, codegen-eligible."""
+    return F.date_format(_col(ts), _pg_template_to_java(fmt))
+
+
+# ---------------------------------------------------------------------------
+# hashes
+# ---------------------------------------------------------------------------
+try:  # pragma: no cover - blake3 wheel not in this container
+    import blake3 as _blake3_mod
+except ImportError:
+    _blake3_mod = None
+
+
+def blake3(c: Column | str) -> Column:
+    """``blake3(text)`` hex digest (reference scalar ``blake3``).
+
+    The blake3 library is not installed in this environment; when it is,
+    the Arrow-batched UDF below activates. Until then calling this
+    raises — md5/sha1/sha2 cover the hashing surface (scalar_bitwise_hash).
+    """
+    if _blake3_mod is None:
+        raise NotImplementedError(
+            "blake3 requires the 'blake3' package (not in this container); "
+            "use md5/sha1/sha2"
+        )
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _b3(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: _blake3_mod.blake3(v.encode()).hexdigest() if v is not None else None
+        )
+
+    return _b3(_col(c))

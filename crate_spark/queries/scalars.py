@@ -432,3 +432,33 @@ def scalar_object_funcs(spark, sf_dir):
             F.element_at(obj, "k").alias("k_subscript"),
         )
     )
+
+
+@query(
+    "scalar_to_char",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS iso_fmt,
+           strftime(ts, '%d/%m/%Y') AS euro_date,
+           strftime(ts, '%b') AS mon_abbrev,
+           strftime(ts, '%H') || 'h' AS hour_label
+    FROM events WHERE event_id < 400
+    """,
+)
+def scalar_to_char(spark, sf_dir):
+    """to_char(timestamp, template) — PG format templates translated at
+    plan time to date_format patterns (ToCharFunction.java subset)."""
+    from crate_spark.functions.scalar import to_char
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 400)
+        .select(
+            "event_id",
+            to_char(F.col("ts"), "YYYY-MM-DD HH24:MI:SS").alias("iso_fmt"),
+            to_char(F.col("ts"), "DD/MM/YYYY").alias("euro_date"),
+            to_char(F.col("ts"), "Mon").alias("mon_abbrev"),
+            F.concat(to_char(F.col("ts"), "HH24"), F.lit("h")).alias("hour_label"),
+        )
+    )

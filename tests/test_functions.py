@@ -110,3 +110,24 @@ def test_geohash(spark, row):
     # known value: (-5.6, 42.6) -> ezs42... ; use canonical example u4pruydqqvj
     gh = one(row, geohash(F.lit(10.40744), F.lit(57.64911)))
     assert gh.startswith("u4pruydqqvj")
+
+
+def test_to_char_template_translation():
+    from crate_spark.functions.scalar import _pg_template_to_java
+
+    assert _pg_template_to_java("YYYY-MM-DD") == "yyyy-MM-dd"
+    assert _pg_template_to_java("HH24:MI:SS") == "HH:mm:ss"
+    assert _pg_template_to_java("MONTH") == "LLLL"
+    assert _pg_template_to_java("Mon YYYY") == "LLL yyyy"
+    # literal pattern letters are quoted
+    assert _pg_template_to_java("HH24h") == "HH'h'"
+
+
+def test_blake3_gated():
+    import pytest
+
+    from crate_spark.functions import scalar as s
+
+    if s._blake3_mod is None:
+        with pytest.raises(NotImplementedError):
+            s.blake3("x")
