@@ -163,6 +163,23 @@ def rewrite(sql: str) -> str:
         flags=re.IGNORECASE,
     )
 
+    def _to_char_sub(m: re.Match) -> str:
+        from crate_spark.functions.scalar import _pg_template_to_java
+
+        expr, lit_ref = m.group(1), m.group(2)
+        idx = int(re.match(r"__LIT_(\d+)__", lit_ref).group(1))
+        java = _pg_template_to_java(literals[idx].strip("'"))
+        return f"date_format({expr}, '{java}')"
+
+    # to_char(expr, 'PG template') -> date_format with the translated
+    # pattern (ToCharFunction.java subset; template must be a literal)
+    sql = re.sub(
+        rf"\bto_char\s*\(\s*({_IDENT}(?:\({_IDENT}?\))?)\s*,\s*(__LIT_\d+__)\s*\)",
+        _to_char_sub,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
     sql = _rewrite_order_by(sql)
     for i, lit in enumerate(literals):
         sql = sql.replace(f"__LIT_{i}__", lit)

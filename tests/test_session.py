@@ -178,3 +178,10 @@ def test_create_function(session):
         "SELECT count(*) AS n FROM orders WHERE add_tax(o_totalprice, 0.1) > o_totalprice"
     ).collect()[0]["n"]
     assert n > 0
+
+
+def test_to_char_via_sql(session):
+    rows = session.execute(
+        "SELECT to_char(ts, 'YYYY-MM-DD') AS d FROM events WHERE event_id = 0"
+    ).collect()
+    assert rows[0]["d"] == "2024-01-01"
