@@ -32,9 +32,25 @@ from __future__ import annotations
 import re
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_.]*"
+#: reserved words that must never be parsed as a function name — else
+#: ``SELECT (a+b)::int`` would match ``SELECT (...)`` as a call and the
+#: cast rewrite would swallow the keyword (``CAST(SELECT (a+b) AS int)``)
+_KW = (
+    r"(?i:SELECT|WHERE|AND|OR|NOT|WHEN|THEN|ELSE|CASE|END|ON|FROM|JOIN"
+    r"|GROUP|ORDER|BY|HAVING|LIMIT|OFFSET|UNION|INTERSECT|EXCEPT|ALL"
+    r"|DISTINCT|VALUES|BETWEEN|IN|IS|LIKE|ILIKE|EXISTS|OVER|PARTITION"
+    r"|RETURNING|SET|AS)"
+)
 #: operand for :: and [] rewrites: quoted literal, function call
-#: (one nesting level), identifier, or (expr)
-_OPERAND = rf"(?:'[^']*'|\d+(?:\.\d+)?|{_IDENT}\s*\((?:[^()]|\([^()]*\))*\)|{_IDENT}|\([^()]*\))"
+#: (one nesting level, name must not be a reserved keyword),
+#: identifier, or (expr)
+#: the leading lookbehind stops a match from starting mid-identifier
+#: (without it, the keyword guard on ``SELECT (...)`` just shifts the
+#: match to ``ELECT (...)``)
+_OPERAND = (
+    rf"(?<![A-Za-z0-9_.])(?:'[^']*'|\d+(?:\.\d+)?|(?!{_KW}\s*\()"
+    rf"{_IDENT}\s*\((?:[^()]|\([^()]*\))*\)|{_IDENT}|\([^()]*\))"
+)
 
 _CAST_RE = re.compile(rf"({_OPERAND})\s*::\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)")
 _SUBSCRIPT_RE = re.compile(
@@ -140,7 +156,16 @@ def rewrite(sql: str) -> str:
     sql = _REGEX_CI_RE.sub(r"\1 RLIKE concat('(?i)', \2)", sql)
     sql = _REGEX_NOT_RE.sub(r"NOT (\1 RLIKE \2)", sql)
     sql = _REGEX_RE.sub(r"\1 RLIKE \2", sql)
-    sql = _ANY_EQ_RE.sub(r"array_contains(\2, \1)", sql)
+    def _any_eq_sub(m: re.Match) -> str:
+        lhs, inner = m.group(1), m.group(2)
+        # subquery form `x = ANY(SELECT ...)` is IN-equivalent
+        # (AnyEqOperator over a relation); array_contains would be
+        # unparseable there
+        if re.match(r"(?i)\s*(SELECT|VALUES)\b", inner):
+            return f"{lhs} IN ({inner})"
+        return f"array_contains({inner}, {lhs})"
+
+    sql = _ANY_EQ_RE.sub(_any_eq_sub, sql)
     sql = _SCHEMA_RE.sub(r"\1_\2", sql)
 
     def _match_sub(m: re.Match) -> str:

@@ -276,24 +276,40 @@ class CrateTable:
     # -- UPDATE / DELETE -------------------------------------------------
     def update(self, set_exprs: dict[str, str], where: str | None = None,
                returning: list[str] | None = None):
-        """UPDATE ... SET col = expr [WHERE ...] — read-transform-write."""
+        """UPDATE ... SET col = expr [WHERE ...] — read-transform-write.
+
+        Without RETURNING, returns the matched-row count. With
+        RETURNING, returns a DataFrame backed by a staged parquet
+        export of the updated rows — never a driver-side collect
+        (``UPDATE ... RETURNING *`` over a 100 TB table must stream,
+        not OOM the driver), and no separate count job: the export
+        write IS the matched-row pass.
+        """
         current = self.read()
-        cond = F.expr(where) if where else F.lit(True)
+        # matched is evaluated on the OLD values (PG semantics), before
+        # any SET expression rewrites a column the predicate reads
+        matched = F.coalesce(F.expr(where), F.lit(False)) if where else F.lit(True)
         updated = current.select(
             *[
-                F.when(cond, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
+                F.when(matched, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
                 if c in set_exprs
                 else F.col(c)
                 for c in current.columns
-            ]
+            ],
+            matched.alias("__matched"),
         )
-        n = current.filter(cond).count()
-        ret = None
         if returning is not None:
-            ret = updated.filter(cond).select(*returning or updated.columns)
-            ret = ret.collect()
-        self._overwrite(updated)
-        return ret if returning is not None else n
+            ret_path = os.path.join(
+                tempfile.gettempdir(), f"crate_returning_{uuid.uuid4().hex}"
+            )
+            updated.filter("__matched").select(
+                *(returning or current.columns)
+            ).write.parquet(ret_path)
+            self._overwrite(updated.drop("__matched"))
+            return self.spark.read.parquet(ret_path)
+        n = current.filter(matched).count()
+        self._overwrite(updated.drop("__matched"))
+        return n
 
     def delete(self, where: str | None = None) -> int:
         """DELETE [WHERE ...]. A predicate that exactly selects whole

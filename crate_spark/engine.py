@@ -30,12 +30,24 @@ from crate_spark.session import TABLES, apply_runtime_confs, load_tables
 class CrateSession:
     """A SQL session over the engine's catalog."""
 
-    def __init__(self, spark: SparkSession, data_dir: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        data_dir: str | None = None,
+        storage_dir: str | None = None,
+    ):
+        import tempfile
+
+        from crate_spark.sql_dml import SqlDmlRouter
+
         self.spark = spark
         apply_runtime_confs(spark)
         self.tables: dict[str, DataFrame] = {}
         if data_dir:
-            self.tables = load_tables(spark, data_dir, register=True)
+            self.tables = dict(load_tables(spark, data_dir, register=True))
+        #: root directory for tables created via SQL CREATE TABLE
+        self.storage_dir = storage_dir or tempfile.mkdtemp(prefix="crate_tables_")
+        self._dml = SqlDmlRouter(self)
         self._register_system_views()
 
     # -- catalog ---------------------------------------------------------
@@ -114,6 +126,12 @@ class CrateSession:
             self.spark.catalog.refreshTable(name)
             return self.spark.createDataFrame([(name,)], "refreshed string")
 
+        # DML/DDL dispatch (reference planner/Planner.java:273-500):
+        # CREATE TABLE / DROP TABLE / INSERT / UPDATE / DELETE / COPY
+        routed = self._dml.route(stmt)
+        if routed is not None:
+            return routed
+
         return self.spark.sql(rewrite(stmt))
 
     def _create_function(self, name: str, args: str, ret_type: str, body: str) -> DataFrame:
@@ -141,9 +159,27 @@ class CrateSession:
                 coercers.append(int)
             else:
                 coercers.append(lambda x: x)
-        body_fn = eval(  # noqa: S307 - UDF bodies are user code by design,
-            # same trust model as the reference's JS UDFs
-            f"lambda {', '.join(arg_names)}: ({body})"
+        # The reference runs UDF bodies in a sandboxed GraalVM JS context
+        # (UserDefinedFunctionService). A Python eval cannot be a real
+        # sandbox, so (a) CREATE FUNCTION must only be exposed to trusted
+        # callers, and (b) we at least compile the body against a
+        # restricted builtins whitelist — no import, open, exec, etc.
+        import builtins as _b
+
+        safe_builtins = {
+            n: getattr(_b, n)
+            for n in (
+                "abs", "all", "any", "bool", "dict", "divmod", "enumerate",
+                "filter", "float", "int", "len", "list", "map", "max", "min",
+                "pow", "range", "reversed", "round", "set", "sorted", "str",
+                "sum", "tuple", "zip",
+            )
+        }
+        import math as _math
+
+        body_fn = eval(  # noqa: S307 - trusted-caller surface by design
+            f"lambda {', '.join(arg_names)}: ({body})",
+            {"__builtins__": safe_builtins, "math": _math},
         )
 
         def fn(*vals):

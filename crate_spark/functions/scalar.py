@@ -44,23 +44,41 @@ def date_bin(stride: str | Column, ts: Column | str, origin: Column | str) -> Co
 def age(ts1: Column | str, ts2: Column | str | None = None) -> Column:
     """PG ``age(ts[, ts2])``: symbolic interval between timestamps.
 
-    Reference: ``expression/scalar/AgeFunction.java``. Matches PG
-    semantics of months-then-days decomposition via Spark's native
-    timestamp subtraction producing an INTERVAL DAY TO SECOND plus
-    months_between for the year/month part.
+    Reference: ``expression/scalar/AgeFunction.java`` (joda Period —
+    full y/m/d/h/m/s decomposition). PG semantics:
+
+    - whole months by field arithmetic, truncated TOWARD ZERO (a
+      1.5-month deficit is -1 month -15 days, not -2 months +15 days);
+    - the day + time-of-day remainder from the actual microsecond
+      difference after the month shift (so ``age('...12:00','...')``
+      yields 12:00:00, not 0).
     """
-    a = _col(ts1)
-    b = F.current_timestamp() if ts2 is None else _col(ts2)
-    months = F.floor(F.months_between(a, b))
-    rem_start = F.add_months(b, months)
+    a = _col(ts1).cast("timestamp")
+    b = (F.current_timestamp() if ts2 is None else _col(ts2)).cast("timestamp")
+
+    def _shift(months: Column) -> Column:
+        return b + F.make_interval(
+            F.lit(0), months, F.lit(0), F.lit(0), F.lit(0), F.lit(0), F.lit(0)
+        )
+
+    raw = ((F.year(a) - F.year(b)) * 12 + (F.month(a) - F.month(b))).cast("int")
+    # borrow one month when the field-difference overshoots the target
+    # (day/time of a earlier than b's within the month), either direction
+    over = (raw > 0) & (_shift(raw) > a)
+    under = (raw < 0) & (_shift(raw) < a)
+    months = raw - over.cast("int") + under.cast("int")
+    anchored = _shift(months)
+    micros = F.unix_micros(a) - F.unix_micros(anchored)
+    days = (micros / F.lit(86_400_000_000)).cast("bigint")  # truncates toward 0
+    rem_us = micros - days * F.lit(86_400_000_000)
     return F.make_interval(
         F.lit(0),
-        months.cast("int"),
+        months,
         F.lit(0),
-        F.datediff(a.cast("date"), rem_start.cast("date")).cast("int"),
+        days.cast("int"),
         F.lit(0),
         F.lit(0),
-        F.lit(0),
+        (rem_us / F.lit(1_000_000)).cast("decimal(18,6)"),
     )
 
 

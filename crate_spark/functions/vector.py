@@ -40,9 +40,11 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
 
 
 def vector_similarity(a: Column | str, b: Column | str) -> Column:
-    """CrateDB ``vector_similarity``: 1/(1+euclidean) per
-    ``FloatVectorType.java:56`` (EUCLIDEAN VectorSimilarityFunction)."""
-    return F.lit(1.0) / (F.lit(1.0) + l2_distance(a, b))
+    """CrateDB ``vector_similarity``: 1/(1+squareDistance) per
+    ``FloatVectorType.java:56`` — Lucene's EUCLIDEAN
+    VectorSimilarityFunction compares on the SQUARED distance (no
+    sqrt), so the similarity denominator is 1 + d^2."""
+    return F.lit(1.0) / (F.lit(1.0) + l2_squared(a, b))
 
 
 def norm(a: Column | str) -> Column:

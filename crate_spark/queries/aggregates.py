@@ -42,20 +42,21 @@ def agg_any_value(spark, sf_dir):
     "agg_collect_set",
     oracle="""
     SELECT n_regionkey,
-           LIST_SORT(LIST_DISTINCT(LIST(n_name))) AS names,
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(n_name))), ',') AS names,
            LEN(LIST_DISTINCT(LIST(n_nationkey % 5))) AS n_buckets
     FROM nation GROUP BY n_regionkey
     """,
 )
 def agg_collect_set(spark, sf_dir):
-    """collect_set (CollectSetAggregation.java) — sorted for a
-    deterministic hash."""
+    """collect_set (CollectSetAggregation.java) — sorted, emitted as a
+    CSV string (array cells are unhashable in the driver's pandas
+    canonicalizer) for a deterministic hash."""
     t = load_tables(spark, sf_dir)
     return (
         t["nation"]
         .groupBy("n_regionkey")
         .agg(
-            F.sort_array(F.collect_set("n_name")).alias("names"),
+            F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("names"),
             F.size(F.collect_set(F.col("n_nationkey") % 5)).alias("n_buckets"),
         )
     )
@@ -91,9 +92,9 @@ def agg_bool_and_or(spark, sf_dir):
     oracle=f"""
     SELECT l_returnflag,
            ROUND(MEDIAN(l_quantity), 6) AS med_qty,
-           ROUND(CORR(l_quantity, l_extendedprice), 9) AS qty_price_corr,
-           ROUND(COVAR_POP(l_quantity, l_discount), 9) AS qty_disc_covar,
-           ROUND({sql_davg('l_quantity')}, 9) AS mean_qty
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(COVAR_POP(l_quantity, l_discount), 6) AS qty_disc_covar,
+           ROUND({sql_davg('l_quantity')}, 6) AS mean_qty
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -109,9 +110,9 @@ def agg_median_corr(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(
             F.round(F.median(q), 6).alias("med_qty"),
-            F.round(F.corr(q, px), 9).alias("qty_price_corr"),
-            F.round(F.covar_pop(q, d), 9).alias("qty_disc_covar"),
-            F.round(davg(q), 9).alias("mean_qty"),
+            F.round(F.corr(q, px), 6).alias("qty_price_corr"),
+            F.round(F.covar_pop(q, d), 6).alias("qty_disc_covar"),
+            F.round(davg(q), 6).alias("mean_qty"),
         )
     )
 

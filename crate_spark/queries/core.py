@@ -290,19 +290,26 @@ def agg_string_agg(spark, sf_dir):
 @query(
     "agg_array_agg",
     oracle="""
-    SELECT n_regionkey, ARRAY_AGG(n_nationkey ORDER BY n_nationkey) AS nation_keys
+    SELECT n_regionkey,
+           ARRAY_TO_STRING(ARRAY_AGG(n_nationkey ORDER BY n_nationkey), ',') AS nation_keys
     FROM nation GROUP BY n_regionkey
     """,
 )
 def agg_array_agg(spark, sf_dir):
     """array_agg (reference ``impl/ArrayAgg.java:93``). NULL retention
     difference vs collect_list is covered in unit tests; the driver data
-    has no NULL keys."""
+    has no NULL keys. The sorted array is emitted as a CSV string: raw
+    array cells are unhashable in the driver's pandas canonicalizer, and
+    the string form pins identical element order in both engines."""
     t = load_tables(spark, sf_dir)
     return (
         t["nation"]
         .groupBy("n_regionkey")
-        .agg(F.sort_array(F.collect_list("n_nationkey")).alias("nation_keys"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("n_nationkey")).cast("array<string>"), ","
+            ).alias("nation_keys")
+        )
     )
 
 

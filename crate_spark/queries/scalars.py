@@ -171,25 +171,28 @@ def scalar_date_bin(spark, sf_dir):
            FLOOR(l_tax * 100) AS f,
            ROUND(l_extendedprice / 1000, 2) AS r,
            TRUNC(l_extendedprice / 1000) AS tr,
-           ROUND(SQRT(l_quantity), 9) AS sq,
+           ROUND(SQRT(l_quantity), 6) AS sq,
            ROUND(POWER(l_quantity, 2), 6) AS p2,
-           ROUND(EXP(l_discount), 9) AS e,
-           ROUND(LN(l_quantity + 1), 9) AS lg,
-           ROUND(LOG(10, l_quantity + 1), 9) AS l10,
+           ROUND(EXP(l_discount), 6) AS e,
+           ROUND(LN(l_quantity + 1), 6) AS lg,
+           ROUND(LOG(10, l_quantity + 1), 6) AS l10,
            MOD(CAST(l_quantity AS BIGINT), 7) AS m7,
            SIGN(l_discount - 0.05) AS sg,
-           ROUND(SIN(l_quantity), 9) AS sn,
-           ROUND(COS(l_quantity), 9) AS cs,
-           ROUND(ATAN2(l_quantity, 10.0), 9) AS at2,
-           ROUND(DEGREES(l_discount), 9) AS dg,
-           ROUND(RADIANS(l_quantity), 9) AS rd,
-           ROUND(PI(), 9) AS pi_
+           ROUND(SIN(l_quantity), 6) AS sn,
+           ROUND(COS(l_quantity), 6) AS cs,
+           ROUND(ATAN2(l_quantity, 10.0), 6) AS at2,
+           ROUND(DEGREES(l_discount), 6) AS dg,
+           ROUND(RADIANS(l_quantity), 6) AS rd,
+           ROUND(PI(), 6) AS pi_
     FROM lineitem WHERE l_orderkey <= 200
     """,
 )
 def scalar_math_funcs(spark, sf_dir):
-    """Math surface (abs..trig; reference ``scalar/MathFunctions`` et al.),
-    rounded identically in both engines."""
+    """Math surface (abs..trig; reference ``scalar/MathFunctions`` et al.).
+
+    Transcendentals round to 6 decimals in BOTH engines — JVM ``Math.*``
+    and DuckDB's libm differ by ULPs that surface at the 9th decimal on
+    some inputs (registry determinism rule, queries/__init__.py)."""
     t = load_tables(spark, sf_dir)
     li = t["lineitem"].filter(F.col("l_orderkey") <= 200)
     q, dsc, tax, px = (F.col(c) for c in ("l_quantity", "l_discount", "l_tax", "l_extendedprice"))
@@ -202,19 +205,19 @@ def scalar_math_funcs(spark, sf_dir):
         F.round(px / 1000, 2).alias("r"),
         # numeric trunc(x) = cast-to-bigint (truncates toward zero, as PG)
         (px / 1000).cast("bigint").cast("double").alias("tr"),
-        F.round(F.sqrt(q), 9).alias("sq"),
+        F.round(F.sqrt(q), 6).alias("sq"),
         F.round(F.pow(q, 2), 6).alias("p2"),
-        F.round(F.exp(dsc), 9).alias("e"),
-        F.round(F.ln(q + 1), 9).alias("lg"),
-        F.round(F.log(10.0, q + 1), 9).alias("l10"),
+        F.round(F.exp(dsc), 6).alias("e"),
+        F.round(F.ln(q + 1), 6).alias("lg"),
+        F.round(F.log(10.0, q + 1), 6).alias("l10"),
         (q.cast("bigint") % 7).alias("m7"),
         F.signum(dsc - 0.05).alias("sg"),
-        F.round(F.sin(q), 9).alias("sn"),
-        F.round(F.cos(q), 9).alias("cs"),
-        F.round(F.atan2(q, F.lit(10.0)), 9).alias("at2"),
-        F.round(F.degrees(dsc), 9).alias("dg"),
-        F.round(F.radians(q), 9).alias("rd"),
-        F.round(F.lit(3.141592653589793), 9).alias("pi_"),
+        F.round(F.sin(q), 6).alias("sn"),
+        F.round(F.cos(q), 6).alias("cs"),
+        F.round(F.atan2(q, F.lit(10.0)), 6).alias("at2"),
+        F.round(F.degrees(dsc), 6).alias("dg"),
+        F.round(F.radians(q), 6).alias("rd"),
+        F.round(F.lit(3.141592653589793), 6).alias("pi_"),
     )
 
 
@@ -284,7 +287,7 @@ def scalar_casts(spark, sf_dir):
     oracle="""
     SELECT doc_id,
            words[1] AS first_word,
-           words[3:4] AS slice_2,
+           ARRAY_TO_STRING(words[3:4], '|') AS slice_2,
            LEN(words) AS n_words,
            LEN(LIST_DISTINCT(words)) AS n_unique,
            LIST_SORT(LIST_DISTINCT(words))[1] AS min_word,
@@ -305,7 +308,7 @@ def scalar_array_funcs(spark, sf_dir):
     return d.select(
         "doc_id",
         F.element_at(words, 1).alias("first_word"),
-        F.slice(words, 3, 2).alias("slice_2"),
+        F.array_join(F.slice(words, 3, 2), "|").alias("slice_2"),
         F.size(words).alias("n_words"),
         F.size(F.array_distinct(words)).alias("n_unique"),
         F.element_at(F.sort_array(F.array_distinct(words)), 1).alias("min_word"),
@@ -406,8 +409,8 @@ def scalar_bitwise_hash(spark, sf_dir):
     "scalar_object_funcs",
     oracle="""
     SELECT event_id,
-           list_sort(CAST(json_keys(json_merge_patch(props,
-               json_object('extra', event_id))) AS VARCHAR[])) AS merged_keys,
+           array_to_string(list_sort(CAST(json_keys(json_merge_patch(props,
+               json_object('extra', event_id))) AS VARCHAR[])), ',') AS merged_keys,
            CAST(json_extract_string(json_merge_patch(props,
                json_object('extra', event_id)), '$.extra') AS BIGINT) AS extra_val,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_subscript
@@ -427,7 +430,7 @@ def scalar_object_funcs(spark, sf_dir):
         .filter(F.col("event_id") < 300)
         .select(
             "event_id",
-            F.array_sort(F.map_keys(merged)).alias("merged_keys"),
+            F.array_join(F.array_sort(F.map_keys(merged)), ",").alias("merged_keys"),
             F.element_at(merged, "extra").alias("extra_val"),
             F.element_at(obj, "k").alias("k_subscript"),
         )

@@ -134,7 +134,7 @@ def text_fingerprint(spark, sf_dir):
     SELECT digest, n_dups, doc_ids FROM (
       SELECT md5(array_to_string(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')[1:5], ' ')) AS digest,
              COUNT(*) AS n_dups,
-             LIST_SORT(LIST(doc_id)) AS doc_ids
+             ARRAY_TO_STRING(LIST_SORT(LIST(doc_id)), ',') AS doc_ids
       FROM documents GROUP BY 1
     ) WHERE n_dups > 1
     """,
@@ -151,7 +151,13 @@ def text_dedup_exact(spark, sf_dir):
         "text_key",
         F.array_join(F.slice(F.split(dd.normalize_text("text"), " "), 1, 5), " "),
     )
-    return dd.exact_duplicates(docs, "text_key", "doc_id")
+    # doc_ids as a CSV string: raw array cells break the driver's
+    # pandas canonicalizer (unhashable numpy arrays)
+    return dd.exact_duplicates(docs, "text_key", "doc_id").select(
+        "digest",
+        "n_dups",
+        F.array_join(F.col("doc_ids").cast("array<string>"), ",").alias("doc_ids"),
+    )
 
 
 @query(

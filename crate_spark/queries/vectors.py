@@ -27,6 +27,12 @@ _DUCK_DOT = (
     "list_sum(list_transform(list_zip({a}, {b}), "
     "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
 )
+#: squared euclidean — vector_similarity's denominator is 1 + d^2
+#: (Lucene EUCLIDEAN squareDistance, FloatVectorType.java:56; no sqrt)
+_DUCK_L2SQ = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))^2))"
+)
 
 
 @query(
@@ -69,17 +75,18 @@ def vector_knn_exact(spark, sf_dir):
     oracle=f"""
     WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
     SELECT e.vec_id,
-           ROUND(1.0 / (1.0 + {_DUCK_L2.format(a='e.embedding', b='q.qvec')}), 9) AS vsim,
+           ROUND(1.0 / (1.0 + {_DUCK_L2SQ.format(a='e.embedding', b='q.qvec')}), 6) AS vsim,
            ROUND({_DUCK_DOT.format(a='e.embedding', b='q.qvec')} /
                  (SQRT({_DUCK_DOT.format(a='e.embedding', b='e.embedding')}) *
-                  SQRT({_DUCK_DOT.format(a='q.qvec', b='q.qvec')})), 9) AS cos_sim
+                  SQRT({_DUCK_DOT.format(a='q.qvec', b='q.qvec')})), 6) AS cos_sim
     FROM embeddings e CROSS JOIN q
     WHERE e.vec_id < 200
     """,
 )
 def vector_similarity_score(spark, sf_dir):
-    """vector_similarity (1/(1+l2), FloatVectorType.java:56) and cosine
-    against a fixed query vector."""
+    """vector_similarity (1/(1+d^2), FloatVectorType.java:56 — Lucene
+    EUCLIDEAN squareDistance) and cosine against a fixed query vector,
+    both rounded to 6 decimals (registry determinism rule)."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
@@ -88,8 +95,8 @@ def vector_similarity_score(spark, sf_dir):
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            F.round(vector_similarity(F.col("embedding"), F.col("qvec")), 9).alias("vsim"),
-            F.round(cosine_similarity(F.col("embedding"), F.col("qvec")), 9).alias("cos_sim"),
+            F.round(vector_similarity(F.col("embedding"), F.col("qvec")), 6).alias("vsim"),
+            F.round(cosine_similarity(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
         )
     )
 

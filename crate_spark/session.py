@@ -124,6 +124,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: (id(spark), sf_dir) -> loaded DataFrames. Each load_tables call used
+#: to re-read 10 parquet footers and re-register 10 temp views; across
+#: a 100-query run that is pure driver-side overhead (it truncated the
+#: round-1 driver run). DataFrames are immutable plans, so caching per
+#: (session, dir) is safe; registration is tracked separately so a
+#: register=False first call doesn't suppress later view creation.
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_REGISTERED: set[tuple[int, str]] = set()
+
+
+def clear_table_cache() -> None:
+    """Drop cached table DataFrames (tests / after external mutation)."""
+    _TABLE_CACHE.clear()
+    _REGISTERED.clear()
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, register: bool = True
 ) -> dict[str, DataFrame]:
@@ -132,13 +148,17 @@ def load_tables(
     Equivalent of CrateDB's DocTableInfo catalog resolution
     (``metadata/doc/DocTableInfo.java``) — here the "table" is a
     Parquet-backed DataFrame and Spark's session catalog is the schema
-    registry.
+    registry. Cached per (session, sf_dir).
     """
-    apply_runtime_confs(spark)
-    out: dict[str, DataFrame] = {}
-    for name in TABLES:
-        df = load_table(spark, sf_dir, name)
-        if register:
+    key = (id(spark), os.path.abspath(sf_dir))
+    out = _TABLE_CACHE.get(key)
+    if out is None:
+        apply_runtime_confs(spark)
+        out = {name: load_table(spark, sf_dir, name) for name in TABLES}
+        _TABLE_CACHE[key] = out
+        _REGISTERED.discard(key)
+    if register and key not in _REGISTERED:
+        for name, df in out.items():
             df.createOrReplaceTempView(name)
-        out[name] = df
+        _REGISTERED.add(key)
     return out

@@ -1,0 +1,444 @@
+"""SQL DML/DDL statement routing for CrateSession.
+
+The reference dispatches every statement kind from one planner
+(``planner/Planner.java:273-500``: CreateTable, Insert, Update, Delete,
+CopyFrom/CopyTo, DropTable; ``planner/operators/Insert.java:51``;
+``docs/sql/statements/insert.rst:25-27`` for ON CONFLICT). This module
+is the same dispatch for the SQL front door: conservative parsers for
+the documented statement subset, each routed to the ``CrateTable``
+storage layer (dml.py). Statements that don't match any DML/DDL shape
+return None so the session falls through to ``spark.sql``.
+
+Parsing philosophy matches dialect.py: string literals are masked
+first, structure is found by depth-aware scanning (never by splitting
+raw text), and anything outside the documented grammar raises a clear
+error instead of guessing.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crate_spark.dialect import rewrite
+from crate_spark.dml import CrateTable
+
+#: CrateDB type spellings -> Spark DDL types
+#: (reference ``types/DataTypes.java``; object columns are stored as
+#: JSON strings per SURVEY.md §7 hard part (a))
+_TYPE_MAP = {
+    "text": "string",
+    "ip": "string",
+    "object": "string",
+    "timestamp with time zone": "timestamp",
+    "timestamp without time zone": "timestamp_ntz",
+    "timestamptz": "timestamp",
+    "byte": "tinyint",
+    "short": "smallint",
+    "integer": "int",
+    "long": "bigint",
+    "real": "float",
+    "double precision": "double",
+    "geo_point": "array<double>",
+}
+
+
+def _map_type(t: str) -> str:
+    key = re.sub(r"\s+", " ", t.strip().lower())
+    if key in _TYPE_MAP:
+        return _TYPE_MAP[key]
+    m = re.match(r"array\s*\(\s*(.+)\s*\)$", key)
+    if m:  # CrateDB array(inner) spelling
+        return f"array<{_map_type(m.group(1))}>"
+    return t.strip()
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split at depth-0 separators (parens nest, literals are masked)."""
+    items, buf, depth = [], "", 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            items.append(buf)
+            buf = ""
+        else:
+            buf += ch
+    if buf.strip():
+        items.append(buf)
+    return [i.strip() for i in items]
+
+
+def _find_close(s: str, open_idx: int) -> int:
+    """Index of the ')' matching s[open_idx] == '('."""
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError(f"unbalanced parentheses in: {s[:80]}...")
+
+
+_LIT_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _mask_literals(sql: str) -> tuple[str, list[str]]:
+    literals: list[str] = []
+
+    def _sub(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"__LIT_{len(literals) - 1}__"
+
+    return _LIT_RE.sub(_sub, sql), literals
+
+
+def _unmask(s: str, literals: list[str]) -> str:
+    for i, lit in enumerate(literals):
+        s = s.replace(f"__LIT_{i}__", lit)
+    return s
+
+
+def _parse_returning(tail: str, literals: list[str]) -> tuple[str, list[str] | None]:
+    """Strip a trailing RETURNING clause; [] means RETURNING *."""
+    m = re.search(r"\bRETURNING\s+(.+)$", tail, re.IGNORECASE | re.DOTALL)
+    if not m:
+        return tail, None
+    cols = _unmask(m.group(1).strip(), literals)
+    tail = tail[: m.start()].strip()
+    return tail, [] if cols == "*" else [c.strip() for c in _split_top(cols)]
+
+
+class SqlDmlRouter:
+    """Statement router bound to a CrateSession-like owner.
+
+    The owner provides: ``spark``, ``storage_dir``, ``register(name,
+    df)`` (refreshes catalog views), and ``tables`` (the view catalog).
+    """
+
+    def __init__(self, owner):
+        self.owner = owner
+        self.crate_tables: dict[str, CrateTable] = {}
+
+    # -- helpers ---------------------------------------------------------
+    @property
+    def spark(self):
+        return self.owner.spark
+
+    def _table(self, name: str) -> CrateTable:
+        name = name.split(".")[-1]  # doc.t == t (single-schema catalog)
+        if name in self.crate_tables:
+            return self.crate_tables[name]
+        path = os.path.join(self.owner.storage_dir, name)
+        if os.path.exists(os.path.join(path, "_crate_meta.json")):
+            t = CrateTable.open(self.spark, path)
+            self.crate_tables[name] = t
+            return t
+        raise ValueError(
+            f"unknown DML target table '{name}' — CREATE TABLE it first "
+            "(read-only driver tables are not DML targets)"
+        )
+
+    def _refresh(self, name: str) -> None:
+        name = name.split(".")[-1]
+        self.owner.register(name, self.crate_tables[name].read())
+
+    def _count_df(self, n: int) -> DataFrame:
+        return self.spark.createDataFrame([(n,)], "rowcount bigint")
+
+    # -- dispatch --------------------------------------------------------
+    def route(self, stmt: str) -> DataFrame | None:
+        """Execute stmt if it is DML/DDL; None -> not a DML statement."""
+        masked, literals = _mask_literals(stmt)
+        head = masked.lstrip().split(None, 2)
+        if not head:
+            return None
+        kw = head[0].upper()
+        kw2 = head[1].upper() if len(head) > 1 else ""
+        if kw == "CREATE" and kw2 == "TABLE":
+            return self._create_table(masked, literals)
+        if kw == "DROP" and kw2 == "TABLE":
+            return self._drop_table(masked)
+        if kw == "INSERT":
+            return self._insert(masked, literals)
+        if kw == "UPDATE":
+            return self._update(masked, literals)
+        if kw == "DELETE":
+            return self._delete(masked, literals)
+        if kw == "COPY":
+            return self._copy(masked, literals)
+        return None
+
+    # -- CREATE / DROP TABLE --------------------------------------------
+    def _create_table(self, masked: str, literals: list[str]) -> DataFrame:
+        m = re.match(
+            r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"]+)\s*\(",
+            masked,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError("unsupported CREATE TABLE syntax")
+        name = m.group(2).strip('"').split(".")[-1]
+        if m.group(1) and name in self.crate_tables:
+            return self._count_df(0)
+        open_idx = m.end() - 1
+        close_idx = _find_close(masked, open_idx)
+        body = masked[open_idx + 1 : close_idx]
+        tail = masked[close_idx + 1 :]
+
+        cols: list[str] = []
+        pk: list[str] = []
+        checks: list[str] = []
+        generated: dict[str, str] = {}
+        for item in _split_top(body):
+            up = item.upper()
+            if up.startswith("PRIMARY KEY"):
+                pk += [
+                    c.strip().strip('"')
+                    for c in item[item.index("(") + 1 : item.rindex(")")].split(",")
+                ]
+                continue
+            if up.startswith("CHECK"):
+                checks.append(
+                    _unmask(item[item.index("(") + 1 : item.rindex(")")], literals)
+                )
+                continue
+            if up.startswith(("INDEX ", "CONSTRAINT ")):
+                continue  # fulltext INDEX defs: search handled by MATCH shim
+            cm = re.match(r'("?[\w]+"?)\s+(.*)$', item, re.DOTALL)
+            if not cm:
+                raise ValueError(f"cannot parse column definition: {item!r}")
+            cname = cm.group(1).strip('"')
+            rest = cm.group(2)
+            gm = re.search(
+                r"GENERATED\s+ALWAYS\s+AS\s*\(", rest, re.IGNORECASE
+            )
+            if gm:
+                gclose = _find_close(rest, gm.end() - 1)
+                generated[cname] = _unmask(rest[gm.end() : gclose], literals)
+                rest = rest[: gm.start()] + rest[gclose + 1 :]
+            ckm = re.search(r"CHECK\s*\(", rest, re.IGNORECASE)
+            if ckm:
+                cclose = _find_close(rest, ckm.end() - 1)
+                checks.append(_unmask(rest[ckm.end() : cclose], literals))
+                rest = rest[: ckm.start()] + rest[cclose + 1 :]
+            if re.search(r"\bPRIMARY\s+KEY\b", rest, re.IGNORECASE):
+                pk.append(cname)
+                rest = re.sub(r"\bPRIMARY\s+KEY\b", "", rest, flags=re.IGNORECASE)
+            rest = re.sub(r"\bNOT\s+NULL\b", "", rest, flags=re.IGNORECASE)
+            rest = re.sub(r"\bINDEX\s+\w+(\s+WITH\s*\(.*?\))?", "", rest, flags=re.IGNORECASE)
+            ctype = _map_type(rest)
+            if not ctype:
+                # typeless generated column: infer nothing, store as-is
+                # via the expression's Spark type at first write
+                raise ValueError(
+                    f"column '{cname}' needs an explicit type"
+                )
+            cols.append(f"{cname} {ctype}")
+
+        partitioned: list[str] = []
+        pm = re.search(r"PARTITIONED\s+BY\s*\(([^)]*)\)", tail, re.IGNORECASE)
+        if pm:
+            partitioned = [c.strip().strip('"') for c in pm.group(1).split(",")]
+
+        path = os.path.join(self.owner.storage_dir, name)
+        t = CrateTable.create(
+            self.spark,
+            path,
+            ", ".join(cols),
+            primary_key=pk,
+            partitioned_by=partitioned,
+            generated=generated,
+            checks=checks,
+        )
+        self.crate_tables[name] = t
+        self._refresh(name)
+        return self._count_df(1)
+
+    def _drop_table(self, masked: str) -> DataFrame:
+        m = re.match(
+            r"\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.\"]+)\s*$", masked, re.IGNORECASE
+        )
+        if not m:
+            raise ValueError("unsupported DROP TABLE syntax")
+        name = m.group(2).strip('"').split(".")[-1]
+        if name not in self.crate_tables:
+            if m.group(1):
+                return self._count_df(0)
+            raise ValueError(f"unknown table '{name}'")
+        t = self.crate_tables.pop(name)
+        shutil.rmtree(t.path, ignore_errors=True)
+        self.spark.catalog.dropTempView(name)
+        self.owner.tables.pop(name, None)
+        self.owner._register_system_views()
+        return self._count_df(1)
+
+    # -- INSERT ----------------------------------------------------------
+    def _insert(self, masked: str, literals: list[str]) -> DataFrame:
+        m = re.match(
+            r"\s*INSERT\s+INTO\s+([\w.\"]+)\s*(\(([^)]*)\))?\s*(.*)$",
+            masked,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError("unsupported INSERT syntax")
+        name = m.group(1).strip('"').split(".")[-1]
+        table = self._table(name)
+        col_list = (
+            [c.strip().strip('"') for c in m.group(3).split(",")] if m.group(3) else None
+        )
+        body = m.group(4).strip()
+
+        body, returning = _parse_returning(body, literals)
+
+        # ON CONFLICT clause (docs/sql/statements/insert.rst:25-27)
+        conflict = None  # None | ("nothing",) | ("update", {col: expr})
+        cm = re.search(
+            r"\bON\s+CONFLICT\s*(\([^)]*\))?\s*DO\s+(NOTHING|UPDATE\s+SET\s+(.*))$",
+            body,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if cm:
+            if cm.group(2).upper() == "NOTHING":
+                conflict = ("nothing",)
+            else:
+                set_exprs = {}
+                for a in _split_top(cm.group(3)):
+                    k, _, v = a.partition("=")
+                    set_exprs[k.strip().strip('"')] = rewrite(
+                        _unmask(v.strip(), literals)
+                    )
+                conflict = ("update", set_exprs)
+            body = body[: cm.start()].strip()
+
+        declared = self.spark.createDataFrame([], table.schema_ddl).schema
+        declared_types = {f.name: f.dataType.simpleString() for f in declared.fields}
+        gen = set(table.generated)
+        target_cols = col_list or [
+            f.name for f in declared.fields if f.name not in gen
+        ]
+
+        if re.match(r"VALUES\b", body, re.IGNORECASE):
+            values_sql = _unmask(body[len("VALUES") :].strip(), literals)
+            src = self.spark.sql(f"SELECT * FROM VALUES {rewrite(values_sql)}")
+        else:
+            src = self.spark.sql(rewrite(_unmask(body, literals)))
+        if len(src.columns) != len(target_cols):
+            raise ValueError(
+                f"INSERT has {len(src.columns)} expressions for "
+                f"{len(target_cols)} target columns"
+            )
+        src = src.toDF(*target_cols)
+        # cast to declared types (VALUES literals arrive as int/decimal)
+        src = src.select(
+            *[F.col(c).cast(declared_types[c]).alias(c) for c in target_cols]
+        )
+        # fill omitted (non-generated) columns with NULL
+        for f in declared.fields:
+            if f.name not in src.columns and f.name not in gen:
+                src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
+        src = src.select(*[f.name for f in declared.fields if f.name not in gen])
+
+        if conflict is None:
+            out = table.insert(src, returning=returning)
+            self._refresh(name)
+            return out if returning is not None else self._count_df(out)
+        if conflict[0] == "nothing":
+            stats = table.upsert(src, do_nothing=True)
+        else:
+            stats = table.upsert(src, set_exprs=conflict[1])
+        self._refresh(name)
+        return self._count_df(stats["inserted"] + stats["updated"])
+
+    # -- UPDATE / DELETE -------------------------------------------------
+    def _update(self, masked: str, literals: list[str]) -> DataFrame:
+        m = re.match(
+            r"\s*UPDATE\s+([\w.\"]+)\s+SET\s+(.*)$", masked, re.IGNORECASE | re.DOTALL
+        )
+        if not m:
+            raise ValueError("unsupported UPDATE syntax")
+        name = m.group(1).strip('"').split(".")[-1]
+        table = self._table(name)
+        body, returning = _parse_returning(m.group(2), literals)
+        where = None
+        wm = re.search(r"\bWHERE\s+(.*)$", body, re.IGNORECASE | re.DOTALL)
+        if wm:
+            where = rewrite(_unmask(wm.group(1).strip(), literals))
+            body = body[: wm.start()].strip()
+        set_exprs = {}
+        for a in _split_top(body):
+            k, _, v = a.partition("=")
+            set_exprs[k.strip().strip('"')] = rewrite(_unmask(v.strip(), literals))
+        out = table.update(set_exprs, where=where, returning=returning)
+        self._refresh(name)
+        return out if returning is not None else self._count_df(out)
+
+    def _delete(self, masked: str, literals: list[str]) -> DataFrame:
+        m = re.match(
+            r"\s*DELETE\s+FROM\s+([\w.\"]+)\s*(?:WHERE\s+(.*))?$",
+            masked,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError("unsupported DELETE syntax")
+        name = m.group(1).strip('"').split(".")[-1]
+        table = self._table(name)
+        where = rewrite(_unmask(m.group(2).strip(), literals)) if m.group(2) else None
+        n = table.delete(where)
+        self._refresh(name)
+        return self._count_df(n)
+
+    # -- COPY ------------------------------------------------------------
+    def _copy(self, masked: str, literals: list[str]) -> DataFrame:
+        m = re.match(
+            r"\s*COPY\s+([\w.\"]+)\s*(\(([^)]*)\))?\s+(FROM|TO)\s+(DIRECTORY\s+)?"
+            r"(__LIT_\d+__)\s*(.*)$",
+            masked,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError("unsupported COPY syntax")
+        name = m.group(1).strip('"').split(".")[-1]
+        table = self._table(name)
+        direction = m.group(4).upper()
+        uri = _unmask(m.group(6), literals).strip("'")
+        tail = m.group(7) or ""
+        props: dict[str, str] = {}
+        pm = re.search(r"WITH\s*\(([^)]*)\)", tail, re.IGNORECASE)
+        if pm:
+            for kv in _split_top(pm.group(1)):
+                k, _, v = kv.partition("=")
+                props[k.strip().lower()] = _unmask(v.strip(), literals).strip("'\"")
+        where = None
+        wm = re.search(r"\bWHERE\s+(.+?)(?:WITH\s*\(|$)", tail, re.IGNORECASE | re.DOTALL)
+        if wm:
+            where = rewrite(_unmask(wm.group(1).strip(), literals))
+
+        if direction == "FROM":
+            fmt = props.get("format", "csv" if not uri.endswith(".json") else "json")
+            summary = table.copy_from(
+                uri,
+                format=fmt,
+                header=props.get("header", "true").lower() != "false",
+                delimiter=props.get("delimiter", ","),
+            )
+            self._refresh(name)
+            return self.spark.createDataFrame(
+                [(summary["loaded"], summary["errors"])],
+                "loaded bigint, errors bigint",
+            )
+        cols = (
+            [c.strip().strip('"') for c in m.group(3).split(",")] if m.group(3) else None
+        )
+        n = table.copy_to(
+            uri, format=props.get("format", "json"), columns=cols, where=where
+        )
+        return self._count_df(n)

@@ -103,6 +103,20 @@ def test_update(spark, table):
     assert got[1]["val"] == "a" and got[2]["val"] == "B" and got[2]["cnt"] == 20
 
 
+def test_update_returning_is_dataframe(spark, table):
+    """RETURNING must come back as a DataFrame (staged parquet export),
+    never a driver-side collect — at 100 TB that collect is an OOM."""
+    table.insert(_rows(spark, [(1, "2024-01-01 00:00:00", "a", 1),
+                               (2, "2024-01-02 00:00:00", "b", 2)]))
+    ret = table.update({"cnt": "cnt + 100"}, where="id = 1", returning=["id", "cnt"])
+    assert not isinstance(ret, list)
+    rows = ret.collect()
+    assert [(r["id"], r["cnt"]) for r in rows] == [(1, 101)]
+    # predicate evaluated on OLD values even when SET rewrites the column
+    ret2 = table.update({"cnt": "cnt * 0"}, where="cnt = 101", returning=[])
+    assert ret2.count() == 1
+
+
 def test_delete(spark, table):
     table.insert(_rows(spark, [(i, "2024-01-01 00:00:00", "v", i) for i in range(10)]))
     n = table.delete("id >= 7")

@@ -55,6 +55,24 @@ def test_age(spark, row):
     # CalendarIntervalType is not collectable in PySpark; observe as string
     iv = one(row, age(a, b).cast("string"))
     assert "2 months 5 days" in iv
+    # time-of-day remainder is preserved (AgeFunction joda Period parity)
+    tod = one(
+        row,
+        age(
+            F.lit("2026-01-01 12:00:00").cast("timestamp"),
+            F.lit("2026-01-01 00:00:00").cast("timestamp"),
+        ).cast("string"),
+    )
+    assert "12 hours" in tod
+    # negative spans truncate months toward zero: -1 month -15 days
+    neg = one(
+        row,
+        age(
+            F.lit("2026-01-01 00:00:00").cast("timestamp"),
+            F.lit("2026-02-16 00:00:00").cast("timestamp"),
+        ).cast("string"),
+    )
+    assert "-1 months -15 days" in neg
 
 
 def test_ignore3vl(spark, row):
@@ -93,8 +111,9 @@ def test_vector_functions(spark, row):
     b = F.array(F.lit(0.0), F.lit(1.0))
     assert one(row, l2_distance(a, a)) == 0.0
     assert abs(one(row, l2_distance(a, b)) - math.sqrt(2)) < 1e-12
-    # vector_similarity = 1/(1+l2) per FloatVectorType.java:56
-    assert abs(one(row, vector_similarity(a, b)) - 1 / (1 + math.sqrt(2))) < 1e-12
+    # vector_similarity = 1/(1+squareDistance) per FloatVectorType.java:56
+    # (Lucene EUCLIDEAN compares squared distance — no sqrt): d^2 = 2 here
+    assert abs(one(row, vector_similarity(a, b)) - 1 / (1 + 2.0)) < 1e-12
     assert abs(one(row, cosine_similarity(a, b))) < 1e-12
     assert abs(one(row, cosine_similarity(a, a)) - 1.0) < 1e-12
 

@@ -185,3 +185,123 @@ def test_to_char_via_sql(session):
         "SELECT to_char(ts, 'YYYY-MM-DD') AS d FROM events WHERE event_id = 0"
     ).collect()
     assert rows[0]["d"] == "2024-01-01"
+
+
+# -- SQL DML/DDL front door ---------------------------------------------------
+# Statement shapes from the reference docs (docs/sql/statements/insert.rst,
+# update.rst, delete.rst, copy-from.rst) executed as SQL strings end-to-end.
+
+
+@pytest.fixture()
+def dml_session(spark, tmp_path):
+    return CrateSession(spark, storage_dir=str(tmp_path))
+
+
+def test_sql_create_insert_select(dml_session):
+    s = dml_session
+    s.execute(
+        "CREATE TABLE uservisits (id int PRIMARY KEY, name text, visits int, "
+        "day timestamp, CHECK (visits >= 0))"
+    )
+    n = s.execute(
+        "INSERT INTO uservisits (id, name, visits, day) VALUES "
+        "(1, 'alice', 3, '2024-01-01 00:00:00'::timestamp), "
+        "(2, 'bob', 0, '2024-01-02 00:00:00'::timestamp)"
+    ).collect()[0]["rowcount"]
+    assert n == 2
+    rows = s.execute("SELECT id, name, visits FROM uservisits ORDER BY id").collect()
+    assert [(r["id"], r["name"], r["visits"]) for r in rows] == [
+        (1, "alice", 3),
+        (2, "bob", 0),
+    ]
+
+
+def test_sql_insert_on_conflict(dml_session):
+    s = dml_session
+    s.execute("CREATE TABLE kv (k int PRIMARY KEY, v text, hits int)")
+    s.execute("INSERT INTO kv (k, v, hits) VALUES (1, 'a', 1), (2, 'b', 1)")
+    # DO NOTHING keeps the existing row (insert.rst ON CONFLICT)
+    s.execute(
+        "INSERT INTO kv (k, v, hits) VALUES (1, 'ignored', 9) "
+        "ON CONFLICT (k) DO NOTHING"
+    )
+    assert s.execute("SELECT v FROM kv WHERE k = 1").collect()[0]["v"] == "a"
+    # DO UPDATE SET with excluded.* (insert.rst:25-27)
+    s.execute(
+        "INSERT INTO kv (k, v, hits) VALUES (1, 'new', 1) "
+        "ON CONFLICT (k) DO UPDATE SET v = excluded.v, hits = target.hits + 1"
+    )
+    row = s.execute("SELECT v, hits FROM kv WHERE k = 1").collect()[0]
+    assert row["v"] == "new" and row["hits"] == 2
+
+
+def test_sql_insert_from_select(dml_session):
+    s = dml_session
+    s.execute("CREATE TABLE src (n int, label text)")
+    s.execute("INSERT INTO src VALUES (1, 'x'), (2, 'y'), (3, 'z')")
+    s.execute("CREATE TABLE dst (n int, label text)")
+    n = s.execute(
+        "INSERT INTO dst (n, label) SELECT n, upper(label) FROM src WHERE n > 1"
+    ).collect()[0]["rowcount"]
+    assert n == 2
+    assert [r["label"] for r in s.execute("SELECT label FROM dst ORDER BY n").collect()] == ["Y", "Z"]
+
+
+def test_sql_update_delete_returning(dml_session):
+    s = dml_session
+    s.execute("CREATE TABLE t (id int PRIMARY KEY, val text, cnt int)")
+    s.execute("INSERT INTO t VALUES (1, 'a', 1), (2, 'b', 2), (3, 'c', 3)")
+    n = s.execute("UPDATE t SET cnt = cnt * 10 WHERE id >= 2").collect()[0]["rowcount"]
+    assert n == 2
+    # RETURNING yields a DataFrame of the updated rows, never a collect
+    ret = s.execute("UPDATE t SET val = upper(val) WHERE id = 1 RETURNING id, val")
+    assert [(r["id"], r["val"]) for r in ret.collect()] == [(1, "A")]
+    n = s.execute("DELETE FROM t WHERE cnt > 15").collect()[0]["rowcount"]
+    assert n == 2
+    assert s.execute("SELECT count(*) AS n FROM t").collect()[0]["n"] == 1
+
+
+def test_sql_generated_column_and_check(dml_session):
+    s = dml_session
+    s.execute(
+        "CREATE TABLE m (id int, ts timestamp, "
+        "day timestamp GENERATED ALWAYS AS (date_trunc('day', ts)), "
+        "CHECK (id > 0))"
+    )
+    s.execute("INSERT INTO m (id, ts) VALUES (1, '2024-03-05 13:45:00'::timestamp)")
+    row = s.execute("SELECT day FROM m").collect()[0]
+    assert str(row["day"]).startswith("2024-03-05 00:00")
+    from crate_spark.dml import CheckViolation
+
+    with pytest.raises(CheckViolation):
+        s.execute("INSERT INTO m (id, ts) VALUES (-1, '2024-03-05 00:00:00'::timestamp)")
+
+
+def test_sql_copy_roundtrip(dml_session, tmp_path):
+    s = dml_session
+    s.execute("CREATE TABLE exp (a int, b text)")
+    s.execute("INSERT INTO exp VALUES (1, 'one'), (2, 'two')")
+    out = str(tmp_path / "export")
+    n = s.execute(f"COPY exp TO '{out}' WITH (format = 'json')").collect()[0]["rowcount"]
+    assert n == 2
+    s.execute("CREATE TABLE imp (a int, b text)")
+    summary = s.execute(
+        f"COPY imp FROM '{out}' WITH (format = 'json')"
+    ).collect()[0]
+    assert summary["loaded"] == 2 and summary["errors"] == 0
+    assert s.execute("SELECT count(*) AS n FROM imp").collect()[0]["n"] == 2
+
+
+def test_sql_drop_table(dml_session):
+    s = dml_session
+    s.execute("CREATE TABLE gone (x int)")
+    s.execute("DROP TABLE gone")
+    with pytest.raises(Exception):
+        s.execute("SELECT * FROM gone").collect()
+    # IF EXISTS tolerates the missing table
+    s.execute("DROP TABLE IF EXISTS gone")
+
+
+def test_sql_dml_unknown_table_raises(dml_session):
+    with pytest.raises(ValueError, match="unknown DML target"):
+        dml_session.execute("INSERT INTO nope VALUES (1)")
