@@ -15,7 +15,11 @@ Rewrites:
 - ``a ~ 'p'`` / ``!~`` / ``~*`` -> RLIKE forms
                                (``RegexpMatchOperator``)
 - ``x = ANY(expr)``         -> ``array_contains(expr, x)``
-                               (``AnyEqOperator``)
+                               (``AnyEqOperator``); subquery form -> IN
+- ``x <op> ANY/ALL(arr)``   -> ``exists/forall(arr, __x -> x <op> __x)``
+                               for <,>,<=,>=,!=,[NOT] [I]LIKE
+                               (``AnyRangeOperator``, ``AnyLikeOperator``,
+                               ``AllOperator``)
 - ``information_schema.X`` / ``sys.X`` -> flat view names registered
                                by the session (Spark temp views are
                                not schema-qualified)
@@ -63,7 +67,26 @@ _ANY_EQ_RE = re.compile(
     rf"({_OPERAND})\s*=\s*ANY\s*\(\s*((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\s*\)",
     re.IGNORECASE,
 )
-_SCHEMA_RE = re.compile(r"\b(information_schema|sys)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)")
+#: LIKE/ILIKE [NOT] ANY/ALL over an array expression
+#: (``expression/operator/any/AnyLikeOperator.java``, ``all/AllOperator``)
+_ANY_ALL_LIKE_RE = re.compile(
+    rf"({_OPERAND})\s+(NOT\s+)?(I?LIKE)\s+(ANY|ALL)\s*"
+    rf"\(\s*((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\s*\)",
+    re.IGNORECASE,
+)
+#: comparison ANY/ALL (``any/AnyRangeOperator``, ``AnyNeqOperator``;
+#: = ANY is handled separately above with the array_contains fast path)
+_ANY_ALL_CMP_RE = re.compile(
+    rf"({_OPERAND})\s*(<>|!=|<=|>=|<|>|=)\s*(ANY|ALL)\s*"
+    rf"\(\s*((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\s*\)",
+    re.IGNORECASE,
+)
+_SCHEMA_RE = re.compile(
+    r"\b(information_schema|sys|pg_catalog)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)"
+)
+#: pg_typeof(expr) -> Spark's typeof(expr) (type-name spellings differ:
+#: Spark says 'bigint' where PG says 'int8' — documented divergence)
+_PG_TYPEOF_RE = re.compile(r"\bpg_typeof\s*\(", re.IGNORECASE)
 
 
 def _rewrite_order_by(sql: str) -> str:
@@ -166,7 +189,29 @@ def rewrite(sql: str) -> str:
         return f"array_contains({inner}, {lhs})"
 
     sql = _ANY_EQ_RE.sub(_any_eq_sub, sql)
+
+    def _any_all_like_sub(m: re.Match) -> str:
+        operand, neg, likeop, quant, inner = m.groups()
+        if re.match(r"(?i)\s*(SELECT|VALUES)\b", inner):
+            return m.group(0)  # subquery quantifiers: leave to Spark
+        hof = "exists" if quant.upper() == "ANY" else "forall"
+        body = f"{operand} {likeop.upper()} __x"
+        if neg:
+            body = f"NOT ({body})"
+        return f"{hof}({inner}, __x -> {body})"
+
+    sql = _ANY_ALL_LIKE_RE.sub(_any_all_like_sub, sql)
+
+    def _any_all_cmp_sub(m: re.Match) -> str:
+        operand, op, quant, inner = m.groups()
+        if re.match(r"(?i)\s*(SELECT|VALUES)\b", inner):
+            return m.group(0)
+        hof = "exists" if quant.upper() == "ANY" else "forall"
+        return f"{hof}({inner}, __x -> {operand} {op} __x)"
+
+    sql = _ANY_ALL_CMP_RE.sub(_any_all_cmp_sub, sql)
     sql = _SCHEMA_RE.sub(r"\1_\2", sql)
+    sql = _PG_TYPEOF_RE.sub("typeof(", sql)
 
     def _match_sub(m: re.Match) -> str:
         col, lit_ref = m.group(1), m.group(2)

@@ -85,14 +85,47 @@ class CrateSession:
             "table_name string, schema_name string",
         ).filter("table_name <> ''").createOrReplaceTempView("sys_tables")
 
+        # pg_catalog minimum for PG-compat tooling (reference
+        # metadata/pgcatalog/PgCatalogTableDefinitions.java): pg_tables,
+        # pg_namespace, pg_type — queryable as pg_catalog.X via the shim.
+        spark.createDataFrame(
+            [("doc", n, "crate") for n in sorted(self.tables)] or [("", "", "")],
+            "schemaname string, tablename string, tableowner string",
+        ).filter("tablename <> ''").createOrReplaceTempView("pg_catalog_pg_tables")
+        spark.createDataFrame(
+            [(11, "doc"), (12, "information_schema"), (13, "sys"), (14, "pg_catalog")],
+            "oid int, nspname string",
+        ).createOrReplaceTempView("pg_catalog_pg_namespace")
+        # the PG type OIDs tooling actually probes (PGTypes.java)
+        spark.createDataFrame(
+            [
+                (16, "bool", 1), (20, "int8", 8), (21, "int2", 2),
+                (23, "int4", 4), (25, "text", -1), (700, "float4", 4),
+                (701, "float8", 8), (1043, "varchar", -1),
+                (1114, "timestamp", 8), (1184, "timestamptz", 8),
+                (1700, "numeric", -1), (114, "json", -1), (2950, "uuid", 16),
+            ],
+            "oid int, typname string, typlen int",
+        ).createOrReplaceTempView("pg_catalog_pg_type")
+
     # -- statements ------------------------------------------------------
     def execute(self, sql: str) -> DataFrame:
         """Execute one statement (the quickExec analog)."""
         stmt = sql.strip().rstrip(";")
         upper = stmt.upper()
 
+        # Temp views are global to the SparkSession; if another
+        # CrateSession shares it, catalog views may reflect THAT
+        # session's tables. Re-register ours whenever a statement reads
+        # them, so each session sees its own catalog at query time.
+        if re.search(r"\b(information_schema|sys|pg_catalog)\s*\.", stmt, re.IGNORECASE):
+            self._register_system_views()
+
         if upper.startswith("EXPLAIN"):
+            analyze = re.match(r"EXPLAIN\s+ANALYZE\s", upper) is not None
             body = re.sub(r"^EXPLAIN\s+(ANALYZE\s+|VERBOSE\s+)?", "", stmt, flags=re.IGNORECASE)
+            if analyze:
+                return self._explain_analyze(body)
             plan = self.explain(body)
             return self.spark.createDataFrame([(plan,)], "plan string")
 
@@ -132,7 +165,27 @@ class CrateSession:
         if routed is not None:
             return routed
 
-        return self.spark.sql(rewrite(stmt))
+        return self.spark.sql(rewrite(self._sub_current_setting(stmt)))
+
+    _CURRENT_SETTING_RE = re.compile(
+        r"current_setting\(\s*'([^']+)'\s*(?:,\s*(true|false))?\s*\)", re.IGNORECASE
+    )
+
+    def _sub_current_setting(self, stmt: str) -> str:
+        """``current_setting('key'[, missing_ok])`` -> the session conf
+        value as a literal (pg_catalog SessionSettings analog). Session
+        state lives on the driver, so this resolves at plan time."""
+
+        def repl(m: re.Match) -> str:
+            key, missing_ok = m.group(1), m.group(2)
+            val = self.spark.conf.get(key, None)
+            if val is None:
+                if missing_ok and missing_ok.lower() == "true":
+                    return "CAST(NULL AS STRING)"
+                raise ValueError(f"unrecognized configuration parameter '{key}'")
+            return "'" + val.replace("'", "''") + "'"
+
+        return self._CURRENT_SETTING_RE.sub(repl, stmt)
 
     def _create_function(self, name: str, args: str, ret_type: str, body: str) -> DataFrame:
         """CREATE FUNCTION name(args) RETURNS type LANGUAGE PYTHON AS
@@ -187,6 +240,31 @@ class CrateSession:
 
         self.spark.udf.register(name, fn, ret_type)
         return self.spark.createDataFrame([(name, ret_type)], "function string, returns string")
+
+    def _explain_analyze(self, body: str) -> DataFrame:
+        """EXPLAIN ANALYZE: execute the statement and report per-phase
+        wall times plus the output row count (reference
+        ``planner/node/management/ExplainPlan.java:56`` — its profile
+        has Parse/Analyze/Plan/Execute phases; here Catalyst's
+        parse+analyze+optimize collapse into the 'plan' phase and
+        'execute' times a full run of the physical plan)."""
+        import time
+
+        t0 = time.perf_counter()
+        df = self.spark.sql(rewrite(self._sub_current_setting(body)))
+        # force analysis + optimization (lazy otherwise)
+        plan_text = df._jdf.queryExecution().optimizedPlan().toString()
+        t1 = time.perf_counter()
+        rows = df.count()
+        t2 = time.perf_counter()
+        physical = df._jdf.queryExecution().executedPlan().toString()
+        out = [
+            ("plan", plan_text.strip().split("\n")[0], (t1 - t0) * 1000.0, None),
+            ("execute", physical.strip().split("\n")[0], (t2 - t1) * 1000.0, rows),
+        ]
+        return self.spark.createDataFrame(
+            out, "phase string, detail string, millis double, rows bigint"
+        )
 
     def explain(self, sql: str) -> str:
         """EXPLAIN — formatted physical plan (ExplainPlan.java:56)."""

@@ -139,3 +139,68 @@ def polygon_ray_cast_sql(lon_sql: str, lat_sql: str, vertices: list[tuple[float,
             f" THEN 1 ELSE 0 END)"
         )
     return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+def bbox_intersects(
+    a_min_lon, a_min_lat, a_max_lon, a_max_lat,
+    b_min_lon, b_min_lat, b_max_lon, b_max_lat,
+) -> Column:
+    """``intersects(shape_a, shape_b)`` for rectangles
+    (``expression/scalar/geo/IntersectsFunction.java``): standard
+    interval-overlap test on both axes, touching edges count as
+    intersecting (JTS ``intersects`` semantics). Pure JVM comparisons —
+    runs inside the scan stage, pushdown-compatible."""
+
+    def c(v):
+        return F.lit(float(v)) if isinstance(v, (int, float)) else _col(v)
+
+    return (
+        (c(a_min_lon) <= c(b_max_lon))
+        & (c(a_max_lon) >= c(b_min_lon))
+        & (c(a_min_lat) <= c(b_max_lat))
+        & (c(a_max_lat) >= c(b_min_lat))
+    )
+
+
+def spherical_area_m2(points: list[tuple, ]) -> Column:
+    """``area(geo_shape)`` (``expression/scalar/geo/AreaFunction.java``)
+    — polygon area in m^2 on the sphere via the Chamberlain–Duquette
+    spherical shoelace: R^2/2 * |sum over edges (λ2-λ1)(2 + sin φ1 +
+    sin φ2)| with λ, φ in radians. Matches the reference's spherical
+    (not planar) semantics to well under a part in 1e4 for the small
+    polygons CrateDB shapes carry; exact twin arithmetic lives in
+    ``spherical_area_sql``. Vertices are (lon, lat) Columns or floats,
+    ring open (first vertex not repeated). Pure JVM — codegen-side.
+    """
+
+    def c(v):
+        return F.lit(float(v)) if isinstance(v, (int, float)) else _col(v)
+
+    n = len(points)
+    total = None
+    for i in range(n):
+        lon1, lat1 = points[i]
+        lon2, lat2 = points[(i + 1) % n]
+        term = (F.radians(c(lon2)) - F.radians(c(lon1))) * (
+            F.lit(2.0) + F.sin(F.radians(c(lat1))) + F.sin(F.radians(c(lat2)))
+        )
+        total = term if total is None else total + term
+    return F.abs(total) * F.lit(EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0)
+
+
+def spherical_area_sql(points: list[tuple[str, str]]) -> str:
+    """Oracle twin of ``spherical_area_m2`` — identical edge order and
+    arithmetic as ANSI SQL over (lon_sql, lat_sql) expression pairs."""
+    n = len(points)
+    terms = []
+    for i in range(n):
+        lon1, lat1 = points[i]
+        lon2, lat2 = points[(i + 1) % n]
+        terms.append(
+            f"(RADIANS({lon2}) - RADIANS({lon1})) * "
+            f"(2.0 + SIN(RADIANS({lat1})) + SIN(RADIANS({lat2})))"
+        )
+    s = " + ".join(terms)
+    # pre-fold R^2/2 to the identical python float the Column side uses
+    # (a DECIMAL literal product overflows DuckDB's decimal multiply)
+    return f"ABS({s}) * {EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0!r}"

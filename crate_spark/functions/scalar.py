@@ -94,6 +94,100 @@ def ignore3vl(c: Column | str) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# interval columns
+# ---------------------------------------------------------------------------
+# CrateDB's INTERVAL column type is a (months, days, micros) Period
+# (``types/IntervalType.java:38``, ``io/crate/interval/``). Spark's
+# CalendarIntervalType is not comparable/collectable from PySpark, so
+# interval COLUMNS are carried as struct<months:int, days:int,
+# micros:bigint> with the PG/CrateDB operations defined below.
+
+#: PG justification constants: 1 month = 30 days, 1 day = 24 h —
+#: exactly how IntervalType.compareTo normalizes before comparing.
+_MICROS_PER_DAY = 86_400_000_000
+_MICROS_PER_MONTH = 30 * _MICROS_PER_DAY
+
+
+def interval_make(months, days, micros) -> Column:
+    """Construct an interval struct column."""
+
+    def c(v):
+        return F.lit(v) if isinstance(v, int) else _col(v)
+
+    return F.struct(
+        c(months).cast("int").alias("months"),
+        c(days).cast("int").alias("days"),
+        c(micros).cast("bigint").alias("micros"),
+    )
+
+
+def interval_total_micros(iv: Column | str) -> Column:
+    """Normalized magnitude for comparisons (IntervalType.java:38
+    compareTo: months -> 30 days, days -> 24 h, then total micros)."""
+    v = _col(iv)
+    return (
+        v["months"].cast("bigint") * F.lit(_MICROS_PER_MONTH)
+        + v["days"].cast("bigint") * F.lit(_MICROS_PER_DAY)
+        + v["micros"]
+    )
+
+
+def interval_add(a: Column | str, b: Column | str) -> Column:
+    """Interval + interval: field-wise, as PG (no normalization)."""
+    va, vb = _col(a), _col(b)
+    return F.struct(
+        (va["months"] + vb["months"]).alias("months"),
+        (va["days"] + vb["days"]).alias("days"),
+        (va["micros"] + vb["micros"]).alias("micros"),
+    )
+
+
+def interval_sum(iv: Column | str) -> Column:
+    """SUM aggregate over interval columns: field-wise sums
+    (``impl/IntervalSumAggregation.java`` — Period.plus per field)."""
+    v = _col(iv)
+    return F.struct(
+        F.sum(v["months"]).cast("int").alias("months"),
+        F.sum(v["days"]).cast("int").alias("days"),
+        F.sum(v["micros"]).cast("bigint").alias("micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quantified comparisons (ANY / ALL over arrays)
+# ---------------------------------------------------------------------------
+def any_match(val: Column | str, arr: Column | str, op) -> Column:
+    """``val <op> ANY(arr)`` (``expression/operator/any/AnyOperator.java:56``):
+    true if op holds for some element; Kleene 3VL (NULL if no match but a
+    NULL element exists) — exactly Spark's ``exists`` HOF semantics.
+    ``op`` is a binary Column function, e.g. ``lambda v, e: v > e``."""
+    v = _col(val)
+    return F.exists(_col(arr), lambda e: op(v, e))
+
+
+def all_match(val: Column | str, arr: Column | str, op) -> Column:
+    """``val <op> ALL(arr)`` (``expression/operator/all/AllOperator.java``)
+    via the ``forall`` HOF (vacuously true on empty arrays, as SQL)."""
+    v = _col(val)
+    return F.forall(_col(arr), lambda e: op(v, e))
+
+
+def like_any(val: Column | str, patterns: Column | str) -> Column:
+    """``val LIKE ANY(patterns)`` (``AnyLikeOperator.java``)."""
+    return any_match(val, patterns, lambda v, p: v.like(p))
+
+
+def ilike_any(val: Column | str, patterns: Column | str) -> Column:
+    return any_match(val, patterns, lambda v, p: v.ilike(p))
+
+
+def not_like_any(val: Column | str, patterns: Column | str) -> Column:
+    """``val NOT LIKE ANY(patterns)`` — true if some pattern does NOT
+    match (CrateDB binds NOT into the quantified operator, not around it)."""
+    return any_match(val, patterns, lambda v, p: ~v.like(p))
+
+
+# ---------------------------------------------------------------------------
 # network
 # ---------------------------------------------------------------------------
 def ip_in_cidr(ip: Column | str, cidr: str) -> Column:

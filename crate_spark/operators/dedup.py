@@ -87,12 +87,23 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash.
 
     rows/band = num_hashes/bands; two docs collide if ANY band of
     their signatures is identical (standard S-curve: P(collide) =
     1-(1-j^r)^b for Jaccard j). Output: (id_a, id_b, n_shared_bands).
+
+    ``max_bucket_size`` caps the band self-join: a bucket with more
+    than that many docs is dropped before pairing. Without the cap a
+    degenerate bucket — millions of identical boilerplate documents at
+    100 TB — makes the self-join O(|bucket|^2). Docs in such a bucket
+    are (near-)identical by construction, which is exactly what
+    ``exact_duplicates`` already finds with one linear shuffle, so
+    dropping the bucket loses no information the pipeline needs. The
+    bucket-size count runs as a window over the same (band, bucket)
+    partitioning the self-join shuffles on — no extra exchange.
     """
     from pyspark.sql import Window
 
@@ -179,6 +190,13 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        bw = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("_bsz", F.count("*").over(bw))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -233,6 +233,7 @@ def knn_lsh_cosine(
     n_planes: int = 4,
     n_tables: int = 8,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table sign-LSH
     (OR-amplification): a corpus row is a candidate for a query if they
@@ -242,12 +243,28 @@ def knn_lsh_cosine(
     standard S-curve; recall tunes via (n_planes, n_tables). At 100 TB
     the (table, bucket) equi-join replaces the |Q|x|C| cross product
     and the per-query window is bounded by the candidate set.
+
+    ``max_bucket_size`` guards skew: a degenerate bucket (e.g. a mass
+    of zero/identical embeddings) would otherwise blow up the candidate
+    join. Oversized buckets are dropped via a tiny broadcast anti-join
+    — bucket counts aggregate to at most n_tables * 2^n_planes rows, so
+    the corpus itself is never shuffled for the cap. Size it well above
+    |corpus| / 2^n_planes (the expected bucket population); the other
+    hash tables still cover queries whose bucket was dropped.
     """
     c = corpus.select(
         F.col(corpus_id),
         F.col(vec_col).alias("_cvec"),
         F.explode(_lsh_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)).alias("_tb"),
     )
+    if max_bucket_size is not None:
+        oversized = (
+            c.groupBy("_tb")
+            .agg(F.count("*").alias("_bsz"))
+            .filter(F.col("_bsz") > max_bucket_size)
+            .select("_tb")
+        )
+        c = c.join(F.broadcast(oversized), "_tb", "left_anti")
     q = queries.select(
         F.col(query_id),
         F.col(vec_col).alias("_qvec"),

@@ -101,3 +101,39 @@ def lttb(
         F.col(y_col).cast("double").alias("y"),
     )
     return prepared.groupBy(series_col).applyInPandas(_lttb_series, out_schema)
+
+
+def topk_map(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """``topk(col, k)`` with the reference's OUTPUT SHAPE: one
+    value -> count map per group (``TopKAggregation.java:77`` returns
+    the ItemsSketch frequency map).
+
+    Semantics mapping (declared): the reference uses a DataSketches
+    ItemsSketch — approximate counts under heavy-hitter guarantees; we
+    compute EXACT most-frequent values and emit the same map shape.
+    Exact supersedes approximate for the correctness gate; at 100 TB
+    the partial count aggregation shuffles only distinct (group, value)
+    pairs, then the per-group window is bounded by that distinct set.
+    """
+    counted = df.groupBy(*group_cols, value_col).agg(F.count("*").alias("_n"))
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("_n").desc(), F.col(value_col)
+    )
+    topped = counted.withColumn("_rnk", F.row_number().over(w)).filter(
+        F.col("_rnk") <= k
+    )
+    return (
+        topped.groupBy(*group_cols)
+        .agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(value_col).alias("key"), F.col("_n").alias("value")))
+                )
+            ).alias("frequencies")
+        )
+    )

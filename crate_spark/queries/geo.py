@@ -11,7 +11,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from crate_spark.functions.geo import geo_distance, geohash, within_bbox
+from crate_spark.functions.geo import (
+    bbox_intersects,
+    geo_distance,
+    geohash,
+    spherical_area_m2,
+    spherical_area_sql,
+    within_bbox,
+)
 from crate_spark.queries import query
 from crate_spark.session import load_tables
 
@@ -110,6 +117,70 @@ def _pentagon_oracle() -> str:
     FROM customer
     WHERE {cond}
     """
+
+
+@query(
+    "geo_intersects",
+    oracle=f"""
+    SELECT c_custkey,
+           ({_SQL_LON} <= 10 AND {_SQL_LON} + 5 >= -30
+            AND {_SQL_LAT} <= 30 AND {_SQL_LAT} + 4 >= 10) AS hits_atlantic,
+           ({_SQL_LON} <= 170 AND {_SQL_LON} + 5 >= 150
+            AND {_SQL_LAT} <= -60 AND {_SQL_LAT} + 4 >= -80) AS hits_antarctic
+    FROM customer WHERE c_custkey <= 500
+    """,
+)
+def geo_intersects(spark, sf_dir):
+    """intersects(shape_a, shape_b)
+    (``expression/scalar/geo/IntersectsFunction.java``): each customer
+    carries a 5x4-degree bbox anchored at its synthetic point; test
+    overlap against two fixed literal regions. Interval-overlap
+    comparisons only — JVM, inside the scan."""
+    t = load_tables(spark, sf_dir)
+    lon, lat = _lon(), _lat()
+    return (
+        t["customer"]
+        .filter(F.col("c_custkey") <= 500)
+        .select(
+            "c_custkey",
+            bbox_intersects(lon, lat, lon + 5, lat + 4, -30.0, 10.0, 10.0, 30.0).alias(
+                "hits_atlantic"
+            ),
+            bbox_intersects(lon, lat, lon + 5, lat + 4, 150.0, -80.0, 170.0, -60.0).alias(
+                "hits_antarctic"
+            ),
+        )
+    )
+
+
+def _area_oracle() -> str:
+    tri = [
+        (_SQL_LON, _SQL_LAT),
+        (f"({_SQL_LON} + 2)", _SQL_LAT),
+        (f"({_SQL_LON} + 1)", f"({_SQL_LAT} + 1.5)"),
+    ]
+    return f"""
+    SELECT c_custkey, ROUND({spherical_area_sql(tri)} / 1000000.0, 3) AS area_km2
+    FROM customer WHERE c_custkey <= 500
+    """
+
+
+@query("geo_area", oracle=_area_oracle())
+def geo_area(spark, sf_dir):
+    """area(geo_shape) (``expression/scalar/geo/AreaFunction.java``):
+    spherical polygon area of a per-customer triangle, in km^2. The
+    oracle unrolls the identical Chamberlain–Duquette arithmetic."""
+    t = load_tables(spark, sf_dir)
+    lon, lat = _lon(), _lat()
+    tri = [(lon, lat), (lon + 2, lat), (lon + 1, lat + 1.5)]
+    return (
+        t["customer"]
+        .filter(F.col("c_custkey") <= 500)
+        .select(
+            "c_custkey",
+            F.round(spherical_area_m2(tri) / 1_000_000.0, 3).alias("area_km2"),
+        )
+    )
 
 
 @query("geo_within_polygon", oracle=_pentagon_oracle())

@@ -126,6 +126,44 @@ def pred_any_all_array(spark, sf_dir):
 
 
 @query(
+    "pred_any_like_range",
+    oracle="""
+    SELECT p_partkey,
+           len(list_filter(['%gold%', '%wheat%'], p -> p_name LIKE p)) > 0 AS like_any,
+           len(list_filter(['%gold%', '%wheat%'], p -> p_name NOT LIKE p)) > 0 AS not_like_any,
+           len(list_filter(['brand#1%', 'BRAND#2%'], p -> lower(p_brand) LIKE lower(p))) > 0 AS ilike_any,
+           len(list_filter([10, 25, 40], e -> p_size > e)) > 0 AS gt_any,
+           len(list_filter([45, 48], e -> NOT (p_size < e))) = 0 AS lt_all,
+           len(list_filter([0, -1], e -> NOT (p_size != e))) = 0 AS ne_all
+    FROM part WHERE p_partkey <= 400
+    """,
+)
+def pred_any_like_range(spark, sf_dir):
+    """Quantified operators beyond = ANY: LIKE/ILIKE/NOT LIKE ANY
+    (``expression/operator/any/AnyLikeOperator.java``), range ANY
+    (``AnyRangeOperator.java``) and ALL (``all/AllOperator.java``) —
+    executed through the dialect shim (exists/forall HOF rewrites) so
+    the SQL front door is what's under test."""
+    from crate_spark.dialect import rewrite
+
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        rewrite(
+            """
+            SELECT p_partkey,
+                   p_name LIKE ANY(array('%gold%', '%wheat%')) AS like_any,
+                   p_name NOT LIKE ANY(array('%gold%', '%wheat%')) AS not_like_any,
+                   p_brand ILIKE ANY(array('brand#1%', 'BRAND#2%')) AS ilike_any,
+                   p_size > ANY(array(10, 25, 40)) AS gt_any,
+                   p_size < ALL(array(45, 48)) AS lt_all,
+                   p_size != ALL(array(0, -1)) AS ne_all
+            FROM part WHERE p_partkey <= 400
+            """
+        )
+    )
+
+
+@query(
     "pred_like_ilike_regex",
     oracle="""
     SELECT p_partkey,

@@ -438,6 +438,66 @@ def scalar_object_funcs(spark, sf_dir):
 
 
 @query(
+    "interval_column_ops",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id, event_type,
+             CAST(event_id % 5 AS INTEGER) AS m,
+             CAST(user_id % 20 AS INTEGER) AS d,
+             CAST(FLOOR(value) AS BIGINT) * 1000000 AS us
+      FROM events WHERE event_id < 2000
+    )
+    SELECT event_type,
+           CAST(SUM(m) AS INTEGER) AS sum_months,
+           CAST(SUM(d) AS INTEGER) AS sum_days,
+           SUM(us) AS sum_micros,
+           COUNT(*) FILTER (WHERE m * 2592000000000 + d * 86400000000 + us
+                                  > 45 * 86400000000) AS n_longer_45d,
+           CAST(MAX(m * 2592000000000 + d * 86400000000 + us) AS BIGINT) AS max_norm_us
+    FROM iv GROUP BY event_type
+    """,
+)
+def interval_column_ops(spark, sf_dir):
+    """Interval COLUMN semantics end-to-end
+    (``types/IntervalType.java:38``, ``io/crate/interval/``,
+    ``impl/IntervalSumAggregation.java``): intervals are
+    struct<months,days,micros>; comparison normalizes months->30d,
+    days->24h (PG justification, IntervalType.compareTo); SUM is
+    field-wise. The oracle reproduces the identical arithmetic on the
+    struct fields — DuckDB's native INTERVAL would normalize
+    differently, so the fields are compared raw."""
+    from crate_spark.functions.scalar import (
+        interval_make,
+        interval_sum,
+        interval_total_micros,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("event_id") < 2000)
+    # floor, not cast: double->bigint CAST truncates in Spark but
+    # rounds in DuckDB — floor pins identical semantics in both
+    iv = interval_make(
+        F.col("event_id") % 5,
+        F.col("user_id") % 20,
+        F.floor(F.col("value")) * 1_000_000,
+    )
+    base = ev.select("event_type", iv.alias("iv"))
+    summed = interval_sum(F.col("iv"))
+    norm = interval_total_micros(F.col("iv"))
+    threshold = interval_total_micros(interval_make(0, 45, 0))
+    return (
+        base.groupBy("event_type")
+        .agg(
+            summed["months"].alias("sum_months"),
+            summed["days"].alias("sum_days"),
+            summed["micros"].alias("sum_micros"),
+            F.count_if(norm > threshold).alias("n_longer_45d"),
+            F.max(norm).alias("max_norm_us"),
+        )
+    )
+
+
+@query(
     "scalar_to_char",
     oracle="""
     SELECT event_id,

@@ -99,3 +99,40 @@ def test_exact_dup_of_itself(spark):
     groups = dd.exact_duplicates(doubled, "text", "doc_id").collect()
     assert len(groups) == 50
     assert all(r["n_dups"] == 2 for r in groups)
+
+def test_minhash_bucket_cap_bounds_degenerate_corpus(spark):
+    """1000 identical docs land in ONE bucket per band; without the cap
+    the band self-join is ~1000^2/2 * bands pairs. With the default cap
+    the bucket is dropped and the pair count is bounded (the docs are
+    exact duplicates — exact_duplicates handles them linearly)."""
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated in every document").alias("text"),
+    )
+    capped = dd.minhash_lsh_candidates(docs, "text", "doc_id", max_bucket_size=100)
+    assert capped.count() == 0
+    # a small over-cap corpus still pairs normally
+    small = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated in every document").alias("text"),
+    )
+    pairs = dd.minhash_lsh_candidates(small, "text", "doc_id", max_bucket_size=100)
+    assert pairs.count() == 45  # 10 choose 2, every pair in every band
+    # and exact dedup catches the capped cluster with one linear shuffle
+    exact = dd.exact_duplicates(docs, "text", "doc_id")
+    assert exact.count() == 1
+
+
+def test_knn_lsh_bucket_cap(spark):
+    """A degenerate corpus (all-identical vectors -> one bucket per
+    table) is droppable via max_bucket_size without shuffling the
+    corpus; normal corpora are unaffected by a generous cap."""
+    t = load_tables(spark, SF_DIR)
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), "embedding")
+    uncapped = knn_lsh_cosine(emb, q, k=5, dim=64).collect()
+    generous = knn_lsh_cosine(emb, q, k=5, dim=64, max_bucket_size=10**9).collect()
+    assert sorted(map(tuple, uncapped)) == sorted(map(tuple, generous))
+    # cap below every bucket population -> no candidates survive
+    none = knn_lsh_cosine(emb, q, k=5, dim=64, max_bucket_size=1)
+    assert none.count() == 0

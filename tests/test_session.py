@@ -119,6 +119,18 @@ def test_explain(session):
     assert "Physical Plan" in plan and "lineitem" in plan
 
 
+def test_explain_analyze(session):
+    rows = {
+        r["phase"]: r
+        for r in session.execute(
+            "EXPLAIN ANALYZE SELECT l_returnflag, count(*) FROM lineitem GROUP BY l_returnflag"
+        ).collect()
+    }
+    assert set(rows) == {"plan", "execute"}
+    assert rows["execute"]["rows"] == 3
+    assert rows["execute"]["millis"] > 0 and rows["plan"]["millis"] > 0
+
+
 def test_set_and_reset(session):
     session.execute("SET spark.sql.shuffle.partitions = 7")
     assert session.spark.conf.get("spark.sql.shuffle.partitions") == "7"
@@ -305,3 +317,73 @@ def test_sql_drop_table(dml_session):
 def test_sql_dml_unknown_table_raises(dml_session):
     with pytest.raises(ValueError, match="unknown DML target"):
         dml_session.execute("INSERT INTO nope VALUES (1)")
+
+
+# -- pg_catalog compat --------------------------------------------------------
+def test_pg_catalog_views(session):
+    tabs = {
+        r["tablename"]
+        for r in session.execute(
+            "SELECT tablename FROM pg_catalog.pg_tables WHERE schemaname = 'doc'"
+        ).collect()
+    }
+    assert {"lineitem", "orders"} <= tabs
+    t = session.execute(
+        "SELECT typname FROM pg_catalog.pg_type WHERE oid = 20"
+    ).collect()[0]["typname"]
+    assert t == "int8"
+    ns = {r["nspname"] for r in session.execute("SELECT nspname FROM pg_catalog.pg_namespace").collect()}
+    assert "pg_catalog" in ns
+
+
+def test_pg_typeof_and_current_setting(session):
+    row = session.execute(
+        "SELECT pg_typeof(o_orderkey) AS t FROM orders LIMIT 1"
+    ).collect()[0]
+    assert row["t"] == "bigint"
+    session.execute("SET spark.sql.shuffle.partitions = 8")
+    v = session.execute(
+        "SELECT current_setting('spark.sql.shuffle.partitions') AS v"
+    ).collect()[0]["v"]
+    assert v == "8"
+    # missing_ok=true yields NULL instead of raising
+    n = session.execute(
+        "SELECT current_setting('no.such.key', true) AS v"
+    ).collect()[0]["v"]
+    assert n is None
+    with pytest.raises(ValueError, match="unrecognized configuration"):
+        session.execute("SELECT current_setting('no.such.key') AS v")
+
+
+def test_fdw_jdbc_foreign_scan(session):
+    """Foreign scan demo (reference ``fdw/JdbcBatchIterator.java``): the
+    engine's FDW surface IS Spark's jdbc source. Proves the wiring
+    end-to-end against an in-JVM Derby database: create + populate over
+    plain JDBC, read back through spark.read.format('jdbc'), and push a
+    predicate down to the foreign source."""
+    spark = session.spark
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection("jdbc:derby:memory:fdwdemo;create=true")
+    st = conn.createStatement()
+    try:
+        st.execute("DROP TABLE ext_users")
+    except Exception:
+        pass
+    st.execute("CREATE TABLE ext_users (id INT, name VARCHAR(32))")
+    st.execute("INSERT INTO ext_users VALUES (1, 'ada'), (2, 'bob'), (3, 'eve')")
+    conn.close()
+    df = (
+        spark.read.format("jdbc")
+        .option("url", "jdbc:derby:memory:fdwdemo")
+        .option("dbtable", "ext_users")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .load()
+    )
+    assert sorted((r["ID"], r["NAME"]) for r in df.collect()) == [
+        (1, "ada"), (2, "bob"), (3, "eve"),
+    ]
+    filtered = df.filter(df["ID"] >= 2)
+    assert filtered.count() == 2
+    # the predicate reaches the foreign scan (PushedFilters on the JDBC relation)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan

@@ -66,3 +66,23 @@ def test_sessionize_gap_semantics(spark):
             else:
                 assert gap > 30 * 60 * 1_000_000
         prev[key] = (r["us"], r["session_id"])
+
+
+def test_topk_map_shape_matches_reference(spark):
+    """topk's output is a value->count MAP per group
+    (TopKAggregation.java:77 ItemsSketch map) — assert the shape and
+    that the entries agree with the exact row-form top-k."""
+    from crate_spark.operators.timeseries import topk_map
+
+    t = load_tables(spark, SF_DIR)
+    out = topk_map(t["events"], ["event_type"], "value", k=3)
+    field = dict((f.name, f.dataType.simpleString()) for f in out.schema.fields)
+    assert field["frequencies"].startswith("map<")
+    rows = {r["event_type"]: r["frequencies"] for r in out.collect()}
+    assert rows and all(len(m) == 3 for m in rows.values())
+    # agreement with the exact row-form query
+    from crate_spark.queries.timeseries import ts_topk_event_values
+
+    exact = ts_topk_event_values(spark, SF_DIR).filter(F.col("rnk") <= 3).collect()
+    for r in exact:
+        assert rows[r["event_type"]][r["value"]] == r["n"]
