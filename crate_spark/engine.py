@@ -48,6 +48,8 @@ class CrateSession:
         #: root directory for tables created via SQL CREATE TABLE
         self.storage_dir = storage_dir or tempfile.mkdtemp(prefix="crate_tables_")
         self._dml = SqlDmlRouter(self)
+        #: open cursors: name -> {"it": row iterator, "schema": StructType}
+        self._cursors: dict[str, dict] = {}
         self._register_system_views()
 
     # -- catalog ---------------------------------------------------------
@@ -158,6 +160,50 @@ class CrateSession:
             name = stmt.split()[-1]
             self.spark.catalog.refreshTable(name)
             return self.spark.createDataFrame([(name,)], "refreshed string")
+
+        # Cursors (reference session/Cursor.java): DECLARE / FETCH /
+        # CLOSE. Rows stream through toLocalIterator — one partition on
+        # the driver at a time, so FETCH over a 100 TB result is
+        # incremental, never a full collect.
+        m = re.match(
+            r"DECLARE\s+(\w+)\s+(?:BINARY\s+)?(?:NO\s+SCROLL\s+)?CURSOR\s+"
+            r"(?:WITH\s+(?:OUT\s+)?HOLD\s+)?FOR\s+(.+)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            df = self.spark.sql(rewrite(self._sub_current_setting(m.group(2))))
+            self._cursors[m.group(1).lower()] = {
+                "it": df.toLocalIterator(),
+                "schema": df.schema,
+            }
+            return self.spark.createDataFrame([(m.group(1),)], "cursor string")
+
+        m = re.match(
+            r"FETCH\s+(?:FORWARD\s+)?(ALL|\d+)?\s*(?:FROM|IN)\s+(\w+)$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            name = m.group(2).lower()
+            if name not in self._cursors:
+                raise ValueError(f"cursor '{name}' does not exist")
+            cur = self._cursors[name]
+            count = m.group(1) or "1"
+            rows = (
+                list(cur["it"])
+                if count.upper() == "ALL"
+                else [r for _, r in zip(range(int(count)), cur["it"])]
+            )
+            return self.spark.createDataFrame(rows, cur["schema"])
+
+        m = re.match(r"CLOSE\s+(ALL|\w+)$", stmt, re.IGNORECASE)
+        if m:
+            target = m.group(1).lower()
+            closed = list(self._cursors) if target == "all" else [target]
+            for name in closed:
+                self._cursors.pop(name, None)
+            return self.spark.createDataFrame([(n,) for n in closed] or [("",)], "closed string")
 
         # DML/DDL dispatch (reference planner/Planner.java:273-500):
         # CREATE TABLE / DROP TABLE / INSERT / UPDATE / DELETE / COPY

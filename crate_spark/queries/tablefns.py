@@ -133,6 +133,64 @@ def tf_regexp_matches(spark, sf_dir):
     )
 
 
+#: pg_get_keywords() subset: the reserved words both engines' parsers
+#: treat as keywords (reference ``PgGetKeywordsFunction`` returns the
+#: full grammar keyword list; catcode R=reserved, U=unreserved).
+PG_KEYWORDS = [
+    ("all", "R"), ("and", "R"), ("any", "R"), ("as", "R"), ("between", "U"),
+    ("by", "R"), ("case", "R"), ("cast", "R"), ("create", "R"),
+    ("cross", "R"), ("delete", "U"), ("distinct", "R"), ("else", "R"),
+    ("exists", "U"), ("false", "R"), ("from", "R"), ("group", "R"),
+    ("having", "R"), ("in", "R"), ("inner", "R"), ("insert", "U"),
+    ("join", "R"), ("left", "R"), ("like", "R"), ("limit", "R"),
+    ("not", "R"), ("null", "R"), ("on", "R"), ("or", "R"), ("order", "R"),
+    ("outer", "R"), ("select", "R"), ("table", "U"), ("then", "R"),
+    ("true", "R"), ("union", "R"), ("update", "U"), ("values", "U"),
+    ("when", "R"), ("where", "R"), ("with", "R"),
+]
+
+
+@query(
+    "tf_pg_expandarray",
+    oracle="""
+    SELECT doc_id,
+           UNNEST(string_split(text, ' ')[1:6]) AS x,
+           UNNEST(generate_series(1, len(string_split(text, ' ')[1:6]))) AS n
+    FROM documents WHERE doc_id < 30
+    """,
+)
+def tf_pg_expandarray(spark, sf_dir):
+    """``information_schema._pg_expandarray(arr)`` -> (x, n) rows with
+    the 1-based index (pg-compat table function) == posexplode + 1."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 30)
+    return d.select(
+        "doc_id", F.posexplode(F.slice(F.split("text", " "), 1, 6)).alias("pos", "x")
+    ).select("doc_id", "x", (F.col("pos") + 1).alias("n"))
+
+
+def _pg_keywords_oracle() -> str:
+    vals = ", ".join(f"('{w}', '{c}')" for w, c in PG_KEYWORDS)
+    return f"SELECT word, catcode FROM (VALUES {vals}) AS t(word, catcode)"
+
+
+@query("tf_pg_get_keywords", oracle=_pg_keywords_oracle())
+def tf_pg_get_keywords(spark, sf_dir):
+    """``pg_get_keywords()`` (pg-compat; reference
+    ``PgGetKeywordsFunction``) — the documented reserved-word subset as
+    a relation."""
+    return spark.createDataFrame(PG_KEYWORDS, "word string, catcode string")
+
+
+@query("tf_empty_row", oracle="SELECT 42 AS answer")
+def tf_empty_row(spark, sf_dir):
+    """``empty_row()`` — a single zero-column row usable as a FROM
+    anchor (pg-compat; ``TableFunctions.java`` _empty_row): SELECT over
+    it yields exactly one row of the projected expressions."""
+    empty_row = spark.range(1).drop("id")
+    return empty_row.select(F.lit(42).alias("answer"))
+
+
 @query(
     "tf_values_relation",
     oracle="""

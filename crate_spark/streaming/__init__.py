@@ -11,4 +11,8 @@ rollup (date_bin's streaming twin) with watermarked late-data
 handling as free surplus.
 """
 
-from crate_spark.streaming.ingest import stream_ingest, stream_windowed_rollup  # noqa: F401
+from crate_spark.streaming.ingest import (  # noqa: F401
+    stream_ingest,
+    stream_sessionize,
+    stream_windowed_rollup,
+)

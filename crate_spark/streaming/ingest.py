@@ -74,3 +74,105 @@ def stream_windowed_rollup(
         )
         .select(F.col("win.start").alias("bucket"), "n", "total")
     )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    src_dir: str,
+    schema_ddl: str,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_minutes: int = 30,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Custom stateful operator: streaming session windows per user via
+    ``applyInPandasWithState`` with an event-time timeout — the
+    streaming twin of the batch ``sessionize`` (operators/timeseries.py).
+
+    State per user = (session_start_ms, last_ms, n_events, total).
+    Events within ``gap_minutes`` of the last seen event extend the
+    session; a session EMITS when the watermark passes last + gap
+    (EventTimeTimeout), i.e. when no on-time event can extend it. State
+    is bounded by (active users x one tuple) and evicted on emit — the
+    shape that holds at 100 TB/day ingest.
+
+    Arrow-batched by construction; per group the pandas work is O(rows
+    in batch for that user).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_ms = gap_minutes * 60 * 1000
+
+    out_schema = (
+        f"{user_col} bigint, session_start timestamp, session_end timestamp, "
+        "n_events bigint, total double"
+    )
+    state_schema = "start_ms bigint, last_ms bigint, n bigint, total double"
+
+    def fn(key, pdf_iter, state):
+        (user,) = key
+
+        def emit(seg):
+            start_ms, last_ms, n, total = seg
+            return pd.DataFrame(
+                {
+                    user_col: [user],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                    "n_events": [n],
+                    "total": [total],
+                }
+            )
+
+        if state.hasTimedOut:
+            seg = state.get
+            state.remove()
+            yield emit(seg)
+            return
+
+        rows = pd.concat(list(pdf_iter)).sort_values(ts_col)
+        ts = (rows[ts_col].astype("int64") // 1_000_000).reset_index(drop=True)
+        vals = rows[value_col].astype(float).reset_index(drop=True)
+        # vectorized gap split: a new segment starts after a > gap break
+        seg_id = (ts.diff() > gap_ms).cumsum()
+        grouped = pd.DataFrame({"t": ts, "v": vals, "g": seg_id}).groupby("g")
+        segs = [
+            (int(g["t"].min()), int(g["t"].max()), int(len(g)), float(g["v"].sum()))
+            for _, g in grouped
+        ]
+        if state.exists:
+            s0, l0, n0, t0 = state.get
+            if segs[0][0] - l0 <= gap_ms:
+                first = segs[0]
+                segs[0] = (min(s0, first[0]), max(l0, first[1]), n0 + first[2], t0 + first[3])
+            else:
+                segs.insert(0, (s0, l0, n0, t0))
+        # every non-tail segment is followed by an observed > gap break:
+        # it is definitively closed, regardless of the watermark
+        for seg in segs[:-1]:
+            yield emit(seg)
+        tail = segs[-1]
+        timeout = tail[1] + gap_ms
+        if timeout <= state.getCurrentWatermarkMs():
+            # out-of-order micro-batch: the watermark already passed
+            # last+gap, so no on-time event can extend the tail — close
+            # it now instead of registering an in-the-past timeout
+            if state.exists:
+                state.remove()
+            yield emit(tail)
+            return
+        state.update(tail)
+        state.setTimeoutTimestamp(timeout)
+
+    src = spark.readStream.schema(schema_ddl).option("maxFilesPerTrigger", 1).json(src_dir)
+    src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        src.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )

@@ -387,3 +387,21 @@ def test_fdw_jdbc_foreign_scan(session):
     # the predicate reaches the foreign scan (PushedFilters on the JDBC relation)
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
+
+
+def test_cursor_declare_fetch_close(session):
+    """DECLARE/FETCH/CLOSE (reference session/Cursor.java): incremental
+    result consumption over toLocalIterator — no full collect."""
+    session.execute(
+        "DECLARE c1 NO SCROLL CURSOR FOR "
+        "SELECT o_orderkey FROM orders ORDER BY o_orderkey"
+    )
+    first = [r["o_orderkey"] for r in session.execute("FETCH 3 FROM c1").collect()]
+    assert first == [0, 1, 2]
+    nxt = [r["o_orderkey"] for r in session.execute("FETCH 2 FROM c1").collect()]
+    assert nxt == [3, 4]
+    rest = session.execute("FETCH ALL FROM c1").count()
+    assert rest > 0
+    session.execute("CLOSE c1")
+    with pytest.raises(ValueError, match="does not exist"):
+        session.execute("FETCH 1 FROM c1")

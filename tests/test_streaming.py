@@ -57,3 +57,63 @@ def test_stream_windowed_rollup(spark, tmp_path):
         "SELECT * FROM rollup_test").collect()}
     assert rows["2024-01-01 00:00:00"] == (2, 3.0)
     assert rows["2024-01-01 00:15:00"] == (1, 10.0)
+
+
+def test_stream_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState session windows: a session emits once the
+    watermark passes its last event + gap. Three micro-batches
+    (maxFilesPerTrigger=1): user 1's morning session closes when the
+    afternoon batch advances the watermark."""
+    from crate_spark.streaming import stream_sessionize
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "user_id bigint, ts timestamp, value double"
+    _write_batch(src, "b1", [
+        {"user_id": 1, "ts": "2024-01-01 10:00:00", "value": 1.0},
+        {"user_id": 1, "ts": "2024-01-01 10:10:00", "value": 2.0},
+    ])
+    _write_batch(src, "b2", [
+        {"user_id": 1, "ts": "2024-01-01 10:20:00", "value": 4.0},
+        {"user_id": 2, "ts": "2024-01-01 10:20:00", "value": 8.0},
+    ])
+    _write_batch(src, "b3", [
+        {"user_id": 2, "ts": "2024-01-01 15:00:00", "value": 16.0},
+    ])
+    _write_batch(src, "b4", [
+        {"user_id": 3, "ts": "2024-01-01 16:00:00", "value": 32.0},
+    ])
+    # the file source orders batches by modification time: pin it so
+    # the watermark advances b1 -> b4 deterministically
+    import os, time
+    base = time.time() - 100
+    for i, name in enumerate(["b1", "b2", "b3", "b4"]):
+        os.utime(src / f"{name}.json", (base + i * 10, base + i * 10))
+    out = stream_sessionize(spark, str(src), schema, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    from collections import defaultdict
+
+    rows = defaultdict(list)
+    for r in spark.sql("SELECT * FROM sessions_out ORDER BY session_start").collect():
+        rows[r["user_id"]].append(r)
+    # user 1: one session of 3 events across batches 1+2, total 7.0,
+    # closed when batch 3's 15:00 event pushed the watermark past 10:50
+    assert len(rows[1]) == 1
+    s1 = rows[1][0]
+    assert s1["n_events"] == 3 and abs(s1["total"] - 7.0) < 1e-9
+    assert str(s1["session_start"]).startswith("2024-01-01 10:00")
+    assert str(s1["session_end"]).startswith("2024-01-01 10:20")
+    # user 2 splits into two sessions: the 15:00 event proves a > gap
+    # break after 10:20 (closes session 1 mid-stream); session 2 times
+    # out when the final micro-batch carries the watermark past 15:30
+    assert [(r["n_events"], r["total"]) for r in rows[2]] == [(1, 8.0), (1, 16.0)]
+    # user 3's tail (timeout 16:30) never times out before the stream
+    # drains -> held in state, not emitted (append-mode contract)
+    assert rows.get(3) is None
