@@ -93,6 +93,16 @@ def ignore3vl(c: Column | str) -> Column:
     return F.coalesce(_col(c), F.lit(False))
 
 
+def quote_ident(c: Column | str) -> Column:
+    """PG ``quote_ident``: wrap in double quotes (doubling embedded
+    quotes) unless the string is already a safe lowercase identifier
+    (reference ``scalar/string/QuoteIdentFunction.java``)."""
+    v = _col(c)
+    return F.when(
+        v.rlike("^[a-z_][a-z0-9_]*$"), v
+    ).otherwise(F.concat(F.lit('"'), F.replace(v, F.lit('"'), F.lit('""')), F.lit('"')))
+
+
 # ---------------------------------------------------------------------------
 # interval columns
 # ---------------------------------------------------------------------------

@@ -61,6 +61,7 @@ _MODULES = (
     "fulltext",
     "geo",
     "aggregates",
+    "multimodal",
 )
 
 

@@ -72,6 +72,90 @@ def scalar_string_funcs(spark, sf_dir):
 
 
 @query(
+    "scalar_string_funcs2",
+    oracle="""
+    SELECT p_partkey,
+           array_to_string(list_transform(string_split(lower(p_name), ' '),
+               w -> upper(w[1]) || w[2:]), ' ') AS name_initcap,
+           translate(p_brand, '#B', '-b') AS brand_tr,
+           hex(p_type) AS type_hex,
+           base64(encode(p_type)) AS type_b64,
+           starts_with(p_type, 'PROMO') AS is_promo,
+           printf('%s/%d', p_brand, p_size) AS label,
+           CASE WHEN regexp_matches(p_name, '^[a-z_][a-z0-9_]*$')
+                THEN p_name
+                ELSE '"' || replace(p_name, '"', '""') || '"' END AS name_quoted
+    FROM part WHERE p_partkey <= 400
+    """,
+)
+def scalar_string_funcs2(spark, sf_dir):
+    """String long tail: initcap (InitCapFunction), translate
+    (TranslateFunction), encode hex/base64 (EncodeDecodeFunction),
+    starts_with (StartsWithFunction), format printf-style
+    (FormatFunction), quote_ident (QuoteIdentFunction — emulated with
+    the same needs-quoting rule in both engines)."""
+    from crate_spark.functions.scalar import quote_ident
+
+    t = load_tables(spark, sf_dir)
+    p = t["part"].filter(F.col("p_partkey") <= 400)
+    return p.select(
+        "p_partkey",
+        F.initcap("p_name").alias("name_initcap"),
+        F.translate(F.col("p_brand"), "#B", "-b").alias("brand_tr"),
+        F.hex(F.col("p_type").cast("binary")).alias("type_hex"),
+        F.base64(F.col("p_type").cast("binary")).alias("type_b64"),
+        F.startswith(F.col("p_type"), F.lit("PROMO")).alias("is_promo"),
+        F.format_string("%s/%d", F.col("p_brand"), F.col("p_size")).alias("label"),
+        quote_ident(F.col("p_name")).alias("name_quoted"),
+    )
+
+
+@query(
+    "scalar_array_funcs2",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, string_split(text, ' ')[1:4] AS arr
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           array_to_string(list_append(arr, 'zz'), ',') AS appended,
+           array_to_string(list_prepend('aa', arr), ',') AS prepended,
+           array_to_string(arr || ['x', 'y'], ',') AS catted,
+           array_to_string(arr[1:1] || ['SET'] || arr[3:], ',') AS set_2,
+           len(arr) AS upper_1,
+           CASE WHEN len(arr) > 0 THEN 1 END AS lower_1,
+           (arr IS NULL OR len(arr) = 0) AS is_null_or_empty,
+           array_to_string(list_sort(list_distinct(arr || arr)), ',') AS uniq
+    FROM src
+    """,
+)
+def scalar_array_funcs2(spark, sf_dir):
+    """Array long tail: array_append/prepend (ArrayAppend/
+    ArrayPrependFunction), array_cat (ArrayCatFunction), array_set
+    (ArraySetFunction — slice splice), array_upper/array_lower
+    (ArrayUpper/LowerFunction; 1-based), null_or_empty
+    (NullOrEmptyFunction), array_unique (ArrayUniqueFunction). Array
+    outputs stringified for the driver canonicalizer."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 100)
+    arr = F.slice(F.split("text", " "), 1, 4)
+    set_2 = F.concat(
+        F.slice(arr, 1, 1), F.array(F.lit("SET")), F.slice(arr, 3, F.greatest(F.size(arr) - 2, F.lit(0)))
+    )
+    return d.select(
+        "doc_id",
+        F.array_join(F.concat(arr, F.array(F.lit("zz"))), ",").alias("appended"),
+        F.array_join(F.concat(F.array(F.lit("aa")), arr), ",").alias("prepended"),
+        F.array_join(F.concat(arr, F.array(F.lit("x"), F.lit("y"))), ",").alias("catted"),
+        F.array_join(set_2, ",").alias("set_2"),
+        F.size(arr).alias("upper_1"),
+        F.when(F.size(arr) > 0, F.lit(1)).alias("lower_1"),
+        (arr.isNull() | (F.size(arr) == 0)).alias("is_null_or_empty"),
+        F.array_join(F.sort_array(F.array_distinct(F.concat(arr, arr))), ",").alias("uniq"),
+    )
+
+
+@query(
     "scalar_regexp_funcs",
     oracle="""
     SELECT doc_id,
