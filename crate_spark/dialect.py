@@ -212,6 +212,18 @@ def rewrite(sql: str) -> str:
     sql = _ANY_ALL_CMP_RE.sub(_any_all_cmp_sub, sql)
     sql = _SCHEMA_RE.sub(r"\1_\2", sql)
     sql = _PG_TYPEOF_RE.sub("typeof(", sql)
+    # session-information scalars (systeminformation/CurrentSchemaFunction,
+    # CurrentSchemasFunction, CurrentDatabaseFunction): single-schema
+    # catalog -> plan-time literals
+    sql = re.sub(
+        r"\bcurrent_schemas\s*\(\s*true\s*\)", "array('pg_catalog', 'doc')", sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        r"\bcurrent_schemas\s*\(\s*false\s*\)", "array('doc')", sql, flags=re.IGNORECASE
+    )
+    sql = re.sub(r"\bcurrent_schema\b(\s*\(\s*\))?", "'doc'", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"\bcurrent_database\s*\(\s*\)", "'crate'", sql, flags=re.IGNORECASE)
 
     def _match_sub(m: re.Match) -> str:
         col, lit_ref = m.group(1), m.group(2)

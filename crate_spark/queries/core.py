@@ -482,7 +482,7 @@ def except_intersect(spark, sf_dir):
     "subquery_scalar",
     oracle=f"""
     SELECT o_orderkey, o_totalprice FROM orders
-    WHERE o_totalprice > 3.5 * (SELECT {sql_davg('o_totalprice')} FROM orders)
+    WHERE o_totalprice > 1.8 * (SELECT {sql_davg('o_totalprice')} FROM orders)
     """,
 )
 def subquery_scalar(spark, sf_dir):
@@ -492,7 +492,7 @@ def subquery_scalar(spark, sf_dir):
     return spark.sql(
         f"""
         SELECT o_orderkey, o_totalprice FROM orders
-        WHERE o_totalprice > 3.5 * (SELECT {sql_davg('o_totalprice')} FROM orders)
+        WHERE o_totalprice > 1.8 * (SELECT {sql_davg('o_totalprice')} FROM orders)
         """
     )
 

@@ -348,3 +348,46 @@ def join_self(spark, sf_dir):
         a.join(F.broadcast(b), (F.col("ra") == F.col("rb")) & (F.col("ka") < F.col("kb")))
         .select("nation_a", "nation_b")
     )
+
+
+@query(
+    "join_q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           c.c_acctbal, n.n_name, c.c_mktsegment
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name, c.c_mktsegment
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def join_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (returned-items report): two fact joins + two
+    broadcast dims, grouped by a wide customer key, top-20 by revenue.
+
+    At scale: lineitem filters on l_returnflag at the scan; orders
+    prunes to one quarter via min/max stats; customer and nation
+    broadcast; the single fact shuffle is the l_orderkey equi-join,
+    and the final top-k is TakeOrderedAndProject.
+    """
+    t = load_tables(spark, sf_dir)
+    lo = F.lit("1996-10-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    o = t["orders"].filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "c_mktsegment")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )

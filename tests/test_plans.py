@@ -81,7 +81,7 @@ def test_whole_stage_codegen_in_agg_path(spark):
 
 
 def test_no_python_in_jvm_operators(spark):
-    """Everything except geohash/LTTB/multimodal must stay JVM-side."""
+    """Everything except geohash/LTTB/multimodal-decode must stay JVM-side."""
     for name in [
         "q1_pricing_summary",
         "text_stats",
@@ -89,9 +89,41 @@ def test_no_python_in_jvm_operators(spark):
         "vector_knn_exact",
         "match_score_topk",
         "ts_sessionize",
+        "pred_any_like_range",
+        "geo_area",
+        "geo_intersects",
+        "interval_column_ops",
+        "scalar_array_funcs2",
+        "mm_mime_filter_pushdown",  # mime sniff is a JVM hex compare
+        "mm_frame_sample",
     ]:
         plan = plan_of(spark, name)
         assert "Python" not in plan and "ArrowEval" not in plan, name
+
+
+def test_scan_stage_scalars_have_no_exchange(spark):
+    """Per-row scalar surfaces (quantified predicates, geo, arrays,
+    mime sniff) must run entirely inside the scan stage — zero
+    shuffles at any scale."""
+    for name in [
+        "pred_any_like_range",
+        "geo_area",
+        "geo_intersects",
+        "scalar_array_funcs2",
+        "mm_mime_filter_pushdown",
+    ]:
+        plan = plan_of(spark, name)
+        assert plan.count("Exchange") == 0, name
+
+
+def test_minhash_capped_exchange_budget(spark):
+    """MinHash with the bucket cap: signature build stays one shuffle
+    (window/groupBys share _id partitioning); the cap window rides the
+    (band,bucket) partitioning of the self-join. Budget: ≤5 static
+    exchanges (AQE collapses the clone-side ones to ReusedExchange at
+    runtime); any regression here means a new unintended shuffle."""
+    plan = plan_of(spark, "text_minhash_lsh")
+    assert plan.count("Exchange hashpartitioning") <= 5
 
 
 def test_topk_uses_ordered_limit_not_full_sort(spark):

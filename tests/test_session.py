@@ -405,3 +405,13 @@ def test_cursor_declare_fetch_close(session):
     session.execute("CLOSE c1")
     with pytest.raises(ValueError, match="does not exist"):
         session.execute("FETCH 1 FROM c1")
+
+
+def test_session_info_scalars(session):
+    row = session.execute(
+        "SELECT current_schema AS cs, current_database() AS cd, "
+        "current_schemas(false) AS css, version() AS v"
+    ).collect()[0]
+    assert row["cs"] == "doc" and row["cd"] == "crate"
+    assert list(row["css"]) == ["doc"]
+    assert row["v"]  # Spark's version string stands in for the server version
