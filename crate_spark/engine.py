@@ -154,6 +154,33 @@ class CrateSession:
         if m:
             return self.analyze(m.group(1))
 
+        # SHOW statements (reference sql/statements/show.rst;
+        # planner ShowStatementAnalyzer rewrites them to
+        # information_schema queries — same trick here)
+        m = re.match(r"SHOW\s+(TABLES|SCHEMAS|COLUMNS\s+(?:FROM|IN)\s+(\w+))\s*$", stmt, re.IGNORECASE)
+        if m:
+            self._register_system_views()
+            what = m.group(1).upper()
+            if what == "TABLES":
+                return self.spark.sql(
+                    "SELECT table_name FROM information_schema_tables ORDER BY table_name"
+                )
+            if what == "SCHEMAS":
+                return self.spark.createDataFrame(
+                    [("doc",), ("information_schema",), ("pg_catalog",), ("sys",)],
+                    "schema_name string",
+                )
+            return self.spark.sql(
+                f"SELECT column_name, data_type FROM information_schema_columns "
+                f"WHERE table_name = '{m.group(2)}' ORDER BY ordinal_position"
+            )
+        m = re.match(r"SHOW\s+(\S+)\s*$", stmt, re.IGNORECASE)
+        if m:
+            val = self.spark.conf.get(m.group(1), None)
+            return self.spark.createDataFrame(
+                [(m.group(1), val)], "setting string, value string"
+            )
+
         if re.match(r"REFRESH\s+TABLE\s+", upper):
             # Lucene-refresh analog: parquet reads are always visible;
             # clear any cached plans for the table.

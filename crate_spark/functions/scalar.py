@@ -332,6 +332,40 @@ def to_char(ts: Column | str, fmt: str) -> Column:
     return F.date_format(_col(ts), _pg_template_to_java(fmt))
 
 
+#: MySQL date_format %-codes -> java.time patterns. Reference:
+#: ``scalar/TimestampFormatter.java`` ("Formatting DateTime instances
+#: using the MySQL date_format format"). Longest-match-first.
+_MYSQL_FMT_MAP = [
+    ("%%", "%"), ("%Y", "yyyy"), ("%y", "yy"), ("%M", "MMMM"), ("%m", "MM"),
+    ("%c", "M"), ("%d", "dd"), ("%e", "d"), ("%H", "HH"), ("%k", "H"),
+    ("%h", "hh"), ("%I", "hh"), ("%i", "mm"), ("%S", "ss"), ("%s", "ss"),
+    ("%f", "SSSSSS"), ("%p", "a"), ("%b", "MMM"), ("%a", "EEE"),
+    ("%W", "EEEE"), ("%j", "DDD"), ("%T", "HH:mm:ss"), ("%r", "hh:mm:ss a"),
+]
+
+
+def _mysql_template_to_java(fmt: str) -> str:
+    out, i = [], 0
+    while i < len(fmt):
+        for my, java in _MYSQL_FMT_MAP:
+            if fmt.startswith(my, i):
+                out.append(java)
+                i += len(my)
+                break
+        else:
+            ch = fmt[i]
+            out.append(f"'{ch}'" if ch.isalpha() else ch)
+            i += 1
+    return "".join(out)
+
+
+def date_format_mysql(ts: Column | str, fmt: str) -> Column:
+    """CrateDB ``date_format(format, timestamp)`` with MySQL %-codes
+    (``scalar/DateFormatFunction.java`` + ``TimestampFormatter.java``),
+    translated at plan time — JVM-side, codegen-eligible."""
+    return F.date_format(_col(ts), _mysql_template_to_java(fmt))
+
+
 # ---------------------------------------------------------------------------
 # hashes
 # ---------------------------------------------------------------------------

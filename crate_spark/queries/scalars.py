@@ -220,6 +220,50 @@ def scalar_datetime_funcs(spark, sf_dir):
 
 
 @query(
+    "scalar_datetime_funcs2",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS my_fmt,
+           strftime(ts, '%d/%m/%y') || ' ' || strftime(ts, '%p') AS my_fmt2,
+           ROUND(epoch(ts), 6) AS epoch_s,
+           EXTRACT(week FROM ts) AS iso_week,
+           EXTRACT(isoyear FROM ts) AS iso_year,
+           EXTRACT(dow FROM ts) AS dow_pg,
+           EXTRACT(isodow FROM ts) AS isodow,
+           EXTRACT(hour FROM ts) AS hr,
+           EXTRACT(minute FROM ts) AS mi,
+           EXTRACT(second FROM ts) AS sec
+    FROM events WHERE event_id < 400
+    """,
+)
+def scalar_datetime_funcs2(spark, sf_dir):
+    """Datetime long tail: MySQL-style date_format
+    (``DateFormatFunction.java`` / ``TimestampFormatter.java``), epoch
+    extraction, ISO week/year, PG dow (Sunday=0) and isodow (Monday=1).
+    """
+    from crate_spark.functions.scalar import date_format_mysql
+
+    t = load_tables(spark, sf_dir)
+    e = t["events"].filter(F.col("event_id") < 400)
+    ts = F.col("ts")
+    return e.select(
+        "event_id",
+        date_format_mysql(ts, "%Y-%m-%d %H:%i:%S").alias("my_fmt"),
+        F.concat(
+            date_format_mysql(ts, "%d/%m/%y"), F.lit(" "), date_format_mysql(ts, "%p")
+        ).alias("my_fmt2"),
+        F.round(F.unix_micros(ts.cast("timestamp")) / 1_000_000.0, 6).alias("epoch_s"),
+        F.weekofyear(ts).cast("bigint").alias("iso_week"),
+        F.expr("extract(yearofweek FROM ts)").cast("bigint").alias("iso_year"),
+        (F.dayofweek(ts) - 1).cast("bigint").alias("dow_pg"),
+        F.expr("extract(dayofweek_iso FROM ts)").cast("bigint").alias("isodow"),
+        F.hour(ts).cast("bigint").alias("hr"),
+        F.minute(ts).cast("bigint").alias("mi"),
+        F.second(ts).cast("bigint").alias("sec"),
+    )
+
+
+@query(
     "scalar_date_bin",
     oracle="""
     SELECT TIME_BUCKET(INTERVAL '15 minutes', ts, TIMESTAMP '2024-01-01 00:00:00') AS bucket,
@@ -341,10 +385,10 @@ def scalar_conditional(spark, sf_dir):
     SELECT l_orderkey, l_linenumber,
            CAST(l_quantity AS INTEGER) AS q_int,
            CAST(l_quantity AS VARCHAR) AS q_str,
-           CAST(l_extendedprice AS DECIMAL(18,2)) AS px_dec,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS px_dec,
            TRY_CAST(l_returnflag AS INTEGER) AS flag_int,
            TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS q_roundtrip,
-           CAST(l_shipdate AS DATE) AS ship_day
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day
     FROM lineitem WHERE l_orderkey <= 300
     """,
 )
@@ -359,10 +403,15 @@ def scalar_casts(spark, sf_dir):
         "l_linenumber",
         F.col("l_quantity").cast("int").alias("q_int"),
         F.col("l_quantity").cast("string").alias("q_str"),
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("px_dec"),
+        # decimal cast emitted as string: a raw DECIMAL cell arrives as
+        # a python Decimal object in pandas and compares EXACTLY against
+        # the other engine's float repr — the string form hashes stably
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("string").alias("px_dec"),
         F.try_to_number(F.col("l_returnflag"), F.lit("999")).cast("int").alias("flag_int"),
         F.col("l_quantity").cast("string").cast("double").alias("q_roundtrip"),
-        F.col("l_shipdate").cast("date").alias("ship_day"),
+        # date cells arrive as python date objects vs DatetimeArray in
+        # pandas -> stringified for a stable cross-engine hash
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_day"),
     )
 
 

@@ -292,10 +292,15 @@ class SqlDmlRouter:
             raise ValueError("unsupported INSERT syntax")
         name = m.group(1).strip('"').split(".")[-1]
         table = self._table(name)
-        col_list = (
-            [c.strip().strip('"') for c in m.group(3).split(",")] if m.group(3) else None
-        )
+        col_list = None
         body = m.group(4).strip()
+        if m.group(3) is not None:
+            # a paren group after the table name is a column list ONLY
+            # if it isn't itself a query: `INSERT INTO t (SELECT ...)`
+            if re.match(r"(?i)\s*(SELECT|VALUES|WITH)\b", m.group(3)):
+                body = (m.group(2) + " " + body).strip()
+            else:
+                col_list = [c.strip().strip('"') for c in m.group(3).split(",")]
 
         body, returning = _parse_returning(body, literals)
 
@@ -330,6 +335,9 @@ class SqlDmlRouter:
             values_sql = _unmask(body[len("VALUES") :].strip(), literals)
             src = self.spark.sql(f"SELECT * FROM VALUES {rewrite(values_sql)}")
         else:
+            # `INSERT INTO t (SELECT ...)` — PG-style parenthesized query
+            if body.startswith("(") and _find_close(body, 0) == len(body) - 1:
+                body = body[1:-1].strip()
             src = self.spark.sql(rewrite(_unmask(body, literals)))
         if len(src.columns) != len(target_cols):
             raise ValueError(

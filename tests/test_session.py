@@ -415,3 +415,26 @@ def test_session_info_scalars(session):
     assert row["cs"] == "doc" and row["cd"] == "crate"
     assert list(row["css"]) == ["doc"]
     assert row["v"]  # Spark's version string stands in for the server version
+
+
+def test_show_statements(session):
+    tabs = [r["table_name"] for r in session.execute("SHOW TABLES").collect()]
+    assert "lineitem" in tabs and tabs == sorted(tabs)
+    cols = [r["column_name"] for r in session.execute("SHOW COLUMNS FROM region").collect()]
+    assert cols == ["r_regionkey", "r_name"]
+    schemas = {r["schema_name"] for r in session.execute("SHOW SCHEMAS").collect()}
+    assert {"doc", "sys"} <= schemas
+    session.execute("SET spark.sql.shuffle.partitions = 8")
+    v = session.execute("SHOW spark.sql.shuffle.partitions").collect()[0]["value"]
+    assert v == "8"
+
+
+def test_sql_insert_parenthesized_query(dml_session):
+    s = dml_session
+    s.execute("CREATE TABLE psrc (n int)")
+    s.execute("INSERT INTO psrc VALUES (1), (2)")
+    s.execute("CREATE TABLE pdst (n int)")
+    n = s.execute("INSERT INTO pdst (SELECT n + 10 FROM psrc)").collect()[0]["rowcount"]
+    assert n == 2
+    vals = sorted(r["n"] for r in s.execute("SELECT n FROM pdst").collect())
+    assert vals == [11, 12]
