@@ -1,0 +1,58 @@
+"""Bucketed table layout — the co-located-join storage strategy.
+
+The reference co-locates work by routing rows to shards with
+``MODULO`` distribution at insert time (``planner/distribution/
+DistributionType.java``, routing hash in ``metadata/Routing``): a join
+on the routing key then runs shard-local. Spark's equivalent is
+BUCKETED TABLES: ``bucketBy(n, key)`` at write time hash-partitions
+files exactly like a shuffle would, so a join or aggregation on the
+bucket key reads co-located buckets and plans ZERO exchanges.
+
+At 100 TB this is the difference between shuffling the fact table for
+every orderkey join (dozens of TB over the network, repeatedly) and
+paying the layout cost once at ingest. The same layout serves every
+downstream join/groupBy on that key; AQE handles the residual skew.
+
+Bucket-count sizing: target ~128-512 MB of post-compression data per
+bucket per partition; at 100 TB that is O(10^4) buckets — set
+``n_buckets`` from the table's expected steady-state size, not the
+test corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    *,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) parquet
+    table in the session catalog. Sorting within buckets additionally
+    removes the Sort step of sort-merge joins on the same key."""
+    writer = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def co_located_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two bucketed tables on their bucket key — plans with no
+    Exchange on either side when both were written with the same
+    bucket count on the join key (pinned in tests/test_plans.py)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

@@ -359,6 +359,11 @@ class CrateTable:
                 .json(uri)
             )
             good = raw.dropna(how="all")
+        elif format in ("parquet", "orc"):
+            # columnar imports carry their own schema; malformed files
+            # fail the scan rather than producing bad rows
+            raw = getattr(self.spark.read.schema(target_schema), format)(uri)
+            good = raw
         else:
             raise ValueError(f"unsupported COPY format: {format}")
         # RETURN SUMMARY: a row is an error only if NOTHING parsed
@@ -385,6 +390,8 @@ class CrateTable:
             df.write.mode("overwrite").option("header", True).csv(uri)
         elif format == "parquet":
             df.write.mode("overwrite").parquet(uri)
+        elif format == "orc":
+            df.write.mode("overwrite").orc(uri)
         else:
             raise ValueError(f"unsupported COPY format: {format}")
         return n

@@ -170,3 +170,16 @@ def test_copy_from_csv_bad_records(spark, tmp_path):
     assert summary["loaded"] == 3  # permissive: bad cell -> NULL, row kept
     ids = sorted((r["id"] is None, r["id"]) for r in t.read().collect())
     assert [i for _, i in ids if i is not None] == [1, 3]
+
+
+def test_copy_columnar_roundtrip(spark, table, tmp_path):
+    """COPY TO/FROM in columnar formats (parquet, orc)."""
+    table.insert(_rows(spark, [(1, "2024-01-01 00:00:00", "a", 1),
+                               (2, "2024-01-02 00:00:00", "b", 2)]))
+    for fmt in ("parquet", "orc"):
+        out = str(tmp_path / f"exp_{fmt}")
+        assert table.copy_to(out, format=fmt, where="id <= 2") == 2
+        t2 = CrateTable.create(spark, str(tmp_path / f"imp_{fmt}"), DDL)
+        summary = t2.copy_from(out, format=fmt)
+        assert summary == {"loaded": 2, "errors": 0}
+        assert sorted(r["val"] for r in t2.read().collect()) == ["a", "b"]

@@ -157,3 +157,39 @@ def test_minhash_has_no_gram_distinct_exchange(spark):
     over the distinct set)."""
     plan = plan_of(spark, "text_minhash_lsh")
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Co-located join via bucketed layout (the reference's MODULO
+    shard routing analog): both sides bucketed+sorted on the join key
+    -> the join plans with ZERO exchanges and zero sorts. This is the
+    shuffle-avoidance contract that matters most at 100 TB."""
+    from crate_spark.bucketing import co_located_join, write_bucketed
+    from crate_spark.session import load_tables
+
+    t = load_tables(spark, SF_DIR)
+    write_bucketed(
+        t["orders"].select("o_orderkey", "o_custkey", "o_totalprice"),
+        "orders_bkt", ["o_orderkey"], 8, sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        t["lineitem"].select("l_orderkey", "l_quantity", "l_extendedprice"),
+        "lineitem_bkt", ["l_orderkey"], 8, sort_cols=["l_orderkey"],
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = co_located_join(
+            spark, "lineitem_bkt", "orders_bkt",
+            on=[spark.table("lineitem_bkt")["l_orderkey"] == spark.table("orders_bkt")["o_orderkey"]],
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # THE contract: no shuffle on either side. (A per-partition
+        # Sort remains — Spark only trusts sortBy ordering with one
+        # file per bucket; it is partition-local, not a network cost.)
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
