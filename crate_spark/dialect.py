@@ -224,6 +224,27 @@ def rewrite(sql: str) -> str:
     )
     sql = re.sub(r"\bcurrent_schema\b(\s*\(\s*\))?", "'doc'", sql, flags=re.IGNORECASE)
     sql = re.sub(r"\bcurrent_database\s*\(\s*\)", "'crate'", sql, flags=re.IGNORECASE)
+    # pg-compat tooling scalars (systeminformation/*.java): single-user
+    # single-catalog engine -> plan-time constants, as the reference
+    # resolves them for the default 'crate' superuser
+    _call = r"\s*\((?:[^()]|\([^()]*\))*\)"
+    sql = re.sub(
+        rf"\bhas_(?:table|schema|database|function|column)_privilege{_call}",
+        "TRUE", sql, flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        rf"\bpg_(?:table|function)_is_visible{_call}", "TRUE", sql, flags=re.IGNORECASE
+    )
+    sql = re.sub(rf"\bpg_backend_pid\s*\(\s*\)", "0", sql, flags=re.IGNORECASE)
+    sql = re.sub(rf"\bpg_encoding_to_char{_call}", "'UTF8'", sql, flags=re.IGNORECASE)
+    sql = re.sub(
+        rf"\b(?:col|obj)_description{_call}", "CAST(NULL AS STRING)", sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        r"\b(session_user|current_user|current_role|current_catalog)\b(\s*\(\s*\))?",
+        "'crate'", sql, flags=re.IGNORECASE,
+    )
 
     def _match_sub(m: re.Match) -> str:
         col, lit_ref = m.group(1), m.group(2)

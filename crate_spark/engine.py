@@ -188,6 +188,38 @@ class CrateSession:
             self.spark.catalog.refreshTable(name)
             return self.spark.createDataFrame([(name,)], "refreshed string")
 
+        # Transaction statements are accepted no-ops: the engine is
+        # autocommit exactly like the reference (Planner.java:289-304
+        # visitBegin/visitCommit return NoopPlan). KILL likewise.
+        m = re.match(r"(BEGIN|COMMIT|ROLLBACK|END)\b|KILL\s+", upper)
+        if m:
+            return self.spark.createDataFrame([("OK",)], "status string")
+
+        # OPTIMIZE TABLE: segment merge analog — parquet compaction is
+        # a storage-layer concern (AQE coalescing at read); no-op marker
+        m = re.match(r"OPTIMIZE\s+TABLE\s+(\S+)", stmt, re.IGNORECASE)
+        if m:
+            return self.spark.createDataFrame([(m.group(1), "ok")], "table string, status string")
+
+        m = re.match(
+            r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.\"]+)\s+AS\s+(.+)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            name = m.group(1).strip('"').split(".")[-1]
+            df = self.spark.sql(rewrite(self._sub_current_setting(m.group(2))))
+            self.register(name, df)
+            return self.spark.createDataFrame([(name,)], "view string")
+
+        m = re.match(r"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.\"]+)\s*$", stmt, re.IGNORECASE)
+        if m:
+            name = m.group(2).strip('"').split(".")[-1]
+            self.spark.catalog.dropTempView(name)
+            self.tables.pop(name, None)
+            self._register_system_views()
+            return self.spark.createDataFrame([(name,)], "dropped string")
+
         # Cursors (reference session/Cursor.java): DECLARE / FETCH /
         # CLOSE. Rows stream through toLocalIterator — one partition on
         # the driver at a time, so FETCH over a 100 TB result is

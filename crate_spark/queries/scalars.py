@@ -350,6 +350,54 @@ def scalar_math_funcs(spark, sf_dir):
 
 
 @query(
+    "scalar_misc_funcs",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(ASIN((p_size % 100) / 100.0), 6) AS r_asin,
+           ROUND(ACOS((p_size % 100) / 100.0), 6) AS r_acos,
+           ROUND(TAN((p_size % 100) / 100.0), 6) AS r_tan,
+           ROUND(ATAN(p_retailprice), 6) AS r_atan,
+           ROUND(COT(p_size + 1.5), 6) AS r_cot,
+           BIT_LENGTH(p_brand) AS bits,
+           OCTET_LENGTH(ENCODE(p_type)) AS octets,
+           LENGTH(p_type) AS chars,
+           LTRIM(p_type, 'PROM') AS lt,
+           RTRIM(p_type, 'DEZINOA') AS rt,
+           TRIM(p_type, 'PROMDEZINA ') AS bt,
+           STRPOS(p_name, REGEXP_EXTRACT(p_name, '[aeiou]+', 0)) AS re_pos
+    FROM part WHERE p_partkey <= 400
+    """,
+)
+def scalar_misc_funcs(spark, sf_dir):
+    """Scalar stragglers: inverse/extra trig (asin/acos/tan/atan/cot —
+    ``arithmetic/TrigonometricFunctions.java``), bit_length/
+    octet_length/char_length (``string/LengthFunction.java``),
+    character-set ltrim/rtrim/btrim (``string/TrimFunctions.java``),
+    regexp_instr (``regex/``; the oracle recomputes the match position
+    via strpos of the first match, identical for leftmost-match
+    semantics)."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"].filter(F.col("p_partkey") <= 400)
+    frac = (F.col("p_size") % 100) / 100.0
+    pt = F.col("p_type")
+    return p.select(
+        "p_partkey",
+        F.round(F.asin(frac), 6).alias("r_asin"),
+        F.round(F.acos(frac), 6).alias("r_acos"),
+        F.round(F.tan(frac), 6).alias("r_tan"),
+        F.round(F.atan(F.col("p_retailprice")), 6).alias("r_atan"),
+        F.round(F.cot(F.col("p_size") + 1.5), 6).alias("r_cot"),
+        F.bit_length("p_brand").alias("bits"),
+        F.octet_length(pt).alias("octets"),
+        F.char_length(pt).alias("chars"),
+        F.ltrim(pt, F.lit("PROM")).alias("lt"),
+        F.rtrim(pt, F.lit("DEZINOA")).alias("rt"),
+        F.btrim(pt, F.lit("PROMDEZINA ")).alias("bt"),
+        F.regexp_instr(F.col("p_name"), F.lit("[aeiou]+")).alias("re_pos"),
+    )
+
+
+@query(
     "scalar_conditional",
     oracle="""
     SELECT o_orderkey,

@@ -164,9 +164,18 @@ class SqlDmlRouter:
         kw = head[0].upper()
         kw2 = head[1].upper() if len(head) > 1 else ""
         if kw == "CREATE" and kw2 == "TABLE":
+            cm = re.match(
+                r"\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.\"]+)\s+AS\s+(.+)$",
+                masked,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if cm:
+                return self._create_table_as(cm.group(1), cm.group(2), literals)
             return self._create_table(masked, literals)
         if kw == "DROP" and kw2 == "TABLE":
             return self._drop_table(masked)
+        if kw == "ALTER" and kw2 == "TABLE":
+            return self._alter_table(masked, literals)
         if kw == "INSERT":
             return self._insert(masked, literals)
         if kw == "UPDATE":
@@ -260,6 +269,68 @@ class SqlDmlRouter:
             checks=checks,
         )
         self.crate_tables[name] = t
+        self._refresh(name)
+        return self._count_df(1)
+
+    def _create_table_as(self, raw_name: str, query: str, literals: list[str]) -> DataFrame:
+        """CREATE TABLE t AS <query> (reference ``CreateTableAsPlan``):
+        materialize the query result as a new stored table."""
+        name = raw_name.strip('"').split(".")[-1]
+        src = self.spark.sql(rewrite(_unmask(query.strip(), literals)))
+        schema_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+        )
+        path = os.path.join(self.owner.storage_dir, name)
+        t = CrateTable.create(self.spark, path, schema_ddl)
+        self.crate_tables[name] = t
+        n = t.insert(src)
+        self._refresh(name)
+        return self._count_df(n)
+
+    def _alter_table(self, masked: str, literals: list[str]) -> DataFrame:
+        """ALTER TABLE ADD/DROP/RENAME COLUMN (reference
+        ``planner/Planner.java`` AlterTable dispatch; add column mirrors
+        the dynamic-mapping path). Data rewrites happen read-merge-write
+        like every other mutation."""
+        m = re.match(
+            r"\s*ALTER\s+TABLE\s+([\w.\"]+)\s+"
+            r"(?:ADD\s+(?:COLUMN\s+)?(\w+)\s+([\w()<>, ]+?)"
+            r"|DROP\s+(?:COLUMN\s+)?(\w+)"
+            r"|RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+))\s*$",
+            masked,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError("unsupported ALTER TABLE syntax")
+        table = self._table(m.group(1).strip('"'))
+        name = m.group(1).strip('"').split(".")[-1]
+        if m.group(2):  # ADD COLUMN
+            col, ctype = m.group(2), _map_type(m.group(3))
+            table.schema_ddl = f"{table.schema_ddl}, {col} {ctype}"
+            table._save_meta()
+        elif m.group(4):  # DROP COLUMN
+            col = m.group(4)
+            fields = [
+                f for f in self.spark.createDataFrame([], table.schema_ddl).schema.fields
+                if f.name != col
+            ]
+            if table._has_data():
+                table._overwrite(table.read().drop(col))
+            table.schema_ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in fields
+            )
+            table._save_meta()
+        else:  # RENAME COLUMN
+            old, new = m.group(5), m.group(6)
+            fields = self.spark.createDataFrame([], table.schema_ddl).schema.fields
+            renamed = table.read().withColumnRenamed(old, new) if table._has_data() else None
+            table.schema_ddl = ", ".join(
+                f"{new if f.name == old else f.name} {f.dataType.simpleString()}"
+                for f in fields
+            )
+            table._save_meta()
+            if renamed is not None:
+                table._overwrite(renamed)
         self._refresh(name)
         return self._count_df(1)
 

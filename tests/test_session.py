@@ -438,3 +438,49 @@ def test_sql_insert_parenthesized_query(dml_session):
     assert n == 2
     vals = sorted(r["n"] for r in s.execute("SELECT n FROM pdst").collect())
     assert vals == [11, 12]
+
+
+def test_sql_ctas_and_alter_table(dml_session):
+    s = dml_session
+    s.execute("CREATE TABLE base (a int, b text)")
+    s.execute("INSERT INTO base VALUES (1, 'x'), (2, 'y'), (3, 'z')")
+    n = s.execute("CREATE TABLE derived AS SELECT a * 10 AS a10, b FROM base WHERE a > 1").collect()[0]["rowcount"]
+    assert n == 2
+    assert sorted(r["a10"] for r in s.execute("SELECT a10 FROM derived").collect()) == [20, 30]
+    # ADD COLUMN: existing rows read the new column as NULL
+    s.execute("ALTER TABLE derived ADD COLUMN note text")
+    rows = s.execute("SELECT a10, note FROM derived").collect()
+    assert all(r["note"] is None for r in rows)
+    s.execute("INSERT INTO derived VALUES (40, 'w', 'hi')")
+    # RENAME + DROP COLUMN
+    s.execute("ALTER TABLE derived RENAME COLUMN a10 TO amount")
+    s.execute("ALTER TABLE derived DROP COLUMN b")
+    got = {r["amount"]: r["note"] for r in s.execute("SELECT amount, note FROM derived").collect()}
+    assert got == {20: None, 30: None, 40: "hi"}
+
+
+def test_txn_noops_views_and_kill(session):
+    assert session.execute("BEGIN").collect()[0]["status"] == "OK"
+    assert session.execute("COMMIT").collect()[0]["status"] == "OK"
+    session.execute("CREATE VIEW big_orders AS SELECT * FROM orders WHERE o_totalprice > 400000")
+    n = session.execute("SELECT count(*) AS n FROM big_orders").collect()[0]["n"]
+    assert n > 0
+    # view appears in the catalog
+    tabs = [r["table_name"] for r in session.execute("SHOW TABLES").collect()]
+    assert "big_orders" in tabs
+    session.execute("DROP VIEW big_orders")
+    import pytest as _pt
+    with _pt.raises(Exception):
+        session.execute("SELECT count(*) FROM big_orders").collect()
+
+
+def test_pg_compat_tooling_scalars(session):
+    row = session.execute(
+        "SELECT has_table_privilege('crate', 'orders', 'SELECT') AS priv, "
+        "pg_table_is_visible(12345) AS vis, pg_backend_pid() AS pid, "
+        "pg_encoding_to_char(6) AS enc, col_description(1, 1) AS cd, "
+        "session_user AS su, current_user AS cu"
+    ).collect()[0]
+    assert row["priv"] is True and row["vis"] is True
+    assert row["pid"] == 0 and row["enc"] == "UTF8" and row["cd"] is None
+    assert row["su"] == "crate" and row["cu"] == "crate"
