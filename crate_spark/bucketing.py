@@ -56,3 +56,33 @@ def co_located_join(
     Exchange on either side when both were written with the same
     bucket count on the join key (pinned in tests/test_plans.py)."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    *,
+    salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-defeating equi-join for when ONE key dominates beyond what
+    AQE's skew-join splitting handles (spark.sql.adaptive.skewJoin
+    splits oversized partitions, but a single hot KEY still lands every
+    row in one task's hash bucket).
+
+    The large side gets a deterministic per-row salt (hash of the whole
+    row, mod ``salts``); the small side is exploded ``salts`` times so
+    every (key, salt) pair still matches. The hot key's rows then
+    spread over ``salts`` tasks at the cost of replicating the small
+    side ``salts``x — the standard trade, worth it only when the small
+    side is small (it usually is: skew means few distinct hot keys).
+    """
+    from pyspark.sql import functions as F
+
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salts))
+    big = large.withColumn("__salt", salt)
+    exploded = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    )
+    return big.join(exploded, [key, "__salt"], how).drop("__salt")

@@ -143,12 +143,15 @@ class CrateSession:
 
         m = re.match(
             r"CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*"
-            r"RETURNS\s+([\w()]+)\s+LANGUAGE\s+PYTHON\s+AS\s+'(.*)'\s*$",
+            r"RETURNS\s+([\w()]+)\s+LANGUAGE\s+(PYTHON|PANDAS)\s+AS\s+'(.*)'\s*$",
             stmt,
             re.IGNORECASE | re.DOTALL,
         )
         if m:
-            return self._create_function(m.group(1), m.group(2), m.group(3), m.group(4))
+            return self._create_function(
+                m.group(1), m.group(2), m.group(3), m.group(5),
+                language=m.group(4).upper(),
+            )
 
         m = re.match(r"ANALYZE\s+(\S+)$", stmt, re.IGNORECASE)
         if m:
@@ -292,15 +295,21 @@ class CrateSession:
 
         return self._CURRENT_SETTING_RE.sub(repl, stmt)
 
-    def _create_function(self, name: str, args: str, ret_type: str, body: str) -> DataFrame:
-        """CREATE FUNCTION name(args) RETURNS type LANGUAGE PYTHON AS
-        '<expression over the arg names>'.
+    def _create_function(
+        self, name: str, args: str, ret_type: str, body: str,
+        language: str = "PYTHON",
+    ) -> DataFrame:
+        """CREATE FUNCTION name(args) RETURNS type LANGUAGE PYTHON|PANDAS
+        AS '<expression over the arg names>'.
 
         Reference: ``expression/udf/UserDefinedFunctionService.java:67``
         — scalar UDFs only, there in JavaScript on GraalVM; here the
         body is a Python expression (JS-source compat is out of scope,
-        SURVEY.md §2.11). Registered as a row-at-a-time Python UDF —
-        the documented slow path; built-ins always win when available.
+        SURVEY.md §2.11). LANGUAGE PYTHON registers a row-at-a-time UDF
+        (documented slow path); LANGUAGE PANDAS registers an
+        Arrow-batched pandas UDF — the body is evaluated over pandas
+        Series (vectorized: ~10-100x faster on the hot path, the right
+        choice at scale when a built-in genuinely can't express it).
         """
         specs = [a.strip().split() for a in args.split(",") if a.strip()]
         arg_names = [s[0] for s in specs]
@@ -334,6 +343,38 @@ class CrateSession:
             )
         }
         import math as _math
+
+        if language == "PANDAS":
+            # vectorized path: args are pandas Series; numpy/pandas in
+            # scope, Arrow batches end-to-end. Declared-type coercion:
+            # SQL decimal literals arrive as object-dtype Decimal Series.
+            import numpy as _np
+            import pandas as _pd
+            from pyspark.sql.functions import pandas_udf
+
+            dtypes = []
+            for s in specs:
+                declared = " ".join(s[1:]).lower() if len(s) > 1 else ""
+                if declared in _float_types:
+                    dtypes.append("float64")
+                elif declared in _int_types:
+                    dtypes.append("int64")
+                else:
+                    dtypes.append(None)
+            body_fn = eval(  # noqa: S307 - trusted-caller surface by design
+                f"lambda {', '.join(arg_names)}: ({body})",
+                {"__builtins__": safe_builtins, "np": _np, "pd": _pd},
+            )
+
+            def vec_fn(*series):
+                return body_fn(
+                    *[s if d is None else s.astype(d) for s, d in zip(series, dtypes)]
+                )
+
+            self.spark.udf.register(name, pandas_udf(vec_fn, ret_type))
+            return self.spark.createDataFrame(
+                [(name, ret_type)], "function string, returns string"
+            )
 
         body_fn = eval(  # noqa: S307 - trusted-caller surface by design
             f"lambda {', '.join(arg_names)}: ({body})",

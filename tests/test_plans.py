@@ -193,3 +193,25 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
         spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+
+
+def test_salted_join_handles_hot_key(spark):
+    """salted_join: identical results to a plain join on a corpus where
+    one key holds 90% of the rows, with the hot key spread over salts
+    partitions instead of one."""
+    from pyspark.sql import functions as F
+
+    from crate_spark.bucketing import salted_join
+
+    large = spark.range(10_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    plain = large.join(small, "k").agg(
+        F.count("*").alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
+    ).collect()[0]
+    salted = salted_join(large, small, "k").agg(
+        F.count("*").alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
+    ).collect()[0]
+    assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])

@@ -484,3 +484,18 @@ def test_pg_compat_tooling_scalars(session):
     assert row["priv"] is True and row["vis"] is True
     assert row["pid"] == 0 and row["enc"] == "UTF8" and row["cd"] is None
     assert row["su"] == "crate" and row["cu"] == "crate"
+
+
+def test_create_function_pandas_vectorized(session):
+    """LANGUAGE PANDAS: the body runs over pandas Series, Arrow-batched
+    — the vectorized UDF path for scale."""
+    session.execute(
+        "CREATE FUNCTION vec_tax(price double, rate double) RETURNS double "
+        "LANGUAGE PANDAS AS 'price * (1.0 + rate)'"
+    )
+    v = session.execute("SELECT vec_tax(100.0, 0.19) AS v").collect()[0]["v"]
+    assert abs(v - 119.0) < 1e-9
+    n = session.execute(
+        "SELECT count(*) AS n FROM orders WHERE vec_tax(o_totalprice, 0.1) > o_totalprice"
+    ).collect()[0]["n"]
+    assert n > 0
