@@ -62,6 +62,7 @@ _MODULES = (
     "geo",
     "aggregates",
     "multimodal",
+    "dml_lifecycle",
 )
 
 

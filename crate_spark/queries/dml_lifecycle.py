@@ -1,0 +1,96 @@
+"""Driver-checkable DML/DDL lifecycle queries.
+
+The CrateTable/CrateSession mutation surface (INSERT, ON CONFLICT
+upsert, UPDATE, DELETE, ALTER) is deterministic, so a full lifecycle
+over literal rows has a statically-known final state — the DuckDB
+oracle is that state as a VALUES relation. A hash match is an
+end-to-end check of the whole write path (staging + atomic swap,
+generated columns, constraint evaluation, read-merge-write).
+
+Each run uses a fresh temp directory, so the queries stay
+side-effect-free and idempotent from the driver's perspective.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from crate_spark.queries import query
+
+
+@query(
+    "dml_lifecycle",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'a2', 15, '2024-01-01'),
+        (2, 'b',  20, '2024-01-02'),
+        (4, 'd',  4,  '2024-01-04')
+    ) AS t(id, val, cnt, day)
+    """,
+)
+def dml_lifecycle(spark, sf_dir):
+    """INSERT -> ON CONFLICT DO UPDATE -> UPDATE -> DELETE against a
+    Parquet-backed CrateTable with a generated column; the oracle is
+    the statically-known final state (reference write-path semantics:
+    ``planner/operators/Insert.java:51``, ``UpdateProjection.java``,
+    ``insert.rst`` ON CONFLICT)."""
+    from crate_spark.dml import CrateTable
+
+    path = os.path.join(tempfile.gettempdir(), f"crate_dmlq_{uuid.uuid4().hex}")
+    t = CrateTable.create(
+        spark,
+        path,
+        "id int, val string, cnt int, ts timestamp_ntz, day string",
+        primary_key=["id"],
+        generated={"day": "date_format(ts, 'yyyy-MM-dd')"},
+        checks=["cnt >= 0"],
+    )
+
+    def rows(data):
+        return spark.createDataFrame(
+            data, "id int, val string, cnt int, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    t.insert(rows([(1, "a", 10, "2024-01-01 08:00:00"),
+                   (2, "b", 20, "2024-01-02 08:00:00"),
+                   (3, "c", 30, "2024-01-03 08:00:00")]))
+    # upsert: id=1 accumulates cnt (target+excluded), id=4 inserts fresh
+    t.upsert(
+        rows([(1, "a2", 5, "2024-01-01 09:00:00"),
+              (4, "d", 4, "2024-01-04 08:00:00")]),
+        set_exprs={"cnt": "target.cnt + excluded.cnt",
+                   "ts": "target.ts", "day": "target.day"},
+    )
+    t.update({"cnt": "cnt * 1"}, where="id = 2")  # no-op rewrite path
+    t.delete("id = 3")
+    return t.read().select("id", "val", "cnt", "day").orderBy("id")
+
+
+@query(
+    "ddl_sql_lifecycle",
+    oracle="""
+    SELECT * FROM (VALUES
+        (10, 'X', 100),
+        (20, 'Y', 200)
+    ) AS t(k, tag, amount)
+    """,
+)
+def ddl_sql_lifecycle(spark, sf_dir):
+    """The same lifecycle through the SQL front door: CREATE TABLE,
+    INSERT VALUES, INSERT..SELECT, ALTER TABLE ADD/RENAME COLUMN,
+    UPDATE, DELETE — dispatched by CrateSession.execute exactly as the
+    reference planner dispatches statements (``Planner.java:273-500``)."""
+    from crate_spark.engine import CrateSession
+
+    s = CrateSession(spark)
+    s.execute("CREATE TABLE lc (k int PRIMARY KEY, tag text)")
+    s.execute("INSERT INTO lc (k, tag) VALUES (10, 'x'), (20, 'y'), (30, 'z')")
+    s.execute("ALTER TABLE lc ADD COLUMN amt int")
+    s.execute("UPDATE lc SET amt = k * 10, tag = upper(tag)")
+    s.execute("DELETE FROM lc WHERE k = 30")
+    s.execute("ALTER TABLE lc RENAME COLUMN amt TO amount")
+    return s.execute("SELECT k, tag, amount FROM lc ORDER BY k")
