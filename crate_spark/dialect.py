@@ -12,6 +12,14 @@ Rewrites:
 - ``arr[n]`` (numeric)      -> ``element_at(arr, n)`` (CrateDB arrays
                                are 1-based — AstBuilder subscripts;
                                element_at is 1-based too)
+- ``o['k']`` / ``o['a']['b']`` -> ``get_json_object(o, '$.a.b')`` for
+                               columns the caller declares as
+                               JSON-string OBJECT columns
+                               (``SubscriptObjectFunction.java``;
+                               AstBuilder subscript grammar). Map- and
+                               struct-typed columns need no rewrite —
+                               Spark's native ``col['k']`` handles them
+                               — so unknown bases are left alone.
 - ``a ~ 'p'`` / ``!~`` / ``~*`` -> RLIKE forms
                                (``RegexpMatchOperator``)
 - ``x = ANY(expr)``         -> ``array_contains(expr, x)``
@@ -60,6 +68,9 @@ _CAST_RE = re.compile(rf"({_OPERAND})\s*::\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*\(\s*\
 _SUBSCRIPT_RE = re.compile(
     rf"({_IDENT}\s*\((?:[^()]|\([^()]*\))*\)|{_IDENT})\s*\[\s*(\d+)\s*\]"
 )
+#: identifier followed by one or more string-literal subscripts
+#: (literals are masked at this point, so the key shows as __LIT_n__)
+_OBJ_SUBSCRIPT_RE = re.compile(rf"({_IDENT})((?:\s*\[\s*__LIT_\d+__\s*\])+)")
 _REGEX_CI_RE = re.compile(rf"({_OPERAND})\s*~\*\s*({_OPERAND})")
 _REGEX_NOT_RE = re.compile(rf"({_OPERAND})\s*!~\s*({_OPERAND})")
 _REGEX_RE = re.compile(rf"({_OPERAND})\s*~\s*({_OPERAND})")
@@ -154,13 +165,19 @@ def _rewrite_order_by(sql: str) -> str:
 _LIT_RE = re.compile(r"'(?:[^']|'')*'")
 
 
-def rewrite(sql: str) -> str:
+def rewrite(sql: str, string_object_columns: set[str] | None = None) -> str:
     """Apply all crate-ism rewrites to one statement.
 
     String literals are masked as identifier-shaped placeholders first
     so the operator regexes can never match text INSIDE a literal
     (e.g. ``'a::b'`` must survive untouched), while a literal can
     still BE an operand (``'5'::int``).
+
+    ``string_object_columns`` names columns whose OBJECT content is
+    stored as a JSON string (the engine's dynamic-object
+    representation): ``col['k']`` / chained ``col['a']['b']`` on those
+    rewrite to ``get_json_object(col, '$.a.b')``. Subscripts on any
+    other base are left to Spark's native map/struct extraction.
     """
     literals: list[str] = []
 
@@ -169,6 +186,27 @@ def rewrite(sql: str) -> str:
         return f"__LIT_{len(literals) - 1}__"
 
     sql = _LIT_RE.sub(_mask, sql)
+
+    # OBJECT subscripts first: the result is a function call, which the
+    # cast rewrite below can then treat as an operand (props['k']::long)
+    if string_object_columns:
+        lowered = {c.lower() for c in string_object_columns}
+
+        def _obj_sub(m: re.Match) -> str:
+            base, chain = m.group(1), m.group(2)
+            if base.split(".")[-1].lower() not in lowered:
+                return m.group(0)
+            keys = [
+                literals[int(i)][1:-1].replace("''", "'")
+                for i in re.findall(r"__LIT_(\d+)__", chain)
+            ]
+            path = "$" + "".join(
+                f".{k}" if re.fullmatch(r"\w+", k) else f"['{k}']" for k in keys
+            )
+            literals.append("'" + path.replace("'", "''") + "'")
+            return f"get_json_object({base}, __LIT_{len(literals) - 1}__)"
+
+        sql = _OBJ_SUBSCRIPT_RE.sub(_obj_sub, sql)
 
     # repeat :: rewrite to handle chains like a::text::int
     prev = None
@@ -204,9 +242,37 @@ def rewrite(sql: str) -> str:
 
     def _any_all_cmp_sub(m: re.Match) -> str:
         operand, op, quant, inner = m.groups()
+        quant = quant.upper()
         if re.match(r"(?i)\s*(SELECT|VALUES)\b", inner):
-            return m.group(0)
-        hof = "exists" if quant.upper() == "ANY" else "forall"
+            # Quantified subquery comparisons (reference
+            # any/AnyOperator.java:56): Spark only supports IN/EXISTS
+            # subqueries, so rewrite to scalar min/max subqueries.
+            # `x > ANY(S)` holds iff x > min(S); `x > ALL(S)` iff
+            # x > max(S), and symmetrically for < / <= / >=. Edge
+            # divergence (documented): when S mixes NULLs with a value
+            # that decides the predicate, 3VL ANY/ALL may yield UNKNOWN
+            # where min/max yields TRUE/FALSE — identical under WHERE,
+            # where UNKNOWN filters like FALSE.
+            def scalar(agg: str) -> str:
+                return f"(SELECT {agg}(__v) FROM ({inner}) AS __q(__v))"
+
+            if op in ("<>", "!="):
+                if quant == "ALL":  # exactly NOT IN semantics
+                    return f"{operand} NOT IN ({inner})"
+                return (
+                    f"({operand} <> {scalar('MIN')}"
+                    f" OR {operand} <> {scalar('MAX')})"
+                )
+            if op == "=":
+                if quant == "ANY":  # IN (also handled by _ANY_EQ_RE)
+                    return f"{operand} IN ({inner})"
+                return (
+                    f"({operand} = {scalar('MIN')}"
+                    f" AND {operand} = {scalar('MAX')})"
+                )
+            use_min = (op[0] == ">") == (quant == "ANY")
+            return f"{operand} {op} {scalar('MIN' if use_min else 'MAX')}"
+        hof = "exists" if quant == "ANY" else "forall"
         return f"{hof}({inner}, __x -> {operand} {op} __x)"
 
     sql = _ANY_ALL_CMP_RE.sub(_any_all_cmp_sub, sql)
@@ -287,3 +353,41 @@ def rewrite(sql: str) -> str:
     for i, lit in enumerate(literals):
         sql = sql.replace(f"__LIT_{i}__", lit)
     return sql
+
+
+#: system doc columns every table exposes in the reference
+#: (``metadata/doc/SysColumns.java:49-63``): _id is a deterministic
+#: per-row id, _doc the row as an object, _raw the row as JSON.
+#: (_score is handled separately — it needs the MATCH bm25 join,
+#: see engine.CrateSession._execute_match_score.)
+_SYS_COL_EXPRS = {
+    "_id": "md5(to_json(struct(*)))",
+    "_doc": "struct(*)",
+    "_raw": "to_json(struct(*))",
+}
+_SYS_COL_RE = re.compile(r"(?<![\w.'])(_id|_doc|_raw)\b")
+
+
+def rewrite_sys_columns(sql: str) -> str:
+    """Expand ``_id`` / ``_doc`` / ``_raw`` references into their
+    row-level expressions. A bare select-list occurrence (preceded by
+    SELECT or a comma, followed by a comma or FROM) keeps its name via
+    an injected alias, matching the reference's output column naming;
+    occurrences inside expressions expand in place.
+
+    Single-relation statements only — ``struct(*)`` expands the whole
+    input row, so in a join it would span both sides.
+    """
+    out, last = [], 0
+    for m in _SYS_COL_RE.finditer(sql):
+        expr = _SYS_COL_EXPRS[m.group(1)]
+        before = sql[: m.start()].rstrip()
+        after = sql[m.end() :].lstrip()
+        bare_item = (
+            before.endswith(",") or re.search(r"(?i)\bSELECT\s*(DISTINCT\s*)?$", before + " ")
+        ) and (after.startswith(",") or re.match(r"(?i)(FROM\b|$)", after))
+        out.append(sql[last : m.start()])
+        out.append(f"{expr} AS {m.group(1)}" if bare_item else expr)
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)

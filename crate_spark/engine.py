@@ -23,8 +23,49 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-from crate_spark.dialect import rewrite
+from crate_spark.dialect import _LIT_RE, rewrite, rewrite_sys_columns
 from crate_spark.session import TABLES, apply_runtime_confs, load_tables
+
+
+def _sql_literal(v) -> str:
+    """Format one bound parameter value as a SQL literal
+    (PG text-format bind analog — Session.bind() parameter types)."""
+    import datetime
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, (list, tuple)):
+        return "array(" + ", ".join(_sql_literal(x) for x in v) + ")"
+    if isinstance(v, bytes):
+        return f"unhex('{v.hex()}')"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+#: Spark type -> PG type OID (PGTypes.java mapping, the subset the
+#: synthetic tables use; 705 = PG's 'unknown' for everything else)
+_PG_OIDS = {
+    "boolean": 16, "bigint": 20, "smallint": 21, "int": 23,
+    "string": 25, "float": 700, "double": 701,
+    "timestamp": 1114, "timestamp_ntz": 1114, "date": 1082,
+    "binary": 17,
+}
+
+
+def _pg_type_oid(dt) -> int:
+    s = dt.simpleString()
+    if s.startswith("decimal"):
+        return 1700
+    if s.startswith("array"):
+        return 2277  # anyarray
+    return _PG_OIDS.get(s, 705)
 
 
 class CrateSession:
@@ -48,9 +89,30 @@ class CrateSession:
         #: root directory for tables created via SQL CREATE TABLE
         self.storage_dir = storage_dir or tempfile.mkdtemp(prefix="crate_tables_")
         self._dml = SqlDmlRouter(self)
-        #: open cursors: name -> {"it": row iterator, "schema": StructType}
+        #: open cursors: name -> {"df", "it", "fetched", "schema", "exhausted"}
         self._cursors: dict[str, dict] = {}
+        #: CREATE ANALYZER registry: name -> {"tokenizer": ..., "definition": ...}
+        self._analyzers: dict[str, dict] = {}
         self._register_system_views()
+
+    def _string_object_cols(self) -> set[str]:
+        """String-typed columns across the catalog — the engine stores
+        dynamic OBJECT content as JSON strings (dml.insert_dynamic), so
+        these are the columns ``col['key']`` subscripts rewrite against
+        (SubscriptObjectFunction.java semantics). Map/struct columns
+        are excluded: Spark's native subscript already handles them."""
+        cols: set[str] = set()
+        for df in self.tables.values():
+            for f in df.schema.fields:
+                if f.dataType.simpleString() == "string":
+                    cols.add(f.name.lower())
+        return cols
+
+    def _sql(self, stmt: str) -> DataFrame:
+        """Shim + run one SELECT-shaped statement."""
+        return self.spark.sql(
+            rewrite(self._sub_current_setting(stmt), self._string_object_cols())
+        )
 
     # -- catalog ---------------------------------------------------------
     def register(self, name: str, df: DataFrame) -> None:
@@ -110,10 +172,52 @@ class CrateSession:
             "oid int, typname string, typlen int",
         ).createOrReplaceTempView("pg_catalog_pg_type")
 
+        # pg_class / pg_attribute / pg_proc — what psql's \d and ORM
+        # introspection actually join (PgCatalogTableDefinitions.java
+        # PgClassTable/PgAttributeTable/PgProcTable). Relation OIDs are
+        # deterministic: 16384 + position in sorted table order.
+        cls_rows = [
+            (16384 + i, n, 11, "r", len(self.tables[n].columns))
+            for i, n in enumerate(sorted(self.tables))
+        ]
+        spark.createDataFrame(
+            cls_rows or [(0, "", 0, "", 0)],
+            "oid int, relname string, relnamespace int, relkind string, relnatts int",
+        ).filter("relname <> ''").createOrReplaceTempView("pg_catalog_pg_class")
+        att_rows = []
+        for i, n in enumerate(sorted(self.tables)):
+            for pos, f in enumerate(self.tables[n].schema.fields, start=1):
+                att_rows.append(
+                    (16384 + i, f.name, _pg_type_oid(f.dataType), pos, not f.nullable)
+                )
+        spark.createDataFrame(
+            att_rows or [(0, "", 0, 0, False)],
+            "attrelid int, attname string, atttypid int, attnum int, attnotnull boolean",
+        ).filter("attname <> ''").createOrReplaceTempView("pg_catalog_pg_attribute")
+        spark.createDataFrame(
+            [
+                (2100 + i, name, 11)
+                for i, name in enumerate(
+                    ("abs", "avg", "count", "max", "min", "sum", "length",
+                     "substr", "upper", "lower", "coalesce", "now",
+                     "date_trunc", "concat", "round")
+                )
+            ],
+            "oid int, proname string, pronamespace int",
+        ).createOrReplaceTempView("pg_catalog_pg_proc")
+
     # -- statements ------------------------------------------------------
-    def execute(self, sql: str) -> DataFrame:
-        """Execute one statement (the quickExec analog)."""
+    def execute(self, sql: str, params: list | None = None) -> DataFrame:
+        """Execute one statement (the quickExec analog).
+
+        ``params`` binds ``$1``-style placeholders (reference
+        ``session/Session.java`` ``bind():403``) by literal
+        substitution — the session is the trusted SQL front door, and
+        values are escaped/typed by ``_bind_params``.
+        """
         stmt = sql.strip().rstrip(";")
+        if params is not None:
+            stmt = self._bind_params(stmt, params)
         upper = stmt.upper()
 
         # Temp views are global to the SparkSession; if another
@@ -211,7 +315,7 @@ class CrateSession:
         )
         if m:
             name = m.group(1).strip('"').split(".")[-1]
-            df = self.spark.sql(rewrite(self._sub_current_setting(m.group(2))))
+            df = self._sql(m.group(2))
             self.register(name, df)
             return self.spark.createDataFrame([(name,)], "view string")
 
@@ -224,9 +328,14 @@ class CrateSession:
             return self.spark.createDataFrame([(name,)], "dropped string")
 
         # Cursors (reference session/Cursor.java): DECLARE / FETCH /
-        # CLOSE. Rows stream through toLocalIterator — one partition on
-        # the driver at a time, so FETCH over a 100 TB result is
-        # incremental, never a full collect.
+        # CLOSE. FETCH n streams through toLocalIterator — one
+        # partition on the driver at a time. FETCH ALL never
+        # materializes: it returns the residual DataFrame itself
+        # (original plan + OFFSET for rows already fetched), so an
+        # `ALL` over a 100 TB result stays a distributed plan. For an
+        # exact already-fetched/residual split the cursor query should
+        # carry a total ORDER BY — same caveat as PG cursors without
+        # a sort.
         m = re.match(
             r"DECLARE\s+(\w+)\s+(?:BINARY\s+)?(?:NO\s+SCROLL\s+)?CURSOR\s+"
             r"(?:WITH\s+(?:OUT\s+)?HOLD\s+)?FOR\s+(.+)$",
@@ -234,10 +343,13 @@ class CrateSession:
             re.IGNORECASE | re.DOTALL,
         )
         if m:
-            df = self.spark.sql(rewrite(self._sub_current_setting(m.group(2))))
+            df = self._sql(m.group(2))
             self._cursors[m.group(1).lower()] = {
-                "it": df.toLocalIterator(),
+                "df": df,
+                "it": None,  # opened lazily on first numbered FETCH
+                "fetched": 0,
                 "schema": df.schema,
+                "exhausted": False,
             }
             return self.spark.createDataFrame([(m.group(1),)], "cursor string")
 
@@ -252,11 +364,21 @@ class CrateSession:
                 raise ValueError(f"cursor '{name}' does not exist")
             cur = self._cursors[name]
             count = m.group(1) or "1"
-            rows = (
-                list(cur["it"])
-                if count.upper() == "ALL"
-                else [r for _, r in zip(range(int(count)), cur["it"])]
-            )
+            if count.upper() == "ALL":
+                if cur["exhausted"]:
+                    return cur["df"].limit(0)
+                residual = (
+                    cur["df"].offset(cur["fetched"]) if cur["fetched"] else cur["df"]
+                )
+                cur["exhausted"] = True
+                cur["it"] = None
+                return residual
+            if cur["exhausted"]:
+                return self.spark.createDataFrame([], cur["schema"])
+            if cur["it"] is None:
+                cur["it"] = cur["df"].toLocalIterator()
+            rows = [r for _, r in zip(range(int(count)), cur["it"])]
+            cur["fetched"] += len(rows)
             return self.spark.createDataFrame(rows, cur["schema"])
 
         m = re.match(r"CLOSE\s+(ALL|\w+)$", stmt, re.IGNORECASE)
@@ -267,13 +389,45 @@ class CrateSession:
                 self._cursors.pop(name, None)
             return self.spark.createDataFrame([(n,) for n in closed] or [("",)], "closed string")
 
+        # CREATE ANALYZER (reference FulltextAnalyzerResolver.java,
+        # create-analyzer.rst): register a named tokenizer config that
+        # MATCH ... WITH (analyzer='name') resolves against.
+        m = re.match(
+            r"CREATE\s+ANALYZER\s+(\w+)\s*(?:EXTENDS\s+(\w+)\s+)?\((.*)\)\s*$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            body = m.group(3)
+            tok = re.search(r"TOKENIZER\s+(\w+)", body, re.IGNORECASE)
+            self._analyzers[m.group(1).lower()] = {
+                "tokenizer": (tok.group(1).lower() if tok else "standard"),
+                "extends": (m.group(2) or "").lower() or None,
+                "definition": body.strip(),
+            }
+            return self.spark.createDataFrame([(m.group(1),)], "analyzer string")
+
+        m = re.match(r"DROP\s+ANALYZER\s+(\w+)\s*$", stmt, re.IGNORECASE)
+        if m:
+            self._analyzers.pop(m.group(1).lower(), None)
+            return self.spark.createDataFrame([(m.group(1),)], "dropped string")
+
         # DML/DDL dispatch (reference planner/Planner.java:273-500):
         # CREATE TABLE / DROP TABLE / INSERT / UPDATE / DELETE / COPY
         routed = self._dml.route(stmt)
         if routed is not None:
             return routed
 
-        return self.spark.sql(rewrite(self._sub_current_setting(stmt)))
+        # MATCH + _score: needs the BM25 join, not a plain rewrite
+        if re.search(r"(?<![\w.])_score\b", stmt) and re.search(
+            r"\bMATCH\s*\(", stmt, re.IGNORECASE
+        ):
+            return self._execute_match_score(stmt)
+        stmt = self._rewrite_match_analyzer(stmt)
+        # system doc columns (_id/_doc/_raw — SysColumns.java:49-63)
+        if re.search(r"(?<![\w.'])_(id|doc|raw)\b", stmt):
+            stmt = rewrite_sys_columns(stmt)
+        return self._sql(stmt)
 
     _CURRENT_SETTING_RE = re.compile(
         r"current_setting\(\s*'([^']+)'\s*(?:,\s*(true|false))?\s*\)", re.IGNORECASE
@@ -294,6 +448,123 @@ class CrateSession:
             return "'" + val.replace("'", "''") + "'"
 
         return self._CURRENT_SETTING_RE.sub(repl, stmt)
+
+    # -- parameter binding ----------------------------------------------
+    def _bind_params(self, stmt: str, params: list) -> str:
+        """Substitute ``$1``-style (and bare ``?`` positional)
+        placeholders with typed SQL literals (Session.bind():403).
+        String literals are masked first so placeholder-shaped text
+        inside them survives."""
+        lits: list[str] = []
+
+        def _mask(m: re.Match) -> str:
+            lits.append(m.group(0))
+            return f"__PLIT_{len(lits) - 1}__"
+
+        masked = _LIT_RE.sub(_mask, stmt)
+
+        def _repl_dollar(m: re.Match) -> str:
+            i = int(m.group(1)) - 1
+            if not 0 <= i < len(params):
+                raise ValueError(f"no value bound for placeholder ${m.group(1)}")
+            return _sql_literal(params[i])
+
+        masked = re.sub(r"\$(\d+)", _repl_dollar, masked)
+        if "?" in masked:
+            it = iter(params)
+            masked = re.sub(r"\?", lambda _m: _sql_literal(next(it)), masked)
+        for i, lit in enumerate(lits):
+            masked = masked.replace(f"__PLIT_{i}__", lit)
+        return masked
+
+    def execute_bulk(self, sql: str, bulk_params: list[list]) -> list:
+        """Bulk execution (Session.bulkExec:717): one statement, many
+        parameter rows; returns the per-row results (row counts for
+        DML, DataFrames otherwise)."""
+        return [self.execute(sql, params=row) for row in bulk_params]
+
+    # -- fulltext --------------------------------------------------------
+    _MATCH_CALL_RE = re.compile(
+        r"\bMATCH\s*\(\s*([\w.]+)\s*,\s*'([^']*)'\s*\)"
+        r"(?:\s+USING\s+\w+)?(?:\s+WITH\s*\(\s*analyzer\s*=\s*'(\w+)'\s*\))?",
+        re.IGNORECASE,
+    )
+
+    def _analyzer_tokens_sql(self, col: str, analyzer: str | None) -> tuple[str, "function"]:
+        """(SQL tokenizer expression over ``col``, python tokenizer for
+        the query string) for a registered analyzer. Tokenizers:
+        standard (lowercase, split non-alphanumeric — the default),
+        whitespace (split on whitespace, case kept), keyword (whole
+        string as one token)."""
+        tok = "standard"
+        if analyzer:
+            if analyzer.lower() not in self._analyzers:
+                raise ValueError(f"analyzer '{analyzer}' is not defined")
+            tok = self._analyzers[analyzer.lower()]["tokenizer"]
+        if tok == "whitespace":
+            return f"split(trim({col}), '\\\\s+')", lambda q: q.split()
+        if tok == "keyword":
+            return f"array({col})", lambda q: [q]
+        return (
+            f"split(trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ')), ' ')",
+            lambda q: [t for t in q.lower().split() if t],
+        )
+
+    def _rewrite_match_analyzer(self, stmt: str) -> str:
+        """``MATCH(col, 'q') [USING mode] WITH (analyzer='name')`` ->
+        token-overlap predicate using the named analyzer's tokenizer
+        (FulltextAnalyzerResolver.java). Plain MATCH without WITH falls
+        through to the dialect shim's standard-analyzer rewrite."""
+
+        def _sub(m: re.Match) -> str:
+            col, q, analyzer = m.groups()
+            if not analyzer:
+                return m.group(0)
+            toks_sql, tok_q = self._analyzer_tokens_sql(col, analyzer)
+            terms = tok_q(q)
+            arr = "array(" + ", ".join("'" + t.replace("'", "''") + "'" for t in terms) + ")"
+            return f"arrays_overlap({toks_sql}, {arr})"
+
+        return self._MATCH_CALL_RE.sub(_sub, stmt)
+
+    def _execute_match_score(self, stmt: str) -> DataFrame:
+        """``SELECT ... _score ... FROM t WHERE MATCH(col, 'q') ...
+        ORDER BY _score`` — the reference's relevance-ranked search
+        (SysColumns.java `_score`, MatchPredicate.java:85). The MATCH
+        predicate + `_score` column become a BM25 score join
+        (operators/fulltext.bm25_scores — distributed, stats
+        broadcast); the rest of the statement runs unchanged over a
+        temp view that carries `_score` as a real column. Single-table
+        statements only (like the reference, where MATCH binds to one
+        relation)."""
+        from crate_spark.operators.fulltext import bm25_scores
+
+        m = self._MATCH_CALL_RE.search(stmt)
+        if not m:
+            raise ValueError("_score requires a MATCH predicate")
+        col, query, _analyzer = m.groups()
+        tbl_m = re.search(r"\bFROM\s+([\w.\"]+)", stmt, re.IGNORECASE)
+        if not tbl_m:
+            raise ValueError("MATCH requires a FROM table")
+        table = tbl_m.group(1).strip('"').split(".")[-1]
+        if table not in self.tables:
+            raise ValueError(f"unknown table '{table}' for MATCH")
+        docs = self.tables[table]
+        id_col = docs.columns[0]  # row identity: leading column (PK position)
+        scores = bm25_scores(
+            docs, query, id_col=id_col, text_col=col.split(".")[-1]
+        )
+        view = f"__match_{table}"
+        docs.join(scores, id_col).createOrReplaceTempView(view)
+        new_stmt = stmt[: m.start()] + "TRUE" + stmt[m.end() :]
+        new_stmt = re.sub(
+            rf"\bFROM\s+{re.escape(tbl_m.group(1))}",
+            f"FROM {view}",
+            new_stmt,
+            count=1,
+            flags=re.IGNORECASE,
+        )
+        return self._sql(new_stmt)
 
     def _create_function(
         self, name: str, args: str, ret_type: str, body: str,
@@ -397,7 +668,7 @@ class CrateSession:
         import time
 
         t0 = time.perf_counter()
-        df = self.spark.sql(rewrite(self._sub_current_setting(body)))
+        df = self._sql(body)
         # force analysis + optimization (lazy otherwise)
         plan_text = df._jdf.queryExecution().optimizedPlan().toString()
         t1 = time.perf_counter()
@@ -414,7 +685,7 @@ class CrateSession:
 
     def explain(self, sql: str) -> str:
         """EXPLAIN — formatted physical plan (ExplainPlan.java:56)."""
-        df = self.spark.sql(rewrite(sql))
+        df = self._sql(sql)
         return df._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
