@@ -48,21 +48,30 @@ def query(name: str, oracle: str | None = None):
 
 #: Query modules making up the operator inventory; each import
 #: registers its queries into REGISTRY via the @query decorator.
+#:
+#: ORDER MATTERS for driver coverage: the correctness driver samples
+#: the FIRST 50 registered queries each round, so modules rotate
+#: round-over-round to give every query a driver row within a bounded
+#: number of rounds. r1-r2 checked core/joins/windows/scalars[:4]
+#: (all green); r3 front-loads the never-driver-checked modules —
+#: sqlsurface..fulltext below sum to exactly 50. Next rotation (r4):
+#: front-load geo, aggregates, scalars[4:], then core/joins/windows.
 _MODULES = (
-    "core",
-    "joins",
-    "windows",
-    "scalars",
+    "sqlsurface",
     "vectors",
     "text",
     "timeseries",
     "predicates",
+    "multimodal",
+    "dml_lifecycle",
     "tablefns",
     "fulltext",
     "geo",
     "aggregates",
-    "multimodal",
-    "dml_lifecycle",
+    "scalars",
+    "core",
+    "joins",
+    "windows",
 )
 
 
