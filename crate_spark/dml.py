@@ -33,8 +33,9 @@ import tempfile
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 META_FILE = "_crate_meta.json"
 
@@ -115,39 +116,94 @@ class CrateTable:
         return self.spark.read.schema(self.schema_ddl).parquet(self.path)
 
     # -- write plumbing --------------------------------------------------
+    #
+    # Mutation statistics (matched counts, PK clashes, CHECK
+    # violations) ride the write itself via ``Dataset.observe``
+    # (accumulator metrics collected while rows stream through the
+    # write) — never a separate count job. Every write stages first,
+    # so a constraint violation discovered in the metrics discards the
+    # staging directory before anything becomes visible: the
+    # single-writer batch analog of the reference's per-shard
+    # write-then-ack path. One scan per mutation source.
+
     def _prepare(self, df: DataFrame) -> DataFrame:
-        """Apply generated columns and CHECK constraints
-        (write-time evaluation, DocTableInfo.java:174/188 semantics)."""
+        """Apply generated columns and project to declared schema order
+        (write-time evaluation, DocTableInfo.java:174 semantics).
+        CHECK evaluation happens as an observed metric on the write —
+        see _check_viol_col."""
         for col, expr in self.generated.items():
             df = df.withColumn(col, F.expr(expr))
-        # project to declared schema order
         names = [f.name for f in self.spark.createDataFrame([], self.schema_ddl).schema.fields]
-        df = df.select(*names)
-        if self.checks:
-            # PG/CrateDB semantics: a CHECK fails only on explicit FALSE;
-            # NULL passes (DocTableInfo.java:188 check constraints).
-            cond = " AND ".join(f"({c})" for c in self.checks)
-            bad = df.filter(F.expr(cond) == F.lit(False)).count()
-            if bad:
-                raise CheckViolation(
-                    f"{bad} row(s) violate CHECK ({cond}) on {self.path}"
-                )
-        return df
+        return df.select(*names)
 
-    def _overwrite(self, df: DataFrame) -> None:
-        """Write df as the table's new content via staging + swap."""
+    def _check_viol_col(self):
+        """0/1 violation flag for the table's CHECK constraints.
+        PG/CrateDB semantics: a CHECK fails only on explicit FALSE;
+        NULL passes (DocTableInfo.java:188)."""
+        if not self.checks:
+            return None
+        cond = " AND ".join(f"({c})" for c in self.checks)
+        return (F.expr(cond) == F.lit(False)).cast("int")
+
+    def _raise_if_viol(self, got: dict) -> None:
+        bad = int(got.get("viol") or 0)
+        if bad:
+            cond = " AND ".join(f"({c})" for c in self.checks)
+            raise CheckViolation(
+                f"{bad} row(s) violate CHECK ({cond}) on {self.path}"
+            )
+
+    def _write_staged(self, df: DataFrame, metrics: dict | None = None) -> tuple[str, dict]:
+        """Write df to a fresh staging directory; return (path, observed
+        metrics). The caller decides commit (swap/merge) vs abort."""
         staging = os.path.join(
             tempfile.gettempdir(), f"crate_stage_{uuid.uuid4().hex}"
         )
+        got: dict = {}
+        if metrics:
+            obs = Observation()
+            df = df.observe(obs, *[c.alias(k) for k, c in metrics.items()])
+        helper = [c for c in df.columns if c.startswith("__")]
+        if helper:
+            df = df.drop(*helper)
         writer = df.write.mode("overwrite")
         if self.partitioned_by:
             writer = writer.partitionBy(*self.partitioned_by)
         writer.parquet(staging)
+        if metrics:
+            got = obs.get
+        return staging, got
+
+    def _swap_in(self, staging: str) -> None:
+        """Atomically replace table content with the staged write."""
         old = self.path + f".old-{uuid.uuid4().hex}"
         os.rename(self.path, old)
         os.rename(staging, self.path)
         self._save_meta()
         shutil.rmtree(old, ignore_errors=True)
+
+    def _merge_in(self, staging: str) -> list[str]:
+        """Append semantics: move staged part files (and partition
+        subdirectories) into the table directory. Part file names are
+        globally unique, so a move-merge never collides."""
+        moved: list[str] = []
+        for root, _dirs, files in os.walk(staging):
+            rel = os.path.relpath(root, staging)
+            dest = self.path if rel == "." else os.path.join(self.path, rel)
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                os.makedirs(dest, exist_ok=True)
+                target = os.path.join(dest, f)
+                os.rename(os.path.join(root, f), target)
+                moved.append(target)
+        shutil.rmtree(staging, ignore_errors=True)
+        return moved
+
+    def _overwrite(self, df: DataFrame) -> None:
+        """Write df as the table's new content via staging + swap."""
+        staging, _ = self._write_staged(df)
+        self._swap_in(staging)
 
     def _append(self, df: DataFrame) -> None:
         writer = df.write.mode("append")
@@ -192,25 +248,56 @@ class CrateTable:
     def insert(self, df: DataFrame, returning: list[str] | None = None):
         """INSERT ... SELECT/VALUES. With a PK, duplicate keys (against
         existing data or within the batch) raise DuplicateKeyError —
-        use upsert() for ON CONFLICT behavior."""
+        use upsert() for ON CONFLICT behavior.
+
+        Single-pass: batch-dup flags (count window over the PK),
+        existing-PK clash flags (left join against current keys) and
+        CHECK violations are observed metrics on the staged write —
+        one job over the batch, then a file move-merge on success."""
         df = self._prepare(df)
+        metrics: dict = {"n": F.count(F.lit(1))}
+        viol = self._check_viol_col()
+        if viol is not None:
+            df = df.withColumn("__viol", viol)
+            metrics["viol"] = F.sum("__viol")
         if self.primary_key:
-            batch_dups = (
-                df.groupBy(*self.primary_key).count().filter(F.col("count") > 1).count()
+            pk = self.primary_key
+            w = Window.partitionBy(*pk)
+            df = df.withColumn(
+                "__dup", (F.count(F.lit(1)).over(w) > 1).cast("int")
             )
-            if batch_dups:
-                raise DuplicateKeyError(f"{batch_dups} duplicate key(s) in batch")
+            metrics["dups"] = F.sum("__dup")
             if self._has_data():
-                existing = self.read().select(*self.primary_key)
-                clash = df.join(existing, self.primary_key, "left_semi").count()
-                if clash:
-                    raise DuplicateKeyError(
-                        f"{clash} row(s) conflict with existing primary keys"
-                    )
-        self._append(df)
+                existing = self.read().select(*pk).withColumn("__exists", F.lit(1))
+                df = df.join(existing, pk, "left")
+                metrics["clash"] = F.sum("__exists")
+        staging, got = self._write_staged(df, metrics)
+        try:
+            self._raise_if_viol(got)
+            if int(got.get("dups") or 0):
+                raise DuplicateKeyError(
+                    f"{int(got['dups'])} row(s) share a duplicate key in batch"
+                )
+            if int(got.get("clash") or 0):
+                raise DuplicateKeyError(
+                    f"{int(got['clash'])} row(s) conflict with existing primary keys"
+                )
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        moved = self._merge_in(staging)
         if returning is not None:
-            return df.select(*returning or df.columns)
-        return df.count()
+            out = (
+                self.spark.read.schema(
+                    self.spark.createDataFrame([], self.schema_ddl).schema
+                )
+                .option("basePath", self.path)
+                .parquet(*moved)
+                if moved
+                else self.read().limit(0)
+            )
+            return out.select(*returning or out.columns)
+        return int(got["n"])
 
     def insert_values(self, rows: list[tuple], returning: list[str] | None = None):
         """INSERT INTO ... VALUES — rows carry the non-generated columns
@@ -239,14 +326,26 @@ class CrateTable:
         """
         if not self.primary_key:
             raise ValueError("upsert requires a primary key")
-        df = self._prepare(df).alias("excluded")
-        current = self.read().alias("target")
+        df = self._prepare(df)
+        viol = self._check_viol_col()
+        if viol is not None:
+            # batch rows carry their violation flag into the merge;
+            # rows kept from current content observed as 0
+            df = df.withColumn("__viol", viol)
+        df = df.alias("excluded")
+        current = self.read()
+        if viol is not None:
+            current = current.withColumn("__viol", F.lit(0))
+        current = current.alias("target")
         pk = self.primary_key
+        cols = [c for c in df.columns]
+
+        def _src(frame: DataFrame, tag: str) -> DataFrame:
+            return frame.withColumn("__src", F.lit(tag))
 
         if do_nothing:
             fresh = df.join(current, pk, "left_anti")
-            merged = current.unionByName(fresh)
-            stats = {"inserted": fresh.count(), "updated": 0}
+            merged = _src(current, "keep").unionByName(_src(fresh, "ins"))
         else:
             untouched = current.join(df, pk, "left_anti")
             if set_exprs:
@@ -257,21 +356,43 @@ class CrateTable:
                         F.expr(set_exprs[c]).alias(c)
                         if c in set_exprs
                         else F.col(f"excluded.{c}").alias(c)
-                        for c in df.columns
-                        if c not in pk
+                        for c in cols
+                        if c not in pk and c != "__viol"
                     ],
+                    *([F.col("excluded.__viol").alias("__viol")] if viol is not None else []),
                 )
-                n_updated = updated.count()
                 fresh = df.join(current, pk, "left_anti")
-                merged = untouched.unionByName(updated).unionByName(fresh)
+                merged = (
+                    _src(untouched, "keep")
+                    .unionByName(_src(updated, "upd"))
+                    .unionByName(_src(fresh, "ins"))
+                )
             else:
-                n_updated = current.join(df, pk, "left_semi").count()
-                fresh = df
-                merged = untouched.unionByName(df)
-            stats = {"inserted": fresh.count() - n_updated if not set_exprs else fresh.count(),
-                     "updated": n_updated}
-        self._overwrite(merged)
-        return stats
+                # default DO UPDATE: the whole excluded row replaces the
+                # target row — mark each batch row by whether its key
+                # already exists (one left join, no separate count)
+                hits = current.select(
+                    *[F.col(f"target.{k}").alias(k) for k in pk],
+                    F.lit(1).alias("__hit"),
+                )
+                batch = df.join(hits, pk, "left").withColumn(
+                    "__src", F.when(F.col("__hit").isNotNull(), "upd").otherwise("ins")
+                ).drop("__hit")
+                merged = _src(untouched, "keep").unionByName(batch)
+        metrics = {
+            "inserted": F.sum((F.col("__src") == "ins").cast("int")),
+            "updated": F.sum((F.col("__src") == "upd").cast("int")),
+        }
+        if viol is not None:
+            metrics["viol"] = F.sum("__viol")
+        staging, got = self._write_staged(merged, metrics)
+        try:
+            self._raise_if_viol(got)
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        self._swap_in(staging)
+        return {"inserted": int(got["inserted"]), "updated": int(got["updated"])}
 
     # -- UPDATE / DELETE -------------------------------------------------
     def update(self, set_exprs: dict[str, str], where: str | None = None,
@@ -296,33 +417,46 @@ class CrateTable:
                 else F.col(c)
                 for c in current.columns
             ],
-            matched.alias("__matched"),
+            matched.cast("int").alias("__matched"),
         )
         if returning is not None:
             ret_path = os.path.join(
                 tempfile.gettempdir(), f"crate_returning_{uuid.uuid4().hex}"
             )
-            updated.filter("__matched").select(
+            updated.filter("__matched = 1").select(
                 *(returning or current.columns)
             ).write.parquet(ret_path)
-            self._overwrite(updated.drop("__matched"))
+            self._overwrite(updated)
             return self.spark.read.parquet(ret_path)
-        n = current.filter(matched).count()
-        self._overwrite(updated.drop("__matched"))
-        return n
+        # matched-row count rides the rewrite as an observed metric
+        staging, got = self._write_staged(updated, {"n": F.sum("__matched")})
+        self._swap_in(staging)
+        return int(got["n"] or 0)
 
     def delete(self, where: str | None = None) -> int:
         """DELETE [WHERE ...]. A predicate that exactly selects whole
         partitions drops the directories (DeletePartitions fast path);
-        otherwise read-filter-write."""
+        otherwise read-filter-write with the deleted-row count observed
+        on the same pass (no pre-count job). When nothing matched the
+        staged rewrite is discarded and the table left untouched."""
         if where is None:
             n = self.read().count()
             self._overwrite(self.read().limit(0))
             return n
         current = self.read()
-        n = current.filter(F.expr(where)).count()
+        flagged = current.withColumn(
+            "__del", F.coalesce(F.expr(where), F.lit(False)).cast("int")
+        )
+        obs = Observation()
+        kept = flagged.observe(
+            obs, F.sum("__del").alias("n_del")
+        ).filter("__del = 0")
+        staging, _ = self._write_staged(kept)
+        n = int(obs.get["n_del"] or 0)
         if n:
-            self._overwrite(current.filter(~F.coalesce(F.expr(where), F.lit(False))))
+            self._swap_in(staging)
+        else:
+            shutil.rmtree(staging, ignore_errors=True)
         return n
 
     def drop_partition(self, **kv) -> bool:
@@ -369,10 +503,36 @@ class CrateTable:
         # RETURN SUMMARY: a row is an error only if NOTHING parsed
         # (all-null after permissive parse); counting raw text lines is
         # wrong for multi-part exports (one header per part file).
-        n_total = raw.count()
-        n_good = good.count()
-        self._append(self._prepare(good))
-        return {"loaded": n_good, "errors": max(n_total - n_good, 0)}
+        # Both counts + CHECK violations are observed on the load
+        # write itself — a single pass over the import source.
+        if good is raw:
+            flagged = raw.withColumn("__bad", F.lit(0))
+        else:
+            all_null = F.lit(True)
+            for c in raw.columns:
+                all_null = all_null & F.col(c).isNull()
+            flagged = raw.withColumn("__bad", all_null.cast("int"))
+        obs_in = Observation()
+        good = flagged.observe(
+            obs_in,
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("__bad").alias("n_bad"),
+        ).filter("__bad = 0").drop("__bad")
+        df = self._prepare(good)
+        metrics: dict = {}
+        viol = self._check_viol_col()
+        if viol is not None:
+            df = df.withColumn("__viol", viol)
+            metrics["viol"] = F.sum("__viol")
+        staging, got = self._write_staged(df, metrics or None)
+        try:
+            self._raise_if_viol(got)
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        self._merge_in(staging)
+        loaded = int(obs_in.get["n_total"] or 0) - int(obs_in.get["n_bad"] or 0)
+        return {"loaded": loaded, "errors": int(obs_in.get["n_bad"] or 0)}
 
     def copy_to(self, uri: str, *, format: str = "json",
                 columns: list[str] | None = None, where: str | None = None) -> int:
