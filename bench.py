@@ -7,14 +7,18 @@ ONE JSON line:
      "queries": {"q1": sec, ...}, "sf": ...}
 
 Execution is forced with the noop datasource sink (full materialization,
-no driver collect). Each query runs once after a warmup of the Spark
-session (JVM+codegen warm, OS page cache hot from the schema read).
+no driver collect). Each query runs ITERS (default 3) times after a
+warmup of the Spark session (JVM+codegen warm, OS page cache hot from
+the schema read) and reports the per-query MEDIAN — BENCH_r02 recorded
+2.4x phantom regressions from single-iteration contention noise, so
+round-over-round comparisons need a robust statistic.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -61,12 +65,16 @@ def main() -> None:
                 "noop"
             ).save()
 
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -77,6 +85,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "iterations": iters,
+                "stat": "median",
             }
         )
     )

@@ -101,9 +101,18 @@ def minhash_lsh_candidates(
     100 TB — makes the self-join O(|bucket|^2). Docs in such a bucket
     are (near-)identical by construction, which is exactly what
     ``exact_duplicates`` already finds with one linear shuffle, so
-    dropping the bucket loses no information the pipeline needs. The
-    bucket-size count runs as a window over the same (band, bucket)
-    partitioning the self-join shuffles on — no extra exchange.
+    dropping the bucket loses no information the pipeline needs.
+    Cap mechanics (r3 plan audit): the count window DOES add static
+    exchanges (5 vs 2 uncapped — the r2 "no extra exchange" claim was
+    wrong), but the windowed band-bucket exchange is one subtree
+    shared by both self-join sides, so the signature pipeline runs
+    once. The audited alternative — groupBy-count + broadcast
+    anti-join on oversized buckets — avoids re-shuffling the banded
+    stream but forces a third full signature-pipeline computation for
+    the count branch; A/B at sf0.1 measured it ~40% slower (3.7-4.5 s
+    vs 2.6-3.7 s median-of-3), and at 100 TB an extra full corpus
+    pass loses to an extra shuffle of skinny (id, band, bucket) rows.
+    The window form stays.
     """
     from pyspark.sql import Window
 
