@@ -313,20 +313,34 @@ def rewrite(sql: str, string_object_columns: set[str] | None = None) -> str:
     )
 
     def _match_sub(m: re.Match) -> str:
-        col, lit_ref = m.group(1), m.group(2)
+        col, lit_ref, mode, opts = m.groups()
         idx = int(re.match(r"__LIT_(\d+)__", lit_ref).group(1))
         terms = [t for t in literals[idx].strip("'").lower().split() if t]
-        arr = "array(" + ", ".join(f"'{t}'" for t in terms) + ")"
         toks = (
             f"split(trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ')), ' ')"
         )
-        return f"arrays_overlap({toks}, {arr})"
+        mode = (mode or "best_fields").lower()
+        if mode == "phrase":
+            # consecutive-token containment (MatchPredicate phrase mode)
+            phrase = " " + " ".join(terms) + " "
+            return f"concat(' ', array_join({toks}, ' '), ' ') LIKE '%{phrase}%'"
+        want_all = bool(
+            opts and re.search(r"operator\s*=\s*__LIT_(\d+)__", opts)
+            and literals[
+                int(re.search(r"operator\s*=\s*__LIT_(\d+)__", opts).group(1))
+            ].strip("'").lower() == "and"
+        )
+        per_term = [f"array_contains({toks}, '{t}')" for t in terms]
+        joiner = " AND " if want_all else " OR "
+        return "(" + joiner.join(per_term) + ")" if per_term else "FALSE"
 
-    # MATCH(col, 'terms') -> token-overlap predicate (best_fields OR
-    # mode, the reference default — MatchPredicate.java:85; _score
-    # ranking needs operators/fulltext.bm25_scores, not plain SQL)
+    # MATCH(col, 'terms') [USING best_fields|phrase [WITH (...)]] ->
+    # token predicate (MatchPredicate.java:85: best_fields-OR default,
+    # operator='and' option, phrase mode; _score ranking needs
+    # operators/fulltext.bm25_scores — handled by the engine, not here)
     sql = re.sub(
-        rf"\bMATCH\s*\(\s*({_IDENT})\s*,\s*(__LIT_\d+__)\s*\)",
+        rf"\bMATCH\s*\(\s*({_IDENT})\s*,\s*(__LIT_\d+__)\s*\)"
+        rf"(?:\s+USING\s+(\w+))?(?:\s+WITH\s*\(([^)]*)\))?",
         _match_sub,
         sql,
         flags=re.IGNORECASE,

@@ -681,3 +681,29 @@ def test_create_analyzer(session):
             "SELECT 1 FROM documents WHERE MATCH(text, 'x') WITH (analyzer='nope')"
         )
     session.execute("DROP ANALYZER kw_an")
+
+
+def test_match_modes_via_sql(session):
+    """MATCH USING phrase / WITH (operator='and') through SQL equal the
+    DataFrame-API match_phrase / match_all operators
+    (MatchPredicate.java:85-98 match modes)."""
+    import pyspark.sql.functions as F
+
+    from crate_spark.operators.fulltext import match_all, match_phrase
+    from crate_spark.session import load_tables
+
+    docs = load_tables(session.spark, SF_DIR)["documents"]
+    n_and_sql = session.execute(
+        "SELECT count(*) AS n FROM documents WHERE "
+        "MATCH(text, 'spark vector') WITH (operator='and')"
+    ).collect()[0]["n"]
+    n_and_df = docs.filter(match_all("text", "spark vector")).count()
+    assert n_and_sql == n_and_df
+
+    n_ph_sql = session.execute(
+        "SELECT count(*) AS n FROM documents WHERE "
+        "MATCH(text, 'fast sort') USING phrase"
+    ).collect()[0]["n"]
+    n_ph_df = docs.filter(match_phrase("text", "fast sort")).count()
+    assert n_ph_sql == n_ph_df
+    assert n_ph_sql > 0
