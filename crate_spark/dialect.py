@@ -164,6 +164,64 @@ def _rewrite_order_by(sql: str) -> str:
 
 _LIT_RE = re.compile(r"'(?:[^']|'')*'")
 
+#: innermost object literal ``{k = v, ...}`` (AstBuilder objectLiteral;
+#: docs/general/ddl/data-types: OBJECT literals). Keys are identifiers;
+#: values are arbitrary expressions without nested braces (nesting is
+#: handled by the inner-out loop in rewrite()).
+_OBJ_LIT_RE = re.compile(r"\{\s*([A-Za-z_\"]\w*\s*=\s*[^{}]*)\}")
+
+
+def _obj_lit_sub(m: re.Match) -> str:
+    """One object literal -> __OBJSTRUCT__('k1', v1, ...) marker; the
+    marker becomes named_struct, with to_json() wrapped around only the
+    OUTERMOST struct so nested objects stay nested (the engine's
+    object representation is a JSON string — one encoding, at the top)."""
+    entries, buf, depth = [], "", 0
+    for ch in m.group(1):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            entries.append(buf)
+            buf = ""
+        else:
+            buf += ch
+    entries.append(buf)
+    parts = []
+    for e in entries:
+        km = re.match(r'\s*"?([A-Za-z_]\w*)"?\s*=\s*(.*)$', e, re.DOTALL)
+        if not km:
+            return m.group(0)  # not an object literal — leave alone
+        parts.append(f"'{km.group(1)}'")
+        parts.append(km.group(2).strip())
+    return f"__OBJSTRUCT__({', '.join(parts)})"
+
+
+def _finalize_obj_structs(sql: str) -> str:
+    """Replace __OBJSTRUCT__ markers with named_struct, wrapping each
+    OUTERMOST occurrence in to_json()."""
+    tok = "__OBJSTRUCT__"
+    out, i = [], 0
+    while True:
+        j = sql.find(tok, i)
+        if j < 0:
+            out.append(sql[i:])
+            return "".join(out)
+        depth, k = 0, j + len(tok)
+        while k < len(sql):
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        span = sql[j : k + 1].replace(tok, "named_struct")
+        out.append(sql[i:j])
+        out.append(f"to_json({span})")
+        i = k + 1
+
 
 def rewrite(sql: str, string_object_columns: set[str] | None = None) -> str:
     """Apply all crate-ism rewrites to one statement.
@@ -207,6 +265,19 @@ def rewrite(sql: str, string_object_columns: set[str] | None = None) -> str:
             return f"get_json_object({base}, __LIT_{len(literals) - 1}__)"
 
         sql = _OBJ_SUBSCRIPT_RE.sub(_obj_sub, sql)
+
+    # Array constructors (AstBuilder arrayLiteral): ARRAY[...] and the
+    # bare bracket form [...]. Inner-out loop handles nesting; the
+    # lookbehind on the bare form excludes subscripts (base ends in an
+    # identifier char, ']' or ')'), which earlier rewrites have
+    # already consumed anyway.
+    prev_arr = None
+    while prev_arr != sql:
+        prev_arr = sql
+        sql = re.sub(r"\bARRAY\s*\[([^\[\]]*)\]", r"array(\1)", sql, flags=re.IGNORECASE)
+        sql = re.sub(r"(?<![\w\]\)])\[([^\[\]]*)\]", r"array(\1)", sql)
+        sql = _OBJ_LIT_RE.sub(_obj_lit_sub, sql)
+    sql = _finalize_obj_structs(sql)
 
     # repeat :: rewrite to handle chains like a::text::int
     prev = None

@@ -149,6 +149,33 @@ class CrateSession:
             "table_name string, schema_name string",
         ).filter("table_name <> ''").createOrReplaceTempView("sys_tables")
 
+        # sys.nodes / sys.shards / sys.health / sys.jobs — single-node
+        # analogs (reference SysNodesTableInfo, SysShardsTableInfo,
+        # SysHealth, SysJobsTableInfo). One "node" = this Spark driver;
+        # one primary STARTED shard per table; health GREEN (no
+        # replication to degrade); jobs = statements in flight (none:
+        # execute() is synchronous).
+        import socket
+
+        spark.createDataFrame(
+            [("n1", socket.gethostname(), spark.version,
+              spark.sparkContext.defaultParallelism)],
+            "id string, hostname string, version string, cpus int",
+        ).createOrReplaceTempView("sys_nodes")
+        spark.createDataFrame(
+            [(n, "doc", 0, True, "STARTED") for n in sorted(self.tables)]
+            or [("", "", 0, True, "")],
+            "table_name string, schema_name string, id int, "
+            "primary boolean, state string",
+        ).filter("table_name <> ''").createOrReplaceTempView("sys_shards")
+        spark.createDataFrame(
+            [(n, "GREEN", 0) for n in sorted(self.tables)] or [("", "", 0)],
+            "table_name string, health string, missing_shards int",
+        ).filter("table_name <> ''").createOrReplaceTempView("sys_health")
+        spark.createDataFrame(
+            [], "id string, stmt string, username string, started timestamp"
+        ).createOrReplaceTempView("sys_jobs")
+
         # pg_catalog minimum for PG-compat tooling (reference
         # metadata/pgcatalog/PgCatalogTableDefinitions.java): pg_tables,
         # pg_namespace, pg_type — queryable as pg_catalog.X via the shim.
@@ -260,6 +287,13 @@ class CrateSession:
         m = re.match(r"ANALYZE\s+(\S+)$", stmt, re.IGNORECASE)
         if m:
             return self.analyze(m.group(1))
+
+        m = re.match(r"SHOW\s+CREATE\s+TABLE\s+([\w.\"]+)\s*$", stmt, re.IGNORECASE)
+        if m:
+            name = m.group(1).strip('"').split(".")[-1]
+            return self.spark.createDataFrame(
+                [(self._show_create_table(name),)], "create_table string"
+            )
 
         # SHOW statements (reference sql/statements/show.rst;
         # planner ShowStatementAnalyzer rewrites them to
@@ -448,6 +482,59 @@ class CrateSession:
             return "'" + val.replace("'", "''") + "'"
 
         return self._CURRENT_SETTING_RE.sub(repl, stmt)
+
+    #: Spark DDL type -> CrateDB spelling (reverse of sql_dml._TYPE_MAP)
+    _CRATE_TYPES = {
+        "string": "TEXT", "int": "INTEGER", "bigint": "BIGINT",
+        "smallint": "SMALLINT", "tinyint": "BYTE", "float": "REAL",
+        "double": "DOUBLE PRECISION", "boolean": "BOOLEAN",
+        "date": "DATE", "timestamp": "TIMESTAMP WITH TIME ZONE",
+        "timestamp_ntz": "TIMESTAMP WITHOUT TIME ZONE",
+    }
+
+    def _crate_type(self, simple: str) -> str:
+        if simple.startswith("decimal"):
+            return simple.upper().replace("DECIMAL", "NUMERIC")
+        m = re.match(r"array<(.+)>$", simple)
+        if m:
+            return f"ARRAY({self._crate_type(m.group(1))})"
+        return self._CRATE_TYPES.get(simple, simple.upper())
+
+    def _show_create_table(self, name: str) -> str:
+        """SHOW CREATE TABLE (reference ShowCreateTableAnalyzer /
+        MetadataToASTNodeResolver): reconstruct CrateDB-spelled DDL
+        from table metadata — PK, generated columns, CHECKs and
+        PARTITIONED BY for SQL-created tables; plain column DDL for
+        registered source tables."""
+        ct = self._dml.crate_tables.get(name)
+        if ct is not None:
+            fields = self.spark.createDataFrame([], ct.schema_ddl).schema.fields
+            lines = []
+            for f in fields:
+                line = f'   "{f.name}" {self._crate_type(f.dataType.simpleString())}'
+                if f.name in ct.generated:
+                    line += f" GENERATED ALWAYS AS ({ct.generated[f.name]})"
+                lines.append(line)
+            if ct.primary_key:
+                lines.append(
+                    "   PRIMARY KEY (" + ", ".join(f'"{k}"' for k in ct.primary_key) + ")"
+                )
+            for c in ct.checks:
+                lines.append(f"   CHECK ({c})")
+            ddl = f'CREATE TABLE IF NOT EXISTS "doc"."{name}" (\n' + ",\n".join(lines) + "\n)"
+            if ct.partitioned_by:
+                ddl += " PARTITIONED BY (" + ", ".join(
+                    f'"{c}"' for c in ct.partitioned_by
+                ) + ")"
+            return ddl
+        if name in self.tables:
+            fields = self.tables[name].schema.fields
+            body = ",\n".join(
+                f'   "{f.name}" {self._crate_type(f.dataType.simpleString())}'
+                for f in fields
+            )
+            return f'CREATE TABLE IF NOT EXISTS "doc"."{name}" (\n{body}\n)'
+        raise ValueError(f"table '{name}' does not exist")
 
     # -- parameter binding ----------------------------------------------
     def _bind_params(self, stmt: str, params: list) -> str:

@@ -707,3 +707,60 @@ def test_match_modes_via_sql(session):
     n_ph_df = docs.filter(match_phrase("text", "fast sort")).count()
     assert n_ph_sql == n_ph_df
     assert n_ph_sql > 0
+
+
+def test_array_object_literals_sql(session):
+    """CrateDB array constructors (ARRAY[...] / [...]) and OBJECT
+    literals ({k = v}) through SQL (AstBuilder array/object literals)."""
+    r = session.execute(
+        "SELECT ARRAY[1, 2, 3] AS a, ['x', 'y'] AS b, "
+        "3 = ANY([1, 2, 3]) AS m, {a = 1, nested = {b = 2}} AS o"
+    ).collect()[0]
+    assert r["a"] == [1, 2, 3] and r["b"] == ["x", "y"] and r["m"] is True
+    assert r["o"] == '{"a":1,"nested":{"b":2}}'
+    # object literal round-trips through the object subscript path
+    session.register(
+        "obj_lit_t",
+        session.execute("SELECT {a = 7, s = 'x'} AS obj"),
+    )
+    got = session.execute("SELECT obj['a']::int AS v FROM obj_lit_t").collect()
+    assert got[0]["v"] == 7
+
+
+def test_show_create_table(dml_session):
+    """SHOW CREATE TABLE reconstructs CrateDB-spelled DDL with PK,
+    generated column, CHECK and PARTITIONED BY
+    (MetadataToASTNodeResolver parity)."""
+    dml_session.execute(
+        "CREATE TABLE sct (id integer PRIMARY KEY, name text, "
+        "day text GENERATED ALWAYS AS (substr(name, 1, 3)), "
+        "CHECK (id >= 0)) PARTITIONED BY (day)"
+    )
+    ddl = dml_session.execute("SHOW CREATE TABLE sct").collect()[0]["create_table"]
+    assert 'CREATE TABLE IF NOT EXISTS "doc"."sct"' in ddl
+    assert '"id" INTEGER' in ddl and '"name" TEXT' in ddl
+    assert 'PRIMARY KEY ("id")' in ddl
+    assert "GENERATED ALWAYS AS" in ddl
+    assert "CHECK (id >= 0)" in ddl
+    assert 'PARTITIONED BY ("day")' in ddl
+
+
+def test_show_create_table_source(session):
+    """Registered source tables get plain column DDL."""
+    ddl = session.execute("SHOW CREATE TABLE nation").collect()[0]["create_table"]
+    assert '"n_name" TEXT' in ddl and '"n_nationkey"' in ddl
+
+
+def test_sys_runtime_views(session):
+    """sys.nodes / sys.shards / sys.health / sys.jobs single-node
+    analogs (SysNodesTableInfo, SysShardsTableInfo, SysHealth)."""
+    assert session.execute("SELECT * FROM sys.nodes").count() == 1
+    shards = session.execute(
+        "SELECT table_name, state FROM sys.shards WHERE table_name = 'nation'"
+    ).collect()
+    assert shards and shards[0]["state"] == "STARTED"
+    h = session.execute(
+        "SELECT health FROM sys.health WHERE table_name = 'orders'"
+    ).collect()
+    assert h[0]["health"] == "GREEN"
+    assert session.execute("SELECT * FROM sys.jobs").count() == 0
