@@ -59,6 +59,7 @@ class CrateTable:
     partitioned_by: list[str] = field(default_factory=list)
     generated: dict[str, str] = field(default_factory=dict)
     checks: list[str] = field(default_factory=list)
+    defaults: dict[str, str] = field(default_factory=dict)
 
     # -- catalog ---------------------------------------------------------
     @classmethod
@@ -72,6 +73,7 @@ class CrateTable:
         partitioned_by: list[str] | None = None,
         generated: dict[str, str] | None = None,
         checks: list[str] | None = None,
+        defaults: dict[str, str] | None = None,
     ) -> "CrateTable":
         os.makedirs(path, exist_ok=True)
         t = cls(
@@ -82,6 +84,7 @@ class CrateTable:
             partitioned_by=partitioned_by or [],
             generated=generated or {},
             checks=checks or [],
+            defaults=defaults or {},
         )
         t._save_meta()
         return t
@@ -99,6 +102,7 @@ class CrateTable:
             "partitioned_by": self.partitioned_by,
             "generated": self.generated,
             "checks": self.checks,
+            "defaults": self.defaults,
         }
         with open(os.path.join(self.path, META_FILE), "w") as f:
             json.dump(meta, f, indent=2)

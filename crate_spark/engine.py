@@ -514,6 +514,8 @@ class CrateSession:
                 line = f'   "{f.name}" {self._crate_type(f.dataType.simpleString())}'
                 if f.name in ct.generated:
                     line += f" GENERATED ALWAYS AS ({ct.generated[f.name]})"
+                if f.name in getattr(ct, "defaults", {}):
+                    line += f" DEFAULT {ct.defaults[f.name]}"
                 lines.append(line)
             if ct.primary_key:
                 lines.append(

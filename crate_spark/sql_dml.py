@@ -51,6 +51,12 @@ def _map_type(t: str) -> str:
     key = re.sub(r"\s+", " ", t.strip().lower())
     if key in _TYPE_MAP:
         return _TYPE_MAP[key]
+    # OBJECT with column policy and/or typed shape —
+    # object(strict|dynamic|ignored) [as (...)]: stored as a JSON
+    # string like bare object (SURVEY.md §7 hard part (a)); the
+    # declared inner shape is not enforced at write (dynamic policy)
+    if re.match(r"object(\s*\(\s*(strict|dynamic|ignored)\s*\))?(\s+as\s*\(.*\))?$", key):
+        return "string"
     m = re.match(r"array\s*\(\s*(.+)\s*\)$", key)
     if m:  # CrateDB array(inner) spelling
         return f"array<{_map_type(m.group(1))}>"
@@ -207,6 +213,7 @@ class SqlDmlRouter:
         pk: list[str] = []
         checks: list[str] = []
         generated: dict[str, str] = {}
+        defaults: dict[str, str] = {}
         for item in _split_top(body):
             up = item.upper()
             if up.startswith("PRIMARY KEY"):
@@ -239,6 +246,13 @@ class SqlDmlRouter:
                 cclose = _find_close(rest, ckm.end() - 1)
                 checks.append(_unmask(rest[ckm.end() : cclose], literals))
                 rest = rest[: ckm.start()] + rest[cclose + 1 :]
+            dm = re.search(r"\bDEFAULT\s+(.+?)\s*$", rest, re.IGNORECASE | re.DOTALL)
+            if dm:
+                # column DEFAULT expression (reference metadata
+                # Reference.defaultExpression; insert.rst) — applied
+                # when INSERT omits the column
+                defaults[cname] = rewrite(_unmask(dm.group(1), literals))
+                rest = rest[: dm.start()]
             if re.search(r"\bPRIMARY\s+KEY\b", rest, re.IGNORECASE):
                 pk.append(cname)
                 rest = re.sub(r"\bPRIMARY\s+KEY\b", "", rest, flags=re.IGNORECASE)
@@ -267,6 +281,7 @@ class SqlDmlRouter:
             partitioned_by=partitioned,
             generated=generated,
             checks=checks,
+            defaults=defaults,
         )
         self.crate_tables[name] = t
         self._refresh(name)
@@ -420,10 +435,16 @@ class SqlDmlRouter:
         src = src.select(
             *[F.col(c).cast(declared_types[c]).alias(c) for c in target_cols]
         )
-        # fill omitted (non-generated) columns with NULL
+        # fill omitted (non-generated) columns with their DEFAULT
+        # expression, else NULL (insert.rst default clause)
         for f in declared.fields:
             if f.name not in src.columns and f.name not in gen:
-                src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
+                if f.name in table.defaults:
+                    src = src.withColumn(
+                        f.name, F.expr(table.defaults[f.name]).cast(f.dataType)
+                    )
+                else:
+                    src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
         src = src.select(*[f.name for f in declared.fields if f.name not in gen])
 
         if conflict is None:

@@ -764,3 +764,28 @@ def test_sys_runtime_views(session):
     ).collect()
     assert h[0]["health"] == "GREEN"
     assert session.execute("SELECT * FROM sys.jobs").count() == 0
+
+
+def test_create_table_crate_ddl_trimmings(dml_session):
+    """Real-world CrateDB DDL: CLUSTERED BY / INTO SHARDS / WITH
+    options are accepted (sharding is Spark's partitioning concern),
+    object(dynamic) as (...) maps to the JSON-string object storage,
+    and column DEFAULT expressions fill omitted INSERT columns
+    (create-table.rst, insert.rst)."""
+    dml_session.execute(
+        "CREATE TABLE metrics (id integer PRIMARY KEY, "
+        "tag text DEFAULT 'none', "
+        "props object(dynamic) as (k bigint, label text), "
+        "val double precision DEFAULT 0.0) "
+        "CLUSTERED BY (id) INTO 4 SHARDS "
+        "WITH (number_of_replicas = 1)"
+    )
+    dml_session.execute("INSERT INTO metrics (id, props) VALUES (1, {k = 9, label = 'a'})")
+    dml_session.execute("INSERT INTO metrics (id, tag, val) VALUES (2, 'x', 2.5)")
+    rows = {r["id"]: r for r in dml_session.execute(
+        "SELECT id, tag, val, props['k']::bigint AS k FROM metrics ORDER BY id"
+    ).collect()}
+    assert rows[1]["tag"] == "none" and rows[1]["val"] == 0.0 and rows[1]["k"] == 9
+    assert rows[2]["tag"] == "x" and rows[2]["val"] == 2.5 and rows[2]["k"] is None
+    ddl = dml_session.execute("SHOW CREATE TABLE metrics").collect()[0]["create_table"]
+    assert "DEFAULT 'none'" in ddl
