@@ -95,6 +95,146 @@ _ANY_ALL_CMP_RE = re.compile(
 _SCHEMA_RE = re.compile(
     r"\b(information_schema|sys|pg_catalog)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)"
 )
+
+
+# ---------------------------------------------------------------------------
+# crate-only scalar function names -> Spark SQL expression templates
+# ---------------------------------------------------------------------------
+def _split_args(s: str) -> list[str]:
+    """Split a call's argument text at top-level commas."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def _not_null(a: str) -> str:
+    return f"filter({a}, __e -> __e IS NOT NULL)"
+
+
+def _arr_sum(a: str) -> str:
+    return f"aggregate({a}, CAST(0.0 AS DOUBLE), (__acc, __e) -> __acc + CAST(__e AS DOUBLE))"
+
+
+#: name -> fn(args, literals) -> Spark SQL text (or None: leave call as
+#: written — an unsupported arity surfaces as a Spark analysis error).
+#: Semantics mirror the DataFrame helpers in functions/scalar.py (each
+#: cites its reference class); templates are pure Spark builtins so the
+#: SQL front door stays whole-stage-codegen.
+_FN_TEMPLATES: dict = {
+    "array_sum": lambda a, lits: _arr_sum(a[0]) if len(a) == 1 else None,
+    "array_avg": lambda a, lits: (
+        f"({_arr_sum(_not_null(a[0]))} / nullif(size({_not_null(a[0])}), 0))"
+        if len(a) == 1
+        else None
+    ),
+    "array_unique": lambda a, lits: (
+        f"array_distinct({a[0]})"
+        if len(a) == 1
+        else f"array_distinct(concat({a[0]}, {a[1]}))" if len(a) == 2 else None
+    ),
+    "array_difference": lambda a, lits: (
+        f"filter({a[0]}, __x -> NOT array_contains({a[1]}, __x))" if len(a) == 2 else None
+    ),
+    "array_cat": lambda a, lits: f"concat({a[0]}, {a[1]})" if len(a) == 2 else None,
+    "array_overlap": lambda a, lits: (
+        f"arrays_overlap({a[0]}, {a[1]})" if len(a) == 2 else None
+    ),
+    # PG dimension semantics: empty array -> NULL (ArrayUpper/Lower)
+    "array_length": lambda a, lits: (
+        f"nullif(size({a[0]}), 0)" if len(a) in (1, 2) else None
+    ),
+    "array_upper": lambda a, lits: f"nullif(size({a[0]}), 0)" if len(a) == 2 else None,
+    "array_lower": lambda a, lits: (
+        f"(CASE WHEN size({a[0]}) > 0 THEN 1 END)" if len(a) == 2 else None
+    ),
+    # ArraySliceFunction: 1-based INCLUSIVE [from, to]
+    "array_slice": lambda a, lits: (
+        f"slice({a[0]}, {a[1]}, greatest(({a[2]}) - ({a[1]}) + 1, 0))"
+        if len(a) == 3
+        else None
+    ),
+    "array_unnest": lambda a, lits: f"flatten({a[0]})" if len(a) == 1 else None,
+    # ArraySetFunction single-index form: splice value at 1-based idx
+    "array_set": lambda a, lits: (
+        f"concat(slice({a[0]}, 1, ({a[1]}) - 1), array({a[2]}), "
+        f"slice({a[0]}, ({a[1]}) + 1, greatest(size({a[0]}) - ({a[1]}), 0)))"
+        if len(a) == 3
+        else None
+    ),
+    "array_position": lambda a, lits: (
+        # reference returns NULL when absent; Spark returns 0
+        f"nullif(array_position({a[0]}, {a[1]}), 0)" if len(a) == 2 else None
+    ),
+    "string_to_array": lambda a, lits: _string_to_array_sql(a, lits),
+    # array_to_string (PG-compat, reference 4.6.0+): Spark's array_join
+    # has identical null handling (omit, or replace when 3rd arg given)
+    "array_to_string": lambda a, lits: (
+        f"array_join({', '.join(a)})" if len(a) in (2, 3) else None
+    ),
+    "gen_random_text_uuid": lambda a, lits: "uuid()" if len(a) == 0 else None,
+    "null_or_empty": lambda a, lits: (
+        f"({a[0]} IS NULL OR size({a[0]}) = 0)" if len(a) == 1 else None
+    ),
+}
+
+_FN_CALL_RE = re.compile(
+    r"\b(" + "|".join(_FN_TEMPLATES) + r")\s*\(", re.IGNORECASE
+)
+
+
+def _string_to_array_sql(a: list[str], literals: list[str]) -> str | None:
+    """StringToArrayFunction: literal separators are regex-escaped for
+    Spark's split; NULL-string elements become NULL."""
+    if len(a) not in (2, 3):
+        return None
+    sep = a[1]
+    m = re.fullmatch(r"__LIT_(\d+)__", sep)
+    if m:
+        raw = literals[int(m.group(1))][1:-1].replace("''", "'")
+        escaped = re.escape(raw).replace("'", "''").replace("\\", "\\\\")
+        literals.append(f"'{escaped}'")
+        sep = f"__LIT_{len(literals) - 1}__"
+    parts = f"split({a[0]}, {sep})"
+    if len(a) == 2:
+        return parts
+    return f"transform({parts}, __x -> CASE WHEN __x <> {a[2]} THEN __x END)"
+
+
+def _rewrite_crate_fns(sql: str, literals: list[str]) -> str:
+    """Expand crate-only function calls into Spark builtin expressions.
+    Balanced-paren scan (regex alone can't find a call's closing paren);
+    args are rewritten recursively BEFORE templating and emitted text is
+    never re-scanned, so a template may safely reference the original
+    name (array_position -> nullif(array_position(...), 0))."""
+    m = _FN_CALL_RE.search(sql)
+    if not m:
+        return sql
+    depth, i = 1, m.end()
+    while i < len(sql) and depth:
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        return sql  # unbalanced parens: bail untouched
+    inner = _rewrite_crate_fns(sql[m.end() : i - 1], literals)
+    out = _FN_TEMPLATES[m.group(1).lower()](_split_args(inner), literals)
+    if out is None:  # unsupported arity: keep the call, args rewritten
+        out = sql[m.start() : m.end()] + inner + ")"
+    return sql[: m.start()] + out + _rewrite_crate_fns(sql[i:], literals)
 #: pg_typeof(expr) -> Spark's typeof(expr) (type-name spellings differ:
 #: Spark says 'bigint' where PG says 'int8' — documented divergence)
 _PG_TYPEOF_RE = re.compile(r"\bpg_typeof\s*\(", re.IGNORECASE)
@@ -278,6 +418,12 @@ def rewrite(sql: str, string_object_columns: set[str] | None = None) -> str:
         sql = re.sub(r"(?<![\w\]\)])\[([^\[\]]*)\]", r"array(\1)", sql)
         sql = _OBJ_LIT_RE.sub(_obj_lit_sub, sql)
     sql = _finalize_obj_structs(sql)
+
+    # crate-only scalar function names (ArraySliceFunction,
+    # StringToArrayFunction, ArrayDifferenceFunction, ...) -> Spark
+    # builtin expression templates, before the cast/subscript passes so
+    # template output participates in them
+    sql = _rewrite_crate_fns(sql, literals)
 
     # repeat :: rewrite to handle chains like a::text::int
     prev = None

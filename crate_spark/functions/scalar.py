@@ -292,6 +292,44 @@ def array_max(c: Column | str) -> Column:
     return F.array_max(_col(c))
 
 
+def array_slice(c: Column | str, frm, to) -> Column:
+    """``array_slice(arr, from, to)`` — 1-based INCLUSIVE bounds
+    (reference ``scalar/ArraySliceFunction``; docs
+    general/builtins/scalar-functions.rst). Spark's slice takes
+    (start, length), so length = to - from + 1, clamped at 0."""
+    frm_c = frm if isinstance(frm, Column) else F.lit(frm)
+    to_c = to if isinstance(to, Column) else F.lit(to)
+    return F.slice(_col(c), frm_c, F.greatest(to_c - frm_c + F.lit(1), F.lit(0)))
+
+
+def array_unnest(c: Column | str) -> Column:
+    """``array_unnest`` — flatten one nesting level (reference
+    ``scalar/ArrayUnnestFunction``); the scalar sibling of UNNEST."""
+    return F.flatten(_col(c))
+
+
+def string_to_array(c: Column | str, sep, null_str=None) -> Column:
+    """PG ``string_to_array(str, sep[, null_string])`` (reference
+    ``scalar/StringToArrayFunction``): split on a LITERAL separator
+    (regex metachars escaped); elements equal to ``null_string``
+    become NULL."""
+    import re as _re
+
+    sep_lit = sep if isinstance(sep, Column) else F.lit(_re.escape(sep))
+    parts = F.split(_col(c), sep_lit)
+    if null_str is None:
+        return parts
+    ns = null_str if isinstance(null_str, Column) else F.lit(null_str)
+    return F.transform(parts, lambda x: F.when(x != ns, x))
+
+
+def gen_random_text_uuid() -> Column:
+    """``gen_random_text_uuid()`` (reference
+    ``scalar/GenRandomTextUUIDFunction``) — random text id; maps to
+    Spark's uuid(). Nondeterministic by contract -> no oracle."""
+    return F.uuid()
+
+
 # ---------------------------------------------------------------------------
 # PG formatting
 # ---------------------------------------------------------------------------

@@ -1,0 +1,126 @@
+"""Distributed connected components over an edge DataFrame.
+
+Not in the reference (CrateDB has no graph surface) — this is the
+LLM-data-pipeline extension: near-duplicate *clustering*. Pairwise
+dedup (minhash/simhash/embedding candidates) yields an edge list; to
+keep ONE document per duplicate cluster you need the transitive
+closure of those edges, i.e. connected components, then a canonical
+pick per component.
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+and Beyond", SoCC 2014). Converges in O(log n) rounds; every round is
+two groupBy/join passes keyed on node id, so each round is a constant
+number of shuffles of skinny (node, node) rows — the MapReduce-scale
+algorithm, not O(diameter) label propagation (a 100 TB web-crawl dup
+graph has chains; diameter-bound propagation can need hundreds of
+rounds, star contraction needs ~log n).
+
+Scale design (100 TB):
+- state per round = the edge list only; no driver materialization.
+- ``localCheckpoint`` each round truncates the lineage/plan (an
+  iterated join plan otherwise grows exponentially in the optimizer).
+- convergence check is a count aggregate (one lightweight job), not a
+  collect of the edge set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    """Both directions of every edge, self-loops dropped."""
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    return (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbour to
+    min(N(u) ∪ {u}). Input must be symmetric; output edges (src > dst
+    oriented big→small)."""
+    mins = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select("src", F.least(F.col("_mn"), F.col("src")).alias("_m"))
+    )
+    return (
+        edges.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient each edge big→small; for each node u connect all of its
+    smaller neighbours (and u itself) to min(N⁻(u) ∪ {u})."""
+    o = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).distinct()
+    mins = o.groupBy("src").agg(F.min("dst").alias("_m"))
+    pairs = o.join(mins, "src").select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+    center = mins.select(F.col("src"), F.col("_m").alias("dst"))
+    return pairs.union(center).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``, where
+    component = the minimum node id reachable from the node.
+
+    Raises RuntimeError if the star contraction has not converged
+    after ``max_iterations`` rounds (needs ~log2(n); 25 covers 10^7
+    nodes with slack).
+    """
+    e = _symmetrize(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    e = e.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        e2 = _small_star(_large_star(_symmetrize(e))).localCheckpoint(eager=True)
+        # converged when the oriented edge sets agree — compare via a
+        # symmetric difference count (no driver-side edge materialization)
+        changed = e2.exceptAll(e).union(e.exceptAll(e2)).count()
+        e = e2
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iterations} rounds")
+    # post-convergence the edges form stars: (member → root). Roots and
+    # isolated nodes map to themselves.
+    membership = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = nodes.join(membership, "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    return membership.union(roots)
+
+
+def canonical_per_component(
+    assignments: DataFrame,
+    docs: DataFrame,
+    *,
+    node_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Pick ONE canonical doc per component: highest quality, ties by
+    lowest id — the 'keep best of each duplicate cluster' step.
+    One shuffle on component (max_by is a map-side-combining agg)."""
+    joined = assignments.join(
+        docs, assignments["node"] == docs[node_col], "inner"
+    ).select("component", F.col(node_col).alias("_nid"), F.col(quality_col).alias("_q"))
+    return joined.groupBy("component").agg(
+        F.max_by(
+            F.col("_nid"), F.struct(F.col("_q"), (-F.col("_nid")).alias("_neg"))
+        ).alias("canonical_id"),
+        F.count("*").alias("n_members"),
+    )

@@ -72,6 +72,11 @@ _MODULES = (
     "core",
     "joins",
     "windows",
+    # r3 additions — appended so the first-50 driver window above is
+    # byte-stable; rotate them forward in r4.
+    "graphs",
+    "pipeline",
+    "sqlfns",
 )
 
 

@@ -1,0 +1,172 @@
+"""Training-data pipeline queries: deterministic splits, stratified
+sampling, domain mixing, PII redaction, quality gating, packing.
+
+LLM-pipeline extension (no reference analog). All splits/samples are
+md5-keyed (operators/pipeline.py) so every query here is exactly
+reproducible in ANSI SQL — the driver hash-checks the whole pipeline
+surface except sequence packing (iterative first-fit → rows-only +
+invariant tests in tests/test_pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crate_spark.operators import pipeline as P
+from crate_spark.queries import query
+from crate_spark.session import load_tables
+
+#: DuckDB twin of operators.pipeline.hash_bucket(id, n)
+_DUCK_BUCKET = (
+    "CAST(concat('0x', substr(md5(CAST({id} AS VARCHAR)), 1, 8)) AS BIGINT) % {n}"
+)
+
+_DUCK_SPLIT = f"""
+    CASE WHEN {_DUCK_BUCKET.format(id='doc_id', n=100)} < 98 THEN 'train'
+         WHEN {_DUCK_BUCKET.format(id='doc_id', n=100)} < 99 THEN 'val'
+         ELSE 'test' END
+"""
+
+
+@query(
+    "pipeline_train_split",
+    oracle=f"""
+    SELECT {_DUCK_SPLIT} AS split, lang, count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def pipeline_train_split(spark, sf_dir):
+    """98/1/1 train/val/test by md5 bucket of doc_id — stable under
+    re-runs and data growth (a doc never changes split). Map-side
+    only; the aggregate is the audit."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.withColumn("split", P.train_split("doc_id"))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@query(
+    "pipeline_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def pipeline_stratified_sample(spark, sf_dir):
+    """Deterministic 20-docs-per-language sample in md5 order —
+    reproducible stratified sampling with no rand()."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return P.stratified_take(docs, "lang", "doc_id", 20).select("doc_id", "lang")
+
+
+@query(
+    "pipeline_domain_mix",
+    oracle=f"""
+    SELECT source, count(*) AS n_kept FROM documents
+    WHERE (source = 'web'  AND {_DUCK_BUCKET.format(id='doc_id', n=10000)} < 2500)
+       OR (source = 'wiki' AND {_DUCK_BUCKET.format(id='doc_id', n=10000)} < 10000)
+       OR (source = 'code' AND {_DUCK_BUCKET.format(id='doc_id', n=10000)} < 7500)
+       OR source NOT IN ('web', 'wiki', 'code')
+    GROUP BY source
+    """,
+)
+def pipeline_domain_mix(spark, sf_dir):
+    """Deterministic domain re-weighting: keep 25% of web, 100% of
+    wiki, 75% of code, everything else untouched. Pure filter —
+    zero shuffles before the audit aggregate."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    mixed = P.domain_mix(
+        docs, "doc_id", {"web": 0.25, "wiki": 1.0, "code": 0.75}, "source"
+    )
+    return mixed.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
+@query(
+    "pipeline_pii_redact",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text, '\d{6,}')) AS n_number,
+           len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+                   '\d{6,}', '<number>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<ipv4>', 'g')) AS redacted_md5
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def pipeline_pii_redact(spark, sf_dir):
+    """PII scrub: e-mails, long digit runs, IPv4s → typed placeholders.
+    Match counts + an md5 of the redacted text hash-prove the exact
+    rewrite against the oracle. JVM regex only — zero Python."""
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 200)
+    counts = P.pii_counts("text")
+    return docs.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["number"].alias("n_number"),
+        counts["ipv4"].alias("n_ipv4"),
+        F.md5(P.redact_pii("text").cast("binary")).alias("redacted_md5"),
+    )
+
+
+@query(
+    "pipeline_quality_gate",
+    oracle=r"""
+    WITH scored AS (
+        SELECT
+            len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS n,
+            list_sum(list_transform(
+                string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                w -> length(w))) /
+              CAST(greatest(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')), 1) AS DOUBLE) AS mean_len,
+            (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) /
+              CAST(length(text) AS DOUBLE) AS punct
+        FROM documents
+    )
+    SELECT CASE WHEN n < 5 THEN 'too_short'
+                WHEN n > 100000 THEN 'too_long'
+                WHEN mean_len < 2.0 THEN 'words_too_short'
+                WHEN mean_len > 12.0 THEN 'words_too_long'
+                WHEN punct > 0.30 THEN 'too_much_punct'
+                ELSE 'keep' END AS gate,
+           count(*) AS n_docs
+    FROM scored GROUP BY 1
+    """,
+)
+def pipeline_quality_gate(spark, sf_dir):
+    """Gopher-style rule gate (Rae et al. 2021 §A1.1): first failing
+    rule per doc, audited as a histogram. Pure codegen expressions."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.withColumn("gate", P.quality_gate("text"))
+        .groupBy("gate")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query("pipeline_pack_sequences", oracle=None)
+def pipeline_pack_sequences(spark, sf_dir):
+    """First-fit-decreasing sequence packing into 2048-token bins
+    (iterative per-group loop → no SQL twin; invariants — no bin
+    overflow except singletons, every doc packed exactly once, packs
+    reasonably full — are pinned in tests/test_pipeline.py)."""
+    from crate_spark.operators.text import token_count
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", token_count("text").alias("n_tok")
+    )
+    return P.pack_sequences(
+        docs, "doc_id", "n_tok", max_tokens_per_pack=2048
+    )

@@ -1,0 +1,97 @@
+"""SQL-front-door coverage for the crate-only scalar-function names
+the dialect shim expands into Spark builtin expressions
+(dialect._FN_TEMPLATES): the array_* family, string_to_array,
+null_or_empty. Each query goes through CrateSession.execute — shim +
+engine dispatch end-to-end — with a DuckDB oracle.
+
+Reference classes: scalar/ArraySliceFunction, ArraySetFunction,
+StringToArrayFunction, ArrayDifferenceFunction, ArrayUniqueFunction,
+ArraySummationFunction, ArrayAvgFunction, ArrayUpper/LowerFunction,
+NullOrEmptyFunction (docs/general/builtins/scalar-functions.rst).
+"""
+
+from __future__ import annotations
+
+from crate_spark.queries import query
+
+
+def _session(spark, sf_dir):
+    from crate_spark.engine import CrateSession
+
+    return CrateSession(spark, sf_dir)
+
+
+@query(
+    "sql_array_fn_surface",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, lang, source, string_split(text, ' ') AS words
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT doc_id,
+           array_to_string(words[2:4], ',') AS sliced,
+           array_to_string(string_split(lang || '|' || source, '|'), ',') AS split_cols,
+           nullif(list_position(words, 'the'), 0) AS pos_the,
+           nullif(len(words), 0) AS n_words,
+           CASE WHEN len(words) > 0 THEN 1 END AS lower_1,
+           nullif(len(words), 0) AS upper_1,
+           array_to_string(words[1:1] || ['XX'] || words[3:], ',') AS set_2,
+           array_to_string(flatten([words[1:2], words[4:5]]), ',') AS unnested
+    FROM src
+    """,
+)
+def sql_array_fn_surface(spark, sf_dir):
+    """array_slice / string_to_array / array_position (NULL when
+    absent) / array_length / array_lower / array_upper / array_set /
+    array_unnest — all as SQL text through the shim, all expanding to
+    whole-stage-codegen Spark builtins (no UDFs)."""
+    return _session(spark, sf_dir).execute(
+        "SELECT doc_id, "
+        "array_to_string(array_slice(string_to_array(text, ' '), 2, 4), ',') AS sliced, "
+        "array_to_string(string_to_array(concat(lang, '|', source), '|'), ',') AS split_cols, "
+        "array_position(string_to_array(text, ' '), 'the') AS pos_the, "
+        "array_length(string_to_array(text, ' '), 1) AS n_words, "
+        "array_lower(string_to_array(text, ' '), 1) AS lower_1, "
+        "array_upper(string_to_array(text, ' '), 1) AS upper_1, "
+        "array_to_string(array_set(string_to_array(text, ' '), 2, 'XX'), ',') AS set_2, "
+        "array_to_string(array_unnest([array_slice(string_to_array(text, ' '), 1, 2), "
+        "array_slice(string_to_array(text, ' '), 4, 5)]), ',') AS unnested "
+        "FROM documents WHERE doc_id < 150"
+    )
+
+
+@query(
+    "sql_array_numeric_fns",
+    oracle="""
+    WITH src AS (
+      SELECT d.doc_id, string_split(d.text, ' ') AS words, e.embedding
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      WHERE d.doc_id < 150
+    )
+    SELECT doc_id,
+           ROUND(list_sum(embedding), 5) AS vec_sum,
+           ROUND(list_avg(embedding), 6) AS vec_avg,
+           array_to_string(list_filter(words, x -> NOT list_contains(['the','a','of'], x)), ',') AS no_stop,
+           array_to_string(list_sort(list_distinct(words[1:3] || words[1:3])), ',') AS uniq_head,
+           list_has_any(words, ['data', 'spark']) AS mentions,
+           (words IS NULL OR len(words) = 0) AS empty_words
+    FROM src
+    """,
+)
+def sql_array_numeric_fns(spark, sf_dir):
+    """array_sum / array_avg / array_difference / array_cat +
+    array_unique / array_overlap / null_or_empty through the SQL
+    front door, joined across documents and embeddings."""
+    return _session(spark, sf_dir).execute(
+        "SELECT d.doc_id, "
+        "ROUND(array_sum(e.embedding), 5) AS vec_sum, "
+        "ROUND(array_avg(e.embedding), 6) AS vec_avg, "
+        "array_to_string(array_difference(string_to_array(d.text, ' '), ['the','a','of']), ',') AS no_stop, "
+        "array_to_string(array_sort(array_unique(array_cat("
+        "array_slice(string_to_array(d.text, ' '), 1, 3), "
+        "array_slice(string_to_array(d.text, ' '), 1, 3)))), ',') AS uniq_head, "
+        "array_overlap(string_to_array(d.text, ' '), ['data','spark']) AS mentions, "
+        "null_or_empty(string_to_array(d.text, ' ')) AS empty_words "
+        "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id "
+        "WHERE d.doc_id < 150"
+    )

@@ -1,0 +1,105 @@
+"""Invariant tests for the training-data pipeline operators: packing
+correctness, split stability under data growth, mix subsets, PII
+redaction on known strings, quality-gate rule routing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crate_spark.operators import pipeline as P
+
+
+def test_pack_sequences_invariants(spark):
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37, F.lit(900)) + 10).alias("n_tok"),
+    )
+    packed = P.pack_sequences(docs, "doc_id", "n_tok", max_tokens_per_pack=2048)
+    rows = packed.collect()
+    # every doc packed exactly once
+    assert sorted(r["id"] for r in rows) == list(range(500))
+    # pack_tokens is consistent: sum of members == reported total, and
+    # no pack exceeds the budget unless it is a single oversized doc
+    packs = {}
+    for r in rows:
+        packs.setdefault((r["pack_key"], r["pack_id"]), []).append(r)
+    for members in packs.values():
+        total = sum(m["n_tokens"] for m in members)
+        assert all(m["pack_tokens"] == total for m in members)
+        if len(members) > 1:
+            assert total <= 2048
+    # deterministic: second run identical
+    again = sorted(
+        map(tuple, P.pack_sequences(docs, "doc_id", "n_tok", max_tokens_per_pack=2048).collect())
+    )
+    assert again == sorted(map(tuple, rows))
+
+
+def test_pack_oversized_doc_is_singleton(spark):
+    docs = spark.createDataFrame(
+        [(1, 5000), (2, 100), (3, 100)], "doc_id long, n_tok long"
+    )
+    # force one group so all three docs pack together
+    docs1 = docs.withColumn("k", F.lit(0))
+    rows = P.pack_sequences(
+        docs1, "doc_id", "n_tok", max_tokens_per_pack=2048, pack_key_col="k"
+    ).collect()
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[1]["pack_tokens"] == 5000  # singleton, over budget by itself
+    assert by_id[2]["pack_id"] == by_id[3]["pack_id"]  # small docs share a pack
+
+
+def test_train_split_stable_under_growth(spark):
+    """A document's split must not change when the corpus grows."""
+    small = spark.range(100).select(F.col("id"), P.train_split("id").alias("s"))
+    big = spark.range(10_000).select(F.col("id"), P.train_split("id").alias("s"))
+    merged = small.alias("a").join(big.alias("b"), "id")
+    assert merged.filter(F.col("a.s") != F.col("b.s")).count() == 0
+    # rough 98/1/1 shape at 10k ids
+    dist = {r["s"]: r["c"] for r in big.groupBy("s").agg(F.count("*").alias("c")).collect()}
+    assert dist["train"] > 9_500 and 0 < dist["val"] < 300 and 0 < dist["test"] < 300
+
+
+def test_domain_mix_subset_and_full_keep(spark):
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, "web")
+        .when(F.col("id") % 3 == 1, "wiki")
+        .otherwise("other")
+        .alias("dom"),
+    )
+    mixed = P.domain_mix(df, "id", {"web": 0.5, "wiki": 1.0}, "dom")
+    counts = {r["dom"]: r["c"] for r in mixed.groupBy("dom").agg(F.count("*").alias("c")).collect()}
+    full = {r["dom"]: r["c"] for r in df.groupBy("dom").agg(F.count("*").alias("c")).collect()}
+    assert counts["wiki"] == full["wiki"]  # weight 1.0 keeps everything
+    assert counts["other"] == full["other"]  # unlisted domains untouched
+    assert 0 < counts["web"] < full["web"]  # downsampled, deterministic
+
+
+def test_redact_pii_known_strings(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail bob.smith+x@example.co.uk now", "mail <email> now"),
+            ("call 1234567 or 12345", "call <number> or 12345"),
+            ("host 10.0.255.1 up", "host <ipv4> up"),
+            ("clean text", "clean text"),
+        ],
+        "t string, want string",
+    )
+    bad = df.filter(P.redact_pii("t") != F.col("want")).count()
+    assert bad == 0
+
+
+def test_quality_gate_rule_routing(spark):
+    df = spark.createDataFrame(
+        [
+            ("one two", "too_short"),  # < 5 words
+            ("a b c d e f g h", "words_too_short"),  # mean word len 1
+            ("the quick brown foxes jumped over lazy sleeping dogs", "keep"),
+            ("!!! ??? ... ;;; ### $$$ %%% &&& @@@ ***", "too_much_punct"),
+        ],
+        "t string, want string",
+    )
+    got = df.select(P.quality_gate("t").alias("g"), "want").collect()
+    for r in got:
+        assert r["g"] == r["want"], r

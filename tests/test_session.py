@@ -789,3 +789,31 @@ def test_create_table_crate_ddl_trimmings(dml_session):
     assert rows[2]["tag"] == "x" and rows[2]["val"] == 2.5 and rows[2]["k"] is None
     ddl = dml_session.execute("SHOW CREATE TABLE metrics").collect()[0]["create_table"]
     assert "DEFAULT 'none'" in ddl
+
+
+def test_crate_fn_templates_via_sql(session):
+    """The dialect's crate-only function templates (ArraySlice/
+    ArraySet/StringToArray/GenRandomTextUUID...) execute through the
+    SQL front door as pure Spark builtins."""
+    row = session.execute(
+        "SELECT array_slice([10, 20, 30, 40], 2, 3) AS sl, "
+        "array_set([1, 2, 3], 2, 99) AS st, "
+        "string_to_array('a|b|NULLME|c', '|', 'NULLME') AS sta, "
+        "array_position([5, 6], 7) AS missing, "
+        "array_length([], 1) AS empty_len, "
+        "gen_random_text_uuid() AS uid"
+    ).collect()[0]
+    assert row["sl"] == [20, 30]
+    assert row["st"] == [1, 99, 3]
+    assert row["sta"] == ["a", "b", None, "c"]
+    assert row["missing"] is None and row["empty_len"] is None
+    assert len(row["uid"]) == 36 and row["uid"].count("-") == 4
+
+
+def test_crate_fn_unsupported_arity_left_alone(session):
+    """An arity the templates don't cover keeps the original call and
+    surfaces as a Spark analysis error, not a silent rewrite."""
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="(?i)array_position|UNRESOLVED"):
+        session.execute("SELECT array_position([1], 1, 1) AS x").collect()
