@@ -42,6 +42,10 @@ HEADLINE = [
     "text_minhash_lsh",
     "text_stats",
     "vector_knn_exact",
+    # r3 additions (totals before r3 cover the first 12 queries only):
+    # iterative star-contraction CC and the Arrow sequence-packing path
+    "graph_connected_components",
+    "pipeline_pack_sequences",
 ]
 
 

@@ -86,12 +86,17 @@ def connected_components(
     e = _symmetrize(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     e = e.localCheckpoint(eager=True)
+    n_prev = e.count()
     for _ in range(max_iterations):
         e2 = _small_star(_large_star(_symmetrize(e))).localCheckpoint(eager=True)
-        # converged when the oriented edge sets agree — compare via a
-        # symmetric difference count (no driver-side edge materialization)
-        changed = e2.exceptAll(e).union(e.exceptAll(e2)).count()
-        e = e2
+        # converged when the oriented edge sets agree. Both sides are
+        # distinct sets, so |e2| == |e| plus e2 ∖ e = ∅ implies
+        # equality — one count (free on the fresh checkpoint) and ONE
+        # anti-join pass instead of a symmetric difference, and never
+        # any driver-side edge materialization.
+        n2 = e2.count()
+        changed = 1 if n2 != n_prev else e2.exceptAll(e).count()
+        e, n_prev = e2, n2
         if changed == 0:
             break
     else:

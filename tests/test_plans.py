@@ -215,3 +215,46 @@ def test_salted_join_handles_hot_key(spark):
         F.count("*").alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
     ).collect()[0]
     assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])
+
+
+def test_pipeline_split_ops_scan_side_only(spark):
+    """Split / mix / redact / quality-gate are pure map-side column
+    expressions: zero exchanges before the audit aggregate, no Python."""
+    for name in ("pipeline_train_split", "pipeline_domain_mix", "pipeline_quality_gate"):
+        plan = plan_of(spark, name)
+        assert plan.count("Exchange") <= 1, f"{name}: >1 exchange\n{plan}"
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    plan = plan_of(spark, "pipeline_pii_redact")
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_stratified_sample_single_shuffle(spark):
+    """Top-n per stratum: exactly one hash exchange (on the stratum
+    key) feeds the rank window."""
+    plan = plan_of(spark, "pipeline_stratified_sample")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_graph_cc_rounds_are_node_keyed_shuffles(spark):
+    """One CC round (large-star) = groupBy + join keyed on node id —
+    hash exchanges only, never a CartesianProduct or nested loop."""
+    from crate_spark.operators.graph import _large_star, _symmetrize
+    from pyspark.sql import functions as F
+
+    edges = spark.range(200).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 1) % 200).alias("dst")
+    )
+    plan = (
+        _large_star(_symmetrize(edges))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_one_shuffle_then_arrow(spark):
+    """Packing = one exchange on the pack key, then Arrow-batched
+    per-group Python (FlatMapGroupsInPandas) — no row-at-a-time UDF."""
+    plan = plan_of(spark, "pipeline_pack_sequences")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 2, plan
