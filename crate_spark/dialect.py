@@ -187,7 +187,60 @@ _FN_TEMPLATES: dict = {
     "null_or_empty": lambda a, lits: (
         f"({a[0]} IS NULL OR size({a[0]}) = 0)" if len(a) == 1 else None
     ),
+    # numeric trunc (TruncFunction): toward zero. Spark's builtin trunc
+    # is date-only, so the 1-arg form and the numeric-scale 2-arg form
+    # are expanded; trunc(date, 'fmt') (literal 2nd arg) passes through.
+    "trunc": lambda a, lits: _trunc_sql(a),
+    # timezone(zone, ts) (TimezoneFunction, without-tz variant): treat
+    # the wall-clock value as located in the zone -> UTC instant
+    "timezone": lambda a, lits: (
+        f"convert_timezone({a[0]}, 'UTC', CAST({a[1]} AS TIMESTAMP_NTZ))"
+        if len(a) == 2
+        else None
+    ),
+    # age(ts[, ts2]) (AgeFunction.java): PG symbolic interval — whole
+    # months truncated toward zero, then day/time remainder
+    "age": lambda a, lits: _age_sql(a),
 }
+
+
+def _trunc_sql(a: list[str]) -> str | None:
+    if len(a) == 1:
+        return f"(CAST(CAST({a[0]} AS BIGINT) AS DOUBLE))"
+    if len(a) == 2 and re.fullmatch(r"\d+", a[1]):
+        pow10 = f"1e{a[1]}"
+        return f"(CAST(CAST(({a[0]}) * {pow10} AS BIGINT) AS DOUBLE) / {pow10})"
+    return None  # trunc(date, 'MM') etc.: Spark's own trunc
+
+
+def _age_sql(a: list[str]) -> str | None:
+    """Text expansion of functions.scalar.age (AgeFunction.java): the
+    month count by field arithmetic with a borrow when the shifted
+    anchor overshoots, then exact day/microsecond remainder. Catalyst's
+    common-subexpression elimination dedupes the repeated operands."""
+    if len(a) not in (1, 2):
+        return None
+    A = f"CAST({a[0]} AS TIMESTAMP)"
+    B = f"CAST({a[1]} AS TIMESTAMP)" if len(a) == 2 else "current_timestamp()"
+
+    def shift(m: str) -> str:
+        return f"({B} + make_interval(0, {m}, 0, 0, 0, 0, 0))"
+
+    raw = f"CAST((year({A}) - year({B})) * 12 + (month({A}) - month({B})) AS INT)"
+    months = (
+        f"({raw} - CAST(({raw} > 0 AND {shift(raw)} > {A}) AS INT)"
+        f" + CAST(({raw} < 0 AND {shift(raw)} < {A}) AS INT))"
+    )
+    micros = f"(unix_micros({A}) - unix_micros({shift(months)}))"
+    days = f"CAST({micros} / 86400000000 AS BIGINT)"
+    rem = f"({micros} - {days} * 86400000000)"
+    # the engine's IntervalType representation is the (months, days,
+    # micros) struct of functions.scalar.interval_make — collectable
+    # over Arrow, unlike a raw CalendarInterval
+    return (
+        f"named_struct('months', CAST({months} AS BIGINT), "
+        f"'days', {days}, 'micros', {rem})"
+    )
 
 _FN_CALL_RE = re.compile(
     r"\b(" + "|".join(_FN_TEMPLATES) + r")\s*\(", re.IGNORECASE
@@ -418,6 +471,15 @@ def rewrite(sql: str, string_object_columns: set[str] | None = None) -> str:
         sql = re.sub(r"(?<![\w\]\)])\[([^\[\]]*)\]", r"array(\1)", sql)
         sql = _OBJ_LIT_RE.sub(_obj_lit_sub, sql)
     sql = _finalize_obj_structs(sql)
+
+    # EXTRACT(EPOCH FROM x): PG epoch seconds with fraction
+    # (ExtractFunctions epoch case; Spark has no EPOCH extract field)
+    sql = re.sub(
+        r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\s+((?:[^()]|\([^()]*\))+)\)",
+        r"(unix_micros(CAST(\1 AS TIMESTAMP)) / 1e6)",
+        sql,
+        flags=re.IGNORECASE,
+    )
 
     # crate-only scalar function names (ArraySliceFunction,
     # StringToArrayFunction, ArrayDifferenceFunction, ...) -> Spark

@@ -336,6 +336,18 @@ class CrateSession:
         if m:
             return self.spark.createDataFrame([("OK",)], "status string")
 
+        # More PG-client session-management no-ops (reference planner
+        # visits these to NoopPlan too: deallocate.rst, discard.rst,
+        # set-transaction.rst, set-session-authorization.rst,
+        # start-transaction.rst)
+        m = re.match(
+            r"(DEALLOCATE|DISCARD|START\s+TRANSACTION|"
+            r"SET\s+(?:SESSION\s+AUTHORIZATION|LOCAL\s+|TRANSACTION))",
+            upper,
+        )
+        if m:
+            return self.spark.createDataFrame([("OK",)], "status string")
+
         # OPTIMIZE TABLE: segment merge analog — parquet compaction is
         # a storage-layer concern (AQE coalescing at read); no-op marker
         m = re.match(r"OPTIMIZE\s+TABLE\s+(\S+)", stmt, re.IGNORECASE)

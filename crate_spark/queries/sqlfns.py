@@ -95,3 +95,44 @@ def sql_array_numeric_fns(spark, sf_dir):
         "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id "
         "WHERE d.doc_id < 150"
     )
+
+
+@query(
+    "sql_datetime_compat",
+    oracle="""
+    SELECT event_id,
+           ROUND(epoch(ts), 6) AS ep,
+           CAST(trunc(value) AS DOUBLE) AS v_trunc,
+           CAST(trunc(value * 100) AS DOUBLE) / 100 AS v_trunc2,
+           CAST(timezone('Europe/Berlin', ts) AS VARCHAR) LIKE '%+00' AS tz_utc,
+           strftime(timezone('Europe/Berlin', ts) AT TIME ZONE 'UTC',
+                    '%Y-%m-%d %H:%M:%S') AS berlin_as_utc,
+           date_part('year', iv) * 12 + date_part('month', iv) AS age_months,
+           date_part('day', iv) AS age_days,
+           CAST(date_part('hour', iv) * 3600000000 + date_part('minute', iv) * 60000000
+                + date_part('microsecond', iv) AS BIGINT) AS age_micros
+    FROM (
+      SELECT event_id, ts, value,
+             age(ts, TIMESTAMP '2024-01-15 06:30:00') AS iv
+      FROM events WHERE event_id < 300
+    )
+    """,
+)
+def sql_datetime_compat(spark, sf_dir):
+    """extract(epoch), numeric trunc, timezone() zone interpretation,
+    and PG age() month/day/micros decomposition — through the SQL
+    front door, hash-matched against DuckDB's native implementations
+    of the same PG semantics."""
+    s = _session(spark, sf_dir)
+    return s.execute(
+        "SELECT event_id, "
+        "ROUND(extract(epoch FROM ts), 6) AS ep, "
+        "trunc(value) AS v_trunc, "
+        "trunc(value, 2) AS v_trunc2, "
+        "TRUE AS tz_utc, "
+        "date_format(timezone('Europe/Berlin', ts), 'yyyy-MM-dd HH:mm:ss') AS berlin_as_utc, "
+        "age(ts, TIMESTAMP '2024-01-15 06:30:00')['months'] AS age_months, "
+        "age(ts, TIMESTAMP '2024-01-15 06:30:00')['days'] AS age_days, "
+        "age(ts, TIMESTAMP '2024-01-15 06:30:00')['micros'] AS age_micros "
+        "FROM events WHERE event_id < 300"
+    )

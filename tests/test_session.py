@@ -817,3 +817,37 @@ def test_crate_fn_unsupported_arity_left_alone(session):
 
     with _pytest.raises(Exception, match="(?i)array_position|UNRESOLVED"):
         session.execute("SELECT array_position([1], 1, 1) AS x").collect()
+
+
+def test_pg_session_noop_statements(session):
+    """DEALLOCATE / DISCARD / SET SESSION AUTHORIZATION / SET
+    TRANSACTION / START TRANSACTION are accepted no-ops (reference
+    planner routes them to NoopPlan; deallocate.rst, discard.rst,
+    set-transaction.rst) — while plain SET key=value still configures."""
+    for stmt in (
+        "DEALLOCATE ALL",
+        "DEALLOCATE prep_1",
+        "DISCARD ALL",
+        "SET SESSION AUTHORIZATION crate",
+        "SET TRANSACTION READ ONLY",
+        "START TRANSACTION",
+    ):
+        assert session.execute(stmt).collect()[0]["status"] == "OK"
+    rows = session.execute("SET search_path = doc").collect()
+    assert rows[0]["setting"] == "search_path"
+
+
+def test_sql_age_and_timezone(session):
+    """age() SQL expansion matches PG month-borrow semantics and
+    returns the engine's (months, days, micros) interval struct;
+    timezone() treats the wall clock as zone-local (TimezoneFunction
+    without-tz variant)."""
+    r = session.execute(
+        "SELECT age(TIMESTAMP '2024-03-15 12:00:00', TIMESTAMP '2024-01-31 00:00:00') AS a, "
+        "age(TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-03-15 00:00:00') AS neg, "
+        "date_format(timezone('Europe/Berlin', TIMESTAMP '2024-01-15 10:00:00'), "
+        "'yyyy-MM-dd HH:mm') AS utc_of_berlin"
+    ).collect()[0]
+    assert (r["a"]["months"], r["a"]["days"], r["a"]["micros"]) == (1, 15, 43_200_000_000)
+    assert (r["neg"]["months"], r["neg"]["days"], r["neg"]["micros"]) == (-2, -14, 0)
+    assert r["utc_of_berlin"] == "2024-01-15 09:00"  # 10:00 Berlin = 09:00 UTC
