@@ -12,7 +12,10 @@ handling as free surplus.
 """
 
 from crate_spark.streaming.ingest import (  # noqa: F401
+    stream_dedup,
+    stream_enrich,
     stream_ingest,
+    stream_quality_gate,
     stream_sessionize,
     stream_windowed_rollup,
 )

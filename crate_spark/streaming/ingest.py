@@ -176,3 +176,56 @@ def stream_sessionize(
             fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
         )
     )
+
+
+def stream_dedup(
+    src: DataFrame,
+    key_cols: list[str],
+    *,
+    event_time_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key.
+
+    ``dropDuplicatesWithinWatermark`` bounds the per-key state by the
+    watermark horizon — the unbounded-state trap of a plain
+    dropDuplicates on an infinite stream. The scale contract matches
+    batch ``exact_duplicates``: one shuffle on the key; state store
+    holds only keys younger than the watermark.
+    """
+    src = src.withColumn(event_time_col, F.col(event_time_col).cast("timestamp"))
+    return src.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def stream_enrich(
+    src: DataFrame,
+    dim: DataFrame,
+    on: str,
+    *,
+    how: str = "left",
+) -> DataFrame:
+    """Stream–static enrichment join (lookup-join analog on a stream).
+
+    The static side is re-read per micro-batch (picking up dimension
+    updates) and broadcast when small — the streaming twin of the
+    batch lookup join; no stream-side state is kept.
+    """
+    from pyspark.sql.functions import broadcast
+
+    return src.join(broadcast(dim), on, how)
+
+
+def stream_quality_gate(
+    src: DataFrame,
+    text_col: str,
+) -> DataFrame:
+    """Streaming document-quality routing: the batch quality_gate
+    expression applied per micro-batch (pure codegen, no state),
+    emitting (doc, gate) for a downstream filter/split sink — the
+    continuous-ingest form of the training-data quality pass.
+    """
+    from crate_spark.operators.pipeline import quality_gate
+
+    return src.withColumn("gate", quality_gate(text_col))

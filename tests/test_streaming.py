@@ -117,3 +117,85 @@ def test_stream_sessionize_stateful(spark, tmp_path):
     # user 3's tail (timeout 16:30) never times out before the stream
     # drains -> held in state, not emitted (append-mode contract)
     assert rows.get(3) is None
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate keys arriving inside the watermark horizon are
+    dropped; the state store stays bounded by the watermark."""
+    from crate_spark.streaming import stream_dedup
+
+    src, dst, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    (tmp_path / "in").mkdir()
+    _write_batch(src, "b1", [
+        {"id": 1, "ts": "2024-01-01 00:01:00", "value": 1.5},
+        {"id": 1, "ts": "2024-01-01 00:02:00", "value": 1.5},  # dup key
+        {"id": 2, "ts": "2024-01-01 00:03:00", "value": 2.5},
+        {"id": 2, "ts": "2024-01-01 00:03:30", "value": 9.9},  # dup key
+        {"id": 3, "ts": "2024-01-01 00:04:00", "value": 3.0},
+    ])
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    deduped = stream_dedup(stream, ["id"], event_time_col="ts")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.read.parquet(dst)
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_stream_enrich_static_join(spark, tmp_path):
+    """Stream-static broadcast enrichment: every micro-batch row picks
+    up its dimension attributes; no stream-side state."""
+    from crate_spark.streaming import stream_enrich
+
+    src, dst, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    (tmp_path / "in").mkdir()
+    _write_batch(src, "b1", [
+        {"id": 1, "ts": "2024-01-01 00:01:00", "value": 1.5},
+        {"id": 2, "ts": "2024-01-01 00:02:00", "value": 2.5},
+        {"id": 9, "ts": "2024-01-01 00:03:00", "value": 0.0},  # no dim row
+    ])
+    dim = spark.createDataFrame([(1, "gold"), (2, "silver")], "id bigint, tier string")
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    q = (
+        stream_enrich(stream, dim, "id")
+        .writeStream.format("parquet")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r["id"]: r["tier"] for r in spark.read.parquet(dst).collect()}
+    assert rows == {1: "gold", 2: "silver", 9: None}
+
+
+def test_stream_quality_gate(spark, tmp_path):
+    """The batch quality-gate expression runs per micro-batch and
+    routes documents by first failing rule."""
+    from crate_spark.streaming import stream_quality_gate
+
+    src, dst, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    (tmp_path / "in").mkdir()
+    with open(f"{src}/docs.json", "w") as f:
+        for i, t in enumerate(["one two", "the quick brown foxes jumped over lazy sleeping dogs"]):
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+    stream = spark.readStream.schema("doc_id bigint, text string").json(src)
+    q = (
+        stream_quality_gate(stream, "text")
+        .writeStream.format("parquet")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r["doc_id"]: r["gate"] for r in spark.read.parquet(dst).collect()}
+    assert got == {0: "too_short", 1: "keep"}
