@@ -170,3 +170,54 @@ def pipeline_pack_sequences(spark, sf_dir):
     return P.pack_sequences(
         docs, "doc_id", "n_tok", max_tokens_per_pack=2048
     )
+
+
+@query(
+    "pipeline_quantize_int8",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, embedding,
+             CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+                  THEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+                  ELSE 1.0 END AS scale
+      FROM embeddings WHERE vec_id < 200
+    ),
+    coded AS (
+      SELECT vec_id, embedding, scale,
+             list_transform(embedding,
+               x -> greatest(-127, least(127, CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)))) AS codes
+      FROM q
+    )
+    SELECT vec_id,
+           ROUND(scale, 9) AS scale_r,
+           list_sum(codes) AS code_sum,
+           list_sum(list_transform(codes, c -> c * c)) AS code_sq_sum,
+           ROUND(sqrt(list_sum(list_transform(list_zip(embedding, codes),
+                 p -> pow(CAST(p[1] AS DOUBLE) - p[2] * scale, 2.0))) / len(embedding)), 9) AS rmse
+    FROM coded
+    """,
+)
+def pipeline_quantize_int8(spark, sf_dir):
+    """Symmetric int8 embedding quantization (operators/quant.py):
+    per-vector scale, code checksums, and reconstruction RMSE —
+    hash-matched against DuckDB computing the identical arithmetic.
+    The 4x shuffle-byte reduction path for 100 TB vector ops."""
+    from crate_spark.operators import quant as Q
+
+    e = load_tables(spark, sf_dir)["embeddings"].filter(F.col("vec_id") < 200)
+    s = Q.quant_scale("embedding")
+    df = e.select("vec_id", "embedding", s.alias("scale"))
+    df = df.withColumn("codes", Q.quantize_int8("embedding", F.col("scale")))
+    code_sum = F.aggregate(F.col("codes"), F.lit(0).cast("long"), lambda a, x: a + x)
+    code_sq = F.aggregate(
+        F.col("codes"), F.lit(0).cast("long"), lambda a, x: a + (x * x).cast("long")
+    )
+    return df.select(
+        "vec_id",
+        F.round(F.col("scale"), 9).alias("scale_r"),
+        code_sum.alias("code_sum"),
+        code_sq.alias("code_sq_sum"),
+        F.round(
+            Q.reconstruction_rmse("embedding", F.col("codes"), F.col("scale")), 9
+        ).alias("rmse"),
+    )

@@ -103,3 +103,33 @@ def test_quality_gate_rule_routing(spark):
     got = df.select(P.quality_gate("t").alias("g"), "want").collect()
     for r in got:
         assert r["g"] == r["want"], r
+
+
+def test_quantized_dot_tracks_exact_cosine(spark):
+    """int8 dequantized dot products stay within ~1% of the exact
+    float dot — the accuracy contract of the SQ8 shuffle-size trade."""
+    import math
+    import random
+
+    from crate_spark.operators import quant as Q
+
+    rng = random.Random(7)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "id long, v array<double>")
+    df = df.select(
+        "id", "v",
+        Q.quant_scale("v").alias("s"),
+        Q.quantize_int8("v").alias("q"),
+    )
+    a, b = df.alias("a"), df.alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
+        F.col("a.id").alias("ia"), F.col("b.id").alias("ib"),
+        Q.dequant_dot(F.col("a.q"), F.col("a.s"), F.col("b.q"), F.col("b.s")).alias("qdot"),
+        F.aggregate(
+            F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ).alias("fdot"),
+    )
+    for r in pairs.collect():
+        # absolute tolerance scaled to vector norms (64-dim, |v|<=1)
+        assert math.isclose(r["qdot"], r["fdot"], abs_tol=0.35), r
