@@ -642,6 +642,23 @@ def rewrite(sql: str, string_object_columns: set[str] | None = None) -> str:
         flags=re.IGNORECASE,
     )
 
+    # PG result-limiting spellings (select.rst: FETCH FIRST n ROWS
+    # ONLY, OFFSET n ROWS) -> Spark's LIMIT/OFFSET. The combined form
+    # is reordered because Spark's grammar wants LIMIT before OFFSET.
+    sql = re.sub(
+        r"\bOFFSET\s+(\d+)\s+ROWS?\s+FETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY",
+        r"LIMIT \2 OFFSET \1",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY",
+        r"LIMIT \1",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(r"\bOFFSET\s+(\d+)\s+ROWS?\b", r"OFFSET \1", sql, flags=re.IGNORECASE)
+
     sql = _rewrite_order_by(sql)
     for i, lit in enumerate(literals):
         sql = sql.replace(f"__LIT_{i}__", lit)

@@ -221,3 +221,65 @@ def pipeline_quantize_int8(spark, sf_dir):
             Q.reconstruction_rmse("embedding", F.col("codes"), F.col("scale")), 9
         ).alias("rmse"),
     )
+
+
+@query(
+    "pipeline_knn_quantized",
+    oracle="""
+    WITH coded AS (
+      SELECT vec_id,
+             CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+                  THEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+                  ELSE 1.0 END AS scale,
+             list_transform(embedding,
+               x -> greatest(-127, least(127, CAST(floor(CAST(x AS DOUBLE) /
+                 (CASE WHEN list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) > 0
+                       THEN list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0
+                       ELSE 1.0 END) + 0.5) AS INT)))) AS codes
+      FROM embeddings
+    )
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(CAST(list_sum(list_transform(list_zip(q.codes, c.codes),
+                 p -> CAST(p[1] AS BIGINT) * p[2])) AS DOUBLE) * q.scale * c.scale, 9) AS qdot
+    FROM coded q JOIN coded c ON q.vec_id < 3 AND c.vec_id <> q.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_sum(list_transform(list_zip(q.codes, c.codes),
+                 p -> CAST(p[1] AS BIGINT) * p[2])) * q.scale * c.scale DESC, c.vec_id
+    ) <= 5
+    """,
+)
+def pipeline_knn_quantized(spark, sf_dir):
+    """Top-5 neighbors by int8-quantized dot product: the quantized
+    kNN inner loop end-to-end — and unlike LSH/IVF, exactly
+    reproducible in SQL, so the driver hash-checks an entire
+    reduced-precision ANN scoring path. Query side (3 vectors) is
+    broadcast; the corpus is scanned once, never shuffled."""
+    from pyspark.sql import Window
+
+    from crate_spark.operators import quant as Q
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    coded = e.select(
+        "vec_id",
+        Q.quant_scale("embedding").alias("scale"),
+        Q.quantize_int8("embedding").alias("codes"),
+    )
+    q = coded.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("scale").alias("qscale"),
+        F.col("codes").alias("qcodes"),
+    )
+    pairs = coded.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        Q.dequant_dot(
+            F.col("qcodes"), F.col("qscale"), F.col("codes"), F.col("scale")
+        ).alias("_dot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_dot").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .select("query_id", "neighbor_id", F.round(F.col("_dot"), 9).alias("qdot"))
+    )

@@ -851,3 +851,22 @@ def test_sql_age_and_timezone(session):
     assert (r["a"]["months"], r["a"]["days"], r["a"]["micros"]) == (1, 15, 43_200_000_000)
     assert (r["neg"]["months"], r["neg"]["days"], r["neg"]["micros"]) == (-2, -14, 0)
     assert r["utc_of_berlin"] == "2024-01-15 09:00"  # 10:00 Berlin = 09:00 UTC
+
+
+def test_fetch_first_and_named_windows(session):
+    """PG result-limit spellings (select.rst FETCH FIRST / OFFSET n
+    ROWS) rewrite to LIMIT/OFFSET; WINDOW w AS (...) named windows run
+    natively."""
+    names = [r["n_name"] for r in session.execute(
+        "SELECT n_name FROM nation ORDER BY n_name FETCH FIRST 3 ROWS ONLY"
+    ).collect()]
+    assert len(names) == 3 and names == sorted(names)
+    offs = [r["n_name"] for r in session.execute(
+        "SELECT n_name FROM nation ORDER BY n_name OFFSET 2 ROWS FETCH NEXT 3 ROWS ONLY"
+    ).collect()]
+    assert len(offs) == 3 and offs[0] not in names[:2]
+    rows = session.execute(
+        "SELECT n_name, row_number() OVER w AS rn FROM nation "
+        "WINDOW w AS (ORDER BY n_name) ORDER BY rn LIMIT 2"
+    ).collect()
+    assert [r["rn"] for r in rows] == [1, 2]
