@@ -469,6 +469,9 @@ class CrateSession:
             r"\bMATCH\s*\(", stmt, re.IGNORECASE
         ):
             return self._execute_match_score(stmt)
+        # knn_match predicate: top-k vector search join
+        if re.search(r"\bknn_match\s*\(", stmt, re.IGNORECASE):
+            return self._execute_knn_match(stmt)
         stmt = self._rewrite_match_analyzer(stmt)
         # system doc columns (_id/_doc/_raw — SysColumns.java:49-63)
         if re.search(r"(?<![\w.'])_(id|doc|raw)\b", stmt):
@@ -657,6 +660,63 @@ class CrateSession:
         )
         view = f"__match_{table}"
         docs.join(scores, id_col).createOrReplaceTempView(view)
+        new_stmt = stmt[: m.start()] + "TRUE" + stmt[m.end() :]
+        new_stmt = re.sub(
+            rf"\bFROM\s+{re.escape(tbl_m.group(1))}",
+            f"FROM {view}",
+            new_stmt,
+            count=1,
+            flags=re.IGNORECASE,
+        )
+        return self._sql(new_stmt)
+
+    #: knn_match(col, [v1, v2, ...], k) — literal query vector, like the
+    #: reference's scalar (KnnMatch.java:52 takes a float_vector literal)
+    _KNN_CALL_RE = re.compile(
+        r"\bknn_match\s*\(\s*([\w.\"]+)\s*,\s*\[([^\]]*)\]\s*,\s*(\d+)\s*\)",
+        re.IGNORECASE,
+    )
+
+    def _execute_knn_match(self, stmt: str) -> DataFrame:
+        """``SELECT ... [_score] FROM t WHERE knn_match(vec, [..], k)
+        [ORDER BY _score DESC]`` — the reference's vector search
+        predicate (``expression/scalar/KnnMatch.java:52``; `_score` =
+        Lucene's 1/(1+l2²), ``VectorSimilarityFunction.EUCLIDEAN``).
+        The predicate becomes an exact top-k join (operators/knn.py —
+        exact supersedes HNSW for the gate; query side broadcast,
+        corpus never shuffled) and the rest of the statement runs over
+        a temp view carrying `_score`."""
+        from pyspark.sql import functions as F
+
+        from crate_spark.operators.knn import knn_exact
+
+        m = self._KNN_CALL_RE.search(stmt)
+        if not m:
+            raise ValueError("knn_match requires (column, [vector literal], k)")
+        col = m.group(1).strip('"').split(".")[-1]
+        vec = [float(x) for x in m.group(2).split(",") if x.strip()]
+        k = int(m.group(3))
+        tbl_m = re.search(r"\bFROM\s+([\w.\"]+)", stmt, re.IGNORECASE)
+        if not tbl_m:
+            raise ValueError("knn_match requires a FROM table")
+        table = tbl_m.group(1).strip('"').split(".")[-1]
+        if table not in self.tables:
+            raise ValueError(f"unknown table '{table}' for knn_match")
+        docs = self.tables[table]
+        id_col = docs.columns[0]
+        queries = self.spark.createDataFrame(
+            [(0, vec)], f"q_id bigint, {col} array<float>"
+        )
+        topk = knn_exact(
+            docs, queries, k,
+            corpus_id=id_col, vec_col=col, metric="euclidean", exclude_self=False,
+        )
+        scored = topk.select(
+            F.col(id_col),
+            (1.0 / (1.0 + F.col("distance") * F.col("distance"))).alias("_score"),
+        )
+        view = f"__knn_{table}"
+        docs.join(scored, id_col).createOrReplaceTempView(view)
         new_stmt = stmt[: m.start()] + "TRUE" + stmt[m.end() :]
         new_stmt = re.sub(
             rf"\bFROM\s+{re.escape(tbl_m.group(1))}",

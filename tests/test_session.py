@@ -870,3 +870,22 @@ def test_fetch_first_and_named_windows(session):
         "WINDOW w AS (ORDER BY n_name) ORDER BY rn LIMIT 2"
     ).collect()
     assert [r["rn"] for r in rows] == [1, 2]
+
+
+def test_knn_match_via_sql(session):
+    """knn_match(vec, [literal], k) as a SQL predicate
+    (KnnMatch.java:52): exact top-k join under the hood, `_score` =
+    Lucene euclidean 1/(1+d^2), ORDER BY _score DESC ranked."""
+    emb = session.tables["embeddings"].limit(1).collect()[0]["embedding"]
+    lit = "[" + ", ".join(f"{x:.6f}" for x in emb) + "]"
+    rows = session.execute(
+        f"SELECT vec_id, _score FROM embeddings "
+        f"WHERE knn_match(embedding, {lit}, 5) ORDER BY _score DESC"
+    ).collect()
+    assert len(rows) == 5
+    assert rows[0]["vec_id"] == 0 and abs(rows[0]["_score"] - 1.0) < 1e-4
+    scores = [r["_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert session.execute(
+        f"SELECT vec_id FROM embeddings WHERE knn_match(embedding, {lit}, 3)"
+    ).count() == 3
