@@ -93,6 +93,8 @@ class CrateSession:
         self._cursors: dict[str, dict] = {}
         #: CREATE ANALYZER registry: name -> {"tokenizer": ..., "definition": ...}
         self._analyzers: dict[str, dict] = {}
+        #: executed-statement ring buffer backing sys.jobs_log
+        self._jobs_log: list[tuple] = []
         self._register_system_views()
 
     def _string_object_cols(self) -> set[str]:
@@ -175,6 +177,11 @@ class CrateSession:
         spark.createDataFrame(
             [], "id string, stmt string, username string, started timestamp"
         ).createOrReplaceTempView("sys_jobs")
+        spark.createDataFrame(
+            list(self._jobs_log),
+            "id string, stmt string, username string, started timestamp, "
+            "ended timestamp, error string",
+        ).createOrReplaceTempView("sys_jobs_log")
 
         # pg_catalog minimum for PG-compat tooling (reference
         # metadata/pgcatalog/PgCatalogTableDefinitions.java): pg_tables,
@@ -245,6 +252,25 @@ class CrateSession:
         stmt = sql.strip().rstrip(";")
         if params is not None:
             stmt = self._bind_params(stmt, params)
+        import uuid
+        from datetime import datetime
+
+        started = datetime.now()
+        err = None
+        try:
+            return self._dispatch(stmt)
+        except Exception as e:
+            err = str(e).split("\n")[0][:200]
+            raise
+        finally:
+            # sys.jobs_log ring buffer (reference SysJobsLogTableInfo;
+            # stats.jobs_log_size default 10_000)
+            self._jobs_log.append(
+                (str(uuid.uuid4()), stmt[:500], "crate", started, datetime.now(), err)
+            )
+            del self._jobs_log[:-10_000]
+
+    def _dispatch(self, stmt: str) -> DataFrame:
         upper = stmt.upper()
 
         # Temp views are global to the SparkSession; if another

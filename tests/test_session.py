@@ -889,3 +889,22 @@ def test_knn_match_via_sql(session):
     assert session.execute(
         f"SELECT vec_id FROM embeddings WHERE knn_match(embedding, {lit}, 3)"
     ).count() == 3
+
+
+def test_sys_jobs_log(session):
+    """Executed statements land in the sys.jobs_log ring buffer
+    (SysJobsLogTableInfo): statement text, timing, error class."""
+    session.execute("SELECT 1 AS probe_jobs_log")
+    try:
+        session.execute("SELECT definitely_not_a_function_xyz()")
+    except Exception:
+        pass
+    rows = session.execute(
+        "SELECT stmt, error FROM sys.jobs_log ORDER BY started"
+    ).collect()
+    texts = [r["stmt"] for r in rows]
+    assert any("probe_jobs_log" in t for t in texts)
+    failed = [r for r in rows if "definitely_not_a_function_xyz" in r["stmt"]]
+    assert failed and failed[-1]["error"] is not None
+    ok = [r for r in rows if "probe_jobs_log" in r["stmt"]]
+    assert ok[-1]["error"] is None
