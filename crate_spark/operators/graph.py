@@ -35,13 +35,14 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
-    """Both directions of every edge, self-loops dropped."""
+    """Both directions of every edge, self-loops dropped. NO distinct:
+    duplicate edges cannot change a min-aggregate or a star's output
+    (both star ops end in .distinct()), and skipping it saves one
+    full-edge-list exchange per round."""
     e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-    return (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    return e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).filter(F.col("src") != F.col("dst"))
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
