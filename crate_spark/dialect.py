@@ -201,7 +201,84 @@ _FN_TEMPLATES: dict = {
     # age(ts[, ts2]) (AgeFunction.java): PG symbolic interval — whole
     # months truncated toward zero, then day/time remainder
     "age": lambda a, lits: _age_sql(a),
+    # geo scalars (expression/scalar/geo/, dql/geo.rst): geo_point =
+    # [lon, lat] array (the reference's own literal form); shape
+    # literals as WKT strings
+    "latitude": lambda a, lits: (
+        f"CAST(element_at({a[0]}, 2) AS DOUBLE)" if len(a) == 1 else None
+    ),
+    "longitude": lambda a, lits: (
+        f"CAST(element_at({a[0]}, 1) AS DOUBLE)" if len(a) == 1 else None
+    ),
+    "distance": lambda a, lits: _geo_distance_sql(a, lits),
+    "within": lambda a, lits: _geo_within_sql(a, lits),
 }
+
+
+def _geo_lonlat(arg: str, literals: list[str]) -> tuple[str, str] | None:
+    """(lon, lat) SQL for a geo_point operand: a WKT 'POINT (x y)'
+    literal or any [lon, lat] array expression."""
+    m = re.fullmatch(r"__LIT_(\d+)__", arg)
+    if m:
+        wkt = literals[int(m.group(1))][1:-1]
+        pm = re.fullmatch(
+            r"\s*POINT\s*\(\s*(-?[\d.]+)\s+(-?[\d.]+)\s*\)\s*", wkt, re.IGNORECASE
+        )
+        if not pm:
+            return None
+        return pm.group(1), pm.group(2)
+    return (
+        f"CAST(element_at({arg}, 1) AS DOUBLE)",
+        f"CAST(element_at({arg}, 2) AS DOUBLE)",
+    )
+
+
+def _geo_distance_sql(a: list[str], literals: list[str]) -> str | None:
+    """Haversine great-circle metres — the same mean-radius constant
+    and formula as functions.geo.geo_distance (GeoUtils haversine)."""
+    if len(a) != 2:
+        return None
+    pa, pb = _geo_lonlat(a[0], literals), _geo_lonlat(a[1], literals)
+    if pa is None or pb is None:
+        return None
+    (lon1, lat1), (lon2, lat2) = pa, pb
+    return (
+        f"(2.0 * 6371008.7714 * ASIN(LEAST(1.0, SQRT("
+        f"POWER(SIN(RADIANS(({lat2}) - ({lat1})) / 2), 2)"
+        f" + COS(RADIANS({lat1})) * COS(RADIANS({lat2}))"
+        f" * POWER(SIN(RADIANS(({lon2}) - ({lon1})) / 2), 2)))))"
+    )
+
+
+def _geo_within_sql(a: list[str], literals: list[str]) -> str | None:
+    """within(point, 'POLYGON ((...))') — the ray-cast containment of
+    functions.geo.point_in_polygon unrolled at plan time (WithinFunction)."""
+    if len(a) != 2:
+        return None
+    pt = _geo_lonlat(a[0], literals)
+    m = re.fullmatch(r"__LIT_(\d+)__", a[1])
+    if pt is None or not m:
+        return None
+    wkt = literals[int(m.group(1))][1:-1]
+    pm = re.fullmatch(
+        r"\s*POLYGON\s*\(\s*\(([^()]*)\)\s*\)\s*", wkt, re.IGNORECASE
+    )
+    if not pm:
+        return None
+    try:
+        vertices = []
+        for pair in pm.group(1).split(","):
+            x, y = pair.split()
+            vertices.append((float(x), float(y)))
+    except ValueError:
+        return None
+    if len(vertices) >= 2 and vertices[0] == vertices[-1]:
+        vertices = vertices[:-1]  # WKT rings repeat the first vertex
+    if len(vertices) < 3:
+        return None
+    from crate_spark.functions.geo import polygon_ray_cast_sql
+
+    return "(" + polygon_ray_cast_sql(pt[0], pt[1], vertices) + ")"
 
 
 def _trunc_sql(a: list[str]) -> str | None:

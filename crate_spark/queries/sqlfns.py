@@ -136,3 +136,57 @@ def sql_datetime_compat(spark, sf_dir):
         "age(ts, TIMESTAMP '2024-01-15 06:30:00')['micros'] AS age_micros "
         "FROM events WHERE event_id < 300"
     )
+
+
+_TRI = [(-90.0, 0.0), (30.0, 0.0), (30.0, 45.0)]
+
+
+def _tri_wkt() -> str:
+    pts = _TRI + [_TRI[0]]
+    return "POLYGON ((" + ", ".join(f"{x:g} {y:g}" for x, y in pts) + "))"
+
+
+def _geo_oracle() -> str:
+    from crate_spark.functions.geo import polygon_ray_cast_sql
+
+    ray = polygon_ray_cast_sql("lon", "lat", _TRI)
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST(c_custkey % 360 - 180 + 0.5 AS DOUBLE) AS lon,
+             CAST((c_custkey % 170) / 2.0 - 42.5 AS DOUBLE) AS lat
+      FROM customer
+    )
+    SELECT c_custkey, lat AS la, lon AS lo,
+           ROUND(2.0 * 6371008.7714 * ASIN(LEAST(1.0, SQRT(
+               POWER(SIN(RADIANS(52.52 - lat) / 2), 2)
+               + COS(RADIANS(lat)) * COS(RADIANS(52.52))
+                 * POWER(SIN(RADIANS(13.405 - lon) / 2), 2)))), 3) AS d_berlin,
+           ({ray}) AS in_tri
+    FROM pts WHERE c_custkey < 500
+    """
+
+
+_GEO_PT = (
+    "[CAST(c_custkey % 360 - 180 + 0.5 AS DOUBLE), "
+    "CAST((c_custkey % 170) / 2.0 - 42.5 AS DOUBLE)]"
+)
+
+
+@query("sql_geo_surface", oracle=_geo_oracle())
+def sql_geo_surface(spark, sf_dir):
+    """distance / within / latitude / longitude as SQL text
+    (expression/scalar/geo/, dql/geo.rst): geo_point built as a
+    [lon, lat] array from customer keys (the driver tables carry no
+    geo columns), the polygon as a WKT literal. The shim unrolls both
+    into plan-time JVM arithmetic — zero UDFs; the oracle reuses the
+    identical ray-cast via polygon_ray_cast_sql so both engines run
+    the same edge order and arithmetic."""
+    return _session(spark, sf_dir).execute(
+        f"SELECT c_custkey, "
+        f"latitude({_GEO_PT}) AS la, "
+        f"longitude({_GEO_PT}) AS lo, "
+        f"ROUND(distance({_GEO_PT}, 'POINT (13.405 52.52)'), 3) AS d_berlin, "
+        f"within({_GEO_PT}, '{_tri_wkt()}') AS in_tri "
+        f"FROM customer WHERE c_custkey < 500"
+    )

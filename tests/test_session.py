@@ -908,3 +908,21 @@ def test_sys_jobs_log(session):
     assert failed and failed[-1]["error"] is not None
     ok = [r for r in rows if "probe_jobs_log" in r["stmt"]]
     assert ok[-1]["error"] is None
+
+
+def test_geo_scalars_via_sql(session):
+    """distance/within/latitude/longitude through the SQL front door:
+    geo_point as a [lon, lat] array (the reference's literal form),
+    shapes as WKT strings (dql/geo.rst) — all plan-time expansions."""
+    r = session.execute(
+        "SELECT latitude([13.405, 52.52]) AS la, "
+        "longitude([13.405, 52.52]) AS lo, "
+        "distance([13.405, 52.52], 'POINT (13.405 52.52)') AS zero_d, "
+        "distance([13.405, 52.52], 'POINT (2.3522 48.8566)') AS berlin_paris, "
+        "within([0.5, 0.5], 'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))') AS inside, "
+        "within([2.0, 0.5], 'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))') AS outside"
+    ).collect()[0]
+    assert r["la"] == 52.52 and r["lo"] == 13.405
+    assert r["zero_d"] == 0.0
+    assert 870_000 < r["berlin_paris"] < 890_000  # ~878 km
+    assert r["inside"] is True and r["outside"] is False
