@@ -65,9 +65,27 @@ _OPERAND = (
 )
 
 _CAST_RE = re.compile(rf"({_OPERAND})\s*::\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)")
-_SUBSCRIPT_RE = re.compile(
-    rf"({_IDENT}\s*\((?:[^()]|\([^()]*\))*\)|{_IDENT})\s*\[\s*(\d+)\s*\]"
+#: subscript base: function call (keyword-guarded, like _OPERAND),
+#: identifier, or parenthesized expression
+_SUB_BASE = (
+    rf"(?<![A-Za-z0-9_.])(?:(?!{_KW}\s*\(){_IDENT}\s*\((?:[^()]|\([^()]*\))*\)"
+    rf"|{_IDENT}|\((?:[^()]|\([^()]*\))*\))"
 )
+_SUBSCRIPT_RE = re.compile(rf"({_SUB_BASE})\s*\[\s*(\d+)\s*\]")
+#: 1-based inclusive slice subscript arr[from:to] with optional open
+#: ends (AstBuilder subscript grammar -> ArraySliceFunction)
+_SUBSCRIPT_SLICE_RE = re.compile(rf"({_SUB_BASE})\s*\[\s*(\d*)\s*:\s*(\d*)\s*\]")
+
+
+def _subscript_slice_sub(m: re.Match) -> str:
+    base, frm, to = m.groups()
+    if not frm and not to:
+        return base
+    if not frm:
+        return f"slice({base}, 1, {to})"
+    if not to:
+        return f"slice({base}, {frm}, greatest(size({base}) - ({frm}) + 1, 0))"
+    return f"slice({base}, {frm}, greatest(({to}) - ({frm}) + 1, 0))"
 #: identifier followed by one or more string-literal subscripts
 #: (literals are masked at this point, so the key shows as __LIT_n__)
 _OBJ_SUBSCRIPT_RE = re.compile(rf"({_IDENT})((?:\s*\[\s*__LIT_\d+__\s*\])+)")
@@ -569,6 +587,7 @@ def rewrite(sql: str, string_object_columns: set[str] | None = None) -> str:
     while prev != sql:
         prev = sql
         sql = _CAST_RE.sub(r"CAST(\1 AS \2)", sql)
+    sql = _SUBSCRIPT_SLICE_RE.sub(_subscript_slice_sub, sql)
     sql = _SUBSCRIPT_RE.sub(r"element_at(\1, \2)", sql)
     sql = _REGEX_CI_RE.sub(r"\1 RLIKE concat('(?i)', \2)", sql)
     sql = _REGEX_NOT_RE.sub(r"NOT (\1 RLIKE \2)", sql)

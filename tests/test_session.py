@@ -926,3 +926,19 @@ def test_geo_scalars_via_sql(session):
     assert r["zero_d"] == 0.0
     assert 870_000 < r["berlin_paris"] < 890_000  # ~878 km
     assert r["inside"] is True and r["outside"] is False
+
+
+def test_array_slice_subscripts_via_sql(session):
+    """arr[from:to] slice subscripts with open ends (AstBuilder
+    subscript grammar -> ArraySliceFunction), incl. function-call and
+    parenthesized bases."""
+    r = session.execute(
+        "SELECT ['a','b','c','d'][2:3] AS mid, "
+        "['a','b','c','d'][:2] AS head, "
+        "['a','b','c','d'][3:] AS tail, "
+        "string_to_array('x y z', ' ')[1:2] AS fncall, "
+        "(string_to_array('x y z', ' '))[3] AS parenbase"
+    ).collect()[0]
+    assert r["mid"] == ["b", "c"] and r["head"] == ["a", "b"]
+    assert r["tail"] == ["c", "d"] and r["fncall"] == ["x", "y"]
+    assert r["parenbase"] == "z"
