@@ -60,6 +60,10 @@ class CrateTable:
     generated: dict[str, str] = field(default_factory=dict)
     checks: list[str] = field(default_factory=list)
     defaults: dict[str, str] = field(default_factory=dict)
+    #: WITH (...) storage/replication settings (create-table.rst) —
+    #: advisory metadata on Parquet (no replicas to configure), kept
+    #: for ALTER TABLE SET/RESET and SHOW CREATE TABLE parity
+    settings: dict[str, str] = field(default_factory=dict)
 
     # -- catalog ---------------------------------------------------------
     @classmethod
@@ -74,6 +78,7 @@ class CrateTable:
         generated: dict[str, str] | None = None,
         checks: list[str] | None = None,
         defaults: dict[str, str] | None = None,
+        settings: dict[str, str] | None = None,
     ) -> "CrateTable":
         os.makedirs(path, exist_ok=True)
         t = cls(
@@ -85,6 +90,7 @@ class CrateTable:
             generated=generated or {},
             checks=checks or [],
             defaults=defaults or {},
+            settings=settings or {},
         )
         t._save_meta()
         return t
@@ -103,6 +109,7 @@ class CrateTable:
             "generated": self.generated,
             "checks": self.checks,
             "defaults": self.defaults,
+            "settings": self.settings,
         }
         with open(os.path.join(self.path, META_FILE), "w") as f:
             json.dump(meta, f, indent=2)

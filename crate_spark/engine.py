@@ -569,6 +569,10 @@ class CrateSession:
                 ddl += " PARTITIONED BY (" + ", ".join(
                     f'"{c}"' for c in ct.partitioned_by
                 ) + ")"
+            if getattr(ct, "settings", None):
+                ddl += " WITH (" + ", ".join(
+                    f"{k} = '{v}'" for k, v in sorted(ct.settings.items())
+                ) + ")"
             return ddl
         if name in self.tables:
             fields = self.tables[name].schema.fields

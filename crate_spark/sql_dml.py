@@ -209,6 +209,33 @@ class SqlDmlRouter:
         body = masked[open_idx + 1 : close_idx]
         tail = masked[close_idx + 1 :]
 
+        # CREATE TABLE x (LIKE source [INCLUDING|EXCLUDING ...])
+        # (create-table-like.rst): empty table, source's column DDL;
+        # INCLUDING options are accepted (constraints/defaults copy by
+        # default here, matching INCLUDING ALL)
+        lm = re.match(
+            r"\s*LIKE\s+([\w.\"]+)(\s+(?:INCLUDING|EXCLUDING)\s+\w+)*\s*$",
+            body,
+            re.IGNORECASE,
+        )
+        if lm:
+            src = self._table(lm.group(1).strip('"'))
+            path = os.path.join(self.owner.storage_dir, name)
+            t = CrateTable.create(
+                self.spark,
+                path,
+                src.schema_ddl,
+                primary_key=list(src.primary_key),
+                partitioned_by=list(src.partitioned_by),
+                generated=dict(src.generated),
+                checks=list(src.checks),
+                defaults=dict(src.defaults),
+                settings=dict(src.settings),
+            )
+            self.crate_tables[name] = t
+            self._refresh(name)
+            return self._count_df(1)
+
         cols: list[str] = []
         pk: list[str] = []
         checks: list[str] = []
@@ -271,6 +298,13 @@ class SqlDmlRouter:
         pm = re.search(r"PARTITIONED\s+BY\s*\(([^)]*)\)", tail, re.IGNORECASE)
         if pm:
             partitioned = [c.strip().strip('"') for c in pm.group(1).split(",")]
+        settings: dict[str, str] = {}
+        wm = re.search(r"\bWITH\s*\(([^)]*)\)", tail, re.IGNORECASE)
+        if wm:
+            for kv in wm.group(1).split(","):
+                if "=" in kv:
+                    k, v = kv.split("=", 1)
+                    settings[k.strip().strip('"')] = _unmask(v.strip(), literals).strip("'\"")
 
         path = os.path.join(self.owner.storage_dir, name)
         t = CrateTable.create(
@@ -282,6 +316,7 @@ class SqlDmlRouter:
             generated=generated,
             checks=checks,
             defaults=defaults,
+            settings=settings,
         )
         self.crate_tables[name] = t
         self._refresh(name)
@@ -307,6 +342,28 @@ class SqlDmlRouter:
         ``planner/Planner.java`` AlterTable dispatch; add column mirrors
         the dynamic-mapping path). Data rewrites happen read-merge-write
         like every other mutation."""
+        # ALTER TABLE t SET (k = v, ...) / RESET (k, ...) — storage
+        # settings on the table metadata (alter-table.rst)
+        sm = re.match(
+            r"\s*ALTER\s+TABLE\s+([\w.\"]+)\s+(SET|RESET)\s*\(([^)]*)\)\s*$",
+            masked,
+            re.IGNORECASE,
+        )
+        if sm:
+            table = self._table(sm.group(1).strip('"'))
+            if sm.group(2).upper() == "SET":
+                for kv in sm.group(3).split(","):
+                    if "=" in kv:
+                        k, v = kv.split("=", 1)
+                        table.settings[k.strip().strip('"')] = _unmask(
+                            v.strip(), literals
+                        ).strip("'\"")
+            else:
+                for k in sm.group(3).split(","):
+                    table.settings.pop(k.strip().strip('"'), None)
+            table._save_meta()
+            return self._count_df(1)
+
         m = re.match(
             r"\s*ALTER\s+TABLE\s+([\w.\"]+)\s+"
             r"(?:ADD\s+(?:COLUMN\s+)?(\w+)\s+([\w()<>, ]+?)"

@@ -942,3 +942,23 @@ def test_array_slice_subscripts_via_sql(session):
     assert r["mid"] == ["b", "c"] and r["head"] == ["a", "b"]
     assert r["tail"] == ["c", "d"] and r["fncall"] == ["x", "y"]
     assert r["parenbase"] == "z"
+
+
+def test_create_table_like_and_settings(dml_session):
+    """CREATE TABLE (LIKE src) clones column DDL and constraints
+    (create-table-like.rst); ALTER TABLE SET/RESET manages WITH
+    settings and SHOW CREATE TABLE renders them (alter-table.rst)."""
+    dml_session.execute(
+        "CREATE TABLE src_t (id integer PRIMARY KEY, v text DEFAULT 'x') "
+        "WITH (number_of_replicas = 2, refresh_interval = 1000)"
+    )
+    ddl = dml_session.execute("SHOW CREATE TABLE src_t").collect()[0]["create_table"]
+    assert "number_of_replicas = '2'" in ddl and "refresh_interval = '1000'" in ddl
+    dml_session.execute("CREATE TABLE like_t (LIKE src_t INCLUDING ALL)")
+    like_ddl = dml_session.execute("SHOW CREATE TABLE like_t").collect()[0]["create_table"]
+    assert '"id" INTEGER' in like_ddl and "PRIMARY KEY" in like_ddl
+    assert dml_session.execute("SELECT count(*) AS n FROM like_t").collect()[0]["n"] == 0
+    dml_session.execute("ALTER TABLE src_t SET (number_of_replicas = 5)")
+    dml_session.execute("ALTER TABLE src_t RESET (refresh_interval)")
+    ddl2 = dml_session.execute("SHOW CREATE TABLE src_t").collect()[0]["create_table"]
+    assert "number_of_replicas = '5'" in ddl2 and "refresh_interval" not in ddl2
