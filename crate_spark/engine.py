@@ -142,6 +142,33 @@ class CrateSession:
             "ordinal_position int, data_type string, is_nullable boolean",
         ).filter("table_name <> ''").createOrReplaceTempView("information_schema_columns")
 
+        # information_schema.table_constraints / key_column_usage
+        # (reference InformationSchemaTableDefinitions): PK constraints
+        # of SQL-created tables, what \d and ORMs introspect
+        tc_rows, kcu_rows = [], []
+        for name, ct in sorted(getattr(self._dml, "crate_tables", {}).items()):
+            if ct.primary_key:
+                cn = f"{name}_pk"
+                tc_rows.append((cn, name, "doc", "PRIMARY KEY"))
+                for pos, col in enumerate(ct.primary_key, start=1):
+                    kcu_rows.append((cn, name, "doc", col, pos))
+            for i, _chk in enumerate(ct.checks):
+                tc_rows.append((f"{name}_check_{i}", name, "doc", "CHECK"))
+        spark.createDataFrame(
+            tc_rows or [("", "", "", "")],
+            "constraint_name string, table_name string, table_schema string, "
+            "constraint_type string",
+        ).filter("constraint_name <> ''").createOrReplaceTempView(
+            "information_schema_table_constraints"
+        )
+        spark.createDataFrame(
+            kcu_rows or [("", "", "", "", 0)],
+            "constraint_name string, table_name string, table_schema string, "
+            "column_name string, ordinal_position int",
+        ).filter("constraint_name <> ''").createOrReplaceTempView(
+            "information_schema_key_column_usage"
+        )
+
         spark.createDataFrame(
             [("crate-spark", spark.version, spark.sparkContext.defaultParallelism)],
             "name string, version string, parallelism int",
@@ -361,6 +388,22 @@ class CrateSession:
         m = re.match(r"(BEGIN|COMMIT|ROLLBACK|END)\b|KILL\s+", upper)
         if m:
             return self.spark.createDataFrame([("OK",)], "status string")
+
+        # ALTER CLUSTER SWAP TABLE a TO b (alter-cluster.rst): atomic
+        # name exchange — the blue/green cutover primitive
+        m = re.match(
+            r"ALTER\s+CLUSTER\s+SWAP\s+TABLE\s+([\w.\"]+)\s+TO\s+([\w.\"]+)",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            a = m.group(1).strip('"').split(".")[-1]
+            b = m.group(2).strip('"').split(".")[-1]
+            ta, tb = self._dml._table(a), self._dml._table(b)
+            self._dml.crate_tables[a], self._dml.crate_tables[b] = tb, ta
+            self._dml._refresh(a)
+            self._dml._refresh(b)
+            return self.spark.createDataFrame([(a, b)], "source string, target string")
 
         # More PG-client session-management no-ops (reference planner
         # visits these to NoopPlan too: deallocate.rst, discard.rst,

@@ -342,6 +342,26 @@ class SqlDmlRouter:
         ``planner/Planner.java`` AlterTable dispatch; add column mirrors
         the dynamic-mapping path). Data rewrites happen read-merge-write
         like every other mutation."""
+        # ALTER TABLE t OPEN / CLOSE (alter-table.rst): a closed table
+        # refuses queries — modeled by deregistering its view; OPEN
+        # re-registers it. The closed flag persists in settings.
+        ocm = re.match(
+            r"\s*ALTER\s+TABLE\s+([\w.\"]+)\s+(OPEN|CLOSE)\s*$", masked, re.IGNORECASE
+        )
+        if ocm:
+            name = ocm.group(1).strip('"').split(".")[-1]
+            table = self._table(ocm.group(1).strip('"'))
+            if ocm.group(2).upper() == "CLOSE":
+                table.settings["closed"] = "true"
+                table._save_meta()
+                self.spark.catalog.dropTempView(name)
+                self.owner.tables.pop(name, None)
+            else:
+                table.settings.pop("closed", None)
+                table._save_meta()
+                self._refresh(name)
+            return self._count_df(1)
+
         # ALTER TABLE t SET (k = v, ...) / RESET (k, ...) — storage
         # settings on the table metadata (alter-table.rst)
         sm = re.match(

@@ -962,3 +962,44 @@ def test_create_table_like_and_settings(dml_session):
     dml_session.execute("ALTER TABLE src_t RESET (refresh_interval)")
     ddl2 = dml_session.execute("SHOW CREATE TABLE src_t").collect()[0]["create_table"]
     assert "number_of_replicas = '5'" in ddl2 and "refresh_interval" not in ddl2
+
+
+def test_open_close_and_swap_tables(dml_session):
+    """ALTER TABLE CLOSE refuses subsequent queries until OPEN
+    (alter-table.rst); ALTER CLUSTER SWAP TABLE exchanges two tables'
+    contents by name (alter-cluster.rst, the blue/green cutover)."""
+    import pytest as _pytest
+
+    dml_session.execute("CREATE TABLE blue (id integer)")
+    dml_session.execute("CREATE TABLE green (id integer)")
+    dml_session.execute("INSERT INTO blue (id) VALUES (1)")
+    dml_session.execute("INSERT INTO green (id) VALUES (2)")
+    dml_session.execute("ALTER TABLE blue CLOSE")
+    with _pytest.raises(Exception):
+        dml_session.execute("SELECT * FROM blue").collect()
+    dml_session.execute("ALTER TABLE blue OPEN")
+    assert dml_session.execute("SELECT id FROM blue").collect()[0]["id"] == 1
+    dml_session.execute("ALTER CLUSTER SWAP TABLE blue TO green")
+    assert dml_session.execute("SELECT id FROM blue").collect()[0]["id"] == 2
+    assert dml_session.execute("SELECT id FROM green").collect()[0]["id"] == 1
+
+
+def test_information_schema_constraints(dml_session):
+    """information_schema.table_constraints / key_column_usage expose
+    PK and CHECK constraints of SQL-created tables."""
+    dml_session.execute(
+        "CREATE TABLE conform (a integer, b integer, "
+        "PRIMARY KEY (a, b), CHECK (a > 0))"
+    )
+    tc = dml_session.execute(
+        "SELECT constraint_name, constraint_type FROM "
+        "information_schema.table_constraints WHERE table_name = 'conform' "
+        "ORDER BY constraint_type"
+    ).collect()
+    assert [r["constraint_type"] for r in tc] == ["CHECK", "PRIMARY KEY"]
+    kcu = dml_session.execute(
+        "SELECT column_name, ordinal_position FROM "
+        "information_schema.key_column_usage WHERE table_name = 'conform' "
+        "ORDER BY ordinal_position"
+    ).collect()
+    assert [(r["column_name"], r["ordinal_position"]) for r in kcu] == [("a", 1), ("b", 2)]
