@@ -210,6 +210,34 @@ class CrateSession:
             "ended timestamp, error string",
         ).createOrReplaceTempView("sys_jobs_log")
 
+        # sys.summits (SysSummitsTableInfo: mountain/height/prominence/
+        # coordinates geo_point/range/classification/region/country/
+        # first_ascent; the reference embeds a 1605-row alpine list).
+        # Same schema here with a hand-typed subset of the best-known
+        # 4000ers — representative rows for the tutorial queries, not a
+        # copy of the reference's data file.
+        spark.createDataFrame(
+            [
+                ("Mont Blanc", 4808, 4695, [6.86444, 45.8325], "Mont Blanc massif", "FR/IT", 1786),
+                ("Monte Rosa", 4634, 2165, [7.86694, 45.93694], "Monte Rosa Alps", "CH", 1855),
+                ("Dom", 4545, 1046, [7.85889, 46.09389], "Mischabel", "CH", 1858),
+                ("Weisshorn", 4506, 1235, [7.71583, 46.10139], "Weisshorn-Matterhorn", "CH", 1861),
+                ("Matterhorn", 4478, 1042, [7.65861, 45.97639], "Weisshorn-Matterhorn", "CH/IT", 1865),
+                ("Dent Blanche", 4357, 915, [7.61194, 46.03417], "Weisshorn-Matterhorn", "CH", 1862),
+                ("Grand Combin", 4314, 1517, [7.29917, 45.9375], "Grand Combin Alps", "CH", 1859),
+                ("Finsteraarhorn", 4274, 2280, [8.12611, 46.53722], "Bernese Alps", "CH", 1829),
+                ("Jungfrau", 4158, 695, [7.96250, 46.53694], "Bernese Alps", "CH", 1811),
+                ("Barre des Ecrins", 4102, 2045, [6.36056, 44.92361], "Ecrins", "FR", 1864),
+                ("Gran Paradiso", 4061, 1891, [7.26833, 45.51722], "Graian Alps", "IT", 1860),
+                ("Piz Bernina", 4049, 2234, [9.90806, 46.38222], "Bernina Range", "CH", 1850),
+                ("Eiger", 3967, 362, [8.00528, 46.5775], "Bernese Alps", "CH", 1858),
+                ("Grossglockner", 3798, 2424, [12.69444, 47.07444], "Hohe Tauern", "AT", 1800),
+                ("Zugspitze", 2962, 1746, [10.98528, 47.42111], "Wetterstein", "DE/AT", 1820),
+            ],
+            "mountain string, height int, prominence int, "
+            "coordinates array<double>, range string, country string, first_ascent int",
+        ).createOrReplaceTempView("sys_summits")
+
         # pg_catalog minimum for PG-compat tooling (reference
         # metadata/pgcatalog/PgCatalogTableDefinitions.java): pg_tables,
         # pg_namespace, pg_type — queryable as pg_catalog.X via the shim.

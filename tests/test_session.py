@@ -1003,3 +1003,20 @@ def test_information_schema_constraints(dml_session):
         "ORDER BY ordinal_position"
     ).collect()
     assert [(r["column_name"], r["ordinal_position"]) for r in kcu] == [("a", 1), ("b", 2)]
+
+
+def test_sys_summits(session):
+    """sys.summits (SysSummitsTableInfo schema) answers the reference's
+    tutorial queries — geo_point coordinates as [lon, lat], sortable by
+    height, usable with the geo scalars."""
+    rows = session.execute(
+        "SELECT mountain, height, country FROM sys.summits "
+        "ORDER BY height DESC LIMIT 3"
+    ).collect()
+    assert rows[0]["mountain"] == "Mont Blanc" and rows[0]["height"] == 4808
+    near = session.execute(
+        "SELECT mountain FROM sys.summits "
+        "WHERE distance(coordinates, 'POINT (7.65861 45.97639)') < 100000 "
+        "ORDER BY mountain"
+    ).collect()
+    assert any(r["mountain"] == "Matterhorn" for r in near)
