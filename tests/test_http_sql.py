@@ -1,0 +1,76 @@
+"""HTTP ``_sql`` entry-point tests: a live stdlib server over
+CrateSession answering reference-shaped requests (SqlHttpHandler.java:
+stmt/args/bulk_args in, cols/rows/rowcount or error envelope out)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from crate_spark.engine import CrateSession
+from crate_spark.http_sql import execute_request, serve
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def http_session(spark):
+    return CrateSession(spark, SF_DIR)
+
+
+def _post(port, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/_sql",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_sql_roundtrip(http_session):
+    srv = serve(http_session, port=0)  # ephemeral port
+    port = srv.server_address[1]
+    try:
+        status, resp = _post(port, {"stmt": "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey LIMIT 2"})
+        assert status == 200
+        assert resp["cols"] == ["n_nationkey", "n_name"]
+        assert resp["rowcount"] == 2 and resp["rows"][0][0] == 0
+        assert resp["duration"] > 0
+        # parameterized
+        status, resp = _post(port, {"stmt": "SELECT n_name FROM nation WHERE n_nationkey = $1", "args": [3]})
+        assert status == 200 and resp["rowcount"] == 1
+        # error envelope with reference-style code
+        status, resp = _post(port, {"stmt": "SELECT * FROM no_such_table_xyz"})
+        assert status == 400 and resp["error"]["code"] in (4000, 4041, 5000)
+    finally:
+        srv.shutdown()
+
+
+def test_http_sql_value_serialization(http_session):
+    """Timestamps as epoch millis, arrays as JSON arrays — the
+    reference's HTTP value mapping."""
+    resp = execute_request(
+        http_session,
+        {"stmt": "SELECT ts, props FROM events WHERE event_id = 0"},
+    )
+    ts_ms = resp["rows"][0][0]
+    assert isinstance(ts_ms, int) and 1_700_000_000_000 < ts_ms < 1_800_000_000_000
+    resp2 = execute_request(http_session, {"stmt": "SELECT [1, 2, 3] AS arr"})
+    assert resp2["rows"][0][0] == [1, 2, 3]
+
+
+def test_http_sql_bulk_args(http_session, spark):
+    resp = execute_request(
+        http_session,
+        {
+            "stmt": "SELECT n_name FROM nation WHERE n_nationkey = $1",
+            "bulk_args": [[0], [1], [99999]],
+        },
+    )
+    assert [r["rowcount"] for r in resp["results"]] == [1, 1, 0]
