@@ -1,0 +1,186 @@
+"""PostgreSQL wire-protocol entry point (v3, simple-query subset).
+
+Reference: ``protocols/postgres/PostgresWireProtocol.java`` —
+``handleStartupBody``, ``handleSimpleQuery:804`` → ``Session.quickExec``;
+CrateDB listens on 5432 and identifies as a PG server. This is the
+Spark-side analog: a stdlib socket server speaking enough of the v3
+protocol for real clients — psql and psycopg2 use the *simple* query
+flow for unparameterized statements, which is exactly the subset here:
+
+- SSLRequest → 'N' (no TLS, like the reference with SSL off)
+- StartupMessage → AuthenticationOk, ParameterStatus (server_version,
+  encoding), BackendKeyData, ReadyForQuery
+- 'Q' Query → RowDescription / DataRow* / CommandComplete /
+  ReadyForQuery, or ErrorResponse (severity/code/message fields, the
+  reference's SQLSTATE-bearing envelope) then ReadyForQuery
+- 'X' Terminate
+
+Values travel in text format (every type has a text rendering; psql
+displays it directly): booleans as t/f, timestamps ISO, arrays in
+PG-brace form, NULL as the -1 length marker.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import socket
+import socketserver
+import struct
+import threading
+
+_SSL_REQUEST = 80877103
+_CANCEL_REQUEST = 80877102
+
+#: PG type OIDs for RowDescription (PGTypes.java mapping)
+_OIDS = {
+    "boolean": 16, "bigint": 20, "smallint": 21, "int": 23, "integer": 23,
+    "double": 701, "float": 700, "string": 25, "timestamp": 1114,
+    "date": 1082, "decimal": 1700, "binary": 17,
+}
+
+
+def _oid_of(spark_type: str) -> int:
+    base = spark_type.split("(")[0]
+    return _OIDS.get(base, 25)  # default: text
+
+
+def _text(v) -> str | None:
+    """PG text-format rendering."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (list, tuple)):
+        return "{" + ",".join("NULL" if x is None else _text(x) for x in v) + "}"
+    if hasattr(v, "asDict"):
+        d = v.asDict()
+        return "{" + ",".join(f"{k}={_text(x)}" for k, x in d.items()) + "}"
+    if isinstance(v, (bytes, bytearray)):
+        return "\\x" + bytes(v).hex()
+    return str(v)
+
+
+def _msg(tag: bytes, payload: bytes) -> bytes:
+    return tag + struct.pack("!I", len(payload) + 4) + payload
+
+
+def _cstr(s: str) -> bytes:
+    return s.encode() + b"\x00"
+
+
+class _PgHandler(socketserver.BaseRequestHandler):
+    session = None  # injected
+
+    def handle(self):
+        sock: socket.socket = self.request
+        if not self._startup(sock):
+            return
+        while True:
+            head = self._read_exact(sock, 5)
+            if head is None:
+                return
+            tag, length = head[0:1], struct.unpack("!I", head[1:5])[0]
+            body = self._read_exact(sock, length - 4) or b""
+            if tag == b"X":
+                return
+            if tag == b"Q":
+                self._simple_query(sock, body.rstrip(b"\x00").decode())
+            else:
+                # unsupported extended-protocol message: report cleanly
+                self._error(sock, "0A000", f"message type {tag!r} not supported")
+                sock.sendall(_msg(b"Z", b"I"))
+
+    # -- protocol steps --------------------------------------------------
+    def _startup(self, sock) -> bool:
+        raw = self._read_exact(sock, 8)
+        if raw is None:
+            return False
+        length, code = struct.unpack("!II", raw)
+        if code == _SSL_REQUEST:
+            sock.sendall(b"N")
+            raw = self._read_exact(sock, 8)
+            if raw is None:
+                return False
+            length, code = struct.unpack("!II", raw)
+        if code == _CANCEL_REQUEST:
+            return False
+        self._read_exact(sock, length - 8)  # startup params (ignored)
+        sock.sendall(_msg(b"R", struct.pack("!I", 0)))  # AuthenticationOk
+        for k, v in (
+            ("server_version", "14.0"),
+            ("server_encoding", "UTF8"),
+            ("client_encoding", "UTF8"),
+            ("crate_version", "5.x-spark"),
+        ):
+            sock.sendall(_msg(b"S", _cstr(k) + _cstr(v)))
+        sock.sendall(_msg(b"K", struct.pack("!II", 0, 0)))  # BackendKeyData
+        sock.sendall(_msg(b"Z", b"I"))  # ReadyForQuery (idle)
+        return True
+
+    def _simple_query(self, sock, sql: str) -> None:
+        try:
+            df = self.session.execute(sql)
+            if df is None:
+                sock.sendall(_msg(b"C", _cstr("OK")))
+                sock.sendall(_msg(b"Z", b"I"))
+                return
+            fields = df.schema.fields
+            rows = df.collect()
+            desc = struct.pack("!H", len(fields))
+            for f in fields:
+                # table oid, attnum, type oid, typlen -1 (variable),
+                # typmod -1, format 0 (text)
+                desc += _cstr(f.name) + struct.pack(
+                    "!IHIhih", 0, 0, _oid_of(f.dataType.simpleString()), -1, -1, 0
+                )
+            sock.sendall(_msg(b"T", desc))
+            for r in rows:
+                payload = struct.pack("!H", len(fields))
+                for v in r:
+                    t = _text(v)
+                    if t is None:
+                        payload += struct.pack("!i", -1)
+                    else:
+                        b = t.encode()
+                        payload += struct.pack("!I", len(b)) + b
+                sock.sendall(_msg(b"D", payload))
+            sock.sendall(_msg(b"C", _cstr(f"SELECT {len(rows)}")))
+        except Exception as e:
+            code = "42P01" if "TABLE_OR_VIEW_NOT_FOUND" in str(e) else "42601"
+            self._error(sock, code, str(e).split("\n")[0][:400])
+        sock.sendall(_msg(b"Z", b"I"))
+
+    def _error(self, sock, sqlstate: str, message: str) -> None:
+        payload = (
+            b"S" + _cstr("ERROR") + b"C" + _cstr(sqlstate) + b"M" + _cstr(message) + b"\x00"
+        )
+        sock.sendall(_msg(b"E", payload))
+
+    @staticmethod
+    def _read_exact(sock, n: int) -> bytes | None:
+        buf = b""
+        while len(buf) < n:
+            chunk = sock.recv(n - len(buf))
+            if not chunk:
+                return None
+            buf += chunk
+        return buf
+
+
+def serve(session, host: str = "127.0.0.1", port: int = 5432):
+    """Start the PG wire listener (reference default 5432) on a daemon
+    thread; returns the server (``.shutdown()`` to stop)."""
+    handler = type("BoundPg", (_PgHandler,), {"session": session})
+
+    class _Srv(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True
+        daemon_threads = True
+
+    srv = _Srv((host, port), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
