@@ -90,10 +90,81 @@ class _PgHandler(socketserver.BaseRequestHandler):
                 return
             if tag == b"Q":
                 self._simple_query(sock, body.rstrip(b"\x00").decode())
+            elif tag == b"P":
+                self._parse(sock, body)
+            elif tag == b"B":
+                self._bind(sock, body)
+            elif tag == b"D":
+                sock.sendall(self._describe(body))
+            elif tag == b"E":
+                self._execute(sock, body)
+            elif tag == b"C":
+                sock.sendall(_msg(b"3", b""))  # CloseComplete
+            elif tag == b"H":
+                pass  # Flush: we always write eagerly
+            elif tag == b"S":
+                sock.sendall(_msg(b"Z", b"I"))  # Sync
             else:
-                # unsupported extended-protocol message: report cleanly
                 self._error(sock, "0A000", f"message type {tag!r} not supported")
                 sock.sendall(_msg(b"Z", b"I"))
+
+    # -- extended query protocol (Session.parse/bind/execute analogs) ----
+    def setup(self):
+        self._stmts: dict[str, str] = {}
+        self._portals: dict[str, object] = {}
+
+    def _parse(self, sock, body: bytes) -> None:
+        """'P': named statement with $n placeholders (Session.parse)."""
+        name, rest = body.split(b"\x00", 1)
+        query, _rest = rest.split(b"\x00", 1)
+        self._stmts[name.decode()] = query.decode()
+        sock.sendall(_msg(b"1", b""))  # ParseComplete
+
+    def _bind(self, sock, body: bytes) -> None:
+        """'B': bind text-format params into a portal (Session.bind:403).
+        The portal holds a LAZY DataFrame; rows materialize at Execute."""
+        portal, rest = body.split(b"\x00", 1)
+        stmt_name, rest = rest.split(b"\x00", 1)
+        nfmt = struct.unpack("!H", rest[:2])[0]
+        off = 2 + 2 * nfmt
+        nparams = struct.unpack("!H", rest[off : off + 2])[0]
+        off += 2
+        params: list = []
+        for _ in range(nparams):
+            (ln,) = struct.unpack("!i", rest[off : off + 4])
+            off += 4
+            if ln == -1:
+                params.append(None)
+            else:
+                params.append(rest[off : off + ln].decode())
+                off += ln
+        sql = self._stmts.get(stmt_name.decode(), "")
+        try:
+            df = self.session.execute(sql, params=params or None)
+            self._portals[portal.decode()] = df
+            sock.sendall(_msg(b"2", b""))  # BindComplete
+        except Exception as e:
+            self._error(sock, "42601", str(e).split("\n")[0][:400])
+
+    def _describe(self, body: bytes) -> bytes:
+        kind, name = body[0:1], body[1:].rstrip(b"\x00").decode()
+        df = self._portals.get(name)
+        if kind == b"S" or df is None:
+            return _msg(b"n", b"")  # NoData for statement describes
+        return _msg(b"T", self._row_description(df))
+
+    def _execute(self, sock, body: bytes) -> None:
+        portal = body.split(b"\x00", 1)[0].decode()
+        df = self._portals.get(portal)
+        if df is None:
+            sock.sendall(_msg(b"C", _cstr("OK")))
+            return
+        try:
+            rows = df.collect()
+            self._send_rows(sock, df.schema.fields, rows, with_description=False)
+            sock.sendall(_msg(b"C", _cstr(f"SELECT {len(rows)}")))
+        except Exception as e:
+            self._error(sock, "42601", str(e).split("\n")[0][:400])
 
     # -- protocol steps --------------------------------------------------
     def _startup(self, sock) -> bool:
@@ -129,31 +200,48 @@ class _PgHandler(socketserver.BaseRequestHandler):
                 sock.sendall(_msg(b"C", _cstr("OK")))
                 sock.sendall(_msg(b"Z", b"I"))
                 return
-            fields = df.schema.fields
             rows = df.collect()
-            desc = struct.pack("!H", len(fields))
-            for f in fields:
-                # table oid, attnum, type oid, typlen -1 (variable),
-                # typmod -1, format 0 (text)
-                desc += _cstr(f.name) + struct.pack(
-                    "!IHIhih", 0, 0, _oid_of(f.dataType.simpleString()), -1, -1, 0
-                )
-            sock.sendall(_msg(b"T", desc))
-            for r in rows:
-                payload = struct.pack("!H", len(fields))
-                for v in r:
-                    t = _text(v)
-                    if t is None:
-                        payload += struct.pack("!i", -1)
-                    else:
-                        b = t.encode()
-                        payload += struct.pack("!I", len(b)) + b
-                sock.sendall(_msg(b"D", payload))
+            self._send_rows(sock, df.schema.fields, rows, with_description=True)
             sock.sendall(_msg(b"C", _cstr(f"SELECT {len(rows)}")))
         except Exception as e:
             code = "42P01" if "TABLE_OR_VIEW_NOT_FOUND" in str(e) else "42601"
             self._error(sock, code, str(e).split("\n")[0][:400])
         sock.sendall(_msg(b"Z", b"I"))
+
+    @staticmethod
+    def _row_description(df) -> bytes:
+        fields = df.schema.fields
+        desc = struct.pack("!H", len(fields))
+        for f in fields:
+            # table oid, attnum, type oid, typlen -1 (variable),
+            # typmod -1, format 0 (text)
+            desc += _cstr(f.name) + struct.pack(
+                "!IHIhih", 0, 0, _oid_of(f.dataType.simpleString()), -1, -1, 0
+            )
+        return desc
+
+    def _send_rows(self, sock, fields, rows, *, with_description: bool) -> None:
+        if with_description:
+            desc = struct.pack("!H", len(fields))
+            for f in fields:
+                desc += _cstr(f.name) + struct.pack(
+                    "!IHIhih", 0, 0, _oid_of(f.dataType.simpleString()), -1, -1, 0
+                )
+            sock.sendall(_msg(b"T", desc))
+        self._data_rows(sock, fields, rows)
+
+    @staticmethod
+    def _data_rows(sock, fields, rows) -> None:
+        for r in rows:
+            payload = struct.pack("!H", len(fields))
+            for v in r:
+                t = _text(v)
+                if t is None:
+                    payload += struct.pack("!i", -1)
+                else:
+                    b = t.encode()
+                    payload += struct.pack("!I", len(b)) + b
+            sock.sendall(_msg(b"D", payload))
 
     def _error(self, sock, sqlstate: str, message: str) -> None:
         payload = (

@@ -128,3 +128,37 @@ def test_pg_wire_error_envelope(pg_server):
         assert err2 is None and rows == [["1"]]
     finally:
         c.close()
+
+
+def test_pg_wire_extended_protocol(pg_server):
+    """Parse/Bind/Describe/Execute/Sync — the flow psycopg3 and JDBC
+    drive (Session.parse/bind:403/execute analogs), with $1 params."""
+    c = MiniPgClient(pg_server)
+    try:
+        sql = b"SELECT n_name FROM nation WHERE n_nationkey = $1\x00"
+        # Parse (unnamed stmt), no param-type OIDs
+        body = b"\x00" + sql + struct.pack("!H", 0)
+        c.sock.sendall(b"P" + struct.pack("!I", len(body) + 4) + body)
+        # Bind (unnamed portal <- unnamed stmt), one text param "2"
+        val = b"2"
+        body = (
+            b"\x00" + b"\x00" + struct.pack("!H", 0)
+            + struct.pack("!H", 1) + struct.pack("!i", len(val)) + val
+            + struct.pack("!H", 0)
+        )
+        c.sock.sendall(b"B" + struct.pack("!I", len(body) + 4) + body)
+        # Describe portal, Execute, Sync
+        body = b"P\x00"
+        c.sock.sendall(b"D" + struct.pack("!I", len(body) + 4) + body)
+        body = b"\x00" + struct.pack("!I", 0)
+        c.sock.sendall(b"E" + struct.pack("!I", len(body) + 4) + body)
+        c.sock.sendall(b"S" + struct.pack("!I", 4))
+        tags = {}
+        for tag, payload in c._drain_until_ready():
+            tags.setdefault(tag, []).append(payload)
+        assert b"1" in tags and b"2" in tags  # ParseComplete, BindComplete
+        assert b"T" in tags and b"D" in tags  # description + data
+        assert b"NATION_2" in tags[b"D"][0]
+        assert tags[b"C"][0].startswith(b"SELECT 1")
+    finally:
+        c.close()
