@@ -55,7 +55,9 @@ def query(name: str, oracle: str | None = None):
 #: number of rounds. r1-r2 checked core/joins/windows/scalars[:4]
 #: (all green); r3 front-loads the never-driver-checked modules —
 #: sqlsurface..fulltext below sum to exactly 50. Next rotation (r4):
-#: front-load geo, aggregates, scalars[4:], then core/joins/windows.
+#: front-load geo, aggregates, scalars, then the r3 additions
+#: (graphs, pipeline, sqlfns) — none of which have driver rows yet —
+#: then core/joins/windows.
 _MODULES = (
     "sqlsurface",
     "vectors",

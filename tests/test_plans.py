@@ -258,3 +258,11 @@ def test_pack_sequences_one_shuffle_then_arrow(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_quantized_knn_broadcasts_queries(spark):
+    """Quantized kNN: 3-row query side broadcast; corpus never sort-
+    merge-joined or cartesian-multiplied."""
+    plan = plan_of(spark, "pipeline_knn_quantized")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
