@@ -89,20 +89,32 @@ def connected_components(
     after ``max_iterations`` rounds (needs ~log2(n); 25 covers 10^7
     nodes with slack).
     """
+    def _fingerprint(df: DataFrame) -> tuple:
+        # one job: edge count + order-independent XOR-fold of the set's
+        # 64-bit edge hashes (bit_xor never overflows under ANSI mode)
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
     e = _symmetrize(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     e = e.localCheckpoint(eager=True)
-    n_prev = e.count()
+    fp_prev = _fingerprint(e)
     for _ in range(max_iterations):
         e2 = _small_star(_large_star(_symmetrize(e))).localCheckpoint(eager=True)
-        # converged when the oriented edge sets agree. Both sides are
-        # distinct sets, so |e2| == |e| plus e2 ∖ e = ∅ implies
-        # equality — one count (free on the fresh checkpoint) and ONE
-        # anti-join pass instead of a symmetric difference, and never
-        # any driver-side edge materialization.
-        n2 = e2.count()
-        changed = 1 if n2 != n_prev else e2.exceptAll(e).count()
-        e, n_prev = e2, n2
+        # convergence in two tiers: a single-job (count, hash-sum)
+        # fingerprint screens each round; only when it matches do we
+        # pay ONE exact anti-join confirmation (both sides are distinct
+        # sets, so equal counts + empty e2∖e implies set equality).
+        # The exact pass runs once per convergence, not once per round,
+        # and nothing ever materializes on the driver.
+        fp2 = _fingerprint(e2)
+        changed = 1
+        if fp2 == fp_prev and e2.exceptAll(e).count() == 0:
+            changed = 0
+        e, fp_prev = e2, fp2
         if changed == 0:
             break
     else:
