@@ -202,6 +202,13 @@ _FN_TEMPLATES: dict = {
         f"array_join({', '.join(a)})" if len(a) in (2, 3) else None
     ),
     "gen_random_text_uuid": lambda a, lits: "uuid()" if len(a) == 0 else None,
+    # reference arg order is (value, array) — Spark's is (array, value)
+    "array_prepend": lambda a, lits: (
+        f"array_prepend({a[1]}, {a[0]})" if len(a) == 2 else None
+    ),
+    # modulus = mod alias (arithmetic.rst); sign follows the dividend
+    # in both engines (Java %)
+    "modulus": lambda a, lits: f"mod({a[0]}, {a[1]})" if len(a) == 2 else None,
     "null_or_empty": lambda a, lits: (
         f"({a[0]} IS NULL OR size({a[0]}) = 0)" if len(a) == 1 else None
     ),

@@ -249,6 +249,19 @@ class CrateSession:
             [(11, "doc"), (12, "information_schema"), (13, "sys"), (14, "pg_catalog")],
             "oid int, nspname string",
         ).createOrReplaceTempView("pg_catalog_pg_namespace")
+        # pg_constraint (PgCatalogTableDefinitions): PK constraints of
+        # SQL-created tables, the shape \d+ and ORMs probe
+        con_rows = []
+        for name, ct in sorted(getattr(self._dml, "crate_tables", {}).items()):
+            if ct.primary_key:
+                con_rows.append((f"{name}_pk", "p", name))
+            for i, _chk in enumerate(ct.checks):
+                con_rows.append((f"{name}_check_{i}", "c", name))
+        spark.createDataFrame(
+            con_rows or [("", "", "")],
+            "conname string, contype string, relname string",
+        ).filter("conname <> ''").createOrReplaceTempView("pg_catalog_pg_constraint")
+
         # the PG type OIDs tooling actually probes (PGTypes.java)
         spark.createDataFrame(
             [

@@ -1020,3 +1020,23 @@ def test_sys_summits(session):
         "ORDER BY mountain"
     ).collect()
     assert any(r["mountain"] == "Matterhorn" for r in near)
+
+
+def test_array_prepend_modulus_pg_constraint(dml_session):
+    """array_prepend keeps the reference's (value, array) arg order;
+    modulus aliases mod; pg_constraint lists PK/CHECK rows."""
+    r = dml_session.execute(
+        "SELECT array_prepend(0, [1, 2]) AS pre, modulus(10, 3) AS m, "
+        "modulus(-10, 3) AS neg"
+    ).collect()[0]
+    assert r["pre"] == [0, 1, 2] and r["m"] == 1 and r["neg"] == -1
+    dml_session.execute(
+        "CREATE TABLE conz (a integer PRIMARY KEY, CHECK (a > 0))"
+    )
+    rows = dml_session.execute(
+        "SELECT conname, contype FROM pg_catalog.pg_constraint "
+        "WHERE relname = 'conz' ORDER BY contype"
+    ).collect()
+    assert [(r["conname"], r["contype"]) for r in rows] == [
+        ("conz_check_0", "c"), ("conz_pk", "p")
+    ]
