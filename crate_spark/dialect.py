@@ -596,6 +596,8 @@ def rewrite(sql: str, string_object_columns: set[str] | None = None) -> str:
         sql = _CAST_RE.sub(r"CAST(\1 AS \2)", sql)
     sql = _SUBSCRIPT_SLICE_RE.sub(_subscript_slice_sub, sql)
     sql = _SUBSCRIPT_RE.sub(r"element_at(\1, \2)", sql)
+    # PG/crate bitwise XOR spelling `#` -> Spark's `^` (bit-operators.rst)
+    sql = re.sub(rf"({_OPERAND})\s*#\s*({_OPERAND})", r"\1 ^ \2", sql)
     sql = _REGEX_CI_RE.sub(r"\1 RLIKE concat('(?i)', \2)", sql)
     sql = _REGEX_NOT_RE.sub(r"NOT (\1 RLIKE \2)", sql)
     sql = _REGEX_RE.sub(r"\1 RLIKE \2", sql)
