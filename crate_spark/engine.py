@@ -81,8 +81,16 @@ class CrateSession:
 
         from crate_spark.sql_dml import SqlDmlRouter
 
+        from crate_spark.roles import SUPERUSER, RoleStore
+        from crate_spark.snapshots import SnapshotStore
+
         self.spark = spark
         apply_runtime_confs(spark)
+        #: role catalog + session user (reference Role.CRATE_USER
+        #: bootstrap; SET SESSION AUTHORIZATION switches it)
+        self.roles = RoleStore()
+        self.snapshots = SnapshotStore()
+        self.current_user: str = SUPERUSER
         self.tables: dict[str, DataFrame] = {}
         if data_dir:
             self.tables = dict(load_tables(spark, data_dir, register=True))
@@ -307,6 +315,37 @@ class CrateSession:
             ],
             "oid int, proname string, pronamespace int",
         ).createOrReplaceTempView("pg_catalog_pg_proc")
+        self._register_admin_views()
+
+    def _register_admin_views(self) -> None:
+        """sys.users / sys.roles / sys.privileges
+        (role/metadata/Sys*TableInfo.java) and sys.repositories /
+        sys.snapshots (metadata/sys/Sys*TableInfo.java) as temp views.
+        Tiny catalog rows — rebuilt on every admin mutation."""
+        spark = self.spark
+        spark.createDataFrame(
+            self.roles.sys_users_rows(),
+            "name string, superuser boolean, password string, granted_roles string",
+        ).createOrReplaceTempView("sys_users")
+        spark.createDataFrame(
+            self.roles.sys_roles_rows() or [("", "")],
+            "name string, granted_roles string",
+        ).filter("name <> ''").createOrReplaceTempView("sys_roles")
+        spark.createDataFrame(
+            self.roles.sys_privileges_rows() or [("", "", "", "", "", "")],
+            "grantee string, grantor string, state string, type string, "
+            "class string, ident string",
+        ).filter("grantee <> ''").createOrReplaceTempView("sys_privileges")
+        spark.createDataFrame(
+            self.snapshots.sys_repositories_rows() or [("", "", "")],
+            "name string, type string, settings string",
+        ).filter("name <> ''").createOrReplaceTempView("sys_repositories")
+        spark.createDataFrame(
+            self.snapshots.sys_snapshots_rows()
+            or [("", "", "", [""], "", "", "", "")],
+            "id string, name string, repository string, tables array<string>, "
+            "started string, finished string, version string, state string",
+        ).filter("id <> ''").createOrReplaceTempView("sys_snapshots")
 
     # -- statements ------------------------------------------------------
     def execute(self, sql: str, params: list | None = None) -> DataFrame:
@@ -334,7 +373,7 @@ class CrateSession:
             # sys.jobs_log ring buffer (reference SysJobsLogTableInfo;
             # stats.jobs_log_size default 10_000)
             self._jobs_log.append(
-                (str(uuid.uuid4()), stmt[:500], "crate", started, datetime.now(), err)
+                (str(uuid.uuid4()), stmt[:500], self.current_user, started, datetime.now(), err)
             )
             del self._jobs_log[:-10_000]
 
@@ -347,6 +386,15 @@ class CrateSession:
         # them, so each session sees its own catalog at query time.
         if re.search(r"\b(information_schema|sys|pg_catalog)\s*\.", stmt, re.IGNORECASE):
             self._register_system_views()
+
+        # privilege enforcement + admin statements (users/roles/
+        # privileges, repositories/snapshots, session authorization)
+        from crate_spark.admin_sql import check_privileges, route_admin
+
+        check_privileges(self, stmt)
+        admin = route_admin(self, stmt)
+        if admin is not None:
+            return admin
 
         if upper.startswith("EXPLAIN"):
             analyze = re.match(r"EXPLAIN\s+ANALYZE\s", upper) is not None
