@@ -253,7 +253,7 @@ def route_admin(session, stmt: str) -> DataFrame | None:
 #: statement prefix -> required permission (privileges.rst lists)
 _DML_RE = re.compile(r"^(INSERT|UPDATE|DELETE|COPY\s+\S+\s+FROM)\b", re.IGNORECASE)
 _DDL_RE = re.compile(
-    r"^(CREATE|DROP|ALTER)\s+(TABLE|VIEW|FUNCTION|ANALYZER|REPOSITORY|SNAPSHOT)\b"
+    r"^(CREATE|DROP|ALTER)\s+(BLOB\s+TABLE|TABLE|VIEW|FUNCTION|ANALYZER|REPOSITORY|SNAPSHOT)\b"
     r"|^(RESTORE\s+SNAPSHOT|OPTIMIZE)\b",
     re.IGNORECASE,
 )

@@ -111,7 +111,7 @@ _ANY_ALL_CMP_RE = re.compile(
     re.IGNORECASE,
 )
 _SCHEMA_RE = re.compile(
-    r"\b(information_schema|sys|pg_catalog)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)"
+    r"\b(information_schema|sys|pg_catalog|blob)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)"
 )
 
 
@@ -230,14 +230,340 @@ _FN_TEMPLATES: dict = {
     # [lon, lat] array (the reference's own literal form); shape
     # literals as WKT strings
     "latitude": lambda a, lits: (
-        f"CAST(element_at({a[0]}, 2) AS DOUBLE)" if len(a) == 1 else None
+        (lambda p: f"CAST({p[1]} AS DOUBLE)" if p else None)(_geo_lonlat(a[0], lits))
+        if len(a) == 1
+        else None
     ),
     "longitude": lambda a, lits: (
-        f"CAST(element_at({a[0]}, 1) AS DOUBLE)" if len(a) == 1 else None
+        (lambda p: f"CAST({p[0]} AS DOUBLE)" if p else None)(_geo_lonlat(a[0], lits))
+        if len(a) == 1
+        else None
     ),
     "distance": lambda a, lits: _geo_distance_sql(a, lits),
     "within": lambda a, lits: _geo_within_sql(a, lits),
+    "area": lambda a, lits: _geo_area_sql(a, lits),
+    "intersects": lambda a, lits: _geo_intersects_sql(a, lits),
+    "geohash": lambda a, lits: _geohash_sql(a, lits),
+    # StrposFunction / PG strpos(string, substring) == instr
+    "strpos": lambda a, lits: f"instr({a[0]}, {a[1]})" if len(a) == 2 else None,
+    "starts_with": lambda a, lits: (
+        f"startswith({a[0]}, {a[1]})" if len(a) == 2 else None
+    ),
+    # FormatFunction (PG format): %s positional — format_string's %s
+    "format": lambda a, lits: (
+        f"format_string({', '.join(a)})" if len(a) >= 1 else None
+    ),
+    # Ignore3vlFunction: NULL -> FALSE so 3vl NOT doesn't leak UNKNOWN
+    "ignore3vl": lambda a, lits: f"coalesce({a[0]}, FALSE)" if len(a) == 1 else None,
+    "encode": lambda a, lits: _encode_sql(a, lits),
+    "decode": lambda a, lits: _decode_sql(a, lits),
+    # VectorSimilarityFunction: 1 / (1 + squared_l2) — Lucene
+    # squareDistance semantics, matching functions/vector.py
+    "vector_similarity": lambda a, lits: (
+        f"(1.0 / (1.0 + aggregate(zip_with({a[0]}, {a[1]}, "
+        f"(__x, __y) -> (CAST(__x AS DOUBLE) - __y) * (CAST(__x AS DOUBLE) - __y)), "
+        f"CAST(0.0 AS DOUBLE), (__acc, __v) -> __acc + __v)))"
+        if len(a) == 2
+        else None
+    ),
+    "date_bin": lambda a, lits: _date_bin_sql(a, lits),
+    "date_format": lambda a, lits: _date_format_sql(a, lits),
+    "to_char": lambda a, lits: _to_char_fn_sql(a, lits),
+    # ObjectKeysFunction — dynamic objects are JSON strings here
+    "object_keys": lambda a, lits: (
+        f"json_object_keys({a[0]})" if len(a) == 1 else None
+    ),
+    "parse_uri": lambda a, lits: _parse_uri_sql(a) if len(a) == 1 else None,
+    # 1-arg CrateDB parse_url; 2/3-arg falls through to Spark's builtin
+    "parse_url": lambda a, lits: _parse_uri_sql(a) if len(a) == 1 else None,
+    "regexp_matches": lambda a, lits: _regexp_matches_sql(a, lits),
+    "regexp_replace": lambda a, lits: _regexp_replace_sql(a, lits),
+    "regexp_count": lambda a, lits: _regexp_count_sql(a, lits),
 }
+
+
+def _regex_inline_flags(flags: str, pattern_sql: str) -> str:
+    """Embed CrateDB regexp flags (i/u/U/s/m/x/d — Java Pattern inline
+    flags) into the pattern expression."""
+    inline = "".join(ch for ch in flags if ch in "iuUsmxd")
+    if not inline:
+        return pattern_sql
+    return f"concat('(?{inline})', {pattern_sql})"
+
+
+def _regexp_replace_sql(a: list[str], literals: list[str]) -> str | None:
+    """ReplaceFunction (regexp_replace): CrateDB (and PG/DuckDB)
+    replace only the FIRST match unless the ``g`` flag is given —
+    Spark's builtin replaces all, so the first-only form is emulated
+    with regexp_instr/extract splice (whole-stage codegen; Catalyst
+    CSE dedupes the repeated match probes). ``$N`` group refs pass
+    through — both engines use Java Matcher replacement syntax."""
+    if len(a) == 3:
+        s, p, r = a
+        flags = ""
+    elif len(a) == 4:
+        s, p, r = a[0], a[1], a[2]
+        flags = _lit_value(a[3], literals)
+        if flags is None:
+            return None
+    else:
+        return None
+    p = _regex_inline_flags(flags, p)
+    if "g" in flags:
+        return f"regexp_replace({s}, {p}, {r})"
+    pos = f"regexp_instr({s}, {p})"
+    endpos = f"({pos} + length(regexp_extract({s}, {p}, 0)))"
+    return (
+        f"(CASE WHEN {pos} > 0 THEN concat("
+        f"regexp_replace(substring({s}, 1, {endpos} - 1), {p}, {r}), "
+        f"substring({s}, {endpos})) ELSE {s} END)"
+    )
+
+
+def _regexp_count_sql(a: list[str], literals: list[str]) -> str | None:
+    """CountFunction (regexp_count(source, pattern[, start[, flags]])):
+    start offset via substr; flags inline."""
+    if len(a) == 2:
+        return None  # Spark builtin has identical semantics
+    if len(a) == 3:
+        return f"regexp_count(substr({a[0]}, {a[2]}), {a[1]})"
+    if len(a) == 4:
+        flags = _lit_value(a[3], literals)
+        if flags is None:
+            return None
+        p = _regex_inline_flags(flags, a[1])
+        return f"regexp_count(substr({a[0]}, {a[2]}), {p})"
+    return None
+
+
+def _encode_sql(a: list[str], literals: list[str]) -> str | None:
+    """EncodeFunction (PG encode(data, format)): base64/hex."""
+    if len(a) != 2:
+        return None
+    fmt = _lit_value(a[1], literals)
+    if fmt is None:
+        return None
+    if fmt.lower() == "base64":
+        return f"base64(CAST({a[0]} AS BINARY))"
+    if fmt.lower() == "hex":
+        return f"lower(hex(CAST({a[0]} AS BINARY)))"
+    return None
+
+
+def _decode_sql(a: list[str], literals: list[str]) -> str | None:
+    if len(a) != 2:
+        return None
+    fmt = _lit_value(a[1], literals)
+    if fmt is None:
+        return None
+    if fmt.lower() == "base64":
+        return f"unbase64({a[0]})"
+    if fmt.lower() == "hex":
+        return f"unhex({a[0]})"
+    return None
+
+
+def _lit_value(arg: str, literals: list[str]) -> str | None:
+    """The raw text of a masked string literal, or None."""
+    m = re.fullmatch(r"__LIT_(\d+)__", arg.strip())
+    if not m:
+        return None
+    return literals[int(m.group(1))][1:-1].replace("''", "'")
+
+
+#: interval-literal units -> microseconds (DateBinFunction stride)
+_IV_UNITS = {
+    "microsecond": 1, "microseconds": 1,
+    "millisecond": 1000, "milliseconds": 1000,
+    "second": 1_000_000, "seconds": 1_000_000, "sec": 1_000_000, "secs": 1_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000, "min": 60_000_000, "mins": 60_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "day": 86_400_000_000, "days": 86_400_000_000,
+    "week": 604_800_000_000, "weeks": 604_800_000_000,
+}
+
+
+def _interval_literal_micros(text: str) -> int | None:
+    total = 0
+    matched = False
+    for num, unit in re.findall(r"(-?\d+)\s*([a-zA-Z]+)", text):
+        scale = _IV_UNITS.get(unit.lower())
+        if scale is None:
+            return None
+        total += int(num) * scale
+        matched = True
+    return total if matched else None
+
+
+def _date_bin_sql(a: list[str], literals: list[str]) -> str | None:
+    """DateBinFunction.java:41 — floor((ts - origin) / stride) * stride
+    + origin, floor division so negative offsets round toward
+    -infinity. Stride must be an interval literal (resolved at rewrite
+    time); pure epoch arithmetic, stays in whole-stage codegen."""
+    if len(a) != 3:
+        return None
+    # stride arg shapes: __LIT__ / __LIT__::interval / CAST(__LIT__ AS ...)
+    m = re.search(r"__LIT_(\d+)__", a[0])
+    if not m or not re.fullmatch(
+        r"(?:CAST\s*\(\s*|INTERVAL\s+)?__LIT_\d+__"
+        r"(?:\s*AS\s+INTERVAL[\w\s]*\))?(?:\s*::\s*interval)?",
+        a[0].strip(),
+        re.IGNORECASE,
+    ):
+        return None
+    stride_us = _interval_literal_micros(literals[int(m.group(1))][1:-1])
+    if not stride_us:
+        return None
+    ts = f"unix_micros(CAST({a[1]} AS TIMESTAMP))"
+    origin = f"unix_micros(CAST({a[2]} AS TIMESTAMP))"
+    return (
+        f"timestamp_micros(CAST(floor(({ts} - {origin}) / {stride_us}) "
+        f"* {stride_us} + {origin} AS BIGINT))"
+    )
+
+
+def _date_format_sql(a: list[str], literals: list[str]) -> str | None:
+    """DateFormatFunction.java: date_format([fmt], [tz], ts) with MySQL
+    %-codes (TimestampFormatter.java), translated at rewrite time."""
+    from crate_spark.functions.scalar import _mysql_template_to_java
+
+    if len(a) == 1:
+        fmt, tz, ts = "%Y-%m-%dT%H:%i:%s.%fZ", None, a[0]
+    elif len(a) == 2:
+        raw = _lit_value(a[0], literals)
+        if raw is None:
+            return None
+        fmt, tz, ts = raw, None, a[1]
+    elif len(a) == 3:
+        raw, tzraw = _lit_value(a[0], literals), _lit_value(a[1], literals)
+        if raw is None or tzraw is None:
+            return None
+        fmt, tz, ts = raw, tzraw, a[2]
+    else:
+        return None
+    java = _mysql_template_to_java(fmt).replace("'", "\\'")
+    expr = f"CAST({ts} AS TIMESTAMP)"
+    if tz:
+        expr = f"convert_timezone('{tz}', {expr})"
+    return f"date_format({expr}, '{java}')"
+
+
+def _to_char_fn_sql(a: list[str], literals: list[str]) -> str | None:
+    """ToCharFunction: PG templates (YYYY/MM/DD/HH24/MI/SS/...) over
+    any timestamp expression — balanced-paren args, unlike the narrow
+    identifier-only regex this replaces."""
+    from crate_spark.functions.scalar import _pg_template_to_java
+
+    if len(a) != 2:
+        return None
+    fmt = _lit_value(a[1], literals)
+    if fmt is None:
+        return None
+    java = _pg_template_to_java(fmt).replace("'", "\\'")
+    return f"date_format(CAST({a[0]} AS TIMESTAMP), '{java}')"
+
+
+def _parse_uri_sql(a: list[str]) -> str:
+    """ParseUriFunction.java object shape via Spark's parse_url parts."""
+    u = a[0]
+    return (
+        f"map('scheme', parse_url({u}, 'PROTOCOL'), "
+        f"'userinfo', parse_url({u}, 'USERINFO'), "
+        f"'hostname', parse_url({u}, 'HOST'), "
+        # Spark's parse_url has no PORT part; take it off AUTHORITY
+        f"'port', nullif(regexp_extract(parse_url({u}, 'AUTHORITY'), ':(\\\\d+)$', 1), ''), "
+        f"'path', parse_url({u}, 'PATH'), "
+        f"'query', parse_url({u}, 'QUERY'), "
+        f"'fragment', parse_url({u}, 'REF'))"
+    )
+
+
+def _regexp_matches_sql(a: list[str], literals: list[str]) -> str | None:
+    """MatchesFunction (scalar regexp_matches): array of the capture
+    groups of the FIRST match, or [whole match] for group-free
+    patterns; NULL when no match. Literal patterns only — the group
+    count must be known at rewrite time."""
+    if len(a) != 2:
+        return None
+    pat = _lit_value(a[1], literals)
+    if pat is None:
+        return None
+    # count capturing groups: unescaped '(' not followed by '?'
+    groups = len(re.findall(r"(?<!\\)\((?!\?)", pat))
+    idxs = list(range(1, groups + 1)) if groups else [0]
+    parts = ", ".join(f"regexp_extract({a[0]}, {a[1]}, {i})" for i in idxs)
+    return f"(CASE WHEN {a[0]} RLIKE {a[1]} THEN array({parts}) END)"
+
+
+def _geo_area_sql(a: list[str], literals: list[str]) -> str | None:
+    """AreaFunction: spherical polygon area (m^2) of a WKT literal,
+    unrolled at rewrite time like within()."""
+    if len(a) != 1:
+        return None
+    verts = _wkt_polygon_vertices(a[0], literals)
+    if verts is None:
+        return None
+    from crate_spark.functions.geo import spherical_area_sql
+
+    return "(" + spherical_area_sql([(str(x), str(y)) for x, y in verts]) + ")"
+
+
+def _geo_intersects_sql(a: list[str], literals: list[str]) -> str | None:
+    """IntersectsFunction for the point-vs-polygon case (either order):
+    containment via the same ray-cast as within(). Polygon-polygon
+    needs a real geometry kernel — DataFrame API covers it
+    (queries/geo.py); unsupported shapes pass through unchanged."""
+    if len(a) != 2:
+        return None
+    for pt_arg, poly_arg in ((a[0], a[1]), (a[1], a[0])):
+        pt = _geo_lonlat_checked(pt_arg, literals)
+        verts = _wkt_polygon_vertices(poly_arg, literals)
+        if pt is not None and verts is not None:
+            from crate_spark.functions.geo import polygon_ray_cast_sql
+
+            return "(" + polygon_ray_cast_sql(pt[0], pt[1], verts) + ")"
+    return None
+
+
+def _geo_lonlat_checked(arg: str, literals: list[str]) -> tuple[str, str] | None:
+    """Like _geo_lonlat but only accepts a POINT literal or a plain
+    column/array expression (not a non-POINT WKT literal)."""
+    if re.fullmatch(r"__LIT_\d+__", arg.strip()):
+        wkt = _lit_value(arg, literals) or ""
+        if not re.match(r"\s*POINT\b", wkt, re.IGNORECASE):
+            return None
+    return _geo_lonlat(arg.strip(), literals)
+
+
+def _wkt_polygon_vertices(arg: str, literals: list[str]) -> list[tuple] | None:
+    wkt = _lit_value(arg, literals)
+    if wkt is None:
+        return None
+    pm = re.fullmatch(r"\s*POLYGON\s*\(\s*\(([^()]*)\)\s*\)\s*", wkt, re.IGNORECASE)
+    if not pm:
+        return None
+    try:
+        vertices = [
+            (float(x), float(y))
+            for x, y in (pair.split() for pair in pm.group(1).split(","))
+        ]
+    except ValueError:
+        return None
+    if len(vertices) >= 2 and vertices[0] == vertices[-1]:
+        vertices = vertices[:-1]
+    return vertices if len(vertices) >= 3 else None
+
+
+def _geohash_sql(a: list[str], literals: list[str]) -> str | None:
+    """GeoHashFunction -> the registered ``__geohash`` pandas UDF
+    (functions/geo.py bit-interleave; Arrow-batched — geohash has no
+    Spark builtin). POINT literals resolve to plain doubles."""
+    if len(a) != 1:
+        return None
+    pt = _geo_lonlat_checked(a[0], literals)
+    if pt is None:
+        return None
+    return f"__geohash(CAST({pt[0]} AS DOUBLE), CAST({pt[1]} AS DOUBLE))"
 
 
 def _geo_lonlat(arg: str, literals: list[str]) -> tuple[str, str] | None:
@@ -518,6 +844,47 @@ def _finalize_obj_structs(sql: str) -> str:
         i = k + 1
 
 
+def _rewrite_unnest_tvf(sql: str) -> str:
+    """``FROM unnest(a[, b...])`` (UnnestFunction.java) -> Spark's
+    explode/inline TVFs. Single array -> explode; multiple arrays zip
+    with NULL padding -> inline(arrays_zip(...))."""
+    out = []
+    i = 0
+    while True:
+        m = re.search(r"\b(FROM\s+|JOIN\s+|,\s*)unnest\s*\(", sql[i:], re.IGNORECASE)
+        if not m:
+            out.append(sql[i:])
+            return "".join(out)
+        start = i + m.start()
+        open_idx = i + m.end() - 1
+        depth, j = 1, open_idx + 1
+        while j < len(sql) and depth:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:  # unbalanced: bail
+            out.append(sql[i:])
+            return "".join(out)
+        inner = sql[open_idx + 1 : j - 1]
+        # top-level comma => multi-arg zip form
+        d = 0
+        multi = False
+        for ch in inner:
+            if ch == "(" or ch == "[":
+                d += 1
+            elif ch == ")" or ch == "]":
+                d -= 1
+            elif ch == "," and d == 0:
+                multi = True
+                break
+        fn = f"inline(arrays_zip({inner}))" if multi else f"explode({inner})"
+        out.append(sql[i:start] + m.group(1) + fn)
+        i = j
+    return "".join(out)
+
+
 def rewrite(sql: str, string_object_columns: set[str] | None = None) -> str:
     """Apply all crate-ism rewrites to one statement.
 
@@ -539,6 +906,7 @@ def rewrite(sql: str, string_object_columns: set[str] | None = None) -> str:
         return f"__LIT_{len(literals) - 1}__"
 
     sql = _LIT_RE.sub(_mask, sql)
+    n_input_lits = len(literals)
 
     # OBJECT subscripts first: the result is a function call, which the
     # cast rewrite below can then treat as an operand (props['k']::long)
@@ -582,6 +950,18 @@ def rewrite(sql: str, string_object_columns: set[str] | None = None) -> str:
         sql,
         flags=re.IGNORECASE,
     )
+
+    # table functions in FROM (TableFunctions.java): empty_row() is a
+    # one-row zero-column anchor (Spark needs >=1 column — documented
+    # divergence on SELECT *); unnest(arr) -> explode TVF, multi-arg
+    # unnest zips (column names diverge: Spark's col/field names)
+    sql = re.sub(
+        r"\bFROM\s+empty_row\s*\(\s*\)",
+        "FROM (SELECT 1 AS __er) AS __empty_row",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = _rewrite_unnest_tvf(sql)
 
     # crate-only scalar function names (ArraySliceFunction,
     # StringToArrayFunction, ArrayDifferenceFunction, ...) -> Spark
@@ -730,22 +1110,7 @@ def rewrite(sql: str, string_object_columns: set[str] | None = None) -> str:
         flags=re.IGNORECASE,
     )
 
-    def _to_char_sub(m: re.Match) -> str:
-        from crate_spark.functions.scalar import _pg_template_to_java
-
-        expr, lit_ref = m.group(1), m.group(2)
-        idx = int(re.match(r"__LIT_(\d+)__", lit_ref).group(1))
-        java = _pg_template_to_java(literals[idx].strip("'"))
-        return f"date_format({expr}, '{java}')"
-
-    # to_char(expr, 'PG template') -> date_format with the translated
-    # pattern (ToCharFunction.java subset; template must be a literal)
-    sql = re.sub(
-        rf"\bto_char\s*\(\s*({_IDENT}(?:\({_IDENT}?\))?)\s*,\s*(__LIT_\d+__)\s*\)",
-        _to_char_sub,
-        sql,
-        flags=re.IGNORECASE,
-    )
+    # (to_char is handled by the _FN_TEMPLATES balanced-paren path)
 
     # PG result-limiting spellings (select.rst: FETCH FIRST n ROWS
     # ONLY, OFFSET n ROWS) -> Spark's LIMIT/OFFSET. The combined form
@@ -766,6 +1131,13 @@ def rewrite(sql: str, string_object_columns: set[str] | None = None) -> str:
 
     sql = _rewrite_order_by(sql)
     for i, lit in enumerate(literals):
+        if i < n_input_lits:
+            # PG/CrateDB string literals are standard-conforming:
+            # backslash is a literal character ('\d' stays '\d').
+            # Spark's parser treats it as an escape, so double it at
+            # unmask time. Literals appended by rewrite templates are
+            # already Spark-escaped and emit verbatim.
+            lit = lit.replace("\\", "\\\\")
         sql = sql.replace(f"__LIT_{i}__", lit)
     return sql
 

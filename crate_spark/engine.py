@@ -91,6 +91,14 @@ class CrateSession:
         self.roles = RoleStore()
         self.snapshots = SnapshotStore()
         self.current_user: str = SUPERUSER
+        self._blob_store = None  # lazy (needs storage_dir, set below)
+        # SQL-callable helper UDFs the dialect templates emit (only
+        # where no JVM expression exists): geohash bit-interleave
+        from pyspark.sql.functions import pandas_udf
+
+        from crate_spark.functions.geo import _geohash_batch
+
+        spark.udf.register("__geohash", pandas_udf(_geohash_batch, "string"))
         self.tables: dict[str, DataFrame] = {}
         if data_dir:
             self.tables = dict(load_tables(spark, data_dir, register=True))
@@ -133,6 +141,11 @@ class CrateSession:
     def _register_system_views(self) -> None:
         spark = self.spark
         rows = [(name, "doc", "BASE TABLE") for name in sorted(self.tables)]
+        if self._blob_store is not None:
+            rows += [
+                (name, "blob", "BASE TABLE")
+                for name in sorted(self._blob_store.tables)
+            ]
         spark.createDataFrame(
             rows or [("", "", "")],
             "table_name string, table_schema string, table_type string",
@@ -317,6 +330,37 @@ class CrateSession:
         ).createOrReplaceTempView("pg_catalog_pg_proc")
         self._register_admin_views()
 
+    @property
+    def blobs(self):
+        """Blob-table catalog (general/blobs.rst), rooted next to the
+        SQL-created tables."""
+        if self._blob_store is None:
+            from crate_spark.blobs import BlobStore
+
+            self._blob_store = BlobStore(self.storage_dir)
+        return self._blob_store
+
+    def _register_blob_views(self) -> None:
+        """``blob.<t>`` -> temp view ``blob_<t>`` (digest,
+        last_modified) — re-listed per statement so uploads are
+        immediately visible (the refresh semantics blob tables have
+        in the reference)."""
+        for name, t in self.blobs.tables.items():
+            t.df(self.spark).createOrReplaceTempView(f"blob_{name}")
+
+    # -- blob object API (HTTP _blobs analog) ----------------------------
+    def put_blob(self, table: str, content: bytes, digest: str | None = None) -> str:
+        return self.blobs.get(table).put(content, digest)
+
+    def get_blob(self, table: str, digest: str) -> bytes:
+        return self.blobs.get(table).get(digest)
+
+    def blob_exists(self, table: str, digest: str) -> bool:
+        return self.blobs.get(table).exists(digest)
+
+    def delete_blob(self, table: str, digest: str) -> bool:
+        return self.blobs.get(table).delete(digest)
+
     def _register_admin_views(self) -> None:
         """sys.users / sys.roles / sys.privileges
         (role/metadata/Sys*TableInfo.java) and sys.repositories /
@@ -386,6 +430,8 @@ class CrateSession:
         # them, so each session sees its own catalog at query time.
         if re.search(r"\b(information_schema|sys|pg_catalog)\s*\.", stmt, re.IGNORECASE):
             self._register_system_views()
+        if re.search(r"\bblob\s*\.", stmt, re.IGNORECASE):
+            self._register_blob_views()
 
         # privilege enforcement + admin statements (users/roles/
         # privileges, repositories/snapshots, session authorization)
@@ -395,6 +441,38 @@ class CrateSession:
         admin = route_admin(self, stmt)
         if admin is not None:
             return admin
+
+        # CREATE/DROP BLOB TABLE (create-blob-table.rst; blob tables
+        # are content-addressed, always sharded by digest)
+        m = re.match(
+            r"CREATE\s+BLOB\s+TABLE\s+\"?([\w]+)\"?"
+            r"(?:\s+CLUSTERED\s+INTO\s+(\d+)\s+SHARDS)?"
+            r"(?:\s+WITH\s*\((.*)\))?\s*$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            from crate_spark.admin_sql import _parse_with
+
+            self.blobs.create(
+                m.group(1),
+                shards=int(m.group(2) or 4),
+                settings=_parse_with(m.group(3) or ""),
+            )
+            self._register_blob_views()
+            return self.spark.createDataFrame([(1,)], "rowcount bigint")
+        m = re.match(
+            r"DROP\s+BLOB\s+TABLE\s+(IF\s+EXISTS\s+)?\"?([\w]+)\"?\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            dropped = self.blobs.drop(m.group(2), if_exists=bool(m.group(1)))
+            if dropped:
+                self.spark.catalog.dropTempView(f"blob_{m.group(2).lower()}")
+            return self.spark.createDataFrame(
+                [(1 if dropped else 0,)], "rowcount bigint"
+            )
 
         if upper.startswith("EXPLAIN"):
             analyze = re.match(r"EXPLAIN\s+ANALYZE\s", upper) is not None

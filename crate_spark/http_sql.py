@@ -107,6 +107,76 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    # -- /_blobs/<table>/<digest> (general/blobs.rst HTTP surface) ------
+    _BLOB_PATH = None  # compiled lazily
+
+    def _blob_route(self):
+        import re as _re
+
+        m = _re.match(r"^/_blobs/(\w+)/([0-9a-fA-F]{40})$", self.path)
+        return (m.group(1), m.group(2)) if m else None
+
+    def do_PUT(self):  # noqa: N802
+        route = self._blob_route()
+        if not route:
+            self.send_error(404)
+            return
+        table, digest = route
+        length = int(self.headers.get("Content-Length", 0))
+        content = self.rfile.read(length)
+        try:
+            existed = self.session.blob_exists(table, digest)
+            self.session.put_blob(table, content, digest)
+        except Exception as e:
+            self.send_error(400, str(e).split("\n")[0])
+            return
+        # reference: 201 Created on new, 409 Conflict on re-upload
+        self.send_response(409 if existed else 201)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+    def do_GET(self):  # noqa: N802
+        route = self._blob_route()
+        if not route:
+            self.send_error(404)
+            return
+        try:
+            content = self.session.get_blob(*route)
+        except Exception:
+            self.send_error(404)
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "application/octet-stream")
+        self.send_header("Content-Length", str(len(content)))
+        self.end_headers()
+        self.wfile.write(content)
+
+    def do_HEAD(self):  # noqa: N802
+        route = self._blob_route()
+        if not route:
+            self.send_error(404)
+            return
+        try:
+            ok = self.session.blob_exists(*route)
+        except Exception:
+            ok = False
+        self.send_response(200 if ok else 404)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+    def do_DELETE(self):  # noqa: N802
+        route = self._blob_route()
+        if not route:
+            self.send_error(404)
+            return
+        try:
+            ok = self.session.delete_blob(*route)
+        except Exception:
+            ok = False
+        self.send_response(204 if ok else 404)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
     def log_message(self, *args):  # quiet test runs
         pass
 

@@ -190,3 +190,119 @@ def sql_geo_surface(spark, sf_dir):
         f"within({_GEO_PT}, '{_tri_wkt()}') AS in_tri "
         f"FROM customer WHERE c_custkey < 500"
     )
+
+
+@query(
+    "sql_string_fn_surface",
+    oracle="""
+    SELECT doc_id,
+           strpos(text, 'the') AS pos_the,
+           starts_with(text, 'The') AS starts_the,
+           printf('%s-%s', lang, source) AS fmt,
+           to_base64(lang::BLOB) AS b64,
+           lower(hex(source::BLOB)) AS hexed,
+           lang AS roundtrip,
+           CASE WHEN doc_id % 3 = 0 THEN false ELSE doc_id % 3 = 1 END AS i3vl,
+           array_to_string(json_keys('{"k' || (doc_id % 3)::VARCHAR || '":1,"z":2}'), ',') AS objkeys,
+           source || '.example.com' AS host,
+           '8080' AS port,
+           '/d/' || doc_id::VARCHAR AS upath,
+           'q=1' AS uq,
+           'top' AS ufrag,
+           'https' AS uscheme,
+           CASE WHEN regexp_matches(text, '([a-z]+) ([a-z]+)')
+                THEN regexp_extract(text, '([a-z]+) ([a-z]+)', 1) || '|' ||
+                     regexp_extract(text, '([a-z]+) ([a-z]+)', 2) END AS rx
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def sql_string_fn_surface(spark, sf_dir):
+    """strpos / starts_with / format / encode / decode / ignore3vl /
+    object_keys / parse_uri / scalar regexp_matches — the round-3
+    _FN_TEMPLATES additions, end-to-end as SQL text through the shim
+    (reference scalar classes: StrposFunction, StartsWithFunction,
+    FormatFunction, EncodeFunction, DecodeFunction, Ignore3vlFunction,
+    ObjectKeysFunction, ParseUriFunction, MatchesFunction). Every
+    expansion is a Spark builtin expression (codegen), no UDFs."""
+    uri = (
+        "concat('https://', source, '.example.com:8080/d/', "
+        "cast(doc_id AS string), '?q=1#top')"
+    )
+    return _session(spark, sf_dir).execute(
+        "SELECT doc_id, "
+        "strpos(text, 'the') AS pos_the, "
+        "starts_with(text, 'The') AS starts_the, "
+        "format('%s-%s', lang, source) AS fmt, "
+        "encode(lang, 'base64') AS b64, "
+        "encode(source, 'hex') AS hexed, "
+        "cast(decode(encode(lang, 'base64'), 'base64') AS string) AS roundtrip, "
+        "ignore3vl(CASE WHEN doc_id % 3 = 0 THEN NULL "
+        "          ELSE doc_id % 3 = 1 END) AS i3vl, "
+        "array_to_string(object_keys(concat('{\"k', cast(doc_id % 3 AS string), "
+        "'\":1,\"z\":2}')), ',') AS objkeys, "
+        f"parse_uri({uri})['hostname'] AS host, "
+        f"parse_uri({uri})['port'] AS port, "
+        f"parse_uri({uri})['path'] AS upath, "
+        f"parse_uri({uri})['query'] AS uq, "
+        f"parse_uri({uri})['fragment'] AS ufrag, "
+        f"parse_uri({uri})['scheme'] AS uscheme, "
+        "array_to_string(regexp_matches(text, '([a-z]+) ([a-z]+)'), '|') AS rx "
+        "FROM documents WHERE doc_id < 200"
+    )
+
+
+@query(
+    "sql_datetime_fn_surface",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M') AS tc,
+           strftime(o_orderdate, '%Y/%m/%d') AS df,
+           TIME_BUCKET(INTERVAL '1 week', o_orderdate::TIMESTAMP,
+                       TIMESTAMP '1992-01-01 00:00:00') AS wk,
+           TIME_BUCKET(INTERVAL '6 hours', o_orderdate::TIMESTAMP,
+                       TIMESTAMP '1992-01-01 00:00:00') AS h6
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def sql_datetime_fn_surface(spark, sf_dir):
+    """to_char (PG templates over arbitrary expressions — the r3 fix),
+    MySQL-style date_format, and date_bin with '::interval' and
+    INTERVAL-literal strides, as SQL text (ToCharFunction,
+    DateFormatFunction, DateBinFunction.java:41). All expand to
+    plan-time date_format/epoch arithmetic — whole-stage codegen."""
+    return _session(spark, sf_dir).execute(
+        "SELECT o_orderkey, "
+        "to_char(o_orderdate::timestamp, 'YYYY-MM-DD HH24:MI') AS tc, "
+        "date_format('%Y/%m/%d', o_orderdate::timestamp) AS df, "
+        "date_bin('1 week'::interval, o_orderdate::timestamp, "
+        "         '1992-01-01T00:00:00'::timestamp) AS wk, "
+        "date_bin(INTERVAL '6 hours', o_orderdate::timestamp, "
+        "         '1992-01-01T00:00:00'::timestamp) AS h6 "
+        "FROM orders WHERE o_orderkey < 500"
+    )
+
+
+@query(
+    "sql_regexp_surface",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(text, 'th[a-z]+', '<WORD>') AS first_only,
+           regexp_replace(text, 'e', 'E', 'g') AS global_e,
+           len(regexp_extract_all(text, '[Tt]he')) AS n_the
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def sql_regexp_surface(spark, sf_dir):
+    """regexp_replace default-first-only vs the ``g`` flag
+    (ReplaceFunction; scalar-functions.rst: 'By default, only the
+    first occurrence ... will be replaced') and regexp_count — CrateDB
+    and DuckDB agree on first-only, Spark's builtin is global-only, so
+    the shim splices the first match via regexp_instr/extract (all
+    codegen; the r3 parity fix this query pins)."""
+    return _session(spark, sf_dir).execute(
+        "SELECT doc_id, "
+        "regexp_replace(text, 'th[a-z]+', '<WORD>') AS first_only, "
+        "regexp_replace(text, 'e', 'E', 'g') AS global_e, "
+        "regexp_count(text, '[Tt]he') AS n_the "
+        "FROM documents WHERE doc_id < 200"
+    )
