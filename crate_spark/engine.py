@@ -92,6 +92,7 @@ class CrateSession:
         self.snapshots = SnapshotStore()
         self.current_user: str = SUPERUSER
         self._blob_store = None  # lazy (needs storage_dir, set below)
+        self._fdw_store = None
         # SQL-callable helper UDFs the dialect templates emit (only
         # where no JVM expression exists): geohash bit-interleave
         from pyspark.sql.functions import pandas_udf
@@ -329,6 +330,35 @@ class CrateSession:
             "oid int, proname string, pronamespace int",
         ).createOrReplaceTempView("pg_catalog_pg_proc")
         self._register_admin_views()
+        # information_schema.foreign_servers / foreign_tables
+        # (fdw/ServersMetadata; PG FDW catalog shape)
+        fdw_servers = (
+            self._fdw_store.foreign_servers_rows() if self._fdw_store else []
+        )
+        spark.createDataFrame(
+            fdw_servers or [("", "", "")],
+            "foreign_server_name string, foreign_data_wrapper_name string, "
+            "authorization_identifier string",
+        ).filter("foreign_server_name <> ''").createOrReplaceTempView(
+            "information_schema_foreign_servers"
+        )
+        fdw_tables = self._fdw_store.foreign_tables_rows() if self._fdw_store else []
+        spark.createDataFrame(
+            fdw_tables or [("", "", "")],
+            "foreign_table_name string, foreign_table_schema string, "
+            "foreign_server_name string",
+        ).filter("foreign_table_name <> ''").createOrReplaceTempView(
+            "information_schema_foreign_tables"
+        )
+
+    @property
+    def fdw(self):
+        """Foreign-data-wrapper catalog (admin/fdw.rst)."""
+        if self._fdw_store is None:
+            from crate_spark.fdw import FdwStore
+
+            self._fdw_store = FdwStore()
+        return self._fdw_store
 
     @property
     def blobs(self):
@@ -441,6 +471,17 @@ class CrateSession:
         admin = route_admin(self, stmt)
         if admin is not None:
             return admin
+
+        # SERVER / FOREIGN TABLE / USER MAPPING DDL (admin/fdw.rst)
+        if re.match(
+            r"(CREATE|ALTER|DROP)\s+(SERVER|FOREIGN\s+TABLE|USER\s+MAPPING)\b",
+            upper,
+        ):
+            from crate_spark.fdw import route_fdw
+
+            routed = route_fdw(self, stmt)
+            if routed is not None:
+                return routed
 
         # CREATE/DROP BLOB TABLE (create-blob-table.rst; blob tables
         # are content-addressed, always sharded by digest)
