@@ -93,6 +93,12 @@ class CrateSession:
         self.current_user: str = SUPERUSER
         self._blob_store = None  # lazy (needs storage_dir, set below)
         self._fdw_store = None
+        self._pub_store = None
+        self._sub_store = None
+        #: tables mirrored by an active subscription — read-only here
+        #: (logical-replication.rst: writable again after DROP
+        #: SUBSCRIPTION)
+        self.subscribed_tables: set[str] = set()
         # SQL-callable helper UDFs the dialect templates emit (only
         # where no JVM expression exists): geohash bit-interleave
         from pyspark.sql.functions import pandas_udf
@@ -350,6 +356,60 @@ class CrateSession:
         ).filter("foreign_table_name <> ''").createOrReplaceTempView(
             "information_schema_foreign_tables"
         )
+        # pg_publication / pg_publication_tables / pg_subscription
+        # (metadata/pgcatalog/PgPublicationTableInfo et al.)
+        pubs = self._pub_store.pubs if self._pub_store else {}
+        spark.createDataFrame(
+            [
+                (name, p["owner"], p["all_tables"], True, True, True)
+                for name, p in sorted(pubs.items())
+            ]
+            or [("", "", False, False, False, False)],
+            "pubname string, pubowner string, puballtables boolean, "
+            "pubinsert boolean, pubupdate boolean, pubdelete boolean",
+        ).filter("pubname <> ''").createOrReplaceTempView("pg_catalog_pg_publication")
+        pub_tables = []
+        for name, p in sorted(pubs.items()):
+            tnames = (
+                sorted(self._dml.crate_tables) if p["all_tables"] else p["tables"]
+            )
+            pub_tables += [(name, "doc", t) for t in tnames]
+        spark.createDataFrame(
+            pub_tables or [("", "", "")],
+            "pubname string, schemaname string, tablename string",
+        ).filter("pubname <> ''").createOrReplaceTempView(
+            "pg_catalog_pg_publication_tables"
+        )
+        subs = self._sub_store.subs if self._sub_store else {}
+        spark.createDataFrame(
+            [
+                (s.name, "crate", s.enabled, s.connection, [s.publication])
+                for s in sorted(subs.values(), key=lambda x: x.name)
+            ]
+            or [("", "", False, "", [""])],
+            "subname string, subowner string, subenabled boolean, "
+            "subconninfo string, subpublications array<string>",
+        ).filter("subname <> ''").createOrReplaceTempView(
+            "pg_catalog_pg_subscription"
+        )
+
+    @property
+    def publications(self):
+        """Publisher-side replication catalog (logical-replication.rst),
+        persisted in the storage dir for cross-session discovery."""
+        if self._pub_store is None:
+            from crate_spark.streaming.replication import PublicationStore
+
+            self._pub_store = PublicationStore(self.storage_dir)
+        return self._pub_store
+
+    @property
+    def subscriptions(self):
+        if self._sub_store is None:
+            from crate_spark.streaming.replication import SubscriptionStore
+
+            self._sub_store = SubscriptionStore()
+        return self._sub_store
 
     @property
     def fdw(self):
@@ -471,6 +531,24 @@ class CrateSession:
         admin = route_admin(self, stmt)
         if admin is not None:
             return admin
+
+        # PUBLICATION / SUBSCRIPTION DDL (logical-replication.rst)
+        if re.match(
+            r"(CREATE|ALTER|DROP)\s+(PUBLICATION|SUBSCRIPTION)\b", upper
+        ):
+            from crate_spark.streaming.replication import route_replication
+
+            routed = route_replication(self, stmt)
+            if routed is not None:
+                return routed
+
+        # subscribed tables receive files continuously; re-list before
+        # answering a query that touches one
+        for name in self.subscribed_tables:
+            if re.search(rf"(?<![\w.\"]){re.escape(name)}\b", stmt, re.IGNORECASE):
+                ct = self._dml.crate_tables.get(name)
+                if ct is not None:
+                    self.register(name, ct.read())
 
         # SERVER / FOREIGN TABLE / USER MAPPING DDL (admin/fdw.rst)
         if re.match(

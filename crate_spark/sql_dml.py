@@ -141,6 +141,14 @@ class SqlDmlRouter:
 
     def _table(self, name: str) -> CrateTable:
         name = name.split(".")[-1]  # doc.t == t (single-schema catalog)
+        if name in getattr(self.owner, "subscribed_tables", ()):
+            # logical-replication.rst: subscribed tables are read-only
+            # until the subscription is dropped
+            raise ValueError(
+                f"The relation \"{name}\" doesn't allow INSERT/UPDATE/DELETE "
+                "operations, because it is included in a logical replication "
+                "subscription"
+            )
         if name in self.crate_tables:
             return self.crate_tables[name]
         path = os.path.join(self.owner.storage_dir, name)
