@@ -195,3 +195,107 @@ def pack_sequences(
         return pdf[["id", "n_tokens", "pack_key", "pack_id", "pack_tokens"]]
 
     return prepped.groupBy("pack_key").applyInPandas(_pack, schema)
+
+
+def normalized_words(text_col) -> F.Column:
+    """Normalized word array (operators/text.words_of: lowercase,
+    collapse whitespace, split) — the shared canonical form, so
+    contamination grams and dedup shingles agree."""
+    from crate_spark.operators.text import words_of
+
+    return words_of(text_col)
+
+
+def ngram_hashes(text_col, n: int = 8) -> F.Column:
+    """xxhash64 of every word n-gram of the text — the unit of
+    benchmark-contamination matching. Pure JVM higher-order
+    expressions: sequence + slice + hash, no explode until the
+    caller chooses to."""
+    words = normalized_words(text_col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        lambda i: F.xxhash64(F.array_join(F.slice(words, i, n), " ")),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+    max_overlaps: int = 0,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with an evaluation/benchmark set (the standard
+    train-test-overlap hygiene pass, cf. GPT-3 appendix C / PaLM
+    'data contamination').
+
+    Returns ``docs`` + ``n_contaminated_ngrams`` + ``contaminated``.
+
+    Scale shape: the benchmark gram set is aggregated FIRST (distinct
+    hashes — typically thousands of rows even for large benchmarks)
+    and broadcast; the 100 TB training side then left-semi-probes it
+    map-side inside one explode pass — the fact table never shuffles.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(ngram_hashes(bench_text_col, n)).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(ngram_hashes(text_col, n)).alias("gram")
+    )
+    overlap = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_ngrams"))
+    )
+    return (
+        docs.join(overlap, id_col, "left")
+        .withColumn(
+            "n_contaminated_ngrams",
+            F.coalesce(F.col("n_contaminated_ngrams"), F.lit(0)),
+        )
+        .withColumn(
+            "contaminated", F.col("n_contaminated_ngrams") > max_overlaps
+        )
+    )
+
+
+def repetition_metrics(text_col) -> dict[str, F.Column]:
+    """Gopher repetition rules (Rae et al. 2021 §A1.1): fraction of
+    duplicate lines / paragraphs / words within a document. All pure
+    higher-order expressions — zero shuffles, computed in the scan."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+
+    def _dup_frac(parts: F.Column) -> F.Column:
+        kept = F.filter(parts, lambda x: F.length(F.trim(x)) > 0)
+        total = F.size(kept)
+        return F.when(total > 0,
+            (total - F.size(F.array_distinct(kept))) / total
+        ).otherwise(F.lit(0.0))
+
+    words = normalized_words(col)
+    return {
+        "dup_line_frac": _dup_frac(F.split(col, "\n")),
+        "dup_para_frac": _dup_frac(F.split(col, "\n\n")),
+        "dup_word_frac": F.when(F.size(words) > 0,
+            (F.size(words) - F.size(F.array_distinct(words))) / F.size(words)
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def shard_layout(
+    df: DataFrame, id_col: str, n_shards: int
+) -> DataFrame:
+    """Deterministic output sharding: md5-bucket the stable id into
+    ``n_shards`` (the final write layout of a training-data run —
+    stable under re-runs and data growth, like train_split). The
+    caller writes with ``.repartition(n_shards, 'shard')
+    .write.partitionBy('shard')`` so each output shard is one
+    partition's sequential write."""
+    return df.withColumn("shard", hash_bucket(id_col, n_shards))

@@ -283,3 +283,108 @@ def pipeline_knn_quantized(spark, sf_dir):
         .filter(F.col("_rn") <= 5)
         .select("query_id", "neighbor_id", F.round(F.col("_dot"), 9).alias("qdot"))
     )
+
+
+_DUCK_WORDS = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+
+@query(
+    "pipeline_decontaminate",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents WHERE doc_id < 400
+    ),
+    bg AS (
+      SELECT DISTINCT array_to_string(ws[i:i+7], ' ') AS g
+      FROM w, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i
+      ) s
+      WHERE doc_id % 17 = 0
+    ),
+    dg AS (
+      SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS g
+      FROM w, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i
+      ) s
+      WHERE doc_id % 17 <> 0
+    ),
+    ov AS (SELECT doc_id, count(*) AS n FROM dg JOIN bg USING (g) GROUP BY doc_id)
+    SELECT w.doc_id,
+           coalesce(ov.n, 0) AS n_contaminated_ngrams,
+           coalesce(ov.n, 0) > 0 AS contaminated
+    FROM w LEFT JOIN ov ON w.doc_id = ov.doc_id
+    WHERE w.doc_id % 17 <> 0
+    """,
+)
+def pipeline_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C lineage): flag
+    training docs sharing any 8-word-gram with the benchmark set
+    (stand-in: every 17th doc). The benchmark gram set aggregates
+    small and BROADCASTS; the training side probes it map-side in one
+    explode pass — the 100 TB side never shuffles for the match
+    (operators/pipeline.decontaminate)."""
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 400)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return P.decontaminate(train, bench, n=8).select(
+        "doc_id", "n_contaminated_ngrams", "contaminated"
+    )
+
+
+@query(
+    "pipeline_repetition_metrics",
+    oracle=f"""
+    WITH src AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS lines,
+             {_DUCK_WORDS} AS ws
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           ROUND(CASE WHEN len(lines) > 0
+                 THEN (len(lines) - len(list_distinct(lines))) / CAST(len(lines) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS dup_line_frac,
+           ROUND(CASE WHEN len(ws) > 0
+                 THEN (len(ws) - len(list_distinct(ws))) / CAST(len(ws) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS dup_word_frac
+    FROM src
+    """,
+)
+def pipeline_repetition_metrics(spark, sf_dir):
+    """Gopher repetition rules (Rae et al. 2021 §A1.1): within-doc
+    duplicate-line and duplicate-word fractions — pure higher-order
+    array expressions in the scan, zero shuffles
+    (operators/pipeline.repetition_metrics)."""
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 300)
+    m = P.repetition_metrics("text")
+    return docs.select(
+        "doc_id",
+        F.round(m["dup_line_frac"], 6).alias("dup_line_frac"),
+        F.round(m["dup_word_frac"], 6).alias("dup_word_frac"),
+    )
+
+
+@query(
+    "pipeline_shard_layout",
+    oracle=f"""
+    SELECT {_DUCK_BUCKET.format(id='doc_id', n=8)} AS shard,
+           count(*) AS n_docs,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id,
+           sum(n_chars) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def pipeline_shard_layout(spark, sf_dir):
+    """Deterministic output sharding (the final write layout): md5
+    bucket of the stable id -> shard, stable under re-runs and data
+    growth. The histogram is the shard-balance audit; the write path
+    is .repartition(n, 'shard').write.partitionBy('shard') — one
+    sequential file stream per shard (operators/pipeline.shard_layout)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return P.shard_layout(docs, "doc_id", 8).groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.sum("n_chars").alias("total_chars"),
+    )

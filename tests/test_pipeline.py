@@ -133,3 +133,67 @@ def test_quantized_dot_tracks_exact_cosine(spark):
     for r in pairs.collect():
         # absolute tolerance scaled to vector norms (64-dim, |v|<=1)
         assert math.isclose(r["qdot"], r["fdot"], abs_tol=0.35), r
+
+
+def test_decontaminate_flags_known_overlap(spark):
+    """A doc sharing an 8-gram with the benchmark is flagged; a
+    disjoint doc is not; counts are per-occurrence."""
+    from crate_spark.operators.pipeline import decontaminate
+
+    gram = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix {gram} suffix words here"),
+            (2, "completely different content with no shared grams at all ok"),
+            (3, f"{gram} again later {gram} tail"),
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"benchmark contains {gram} inside")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench).collect()}
+    assert out[1]["contaminated"] and out[1]["n_contaminated_ngrams"] >= 1
+    assert not out[2]["contaminated"] and out[2]["n_contaminated_ngrams"] == 0
+    assert out[3]["contaminated"]
+    # the benchmark gram set broadcasts; the training side must not
+    # shuffle for the probe (only the per-doc count aggregate may)
+    plan = decontaminate(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_metrics_values(spark):
+    from crate_spark.operators.pipeline import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "same line\nsame line\nother line"),
+            (2, "all words distinct here"),
+            (3, "dup dup dup dup"),
+        ],
+        "doc_id int, text string",
+    )
+    m = repetition_metrics("text")
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", m["dup_line_frac"].alias("l"), m["dup_word_frac"].alias("w")
+        ).collect()
+    }
+    assert abs(rows[1]["l"] - 1 / 3) < 1e-9  # 3 lines, 2 distinct
+    assert rows[2]["w"] == 0.0
+    assert abs(rows[3]["w"] - 3 / 4) < 1e-9  # 4 words, 1 distinct
+
+
+def test_shard_layout_stable_and_balanced(spark):
+    from crate_spark.operators.pipeline import shard_layout
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = shard_layout(df, "doc_id", 8)
+    # deterministic: same ids -> same shards on re-run
+    b = shard_layout(df, "doc_id", 8)
+    assert a.collect() == b.collect()
+    sizes = [r["n"] for r in a.groupBy("shard").agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) == 8
+    # md5 is uniform: no shard more than 2x the mean
+    assert max(sizes) < 2 * (2000 / 8)
