@@ -601,6 +601,36 @@ class CrateSession:
             plan = self.explain(body)
             return self.spark.createDataFrame([(plan,)], "plan string")
 
+        # SET GLOBAL [PERSISTENT|TRANSIENT] key = value (set.rst; AL
+        # privilege class). Cluster settings land in the Spark conf —
+        # the single shared runtime here.
+        m = re.match(
+            r"SET\s+GLOBAL\s+(?:PERSISTENT\s+|TRANSIENT\s+)?([\w.\[\]\"]+)\s*=\s*(.+)$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            self.spark.conf.set(m.group(1).strip('"'), m.group(2).strip().strip("'\""))
+            return self.spark.createDataFrame(
+                [(m.group(1), m.group(2))], "setting string, value string"
+            )
+        m = re.match(r"RESET\s+GLOBAL\s+([\w.\[\]\"]+)$", stmt, re.IGNORECASE)
+        if m:
+            self.spark.conf.unset(m.group(1).strip('"'))
+            return self.spark.createDataFrame([(m.group(1),)], "setting string")
+
+        # ALTER CLUSTER REROUTE/DECOMMISSION/GC (alter-cluster.rst):
+        # shard placement is Spark's scheduler's job — accepted no-ops
+        # (SWAP TABLE, the one with table-level semantics, is below)
+        m = re.match(
+            r"ALTER\s+CLUSTER\s+(REROUTE\s+RETRY\s+FAILED|GC\s+DANGLING\s+ARTIFACTS|"
+            r"DECOMMISSION\s+\S+)\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            return self.spark.createDataFrame([("OK",)], "status string")
+
         m = re.match(r"SET\s+(\S+)\s*=\s*(.+)$", stmt, re.IGNORECASE)
         if m:
             self.spark.conf.set(m.group(1), m.group(2).strip("'\""))

@@ -90,16 +90,45 @@ def execute_request(session, payload: dict) -> dict:
 class _Handler(BaseHTTPRequestHandler):
     session = None  # injected by serve()
 
+    def _authed_user(self) -> str | None:
+        """HTTP Basic auth against the role store (reference
+        auth/HttpAuthUpstreamHandler): no header -> crate (trust);
+        wrong password / unknown user -> None (401)."""
+        header = self.headers.get("Authorization", "")
+        if not header.startswith("Basic "):
+            return "crate"
+        try:
+            user, _, pw = (
+                base64.b64decode(header[6:]).decode().partition(":")
+            )
+        except Exception:
+            return None
+        role = self.session.roles.roles.get(user.lower())
+        if role is None:
+            return None
+        if role.password is not None and pw != role.password:
+            return None
+        return role.name
+
     def do_POST(self):  # noqa: N802 (http.server API)
         if self.path.rstrip("/") not in ("/_sql", ""):
             self.send_error(404)
+            return
+        user = self._authed_user()
+        if user is None:
+            self.send_error(401, "password authentication failed")
             return
         length = int(self.headers.get("Content-Length", 0))
         try:
             payload = json.loads(self.rfile.read(length) or b"{}")
         except json.JSONDecodeError:
             payload = {}
-        resp = execute_request(self.session, payload)
+        prev = self.session.current_user
+        self.session.current_user = user
+        try:
+            resp = execute_request(self.session, payload)
+        finally:
+            self.session.current_user = prev
         body = json.dumps(resp).encode()
         self.send_response(400 if "error" in resp else 200)
         self.send_header("Content-Type", "application/json")

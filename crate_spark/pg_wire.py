@@ -30,6 +30,10 @@ import struct
 import threading
 
 _SSL_REQUEST = 80877103
+
+#: serializes statement execution across wire connections so the
+#: per-connection user scoping on the shared CrateSession is race-free
+_EXEC_LOCK = threading.Lock()
 _CANCEL_REQUEST = 80877102
 
 #: PG type OIDs for RowDescription (PGTypes.java mapping)
@@ -112,6 +116,20 @@ class _PgHandler(socketserver.BaseRequestHandler):
     def setup(self):
         self._stmts: dict[str, str] = {}
         self._portals: dict[str, object] = {}
+        self.user = "crate"
+
+    def _exec(self, sql: str, params=None):
+        """Run one statement AS the authenticated connection user.
+        Statements serialize through a lock (the reference executes a
+        session's statements serially too); Spark still parallelizes
+        each job internally."""
+        with _EXEC_LOCK:
+            prev = self.session.current_user
+            self.session.current_user = self.user
+            try:
+                return self.session.execute(sql, params=params)
+            finally:
+                self.session.current_user = prev
 
     def _parse(self, sock, body: bytes) -> None:
         """'P': named statement with $n placeholders (Session.parse)."""
@@ -140,7 +158,7 @@ class _PgHandler(socketserver.BaseRequestHandler):
                 off += ln
         sql = self._stmts.get(stmt_name.decode(), "")
         try:
-            df = self.session.execute(sql, params=params or None)
+            df = self._exec(sql, params=params or None)
             self._portals[portal.decode()] = df
             sock.sendall(_msg(b"2", b""))  # BindComplete
         except Exception as e:
@@ -180,7 +198,28 @@ class _PgHandler(socketserver.BaseRequestHandler):
             length, code = struct.unpack("!II", raw)
         if code == _CANCEL_REQUEST:
             return False
-        self._read_exact(sock, length - 8)  # startup params (ignored)
+        params_raw = self._read_exact(sock, length - 8) or b""
+        # startup params: key\0value\0 ... \0 — we need `user`
+        # (auth/HostBasedAuthentication analog; password method when the
+        # role has a password, trust otherwise)
+        parts = params_raw.split(b"\x00")
+        params = dict(zip(parts[0::2], parts[1::2]))
+        self.user = (params.get(b"user", b"crate").decode() or "crate").lower()
+        role = self.session.roles.roles.get(self.user)
+        if role is None:
+            self._error(sock, "28000", f'role "{self.user}" does not exist')
+            return False
+        if role.password is not None:
+            # AuthenticationCleartextPassword (PasswordAuthenticationMethod)
+            sock.sendall(_msg(b"R", struct.pack("!I", 3)))
+            tag = self._read_exact(sock, 1)
+            if tag != b"p":
+                return False
+            (plen,) = struct.unpack("!I", self._read_exact(sock, 4))
+            pw = self._read_exact(sock, plen - 4) or b"\x00"
+            if pw[:-1].decode(errors="replace") != role.password:
+                self._error(sock, "28P01", f'password authentication failed for user "{self.user}"')
+                return False
         sock.sendall(_msg(b"R", struct.pack("!I", 0)))  # AuthenticationOk
         for k, v in (
             ("server_version", "14.0"),
@@ -195,7 +234,7 @@ class _PgHandler(socketserver.BaseRequestHandler):
 
     def _simple_query(self, sock, sql: str) -> None:
         try:
-            df = self.session.execute(sql)
+            df = self._exec(sql)
             if df is None:
                 sock.sendall(_msg(b"C", _cstr("OK")))
                 sock.sendall(_msg(b"Z", b"I"))

@@ -74,3 +74,53 @@ def test_http_sql_bulk_args(http_session, spark):
         },
     )
     assert [r["rowcount"] for r in resp["results"]] == [1, 1, 0]
+
+
+def test_http_basic_auth(spark, tmp_path):
+    """HTTP Basic auth against the role store
+    (auth/HttpAuthUpstreamHandler analog): valid creds run AS that
+    user; wrong password 401s; no header = trust as crate."""
+    import base64
+    import json
+    import urllib.error
+    import urllib.request
+
+    from crate_spark.engine import CrateSession
+    from crate_spark.http_sql import serve
+
+    session = CrateSession(spark, "/root/testdata/sf0.001", storage_dir=str(tmp_path))
+    session.execute("CREATE USER webuser WITH (password = 's3cret')")
+    session.execute("GRANT DQL ON SCHEMA doc TO webuser")
+    srv = serve(session, port=0)
+    port = srv.server_address[1]
+
+    def post(stmt, auth=None):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/_sql",
+            data=json.dumps({"stmt": stmt}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        if auth:
+            req.add_header(
+                "Authorization", "Basic " + base64.b64encode(auth.encode()).decode()
+            )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, None
+
+    try:
+        status, body = post("SELECT count(*) AS n FROM region", "webuser:s3cret")
+        assert status == 200 and body["rows"][0][0] == 5
+        # DML not granted
+        status, body = post(
+            "INSERT INTO region (r_regionkey) VALUES (9)", "webuser:s3cret"
+        )
+        assert status == 400
+        assert post("SELECT 1", "webuser:wrong")[0] == 401
+        assert post("SELECT 1", "ghost:x")[0] == 401
+        # trust without header (superuser)
+        assert post("SELECT 1 AS x")[0] == 200
+    finally:
+        srv.shutdown()

@@ -162,3 +162,66 @@ def test_pg_wire_extended_protocol(pg_server):
         assert tags[b"C"][0].startswith(b"SELECT 1")
     finally:
         c.close()
+
+
+class AuthPgClient(MiniPgClient):
+    """Startup as an arbitrary user, answering a cleartext password
+    challenge (AuthenticationCleartextPassword, code 3)."""
+
+    def __init__(self, port, user, password=None):
+        self.sock = socket.create_connection(("127.0.0.1", port))
+        params = f"user\x00{user}\x00database\x00doc\x00\x00".encode()
+        payload = struct.pack("!I", 196608) + params
+        self.sock.sendall(struct.pack("!I", len(payload) + 4) + payload)
+        self.auth_error = None
+        while True:
+            tag, body = self._read_msg()
+            if tag == b"R":
+                (code,) = struct.unpack("!I", body[:4])
+                if code == 3:
+                    pw = (password or "").encode() + b"\x00"
+                    self.sock.sendall(b"p" + struct.pack("!I", len(pw) + 4) + pw)
+                # code 0 = AuthenticationOk: keep draining to ReadyForQuery
+            elif tag == b"E":
+                fields = {}
+                for f in body.split(b"\x00"):
+                    if f:
+                        fields[chr(f[0])] = f[1:].decode()
+                self.auth_error = fields
+                return
+            elif tag == b"Z":
+                return
+
+
+def test_wire_auth_password_roundtrip(spark, pg_server):
+    """Role-store-backed wire auth (auth/HostBasedAuthentication
+    analog): password users get a cleartext challenge; statements run
+    AS the authenticated user (privilege enforcement applies)."""
+    # the module fixture's session is shared; fetch it via a control client
+    ctl = MiniPgClient(pg_server)
+    ctl.query("CREATE USER wired WITH (password = 'pw123')")
+    ctl.query("GRANT DQL ON SCHEMA doc TO wired")
+
+    good = AuthPgClient(pg_server, "wired", "pw123")
+    assert good.auth_error is None
+    cols, rows, err = good.query("SELECT count(*) AS n FROM region")
+    assert err is None and rows[0][0] == "5"
+    # DML not granted -> enforced at the wire surface too
+    _c, _r, err = good.query("INSERT INTO region (r_regionkey) VALUES (99)")
+    assert err is not None
+    good.close()
+
+    bad = AuthPgClient(pg_server, "wired", "wrong")
+    assert bad.auth_error is not None and bad.auth_error.get("C") == "28P01"
+
+    ghost = AuthPgClient(pg_server, "nosuchuser")
+    assert ghost.auth_error is not None and ghost.auth_error.get("C") == "28000"
+
+    # passwordless users connect without a challenge (trust)
+    ctl.query("CREATE USER open_user")
+    trusty = AuthPgClient(pg_server, "open_user")
+    assert trusty.auth_error is None
+    trusty.close()
+    ctl.query("DROP USER open_user")
+    ctl.query("DROP USER wired")
+    ctl.close()

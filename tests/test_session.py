@@ -1040,3 +1040,20 @@ def test_array_prepend_modulus_pg_constraint(dml_session):
     assert [(r["conname"], r["contype"]) for r in rows] == [
         ("conz_check_0", "c"), ("conz_pk", "p")
     ]
+
+
+def test_set_global_and_alter_cluster(session):
+    """SET GLOBAL [PERSISTENT|TRANSIENT] (set.rst) lands in the shared
+    runtime conf; ALTER CLUSTER REROUTE/GC/DECOMMISSION are accepted
+    no-ops (alter-cluster.rst — shard placement is the scheduler's)."""
+    session.execute("SET GLOBAL PERSISTENT stats.enabled = true")
+    assert session.spark.conf.get("stats.enabled") == "true"
+    session.execute("SET GLOBAL TRANSIENT indices.recovery.max_bytes_per_sec = '60mb'")
+    assert session.spark.conf.get("indices.recovery.max_bytes_per_sec") == "60mb"
+    session.execute("RESET GLOBAL stats.enabled")
+    for stmt in (
+        "ALTER CLUSTER REROUTE RETRY FAILED",
+        "ALTER CLUSTER GC DANGLING ARTIFACTS",
+        "ALTER CLUSTER DECOMMISSION 'node1'",
+    ):
+        assert session.execute(stmt).collect()[0][0] == "OK"
