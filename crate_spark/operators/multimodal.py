@@ -9,11 +9,15 @@ and cannot process them). Convention:
     meta      struct<mime string, n_bytes bigint, extra map<string,string>>
 
 The Spark-side plumbing (schema, partitioning, UDF signature, Arrow
-batch shape) is real and tested; the actual codec step is STUBBED —
-image/audio libraries are not in this container — behind
-``_decode_stub``, a deterministic fake keyed on the content hash.
-Swapping in PIL/torchaudio/PyAV is a one-function change and does not
-alter any plan shape.
+batch shape) is real and tested. The codec step comes in two tiers:
+``decode_media`` REALLY decodes every format the container can handle
+without codec libraries — WAV/PCM audio (stdlib ``wave``), P6 PPM and
+uncompressed BMP images (numpy) — producing true dimensions,
+durations and signal statistics; formats needing PIL/soundfile/PyAV
+(JPEG/PNG/MP3/MP4) surface as kind='unsupported', never as fakes.
+``_decode_stub`` (the deterministic hash fake) remains solely as the
+DuckDB-reproducible oracle path that hash-proves the Arrow
+mapInPandas plumbing end-to-end.
 
 Scale notes: mapInPandas streams Arrow batches — memory is bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of blob
@@ -39,6 +43,8 @@ _MAGIC = {
     "52494646": "audio/wav",  # RIFF
     "494433": "audio/mpeg",  # ID3
     "000000": "video/mp4",  # ftyp boxes (loose)
+    "5036": "image/x-portable-pixmap",  # P6
+    "424d": "image/bmp",  # BM
 }
 
 
@@ -91,6 +97,141 @@ def _decode_stub(content: bytes) -> dict:
 DECODED_SCHEMA = (
     "id bigint, mime string, width int, height int, channels int, feat array<double>"
 )
+
+
+# -- real decoders (stdlib + numpy only; no external codec libs) --------
+
+def decode_media(content: bytes | None) -> dict:
+    """REAL decode for the formats this container can handle without
+    codec libraries: WAV/PCM audio (stdlib ``wave``), P6 PPM and
+    uncompressed 24-bit BMP images (numpy). JPEG/PNG/MP3/MP4 need
+    PIL/soundfile/PyAV — those return kind='unsupported' with the
+    mime recorded, never a fake value.
+
+    Output keys: kind (image|audio|unsupported|error), width, height,
+    channels, duration_ms, sample_rate, feat (image: per-channel pixel
+    means + global std; audio: rms/peak/zero-crossing-rate), error.
+    """
+    import struct as _struct
+    import numpy as _np
+
+    none = dict.fromkeys(
+        ("width", "height", "channels", "duration_ms", "sample_rate", "feat", "error")
+    )
+    if content is None:
+        return {**none, "kind": None}
+    try:
+        if content[:2] == b"P6":
+            # PPM P6: "P6\n<w> <h>\n<maxval>\n<raw RGB>"
+            parts, idx, token = [], 2, b""
+            while len(parts) < 3 and idx < len(content):
+                ch = content[idx:idx + 1]
+                idx += 1
+                if ch == b"#":  # comment to end of line
+                    while idx < len(content) and content[idx:idx + 1] != b"\n":
+                        idx += 1
+                    continue
+                if ch.isspace():
+                    if token:
+                        parts.append(int(token))
+                        token = b""
+                else:
+                    token += ch
+            w, h, _maxval = parts
+            px = _np.frombuffer(
+                content[idx:idx + w * h * 3], dtype=_np.uint8
+            ).reshape(h, w, 3).astype(_np.float64) / 255.0
+            feat = [float(px[:, :, c].mean()) for c in range(3)] + [float(px.std())]
+            return {**none, "kind": "image", "width": w, "height": h,
+                    "channels": 3, "feat": feat}
+        if content[:2] == b"BM":
+            # BMP: 24-bit uncompressed BITMAPINFOHEADER
+            off, = _struct.unpack_from("<I", content, 10)
+            w, h = _struct.unpack_from("<ii", content, 18)
+            bpp, = _struct.unpack_from("<H", content, 28)
+            comp, = _struct.unpack_from("<I", content, 30)
+            if bpp != 24 or comp != 0:
+                return {**none, "kind": "unsupported",
+                        "error": f"bmp bpp={bpp} compression={comp}"}
+            h_abs = abs(h)
+            row_bytes = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+            rows = _np.frombuffer(
+                content[off:off + row_bytes * h_abs], dtype=_np.uint8
+            ).reshape(h_abs, row_bytes)[:, : w * 3].reshape(h_abs, w, 3)
+            if h > 0:
+                rows = rows[::-1]  # bottom-up storage
+            px = rows[..., ::-1].astype(_np.float64) / 255.0  # BGR->RGB
+            feat = [float(px[:, :, c].mean()) for c in range(3)] + [float(px.std())]
+            return {**none, "kind": "image", "width": w, "height": h_abs,
+                    "channels": 3, "feat": feat}
+        if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+            import io
+            import wave as _wave
+
+            with _wave.open(io.BytesIO(content)) as wf:
+                n, sr, ch = wf.getnframes(), wf.getframerate(), wf.getnchannels()
+                width = wf.getsampwidth()
+                raw = wf.readframes(n)
+            dt = {1: _np.uint8, 2: _np.int16, 4: _np.int32}.get(width)
+            if dt is None:
+                return {**none, "kind": "unsupported",
+                        "error": f"wav sample width {width}"}
+            x = _np.frombuffer(raw, dtype=dt).astype(_np.float64)
+            if width == 1:
+                x -= 128.0
+            x /= float(2 ** (8 * width - 1))
+            if ch > 1:
+                x = x.reshape(-1, ch).mean(axis=1)  # downmix
+            zcr = float((_np.diff(_np.signbit(x)) != 0).mean()) if x.size > 1 else 0.0
+            feat = [float(_np.sqrt((x ** 2).mean())) if x.size else 0.0,
+                    float(_np.abs(x).max()) if x.size else 0.0, zcr]
+            return {**none, "kind": "audio", "channels": ch,
+                    "duration_ms": int(n * 1000 / sr), "sample_rate": sr,
+                    "feat": feat}
+        return {**none, "kind": "unsupported"}
+    except Exception as e:  # malformed container: typed error, no crash
+        return {**none, "kind": "error", "error": str(e)[:200]}
+
+
+MEDIA_SCHEMA = (
+    "id bigint, mime string, kind string, width int, height int, "
+    "channels int, duration_ms bigint, sample_rate int, "
+    "feat array<double>, error string"
+)
+
+
+def decode_media_batch(
+    df: DataFrame, *, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """mapInPandas over Arrow batches with the REAL decoders
+    (decode_media): WAV/PPM/BMP produce true dimensions, durations and
+    signal features; codec-library formats surface as
+    kind='unsupported' rather than fakes. Same plan shape as
+    decode_batch — metadata sniff stays JVM-side."""
+    src = attach_metadata(df, content_col).select(
+        F.col(id_col).alias("id"),
+        F.col(content_col).alias("_c"),
+        F.col("meta.mime").alias("mime"),
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from crate_spark.operators.multimodal import decode_media
+
+        for pdf in batches:
+            d = [decode_media(c) for c in pdf["_c"]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "mime": pdf["mime"],
+                    **{
+                        k: [row[k] for row in d]
+                        for k in ("kind", "width", "height", "channels",
+                                  "duration_ms", "sample_rate", "feat", "error")
+                    },
+                }
+            )
+
+    return src.mapInPandas(_decode, MEDIA_SCHEMA)
 
 
 def decode_batch(

@@ -160,3 +160,48 @@ def mm_mime_filter_pushdown(spark, sf_dir):
     return with_meta.filter(F.col("meta.mime") == "image/gif").select(
         "doc_id", F.col("meta.n_bytes").alias("n_bytes")
     )
+
+
+@query(
+    "mm_decode_real_image",
+    oracle="""
+    SELECT doc_id,
+           'image' AS kind,
+           8 AS width, 6 AS height, 3 AS channels,
+           ROUND((doc_id % 256) / 255.0, 6) AS r_mean,
+           ROUND(((doc_id * 7) % 256) / 255.0, 6) AS g_mean,
+           ROUND(((doc_id * 13) % 256) / 255.0, 6) AS b_mean
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def mm_decode_real_image(spark, sf_dir):
+    """REAL image decoding, oracle-checked: an 8x6 P6 PPM is
+    constructed per row JVM-side (header + unhex'd RGB bytes derived
+    from doc_id), decoded by the real numpy decoder
+    (operators/multimodal.decode_media — not the stub), and the
+    recovered dimensions and per-channel pixel means must equal the
+    constructing arithmetic. Proves actual pixel decoding end-to-end
+    through Arrow mapInPandas."""
+    from crate_spark.operators.multimodal import decode_media_batch
+
+    t = load_tables(spark, sf_dir)
+    rgb_hex = F.concat(
+        F.lpad(F.hex(F.col("doc_id") % 256), 2, "0"),
+        F.lpad(F.hex((F.col("doc_id") * 7) % 256), 2, "0"),
+        F.lpad(F.hex((F.col("doc_id") * 13) % 256), 2, "0"),
+    )
+    content = F.concat(
+        F.encode(F.lit("P6\n8 6\n255\n"), "UTF-8"),
+        F.unhex(F.repeat(rgb_hex, 48)),  # 8*6 identical pixels
+    )
+    d = t["documents"].filter(F.col("doc_id") < 100).select(
+        "doc_id", content.alias("content")
+    )
+    decoded = decode_media_batch(d, id_col="doc_id", content_col="content")
+    return decoded.select(
+        F.col("id").alias("doc_id"),
+        "kind", "width", "height", "channels",
+        F.round(F.element_at("feat", 1), 6).alias("r_mean"),
+        F.round(F.element_at("feat", 2), 6).alias("g_mean"),
+        F.round(F.element_at("feat", 3), 6).alias("b_mean"),
+    )
