@@ -116,11 +116,52 @@ def decode_media(content: bytes | None) -> dict:
     import numpy as _np
 
     none = dict.fromkeys(
-        ("width", "height", "channels", "duration_ms", "sample_rate", "feat", "error")
+        ("width", "height", "channels", "duration_ms", "sample_rate",
+         "n_frames", "feat", "error")
     )
     if content is None:
         return {**none, "kind": None}
     try:
+        if content[:6] in (b"GIF87a", b"GIF89a"):
+            # GIF: logical screen descriptor + block walk. Frame count
+            # = image descriptors; total delay from graphic control
+            # extensions. Metadata-only — LZW pixel data is skipped,
+            # not decompressed.
+            w, h = _struct.unpack_from("<HH", content, 6)
+            packed = content[10]
+            idx = 13
+            if packed & 0x80:
+                idx += 3 * (2 ** ((packed & 7) + 1))
+            frames, delay_cs = 0, 0
+            while idx < len(content):
+                block = content[idx]
+                idx += 1
+                if block == 0x3B:  # trailer
+                    break
+                if block == 0x21:  # extension
+                    label = content[idx]
+                    idx += 1
+                    if label == 0xF9 and content[idx] >= 4:
+                        delay_cs += _struct.unpack_from("<H", content, idx + 2)[0]
+                    while idx < len(content) and content[idx] != 0:
+                        idx += content[idx] + 1
+                    idx += 1
+                elif block == 0x2C:  # image descriptor
+                    frames += 1
+                    lpacked = content[idx + 8]
+                    idx += 9
+                    if lpacked & 0x80:
+                        idx += 3 * (2 ** ((lpacked & 7) + 1))
+                    idx += 1  # LZW minimum code size
+                    while idx < len(content) and content[idx] != 0:
+                        idx += content[idx] + 1
+                    idx += 1
+                else:
+                    break
+            return {**none, "kind": "video" if frames > 1 else "image",
+                    "width": int(w), "height": int(h), "channels": 3,
+                    "n_frames": frames or None,
+                    "duration_ms": delay_cs * 10 if frames > 1 else None}
         if content[:2] == b"P6":
             # PPM P6: "P6\n<w> <h>\n<maxval>\n<raw RGB>"
             parts, idx, token = [], 2, b""
@@ -143,7 +184,7 @@ def decode_media(content: bytes | None) -> dict:
             ).reshape(h, w, 3).astype(_np.float64) / 255.0
             feat = [float(px[:, :, c].mean()) for c in range(3)] + [float(px.std())]
             return {**none, "kind": "image", "width": w, "height": h,
-                    "channels": 3, "feat": feat}
+                    "channels": 3, "n_frames": 1, "feat": feat}
         if content[:2] == b"BM":
             # BMP: 24-bit uncompressed BITMAPINFOHEADER
             off, = _struct.unpack_from("<I", content, 10)
@@ -163,7 +204,7 @@ def decode_media(content: bytes | None) -> dict:
             px = rows[..., ::-1].astype(_np.float64) / 255.0  # BGR->RGB
             feat = [float(px[:, :, c].mean()) for c in range(3)] + [float(px.std())]
             return {**none, "kind": "image", "width": w, "height": h_abs,
-                    "channels": 3, "feat": feat}
+                    "channels": 3, "n_frames": 1, "feat": feat}
         if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
             import io
             import wave as _wave
@@ -195,7 +236,7 @@ def decode_media(content: bytes | None) -> dict:
 
 MEDIA_SCHEMA = (
     "id bigint, mime string, kind string, width int, height int, "
-    "channels int, duration_ms bigint, sample_rate int, "
+    "channels int, duration_ms bigint, sample_rate int, n_frames int, "
     "feat array<double>, error string"
 )
 
@@ -226,7 +267,8 @@ def decode_media_batch(
                     **{
                         k: [row[k] for row in d]
                         for k in ("kind", "width", "height", "channels",
-                                  "duration_ms", "sample_rate", "feat", "error")
+                                  "duration_ms", "sample_rate", "n_frames",
+                                  "feat", "error")
                     },
                 }
             )

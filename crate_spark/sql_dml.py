@@ -44,6 +44,20 @@ _TYPE_MAP = {
     "real": "float",
     "double precision": "double",
     "geo_point": "array<double>",
+    # geo_shape stores as WKT text (general/ddl/data-types: shapes are
+    # GeoJSON/WKT at the boundary; our geo scalars parse WKT)
+    "geo_shape": "string",
+    "float_vector": "array<float>",
+    "boolean": "boolean",
+    "bit": "string",  # bit strings render as '010...' text
+    "char": "string",
+    "character": "string",
+    "regproc": "string",
+    "regclass": "string",
+    "oidvector": "array<int>",
+    "time with time zone": "string",
+    "timetz": "string",
+    "interval": "struct<months:bigint,days:int,micros:bigint>",
 }
 
 
@@ -60,6 +74,16 @@ def _map_type(t: str) -> str:
     m = re.match(r"array\s*\(\s*(.+)\s*\)$", key)
     if m:  # CrateDB array(inner) spelling
         return f"array<{_map_type(m.group(1))}>"
+    # parameterized spellings (data-types.rst): length args are
+    # advisory on a string-typed store; numeric keeps precision/scale
+    if re.match(r"(varchar|character varying|char|character|bit)\s*\(\s*\d+\s*\)$", key):
+        return "string"
+    m = re.match(r"numeric\s*(\(\s*\d+\s*(,\s*\d+\s*)?\))?$", key)
+    if m:
+        return f"decimal{re.sub(chr(32), '', m.group(1))}" if m.group(1) else "decimal(38,18)"
+    m = re.match(r"float_vector\s*\(\s*\d+\s*\)$", key)
+    if m:
+        return "array<float>"
     return t.strip()
 
 

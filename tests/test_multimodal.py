@@ -193,3 +193,37 @@ def test_blob_table_feeds_real_decode(spark, tmp_path):
            decode_media_batch(src, id_col="id").join(
                src.select("id", "digest"), "id").collect()}
     assert out[d_wav] == "audio" and out[d_img] == "image"
+
+
+def _gif_bytes(w=10, h=7, frames=2, delay_cs=5):
+    import struct
+
+    out = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x00, 0, 0)  # no GCT
+    frame = b""
+    # minimal image descriptor + 2-color local table + fake LZW data
+    img = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x80)  # local table, 2 colors
+    img += b"\x00\x00\x00\xff\xff\xff"  # local color table
+    img += b"\x02" + b"\x01\x00" + b"\x00"  # LZW min + 1 sub-block + terminator
+    gce = struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0, delay_cs, 0, 0)
+    for _ in range(frames):
+        frame += gce + img
+    return out + frame + b"\x3B"
+
+
+def test_decode_media_gif_metadata():
+    """GIF logical-screen + block walk: real dimensions, frame count
+    and total delay without decompressing LZW pixel data."""
+    from crate_spark.operators.multimodal import decode_media
+
+    anim = decode_media(_gif_bytes(w=10, h=7, frames=3, delay_cs=4))
+    assert anim["kind"] == "video"
+    assert (anim["width"], anim["height"]) == (10, 7)
+    assert anim["n_frames"] == 3
+    assert anim["duration_ms"] == 3 * 4 * 10
+
+    still = decode_media(_gif_bytes(frames=1))
+    assert still["kind"] == "image" and still["n_frames"] == 1
+
+    # frame sampling plan rides the real duration
+    wav = decode_media(_wav_bytes(ms=250))
+    assert wav["n_frames"] is None

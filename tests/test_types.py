@@ -112,3 +112,41 @@ def test_timestamp_precision_ms(spark):
         "unix_millis(CAST(TIMESTAMP_NTZ '2024-01-01 00:00:00.123' AS TIMESTAMP))",
     )
     assert v == 1704067200123
+
+
+def test_create_table_reference_type_names(spark, tmp_path):
+    """Every CrateDB type spelling from data-types.rst maps to a Spark
+    storage type at CREATE TABLE (geo_shape -> WKT text,
+    float_vector(n) -> array<float>, numeric(p,s) -> decimal,
+    varchar(n)/char(n)/bit(n) -> string)."""
+    from crate_spark.engine import CrateSession
+
+    s = CrateSession(spark, None, storage_dir=str(tmp_path))
+    s.execute(
+        "CREATE TABLE typed ("
+        " a text, b varchar(40), c character varying(10), d char(3),"
+        " e bit(8), f ip, g geo_point, h geo_shape,"
+        " i float_vector(4), j numeric(10, 2), k numeric,"
+        " l timestamp with time zone, m timestamp without time zone,"
+        " n double precision, o real, p long, q short, r byte,"
+        " s boolean, t array(text), u object, v interval)"
+    )
+    s.execute(
+        "INSERT INTO typed (a, b, g, h, i, j, s, t) VALUES "
+        "('x', 'y', [13.4, 52.5], 'POLYGON ((0 0, 1 0, 1 1, 0 0))', "
+        "[1.0, 0.0, 0.0, 0.5], 12.34, true, ['p', 'q'])"
+    )
+    row = s.execute(
+        "SELECT a, b, g, h, i, j, s, t FROM typed"
+    ).collect()[0]
+    assert row["a"] == "x" and row["s"] is True
+    assert list(row["g"]) == [13.4, 52.5]
+    assert row["h"].startswith("POLYGON")
+    assert [round(x, 2) for x in row["i"]] == [1.0, 0.0, 0.0, 0.5]
+    assert float(row["j"]) == 12.34
+    assert list(row["t"]) == ["p", "q"]
+    # the vector column feeds knn directly; geo column feeds distance
+    d = s.execute(
+        "SELECT round(distance(g, 'POINT (13.405 52.52)'), 0) AS m FROM typed"
+    ).collect()[0]["m"]
+    assert 0 <= d < 5000
