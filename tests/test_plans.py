@@ -266,3 +266,19 @@ def test_quantized_knn_broadcasts_queries(spark):
     plan = plan_of(spark, "pipeline_knn_quantized")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_registry_wide_python_allowlist(spark):
+    """Repo-wide UDF contract: across ALL registry queries, Python
+    evaluation appears only where declared — the Arrow-vectorized
+    geohash (no JVM equivalent exists for the bit-interleave) and the
+    Arrow group/map paths (FlatMapGroupsInPandas for packing/LTTB,
+    MapInPandas for multimodal decode). Row-at-a-time BatchEvalPython
+    is banned everywhere."""
+    arrow_scalar_ok = {"geo_geohash"}
+    for name, spec in REGISTRY.items():
+        df = spec.fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time UDF"
+        if "ArrowEvalPython" in plan:
+            assert name in arrow_scalar_ok, f"{name}: undeclared Arrow UDF"
