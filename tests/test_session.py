@@ -1057,3 +1057,46 @@ def test_set_global_and_alter_cluster(session):
         "ALTER CLUSTER DECOMMISSION 'node1'",
     ):
         assert session.execute(stmt).collect()[0][0] == "OK"
+
+
+def test_create_function_javascript(spark, tmp_path):
+    """LANGUAGE JAVASCRIPT — the reference's native UDF language
+    (user-defined-functions.rst examples verbatim): single-return
+    function bodies translate to Python expressions (Math.*, ===/!==,
+    &&/||, ternaries incl. nesting); DROP FUNCTION unregisters."""
+    from crate_spark.engine import CrateSession
+
+    s = CrateSession(spark, None, storage_dir=str(tmp_path))
+    s.execute(
+        "CREATE FUNCTION my_subtract_function(integer, integer) RETURNS integer "
+        "LANGUAGE JAVASCRIPT AS "
+        "'function my_subtract_function(a, b) { return a - b; }'"
+    )
+    assert s.execute("SELECT my_subtract_function(3, 1) AS col").collect()[0][0] == 2
+    s.execute(
+        "CREATE OR REPLACE FUNCTION doc.log10(bigint) RETURNS double "
+        "LANGUAGE JAVASCRIPT AS 'function log10(a) {return Math.log(a)/Math.log(10); }'"
+    )
+    assert s.execute("SELECT log10(100) AS col").collect()[0][0] == 2.0
+    s.execute(
+        "CREATE FUNCTION clamp01(double) RETURNS double LANGUAGE JAVASCRIPT AS "
+        "'function clamp01(x) { return x < 0 ? 0.0 : (x > 1 ? 1.0 : x); }'"
+    )
+    got = [
+        r[0]
+        for r in s.execute(
+            "SELECT clamp01(v) AS c FROM (VALUES (-0.5), (0.25), (3.0)) AS t(v)"
+        ).collect()
+    ]
+    assert got == [0.0, 0.25, 1.0]
+    # statement bodies are rejected with guidance, not silently wrong
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="single-return"):
+        s.execute(
+            "CREATE FUNCTION looped(integer) RETURNS integer LANGUAGE JAVASCRIPT "
+            "AS 'function looped(a) { var x = 0; return x; }'"
+        )
+    s.execute("DROP FUNCTION doc.log10")
+    with _pytest.raises(Exception):
+        s.execute("SELECT log10(10)").collect()
