@@ -64,6 +64,11 @@ class CrateTable:
     #: advisory metadata on Parquet (no replicas to configure), kept
     #: for ALTER TABLE SET/RESET and SHOW CREATE TABLE parity
     settings: dict[str, str] = field(default_factory=dict)
+    #: CLUSTERED BY routing key + shard count (create-table.rst;
+    #: DistributionType MODULO analog): writes hash-repartition on the
+    #: key into `shards` routed files per batch
+    clustered_by: list[str] = field(default_factory=list)
+    shards: int | None = None
 
     # -- catalog ---------------------------------------------------------
     @classmethod
@@ -79,6 +84,8 @@ class CrateTable:
         checks: list[str] | None = None,
         defaults: dict[str, str] | None = None,
         settings: dict[str, str] | None = None,
+        clustered_by: list[str] | None = None,
+        shards: int | None = None,
     ) -> "CrateTable":
         os.makedirs(path, exist_ok=True)
         t = cls(
@@ -91,6 +98,8 @@ class CrateTable:
             checks=checks or [],
             defaults=defaults or {},
             settings=settings or {},
+            clustered_by=clustered_by or [],
+            shards=shards,
         )
         t._save_meta()
         return t
@@ -110,6 +119,8 @@ class CrateTable:
             "checks": self.checks,
             "defaults": self.defaults,
             "settings": self.settings,
+            "clustered_by": self.clustered_by,
+            "shards": self.shards,
         }
         with open(os.path.join(self.path, META_FILE), "w") as f:
             json.dump(meta, f, indent=2)
@@ -177,6 +188,12 @@ class CrateTable:
         helper = [c for c in df.columns if c.startswith("__")]
         if helper:
             df = df.drop(*helper)
+        if self.clustered_by and self.shards:
+            # MODULO routing: every batch hash-partitions on the
+            # CLUSTERED BY key into exactly `shards` files — the same
+            # key always lands in the same routed stream, and per-batch
+            # file counts stay bounded
+            df = df.repartition(self.shards, *self.clustered_by)
         writer = df.write.mode("overwrite")
         if self.partitioned_by:
             writer = writer.partitionBy(*self.partitioned_by)

@@ -594,8 +594,14 @@ class CrateSession:
             )
 
         if upper.startswith("EXPLAIN"):
-            analyze = re.match(r"EXPLAIN\s+ANALYZE\s", upper) is not None
-            body = re.sub(r"^EXPLAIN\s+(ANALYZE\s+|VERBOSE\s+)?", "", stmt, flags=re.IGNORECASE)
+            analyze = re.match(r"EXPLAIN\s+(\(\s*)?ANALYZE", upper) is not None
+            # option list form (explain.rst): EXPLAIN (ANALYZE, COSTS FALSE)
+            body = re.sub(
+                r"^EXPLAIN\s+(\([^)]*\)\s+|ANALYZE\s+|VERBOSE\s+)*",
+                "",
+                stmt,
+                flags=re.IGNORECASE,
+            )
             if analyze:
                 return self._explain_analyze(body)
             plan = self.explain(body)
@@ -939,6 +945,12 @@ class CrateSession:
             for c in ct.checks:
                 lines.append(f"   CHECK ({c})")
             ddl = f'CREATE TABLE IF NOT EXISTS "doc"."{name}" (\n' + ",\n".join(lines) + "\n)"
+            if getattr(ct, "clustered_by", None):
+                ddl += " CLUSTERED BY (" + ", ".join(
+                    f'"{c}"' for c in ct.clustered_by
+                ) + ")"
+                if ct.shards:
+                    ddl += f" INTO {ct.shards} SHARDS"
             if ct.partitioned_by:
                 ddl += " PARTITIONED BY (" + ", ".join(
                     f'"{c}"' for c in ct.partitioned_by

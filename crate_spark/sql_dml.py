@@ -338,6 +338,22 @@ class SqlDmlRouter:
                     k, v = kv.split("=", 1)
                     settings[k.strip().strip('"')] = _unmask(v.strip(), literals).strip("'\"")
 
+        # CLUSTERED [BY (col)] INTO n SHARDS (create-table.rst): the
+        # MODULO routing key — writes hash-repartition on it so each
+        # batch lands in exactly n routed files (see CrateTable)
+        clustered_by: list[str] = []
+        shards = None
+        clm = re.search(
+            r"CLUSTERED(?:\s+BY\s*\(([^)]*)\))?(?:\s+INTO\s+(\d+)\s+SHARDS)?",
+            tail,
+            re.IGNORECASE,
+        )
+        if clm:
+            if clm.group(1):
+                clustered_by = [c.strip().strip('"') for c in clm.group(1).split(",")]
+            if clm.group(2):
+                shards = int(clm.group(2))
+
         path = os.path.join(self.owner.storage_dir, name)
         t = CrateTable.create(
             self.spark,
@@ -349,6 +365,8 @@ class SqlDmlRouter:
             checks=checks,
             defaults=defaults,
             settings=settings,
+            clustered_by=clustered_by,
+            shards=shards,
         )
         self.crate_tables[name] = t
         self._refresh(name)

@@ -251,3 +251,36 @@ def test_insert_returning_reads_staged_files(spark, table):
     assert [(r["id"], r["cnt"]) for r in out.collect()] == [(7, 4)]
     plan = out._jdf.queryExecution().logical().toString()
     assert "Relation" in plan
+
+
+def test_clustered_by_routes_writes(spark, tmp_path):
+    """CLUSTERED BY (k) INTO n SHARDS (create-table.rst; MODULO
+    routing analog): every insert hash-repartitions on the routing key
+    into exactly n files — same key always lands in the same routed
+    stream, per-batch file counts stay bounded."""
+    import os
+
+    from crate_spark.engine import CrateSession
+
+    s = CrateSession(spark, None, storage_dir=str(tmp_path))
+    s.execute(
+        "CREATE TABLE routed (k integer, v text) CLUSTERED BY (k) INTO 3 SHARDS"
+    )
+    s.execute(
+        "INSERT INTO routed (k, v) VALUES "
+        + ", ".join(f"({i % 10}, 'v{i}')" for i in range(100))
+    )
+    files = [
+        f for f in os.listdir(tmp_path / "routed") if f.endswith(".parquet")
+    ]
+    assert len(files) <= 3  # one routed file per shard per batch
+    assert s.execute("SELECT count(*) AS n FROM routed").collect()[0]["n"] == 100
+    # every k value lives in exactly one file (routing invariant)
+    per_file_keys = []
+    for f in files:
+        rows = spark.read.parquet(str(tmp_path / "routed" / f)).select("k").distinct()
+        per_file_keys.append({r["k"] for r in rows.collect()})
+    all_keys = [k for ks in per_file_keys for k in ks]
+    assert len(all_keys) == len(set(all_keys))
+    ddl = s.execute("SHOW CREATE TABLE routed").collect()[0][0]
+    assert 'CLUSTERED BY ("k") INTO 3 SHARDS' in ddl
