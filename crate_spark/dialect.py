@@ -844,6 +844,88 @@ def _finalize_obj_structs(sql: str) -> str:
         i = k + 1
 
 
+def _find_close(s: str, open_idx: int) -> int:
+    """Index of the ')' matching s[open_idx] == '('; -1 if unbalanced."""
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    return -1
+
+
+def _rewrite_array_subquery(sql: str) -> str:
+    """``ARRAY(SELECT expr FROM ... [ORDER BY o [DESC]] [LIMIT n])``
+    (reference ``expression/scalar/arithmetic/ArrayFunction`` subquery
+    form / PG array constructor) -> a scalar subquery collecting into
+    an array. Ordered form keeps order via array_sort over
+    (order-key, value) structs — collect_list alone has no ordering
+    guarantee after shuffles. NULL elements survive (struct-wrapped)."""
+    m = re.search(r"\bARRAY\s*\(\s*SELECT\b", sql, re.IGNORECASE)
+    if not m:
+        return sql
+    open_idx = sql.index("(", m.start())
+    close = _find_close(sql, open_idx)
+    if close < 0:
+        return sql
+    inner = sql[open_idx + 1 : close]
+    # single select expression up to the depth-0 FROM
+    depth = 0
+    from_idx = -1
+    upper = inner.upper()
+    for i, ch in enumerate(inner):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and upper.startswith("FROM", i) and not inner[i - 1].isalnum():
+            from_idx = i
+            break
+    if from_idx < 0:
+        return sql
+    expr = re.sub(r"^\s*SELECT\s+", "", inner[:from_idx], flags=re.IGNORECASE).strip()
+    rest = inner[from_idx:]
+    # depth-0 ORDER BY / LIMIT tail
+    depth = 0
+    ob_idx = -1
+    upper_rest = rest.upper()
+    for i, ch in enumerate(rest):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and upper_rest.startswith("ORDER BY", i):
+            ob_idx = i
+            break
+    if ob_idx >= 0:
+        tail = rest[ob_idx + len("ORDER BY"):].strip()
+        base = rest[:ob_idx]
+        lm = re.search(r"\bLIMIT\s+(\d+)\s*$", tail, re.IGNORECASE)
+        limit = None
+        if lm:
+            limit = lm.group(1)
+            tail = tail[: lm.start()].strip()
+        desc = bool(re.search(r"\bDESC\s*$", tail, re.IGNORECASE))
+        ordexpr = re.sub(r"\b(ASC|DESC)\s*$", "", tail, flags=re.IGNORECASE).strip()
+        sub = f"SELECT ({ordexpr}) AS __o, ({expr}) AS __v {base}"
+        if limit:
+            sub += f" ORDER BY __o {'DESC' if desc else 'ASC'} LIMIT {limit}"
+        arr = "transform(array_sort(collect_list(struct(__o, __v))), __s -> __s.__v)"
+        if desc:
+            arr = f"reverse({arr})"
+        out = f"(SELECT {arr} FROM ({sub}) __arr_sub)"
+    else:
+        sub = f"SELECT ({expr}) AS __v {rest}"
+        out = (
+            "(SELECT transform(collect_list(struct(__v)), __s -> __s.__v) "
+            f"FROM ({sub}) __arr_sub)"
+        )
+    return sql[: m.start()] + out + _rewrite_array_subquery(sql[close + 1 :])
+
+
 def _rewrite_unnest_tvf(sql: str) -> str:
     """``FROM unnest(a[, b...])`` (UnnestFunction.java) -> Spark's
     explode/inline TVFs. Single array -> explode; multiple arrays zip
@@ -962,6 +1044,7 @@ def rewrite(sql: str, string_object_columns: set[str] | None = None) -> str:
         flags=re.IGNORECASE,
     )
     sql = _rewrite_unnest_tvf(sql)
+    sql = _rewrite_array_subquery(sql)
 
     # crate-only scalar function names (ArraySliceFunction,
     # StringToArrayFunction, ArrayDifferenceFunction, ...) -> Spark

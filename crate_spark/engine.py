@@ -219,11 +219,34 @@ class CrateSession:
               spark.sparkContext.defaultParallelism)],
             "id string, hostname string, version string, cpus int",
         ).createOrReplaceTempView("sys_nodes")
+        # sys.shards with REAL storage stats (SysShardsTableInfo: size
+        # in bytes, num file segments): SQL-created tables report their
+        # parquet footprint; one routed shard row per CLUSTERED shard
+        shard_rows = []
+        crate_tables = getattr(self._dml, "crate_tables", {}) if hasattr(self, "_dml") else {}
+        for n in sorted(self.tables):
+            ct = crate_tables.get(n)
+            if ct is not None:
+                import os as _os
+
+                size = n_files = 0
+                for root, _d, files in _os.walk(ct.path):
+                    for f in files:
+                        if f.endswith(".parquet"):
+                            n_files += 1
+                            size += _os.path.getsize(_os.path.join(root, f))
+                n_shards = ct.shards or 1
+                for i in range(n_shards):
+                    shard_rows.append(
+                        (n, "doc", i, True, "STARTED",
+                         size // n_shards, n_files)
+                    )
+            else:
+                shard_rows.append((n, "doc", 0, True, "STARTED", None, None))
         spark.createDataFrame(
-            [(n, "doc", 0, True, "STARTED") for n in sorted(self.tables)]
-            or [("", "", 0, True, "")],
+            shard_rows or [("", "", 0, True, "", 0, 0)],
             "table_name string, schema_name string, id int, "
-            "primary boolean, state string",
+            "primary boolean, state string, size bigint, num_segments int",
         ).filter("table_name <> ''").createOrReplaceTempView("sys_shards")
         spark.createDataFrame(
             [(n, "GREEN", 0) for n in sorted(self.tables)] or [("", "", 0)],

@@ -306,3 +306,30 @@ def sql_regexp_surface(spark, sf_dir):
         "regexp_count(text, '[Tt]he') AS n_the "
         "FROM documents WHERE doc_id < 200"
     )
+
+
+@query(
+    "sql_array_subquery",
+    oracle="""
+    SELECT r.r_regionkey,
+           (SELECT array_to_string(list(n.n_name ORDER BY n.n_name), ',')
+            FROM nation n WHERE n.n_regionkey = r.r_regionkey) AS nations,
+           (SELECT array_to_string(list(n.n_nationkey ORDER BY n.n_nationkey DESC), ',')
+            FROM nation n WHERE n.n_regionkey = r.r_regionkey) AS keys_desc
+    FROM region r
+    """,
+)
+def sql_array_subquery(spark, sf_dir):
+    """ARRAY(SELECT ... ORDER BY ...) — the PG array constructor over
+    a correlated subquery (r3b shim addition): rewrites to a scalar
+    subquery collecting (order-key, value) structs, array_sort keeps
+    the declared order through shuffles. CSV-stringified for the
+    cross-engine hash."""
+    return _session(spark, sf_dir).execute(
+        "SELECT r_regionkey, "
+        "array_to_string(ARRAY(SELECT n_name FROM nation "
+        "  WHERE n_regionkey = r_regionkey ORDER BY n_name), ',') AS nations, "
+        "array_to_string(ARRAY(SELECT n_nationkey FROM nation "
+        "  WHERE n_regionkey = r_regionkey ORDER BY n_nationkey DESC), ',') AS keys_desc "
+        "FROM region"
+    )

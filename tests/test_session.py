@@ -1100,3 +1100,39 @@ def test_create_function_javascript(spark, tmp_path):
     s.execute("DROP FUNCTION doc.log10")
     with _pytest.raises(Exception):
         s.execute("SELECT log10(10)").collect()
+
+
+def test_array_subquery_constructor(session):
+    """ARRAY(SELECT ...) (PG array constructor; reference sql
+    expressions array subquery): ordered, DESC+LIMIT, and unordered
+    forms; order survives via array_sort over (key, value) structs."""
+    r = session.execute(
+        "SELECT ARRAY(SELECT r_name FROM region ORDER BY r_name) AS names"
+    ).collect()[0][0]
+    assert list(r) == ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+    r = session.execute(
+        "SELECT ARRAY(SELECT r_regionkey FROM region ORDER BY r_regionkey DESC LIMIT 3) AS ks"
+    ).collect()[0][0]
+    assert list(r) == [4, 3, 2]
+    n = session.execute(
+        "SELECT size(ARRAY(SELECT n_name FROM nation WHERE n_regionkey = 1)) AS n"
+    ).collect()[0][0]
+    assert n == 5
+
+
+def test_sys_shards_real_storage_stats(spark, tmp_path):
+    """sys.shards (SysShardsTableInfo) reports real parquet footprint
+    for stored tables: one row per CLUSTERED shard with size bytes and
+    segment (file) counts."""
+    from crate_spark.engine import CrateSession
+
+    s = CrateSession(spark, None, storage_dir=str(tmp_path))
+    s.execute("CREATE TABLE sharded (id int) CLUSTERED BY (id) INTO 2 SHARDS")
+    s.execute("INSERT INTO sharded (id) VALUES (1), (2), (3)")
+    rows = s.execute(
+        "SELECT id, size, num_segments, state FROM sys.shards "
+        "WHERE table_name = 'sharded' ORDER BY id"
+    ).collect()
+    assert [r["id"] for r in rows] == [0, 1]
+    assert all(r["size"] > 0 and r["state"] == "STARTED" for r in rows)
+    assert rows[0]["num_segments"] == 2  # one routed file per shard
