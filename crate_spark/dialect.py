@@ -279,7 +279,39 @@ _FN_TEMPLATES: dict = {
     "regexp_matches": lambda a, lits: _regexp_matches_sql(a, lits),
     "regexp_replace": lambda a, lits: _regexp_replace_sql(a, lits),
     "regexp_count": lambda a, lits: _regexp_count_sql(a, lits),
+    # crate-only aggregates (aggregation.rst) as SQL text
+    "arbitrary": lambda a, lits: (
+        f"any_value({a[0]}, true)" if len(a) == 1 else None
+    ),
+    "geometric_mean": lambda a, lits: (
+        f"exp(avg(ln(CAST({a[0]} AS DOUBLE))))" if len(a) == 1 else None
+    ),
+    # HyperLogLogDistinctAggregation -> Spark's HLL++; the optional
+    # precision arg maps to relative-error tuning (default accepted)
+    "hyperloglog_distinct": lambda a, lits: (
+        f"approx_count_distinct({a[0]})" if len(a) in (1, 2) else None
+    ),
+    "topk": lambda a, lits: _topk_sql(a),
 }
+
+
+def _topk_sql(a: list[str]) -> str | None:
+    """TopKAggregation as SQL text: top-k (item, frequency) pairs,
+    frequency-desc then item-asc. Built from one collect_list via
+    higher-order functions (Catalyst dedupes the repeated aggregate);
+    O(distinct x n) per group — the DataFrame operator
+    (operators/timeseries.topk) is the scale path, this is the
+    SQL-front-door convenience."""
+    if len(a) not in (1, 2):
+        return None
+    k = a[1] if len(a) == 2 else "8"
+    l = f"collect_list({a[0]})"
+    return (
+        f"transform(slice(array_sort(transform(array_distinct({l}), "
+        f"__d -> struct(CAST(-size(filter({l}, __v -> __v <=> __d)) AS BIGINT) AS __nc, "
+        f"__d AS item))), 1, {k}), "
+        f"__s -> struct(__s.item AS item, -__s.__nc AS frequency))"
+    )
 
 
 def _regex_inline_flags(flags: str, pattern_sql: str) -> str:

@@ -333,3 +333,36 @@ def sql_array_subquery(spark, sf_dir):
         "  WHERE n_regionkey = r_regionkey ORDER BY n_nationkey DESC), ',') AS keys_desc "
         "FROM region"
     )
+
+
+@query(
+    "sql_agg_surface",
+    oracle="""
+    SELECT n_regionkey,
+           any_value(n_regionkey) AS arb,
+           ROUND(exp(avg(ln(n_nationkey + 1))), 6) AS gmean,
+           count(DISTINCT n_name) AS approx_names,
+           array_to_string(
+             (SELECT (list(n2.n_name ORDER BY n2.n_name))[1:2]
+              FROM nation n2 WHERE n2.n_regionkey = n.n_regionkey), '|'
+           ) AS top2
+    FROM nation n GROUP BY n_regionkey
+    """,
+)
+def sql_agg_surface(spark, sf_dir):
+    """Crate-only aggregates as SQL text (aggregation.rst):
+    arbitrary (deterministic here: constant within each group),
+    geometric_mean (exp-avg-ln expansion), hyperloglog_distinct
+    (Spark HLL++ — exact at these cardinalities, matching the
+    reference's sparse-mode exactness), and topk (top-k
+    item/frequency structs from one collect_list; each n_name is
+    unique so frequency ties resolve item-ascending = plain name
+    order)."""
+    return _session(spark, sf_dir).execute(
+        "SELECT n_regionkey, "
+        "arbitrary(n_regionkey) AS arb, "
+        "ROUND(geometric_mean(n_nationkey + 1), 6) AS gmean, "
+        "hyperloglog_distinct(n_name) AS approx_names, "
+        "array_to_string(transform(topk(n_name, 2), __s -> __s.item), '|') AS top2 "
+        "FROM nation GROUP BY n_regionkey"
+    )
