@@ -292,6 +292,14 @@ _FN_TEMPLATES: dict = {
         f"approx_count_distinct({a[0]})" if len(a) in (1, 2) else None
     ),
     "topk": lambda a, lits: _topk_sql(a),
+    # DateTruncFunction 3-arg form: date_trunc(interval, timezone, ts)
+    # truncates in that zone, result back as the UTC instant
+    "date_trunc": lambda a, lits: (
+        f"to_utc_timestamp(date_trunc({a[0]}, "
+        f"from_utc_timestamp(CAST({a[2]} AS TIMESTAMP), {a[1]})), {a[1]})"
+        if len(a) == 3
+        else None
+    ),
 }
 
 

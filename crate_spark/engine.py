@@ -1115,6 +1115,11 @@ class CrateSession:
         r"\bknn_match\s*\(\s*([\w.\"]+)\s*,\s*\[([^\]]*)\]\s*,\s*(\d+)\s*\)",
         re.IGNORECASE,
     )
+    #: subquery query-vector form: knn_match(col, (SELECT ...), k)
+    _KNN_SUBQ_RE = re.compile(
+        r"\bknn_match\s*\(\s*([\w.\"]+)\s*,\s*(\((?:[^()]|\([^()]*\))*\))\s*,\s*(\d+)\s*\)",
+        re.IGNORECASE,
+    )
 
     def _execute_knn_match(self, stmt: str) -> DataFrame:
         """``SELECT ... [_score] FROM t WHERE knn_match(vec, [..], k)
@@ -1130,10 +1135,24 @@ class CrateSession:
         from crate_spark.operators.knn import knn_exact
 
         m = self._KNN_CALL_RE.search(stmt)
-        if not m:
-            raise ValueError("knn_match requires (column, [vector literal], k)")
+        if m:
+            vec = [float(x) for x in m.group(2).split(",") if x.strip()]
+        else:
+            # subquery vector: resolve the (single-row) query side now —
+            # the reference evaluates the knn query vector up front too
+            # (KnnMatch takes a resolved float_vector argument)
+            m = self._KNN_SUBQ_RE.search(stmt)
+            if not m:
+                raise ValueError(
+                    "knn_match requires (column, [vector literal] | (subquery), k)"
+                )
+            rows = self._sql(m.group(2).strip()[1:-1]).limit(2).collect()
+            if len(rows) != 1 or len(rows[0]) != 1:
+                raise ValueError(
+                    "knn_match subquery must return exactly one vector"
+                )
+            vec = [float(x) for x in rows[0][0]]
         col = m.group(1).strip('"').split(".")[-1]
-        vec = [float(x) for x in m.group(2).split(",") if x.strip()]
         k = int(m.group(3))
         tbl_m = re.search(r"\bFROM\s+([\w.\"]+)", stmt, re.IGNORECASE)
         if not tbl_m:

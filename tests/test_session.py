@@ -1136,3 +1136,35 @@ def test_sys_shards_real_storage_stats(spark, tmp_path):
     assert [r["id"] for r in rows] == [0, 1]
     assert all(r["size"] > 0 and r["state"] == "STARTED" for r in rows)
     assert rows[0]["num_segments"] == 2  # one routed file per shard
+
+
+def test_knn_match_subquery_vector(session):
+    """knn_match with a subquery query-vector (KnnMatch.java resolved
+    argument): the single-row query side resolves up front, then the
+    exact top-k join runs with the corpus never shuffled."""
+    rows = session.execute(
+        "SELECT vec_id, round(_score, 6) AS s FROM embeddings "
+        "WHERE knn_match(embedding, "
+        "  (SELECT embedding FROM embeddings WHERE vec_id = 7), 3) "
+        "ORDER BY _score DESC"
+    ).collect()
+    assert rows[0]["vec_id"] == 7 and abs(rows[0]["s"] - 1.0) < 1e-6
+    assert len(rows) == 3
+    import pytest as _p
+
+    with _p.raises(ValueError, match="exactly one vector"):
+        session.execute(
+            "SELECT vec_id FROM embeddings WHERE knn_match(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id < 5), 3)"
+        )
+
+
+def test_date_trunc_timezone(session):
+    """date_trunc(interval, timezone, ts) (DateTruncFunction 3-arg):
+    truncate in the zone, return the UTC instant."""
+    v = str(session.execute(
+        "SELECT date_trunc('day', 'Europe/Vienna', "
+        "'2021-06-06T23:30:00'::timestamp) x"
+    ).collect()[0]["x"])
+    # 23:30 UTC = 01:30 Vienna (UTC+2) on the 7th; midnight Vienna = 22:00 UTC
+    assert v.startswith("2021-06-06 22:00:00")
