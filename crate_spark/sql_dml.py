@@ -412,6 +412,30 @@ class SqlDmlRouter:
                 self._refresh(name)
             return self._count_df(1)
 
+        # ALTER TABLE a RENAME TO b (alter-table.rst): directory move +
+        # catalog/view swap — the table-level rename, distinct from
+        # RENAME COLUMN below
+        rnm = re.match(
+            r"\s*ALTER\s+TABLE\s+([\w.\"]+)\s+RENAME\s+TO\s+([\w.\"]+)\s*$",
+            masked,
+            re.IGNORECASE,
+        )
+        if rnm:
+            old = rnm.group(1).strip('"').split(".")[-1]
+            new = rnm.group(2).strip('"').split(".")[-1]
+            if new in self.crate_tables or new in self.owner.tables:
+                raise ValueError(f"table '{new}' already exists")
+            table = self._table(old)
+            new_path = os.path.join(self.owner.storage_dir, new)
+            os.rename(table.path, new_path)
+            table.path = new_path
+            del self.crate_tables[old]
+            self.crate_tables[new] = table
+            self.spark.catalog.dropTempView(old)
+            self.owner.tables.pop(old, None)
+            self._refresh(new)
+            return self._count_df(1)
+
         # ALTER TABLE t SET (k = v, ...) / RESET (k, ...) — storage
         # settings on the table metadata (alter-table.rst)
         sm = re.match(

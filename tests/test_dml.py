@@ -284,3 +284,25 @@ def test_clustered_by_routes_writes(spark, tmp_path):
     assert len(all_keys) == len(set(all_keys))
     ddl = s.execute("SHOW CREATE TABLE routed").collect()[0][0]
     assert 'CLUSTERED BY ("k") INTO 3 SHARDS' in ddl
+
+
+def test_alter_table_rename_to(spark, tmp_path):
+    """ALTER TABLE a RENAME TO b (alter-table.rst): data and metadata
+    move, the old name stops resolving, DML continues on the new."""
+    import pytest as _p
+
+    from crate_spark.engine import CrateSession
+
+    s = CrateSession(spark, None, storage_dir=str(tmp_path))
+    s.execute("CREATE TABLE old_name (id int PRIMARY KEY)")
+    s.execute("INSERT INTO old_name (id) VALUES (1)")
+    s.execute("ALTER TABLE old_name RENAME TO new_name")
+    assert s.execute("SELECT count(*) AS n FROM new_name").collect()[0]["n"] == 1
+    s.execute("INSERT INTO new_name (id) VALUES (2)")
+    with _p.raises(Exception):
+        s.execute("SELECT * FROM old_name").collect()
+    with _p.raises(Exception):
+        s.execute("INSERT INTO old_name (id) VALUES (3)")
+    # PK metadata moved with the table
+    with _p.raises(Exception):
+        s.execute("INSERT INTO new_name (id) VALUES (2)")
