@@ -366,3 +366,69 @@ def sql_agg_surface(spark, sf_dir):
         "array_to_string(transform(topk(n_name, 2), __s -> __s.item), '|') AS top2 "
         "FROM nation GROUP BY n_regionkey"
     )
+
+
+@query(
+    "streaming_rollup_events",
+    oracle="""
+    SELECT TIME_BUCKET(INTERVAL '15 minutes', ts) AS bucket,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 6) AS total
+    FROM events
+    GROUP BY bucket, event_type
+    """,
+)
+def streaming_rollup_events(spark, sf_dir):
+    """Structured Streaming with an EXACT oracle: the events table
+    replayed through the file-source -> watermarked tumbling-window
+    rollup (streaming/ingest.stream_windowed_rollup shape) drained
+    with availableNow into a memory sink. The streaming result must
+    hash-match DuckDB's batch TIME_BUCKET aggregate over the same
+    rows — proving the streaming operator computes the batch answer
+    (the Dataflow/beam equivalence batch == drained stream)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file-stream source wants a directory; select the one table
+    # file out of the sf dir by glob
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # ts may arrive as nanos-long (TIMESTAMP(NANOS) with nanosAsLong)
+    # or as a timestamp type, depending on session confs
+    ts_type = {f.name: f.dataType.simpleString() for f in schema.fields}["ts"]
+    if ts_type == "bigint":
+        ts = F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
+    else:
+        ts = F.col("ts").cast("timestamp")
+    agg = (
+        src.withColumn("__ts", ts)
+        .withWatermark("__ts", "30 minutes")
+        .groupBy(
+            F.window("__ts", "15 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 6
+            ).alias("total"),
+        )
+        .select(F.col("win.start").alias("bucket"), "event_type", "n", "total")
+    )
+    name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
