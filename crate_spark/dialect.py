@@ -1007,7 +1007,11 @@ def _rewrite_unnest_tvf(sql: str) -> str:
     return "".join(out)
 
 
-def rewrite(sql: str, string_object_columns: set[str] | None = None) -> str:
+def rewrite(
+    sql: str,
+    string_object_columns: set[str] | None = None,
+    session_user: str = "crate",
+) -> str:
     """Apply all crate-ism rewrites to one statement.
 
     String literals are masked as identifier-shaped placeholders first
@@ -1194,9 +1198,16 @@ def rewrite(sql: str, string_object_columns: set[str] | None = None) -> str:
         rf"\b(?:col|obj)_description{_call}", "CAST(NULL AS STRING)", sql,
         flags=re.IGNORECASE,
     )
+    # session-info scalars resolve to the AUTHENTICATED session user
+    # (SessionSettings; SET SESSION AUTHORIZATION switches it). The
+    # bare USER keyword is PG's current_user alias.
     sql = re.sub(
         r"\b(session_user|current_user|current_role|current_catalog)\b(\s*\(\s*\))?",
-        "'crate'", sql, flags=re.IGNORECASE,
+        f"'{session_user}'", sql, flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        r"(?<![\w.\"'])USER(?![\w(.])",
+        f"'{session_user}'", sql, flags=re.IGNORECASE,
     )
 
     def _match_sub(m: re.Match) -> str:

@@ -136,7 +136,11 @@ class CrateSession:
     def _sql(self, stmt: str) -> DataFrame:
         """Shim + run one SELECT-shaped statement."""
         return self.spark.sql(
-            rewrite(self._sub_current_setting(stmt), self._string_object_cols())
+            rewrite(
+                self._sub_current_setting(stmt),
+                self._string_object_cols(),
+                session_user=self.current_user,
+            )
         )
 
     # -- catalog ---------------------------------------------------------
