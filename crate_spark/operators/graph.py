@@ -48,14 +48,20 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u: connect every strictly-larger neighbour to
     min(N(u) ∪ {u}). Input must be symmetric; output edges (src > dst
-    oriented big→small)."""
-    mins = (
-        edges.groupBy("src")
-        .agg(F.min("dst").alias("_mn"))
-        .select("src", F.least(F.col("_mn"), F.col("src")).alias("_m"))
-    )
+    oriented big→small).
+
+    Shuffle shape: the per-u min is an unbounded window over
+    partitionBy(src) — ONE exchange instead of the groupBy+join pair
+    (the join itself shuffled the full edge list on src anyway, so a
+    hub node's fan-out landed in one partition either way; the window
+    form has identical skew exposure and half the exchanges — AQE's
+    skew handling applies to both). Plus one exchange for the output
+    distinct."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src")
     return (
-        edges.join(mins, "src")
+        edges.withColumn("_m", F.least(F.min("dst").over(w), F.col("src")))
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -63,15 +69,25 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, *, oriented: bool = False) -> DataFrame:
     """Orient each edge big→small; for each node u connect all of its
-    smaller neighbours (and u itself) to min(N⁻(u) ∪ {u})."""
-    o = edges.select(
-        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-    ).distinct()
-    mins = o.groupBy("src").agg(F.min("dst").alias("_m"))
-    pairs = o.join(mins, "src").select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
-    center = mins.select(F.col("src"), F.col("_m").alias("dst"))
+    smaller neighbours (and u itself) to min(N⁻(u) ∪ {u}).
+
+    ``oriented=True`` declares the input already big→small and
+    duplicate-free (true for ``_large_star`` output), skipping the
+    re-orientation distinct — one exchange saved per round."""
+    from pyspark.sql import Window
+
+    o = edges
+    if not oriented:
+        o = edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        ).distinct()
+    # all dst < src after orientation, so min(N⁻(u) ∪ {u}) = min(dst)
+    w = Window.partitionBy("src")
+    o = o.withColumn("_m", F.min("dst").over(w))
+    pairs = o.select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+    center = o.select("src", F.col("_m").alias("dst"))
     return pairs.union(center).filter(F.col("src") != F.col("dst")).distinct()
 
 
@@ -89,28 +105,35 @@ def connected_components(
     after ``max_iterations`` rounds (needs ~log2(n); 25 covers 10^7
     nodes with slack).
     """
-    def _fingerprint(df: DataFrame) -> tuple:
-        # one job: edge count + order-independent XOR-fold of the set's
-        # 64-bit edge hashes (bit_xor never overflows under ANSI mode)
-        row = df.agg(
-            F.count("*").alias("n"),
+    from pyspark.sql import Observation
+
+    def _checkpoint_with_fingerprint(df: DataFrame) -> tuple[DataFrame, tuple]:
+        # The (count, XOR-of-edge-hashes) fingerprint rides the
+        # checkpoint job itself via Dataset.observe — zero extra jobs
+        # per round (bit_xor of xxhash64 never overflows under ANSI).
+        obs = Observation()
+        ckpt = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
-        ).collect()[0]
-        return row["n"], row["h"]
+        ).localCheckpoint(eager=True)
+        got = obs.get  # blocks on the checkpoint job's completion
+        return ckpt, (got["n"], got["h"])
 
     e = _symmetrize(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
-    e = e.localCheckpoint(eager=True)
-    fp_prev = _fingerprint(e)
+    e, fp_prev = _checkpoint_with_fingerprint(e)
     for _ in range(max_iterations):
-        e2 = _small_star(_large_star(_symmetrize(e))).localCheckpoint(eager=True)
-        # convergence in two tiers: a single-job (count, hash-sum)
-        # fingerprint screens each round; only when it matches do we
-        # pay ONE exact anti-join confirmation (both sides are distinct
-        # sets, so equal counts + empty e2∖e implies set equality).
-        # The exact pass runs once per convergence, not once per round,
-        # and nothing ever materializes on the driver.
-        fp2 = _fingerprint(e2)
+        # convergence in two tiers: a per-round (count, hash-xor)
+        # fingerprint observed during the checkpoint job screens each
+        # round for free; only when it matches do we pay ONE exact
+        # anti-join confirmation (both sides are distinct sets, so
+        # equal counts + empty e2∖e implies set equality). The exact
+        # pass runs once per convergence, not once per round, and
+        # nothing ever materializes on the driver.
+        e2, fp2 = _checkpoint_with_fingerprint(
+            _small_star(_large_star(_symmetrize(e)), oriented=True)
+        )
         changed = 1
         if fp2 == fp_prev and e2.exceptAll(e).count() == 0:
             changed = 0
