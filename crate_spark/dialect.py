@@ -292,6 +292,22 @@ _FN_TEMPLATES: dict = {
         f"approx_count_distinct({a[0]})" if len(a) in (1, 2) else None
     ),
     "topk": lambda a, lits: _topk_sql(a),
+    # LogFunction.java:93-126,174 — crate log(x) is log BASE 10 (Spark's
+    # 1-arg log is ln), and log(x, b) is ln(x)/ln(b) with the VALUE
+    # first (Spark's 2-arg log takes the base first): swap the args.
+    "log": lambda a, lits: (
+        f"log10({a[0]})"
+        if len(a) == 1
+        else (f"log({a[1]}, {a[0]})" if len(a) == 2 else None)
+    ),
+    # RoundFunction.java:62-69 — 1-arg round on float/double is
+    # Math.round: floor(x + 0.5) returned as a LONG, so round(-2.5)
+    # is -2 where Spark/DuckDB HALF_UP gives -3. (Integral inputs
+    # above 2^52 lose the double round-trip — the reference has the
+    # same double path.) 2-arg round keeps Spark's HALF_UP (:126).
+    "round": lambda a, lits: (
+        f"CAST(floor(CAST({a[0]} AS DOUBLE) + 0.5D) AS BIGINT)" if len(a) == 1 else None
+    ),
     # DateTruncFunction 3-arg form: date_trunc(interval, timezone, ts)
     # truncates in that zone, result back as the UTC instant
     "date_trunc": lambda a, lits: (
@@ -1033,6 +1049,15 @@ def rewrite(
 
     sql = _LIT_RE.sub(_mask, sql)
     n_input_lits = len(literals)
+
+    # Numeric literals with a decimal point are DOUBLE in the
+    # reference (AstBuilder.java:2453 DoubleLiteral) and in PG's
+    # float8-literal behavior crate mirrors; Spark types them
+    # DECIMAL(p,s), which changes division/display semantics
+    # (1 / 3.0 -> 0.333333 instead of 0.3333333333333333). Suffix
+    # them with D. Already-suffixed (0.5D) and exponent forms are
+    # double in Spark anyway; identifier-adjacent digits are excluded.
+    sql = re.sub(r"(?<![\w.])(\d+\.\d+)(?![\w.])", r"\1D", sql)
 
     # OBJECT subscripts first: the result is a function call, which the
     # cast rewrite below can then treat as an operand (props['k']::long)
