@@ -1050,6 +1050,34 @@ def rewrite(
     sql = _LIT_RE.sub(_mask, sql)
     n_input_lits = len(literals)
 
+    # Integer / integer is Java integer division in the reference
+    # (ArithmeticFunctions.java:78-85 integerFunction arg0/arg1:
+    # 1/2 = 0, -7/2 = -3), where Spark's / always yields double.
+    # Operand types aren't resolvable in a text shim, so rewrite the
+    # syntactically-certain case — both operands integer literals
+    # (or a nested div(...) chain, left-assoc: 8/2/2 = 2) — to
+    # Spark's div. Column-typed integer division keeps Spark's
+    # double semantics (documented divergence).
+    def _int_div_chain(s: str) -> str:
+        out, last = [], 0
+        for m in re.finditer(r"(?<![\w.])(\d+(?:\s*/\s*\d+)+)(?![\w.])", s):
+            # a non-literal LEFT operand ("x / 2/3") means the chain's
+            # first literal is really a divisor — leave it to Spark
+            before = s[: m.start()].rstrip()
+            if before.endswith("/"):
+                continue
+            terms = [t.strip() for t in m.group(1).split("/")]
+            expr = terms[0]
+            for t in terms[1:]:
+                expr = f"div({expr}, {t})"
+            out.append(s[last : m.start()])
+            out.append(expr)
+            last = m.end()
+        out.append(s[last:])
+        return "".join(out)
+
+    sql = _int_div_chain(sql)
+
     # Numeric literals with a decimal point are DOUBLE in the
     # reference (AstBuilder.java:2453 DoubleLiteral) and in PG's
     # float8-literal behavior crate mirrors; Spark types them
