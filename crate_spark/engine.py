@@ -116,6 +116,10 @@ class CrateSession:
         self._cursors: dict[str, dict] = {}
         #: CREATE ANALYZER registry: name -> {"tokenizer": ..., "definition": ...}
         self._analyzers: dict[str, dict] = {}
+        #: names registered via CREATE FUNCTION — DROP FUNCTION only
+        #: ever touches these (a user function may shadow a Spark
+        #: builtin; dropping it must restore the builtin, not erase it)
+        self._udfs: set[str] = set()
         #: executed-statement ring buffer backing sys.jobs_log
         self._jobs_log: list[tuple] = []
         self._register_system_views()
@@ -695,10 +699,27 @@ class CrateSession:
         )
         if m:
             name = m.group(1).split(".")[-1]
+            if_exists = re.search(r"IF\s+EXISTS", stmt, re.IGNORECASE)
+            if name.lower() not in self._udfs:
+                # never drop anything we didn't CREATE: a user function
+                # may shadow a Spark builtin in the session registry,
+                # and dropping that name would erase the builtin too
+                if if_exists:
+                    return self.spark.createDataFrame([], "dropped string")
+                raise ValueError(f"Unknown function: {name}")
             jvm = self.spark._jvm
-            self.spark._jsparkSession.sessionState().functionRegistry().dropFunction(
-                jvm.org.apache.spark.sql.catalyst.FunctionIdentifier(name)
-            )
+            ident = jvm.org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+            reg = self.spark._jsparkSession.sessionState().functionRegistry()
+            reg.dropFunction(ident)
+            self._udfs.discard(name.lower())
+            # un-shadow: restore the builtin of the same name, if any
+            builtin = jvm.org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin()
+            if builtin.functionExists(ident):
+                reg.registerFunction(
+                    ident,
+                    builtin.lookupFunction(ident).get(),
+                    builtin.lookupFunctionBuilder(ident).get(),
+                )
             return self.spark.createDataFrame([(name,)], "dropped string")
 
         m = re.match(r"ANALYZE\s+(\S+)$", stmt, re.IGNORECASE)
@@ -1290,6 +1311,7 @@ class CrateSession:
                 )
 
             self.spark.udf.register(name, pandas_udf(vec_fn, ret_type))
+            self._udfs.add(name.lower())
             return self.spark.createDataFrame(
                 [(name, ret_type)], "function string, returns string"
             )
@@ -1303,6 +1325,7 @@ class CrateSession:
             return body_fn(*[None if v is None else c(v) for c, v in zip(coercers, vals)])
 
         self.spark.udf.register(name, fn, ret_type)
+        self._udfs.add(name.lower())
         return self.spark.createDataFrame([(name, ret_type)], "function string, returns string")
 
     def _explain_analyze(self, body: str) -> DataFrame:

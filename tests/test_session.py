@@ -1097,9 +1097,19 @@ def test_create_function_javascript(spark, tmp_path):
             "CREATE FUNCTION looped(integer) RETURNS integer LANGUAGE JAVASCRIPT "
             "AS 'function looped(a) { var x = 0; return x; }'"
         )
+    # dropping the shadowing UDF restores Spark's builtin log10 —
+    # never erases it (the registries are per-SparkSession, so an
+    # unrestored drop would poison every later statement)
     s.execute("DROP FUNCTION doc.log10")
+    restored = s.execute("SELECT log10(100) AS col")
+    assert restored.collect()[0][0] == 2.0
+    assert "BatchEvalPython" not in restored._jdf.queryExecution().executedPlan().toString()
+    s.execute("DROP FUNCTION my_subtract_function")
     with _pytest.raises(Exception):
-        s.execute("SELECT log10(10)").collect()
+        s.execute("SELECT my_subtract_function(3, 1)").collect()
+    with _pytest.raises(ValueError, match="Unknown function"):
+        s.execute("DROP FUNCTION never_created")
+    s.execute("DROP FUNCTION IF EXISTS never_created")
 
 
 def test_array_subquery_constructor(session):
