@@ -42,6 +42,11 @@ Deliberately NOT handled here: ON CONFLICT (DML layer), MATCH
 from __future__ import annotations
 
 import re
+import time
+
+#: process-start wall time — pg_postmaster_start_time's analog (the
+#: "postmaster" here is this Spark driver process)
+_PROCESS_START = time.strftime("%Y-%m-%d %H:%M:%S")
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_.]*"
 #: reserved words that must never be parsed as a function name — else
@@ -60,7 +65,7 @@ _KW = (
 #: (without it, the keyword guard on ``SELECT (...)`` just shifts the
 #: match to ``ELECT (...)``)
 _OPERAND = (
-    rf"(?<![A-Za-z0-9_.])(?:'[^']*'|\d+(?:\.\d+)?|(?!{_KW}\s*\()"
+    rf"(?<![A-Za-z0-9_.])(?:'[^']*'|\d+(?:\.\d+)?D?|(?!{_KW}\s*\()"
     rf"{_IDENT}\s*\((?:[^()]|\([^()]*\))*\)|{_IDENT}|\([^()]*\))"
 )
 
@@ -75,6 +80,27 @@ _SUBSCRIPT_RE = re.compile(rf"({_SUB_BASE})\s*\[\s*(\d+)\s*\]")
 #: 1-based inclusive slice subscript arr[from:to] with optional open
 #: ends (AstBuilder subscript grammar -> ArraySliceFunction)
 _SUBSCRIPT_SLICE_RE = re.compile(rf"({_SUB_BASE})\s*\[\s*(\d*)\s*:\s*(\d*)\s*\]")
+
+
+#: reference cast-type spellings (data-types.rst, pg-compat aliases)
+#: that Spark's CAST grammar doesn't know; everything else passes
+#: through (Spark handles int/bigint/varchar(n)/numeric(p,s)/...)
+_CAST_TYPE_MAP = {
+    "bytea": "BINARY", "text": "STRING", "int2": "SMALLINT", "int4": "INT",
+    "int8": "BIGINT", "float4": "FLOAT", "float8": "DOUBLE", "real": "FLOAT",
+    "ip": "STRING", "regclass": "STRING", "regproc": "STRING",
+    "regtype": "STRING", "timetz": "STRING", "geo_shape": "STRING",
+    "geo_point": "ARRAY<DOUBLE>",
+}
+
+
+def _cast_type(t: str) -> str:
+    key = re.sub(r"\s+", "", t.lower())
+    if key.startswith("float_vector"):
+        return "ARRAY<FLOAT>"
+    if re.fullmatch(r"bit\(\d+\)", key):
+        return "STRING"
+    return _CAST_TYPE_MAP.get(key, t)
 
 
 def _subscript_slice_sub(m: re.Match) -> str:
@@ -135,6 +161,14 @@ def _split_args(s: str) -> list[str]:
     if tail:
         parts.append(tail)
     return parts
+
+
+def _mklit(literals: list[str], text: str) -> str:
+    """Append an already-Spark-escaped string literal and return its
+    mask token — template output must never contain raw quoted text
+    (later rewrite passes can't tell literals from operators)."""
+    literals.append(text)
+    return f"__LIT_{len(literals) - 1}__"
 
 
 def _not_null(a: str) -> str:
@@ -209,9 +243,7 @@ _FN_TEMPLATES: dict = {
     # modulus = mod alias (arithmetic.rst); sign follows the dividend
     # in both engines (Java %)
     "modulus": lambda a, lits: f"mod({a[0]}, {a[1]})" if len(a) == 2 else None,
-    "null_or_empty": lambda a, lits: (
-        f"({a[0]} IS NULL OR size({a[0]}) = 0)" if len(a) == 1 else None
-    ),
+    "null_or_empty": lambda a, lits: _null_or_empty_sql(a, lits),
     # numeric trunc (TruncFunction): toward zero. Spark's builtin trunc
     # is date-only, so the 1-arg form and the numeric-scale 2-arg form
     # are expanded; trunc(date, 'fmt') (literal 2nd arg) passes through.
@@ -316,7 +348,123 @@ _FN_TEMPLATES: dict = {
         if len(a) == 3
         else None
     ),
+    # QuoteIdentFunction (PG quote_ident): quote unless the name is
+    # already a plain lower-case identifier (keyword check omitted —
+    # documented divergence)
+    "quote_ident": lambda a, lits: _quote_ident_sql(a, lits),
+    # ParseIdentFunction: split a qualified identifier into parts;
+    # quoted parts keep case and unescape "" -> " (dots INSIDE quoted
+    # parts are not supported by this text shim — documented)
+    "parse_ident": lambda a, lits: _parse_ident_sql(a, lits),
+    # format_type(oid, typemod) (FormatTypeFunction.java:61-84):
+    # PG type oid -> CrateDB type name, '[]'-suffixed per array
+    # dimension, '???' for unknown oids, NULL for NULL
+    "format_type": lambda a, lits: _format_type_sql(a),
+    # pg_get_userbyid (PgGetUserByIdFunction.java:36-47): resolves an
+    # oid against the role store — single-superuser engine analog
+    "pg_get_userbyid": lambda a, lits: (
+        f"(CASE WHEN {a[0]} IS NOT NULL THEN 'crate' END)" if len(a) == 1 else None
+    ),
+    # PG introspection stubs the reference answers NULL for
+    # (PgGetExpr.java:46, PgGetPartkeydefFunction.java,
+    # PgGetSerialSequenceFunction.java, PgGetFunctionResultFunction /
+    # PgGetConstraintDefFunction: oid never resolves here)
+    "pg_get_expr": lambda a, lits: "CAST(NULL AS STRING)" if len(a) in (2, 3) else None,
+    "pg_get_partkeydef": lambda a, lits: (
+        "CAST(NULL AS STRING)" if len(a) == 1 else None
+    ),
+    "pg_get_serial_sequence": lambda a, lits: (
+        "CAST(NULL AS STRING)" if len(a) == 2 else None
+    ),
+    "pg_get_function_result": lambda a, lits: (
+        "CAST(NULL AS STRING)" if len(a) == 1 else None
+    ),
+    "pg_get_constraintdef": lambda a, lits: (
+        "CAST(NULL AS STRING)" if len(a) in (1, 2) else None
+    ),
+    # pg_sleep (PgSleepFunction.java): plan-time no-op here — a driver
+    # sleep inside a distributed expression would stall every task;
+    # PG's void return renders as ''
+    "pg_sleep": lambda a, lits: "''" if len(a) == 1 else None,
 }
+
+
+#: PG type oid -> CrateDB DataType name (FormatTypeFunction calls
+#: PGTypes.fromOID(oid).getName(); oids from protocols/postgres/types/)
+_PG_OID_NAMES = {
+    16: "boolean", 18: '"char"', 19: "name", 20: "bigint", 21: "smallint",
+    23: "integer", 25: "text", 26: "oid", 114: "json", 600: "geo_point",
+    700: "real", 701: "double precision", 1042: "character", 1043: "text",
+    1082: "date", 1114: "timestamp without time zone",
+    1184: "timestamp with time zone", 1186: "interval", 1560: "bit",
+    1700: "numeric", 2950: "uuid",
+}
+#: array-type oid -> element oid (PGArray OIDs)
+_PG_ARRAY_OIDS = {
+    1000: 16, 1005: 21, 1007: 23, 1016: 20, 1021: 700, 1022: 701,
+    1015: 1043, 199: 114, 1115: 1114, 1182: 1082, 1185: 1184,
+    1561: 1560, 1231: 1700, 2951: 2950,
+}
+
+
+def _null_or_empty_sql(a: list[str], lits: list[str]) -> str | None:
+    """NullOrEmptyFunction (null-or-empty-array / -object): arrays use
+    size(); OBJECT operands — literals (already rewritten to
+    ``to_json(named_struct(...))`` or the masked ``'{}'``) — compare
+    against the empty-JSON string, matching the engine's JSON-string
+    object representation. Object COLUMNS still need the array form's
+    caller to pass an array (text shim can't see column types)."""
+    if len(a) != 1:
+        return None
+    arg = a[0].strip()
+    lit = _lit_value(arg, lits)
+    if (lit is not None and lit.strip().startswith("{")) or arg.startswith(
+        "to_json("
+    ) or arg.startswith("__OBJSTRUCT__"):
+        empty = _mklit(lits, "'{}'")
+        return f"({arg} IS NULL OR trim({arg}) = {empty})"
+    return f"({arg} IS NULL OR size({arg}) = 0)"
+
+
+def _quote_ident_sql(a: list[str], lits: list[str]) -> str | None:
+    """QuoteIdentFunction (PG quote_ident): quote unless already a
+    plain lower-case identifier (keyword check omitted — documented)."""
+    if len(a) != 1:
+        return None
+    pat = _mklit(lits, "'^[a-z_][a-z0-9_]*$'")
+    dq, esc = "'\"'", "'\"\"'"
+    return (
+        f"(CASE WHEN {a[0]} RLIKE {pat} THEN {a[0]} "
+        f"ELSE concat({dq}, replace({a[0]}, {dq}, {esc}), {dq}) END)"
+    )
+
+
+def _parse_ident_sql(a: list[str], lits: list[str]) -> str | None:
+    if len(a) != 1:
+        return None
+    dot = _mklit(lits, r"'\\.'")
+    dq = "'\"'"
+    return (
+        f"transform(split({a[0]}, {dot}), __p -> "
+        f"CASE WHEN startswith(__p, {dq}) AND endswith(__p, {dq}) "
+        f"THEN replace(substring(__p, 2, length(__p) - 2), '\"\"', {dq}) "
+        f"ELSE lower(trim(__p)) END)"
+    )
+
+
+def _format_type_sql(a: list[str]) -> str | None:
+    if len(a) != 2:
+        return None
+    arms = "".join(
+        f"WHEN {oid} THEN '{name}' " for oid, name in _PG_OID_NAMES.items()
+    ) + "".join(
+        f"WHEN {oid} THEN '{_PG_OID_NAMES[el]}[]' "
+        for oid, el in _PG_ARRAY_OIDS.items()
+    )
+    return (
+        f"(CASE WHEN {a[0]} IS NULL THEN CAST(NULL AS STRING) "
+        f"ELSE (CASE CAST({a[0]} AS INT) {arms}ELSE '???' END) END)"
+    )
 
 
 def _topk_sql(a: list[str]) -> str | None:
@@ -900,6 +1048,59 @@ def _finalize_obj_structs(sql: str) -> str:
         i = k + 1
 
 
+def _struct_literal_subscripts(sql: str, literals: list[str]) -> str:
+    """``to_json(named_struct(...))['k']['l']`` (an object LITERAL
+    being subscripted — SubscriptObjectFunction on a literal) ->
+    ``named_struct(...).k.l``: drop the JSON encoding and use typed
+    struct field access. Handles the parenthesized literal form
+    ``({k=v})['k']`` too. Word-shaped keys only (identifier grammar —
+    matches the objectLiteral key rule the literal itself obeys)."""
+    out, i = [], 0
+    while True:
+        j = sql.find("to_json(named_struct", i)
+        if j < 0:
+            out.append(sql[i:])
+            return "".join(out)
+        close = _find_close(sql, j + len("to_json"))
+        if close < 0:
+            out.append(sql[i:])
+            return "".join(out)
+        k = close + 1
+        while k < len(sql) and sql[k].isspace():
+            k += 1
+        # the literal may sit inside one pair of user parens
+        paren_open = -1
+        if k < len(sql) and sql[k] == ")" and sql[:j].rstrip().endswith("("):
+            paren_open = len(sql[:j].rstrip()) - 1
+            k += 1
+            while k < len(sql) and sql[k].isspace():
+                k += 1
+        if k >= len(sql) or sql[k] != "[":
+            out.append(sql[i : close + 1])
+            i = close + 1
+            continue
+        expr = sql[j + len("to_json(") : close]
+        pos, ok, chain = k, True, ""
+        while pos < len(sql) and sql[pos] == "[":
+            end = sql.find("]", pos)
+            lm = re.fullmatch(r"__LIT_(\d+)__", sql[pos + 1 : end].strip())
+            key = literals[int(lm.group(1))][1:-1] if lm else ""
+            if end < 0 or not re.fullmatch(r"\w+", key):
+                ok = False
+                break
+            chain += f".{key}"
+            pos = end + 1
+        if not ok:
+            out.append(sql[i : close + 1])
+            i = close + 1
+            continue
+        start = paren_open if paren_open >= 0 else j
+        out.append(sql[i:start])
+        out.append(f"{expr}{chain}")
+        i = pos
+    return "".join(out)
+
+
 def _find_close(s: str, open_idx: int) -> int:
     """Index of the ')' matching s[open_idx] == '('; -1 if unbalanced."""
     depth = 0
@@ -1023,6 +1224,132 @@ def _rewrite_unnest_tvf(sql: str) -> str:
     return "".join(out)
 
 
+#: keywords that must never be mistaken for a TVF alias
+_TVF_KW = {
+    "where", "group", "order", "limit", "offset", "fetch", "having",
+    "join", "inner", "left", "right", "full", "cross", "on", "union",
+    "intersect", "except", "as",
+}
+
+_SERIES_TVF_RE = re.compile(
+    r"\b(FROM\s+|JOIN\s+|,\s*)(?:pg_catalog\.)?"
+    r"(generate_series|generate_subscripts|regexp_matches)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _step_sign(step: str, literals: list[str]) -> int | None:
+    """Sign of a series step when decidable at rewrite time: a signed
+    numeric literal, or an interval literal (masked text)."""
+    s = step.strip()
+    m = re.fullmatch(r"([+-]?)\s*\d+(\.\d+)?D?", s)
+    if m:
+        return -1 if m.group(1) == "-" else 1
+    if re.search(r"\binterval\b", s, re.IGNORECASE) or "__LIT_" in s:
+        lit = re.search(r"__LIT_(\d+)__", s)
+        if lit:
+            return -1 if "-" in literals[int(lit.group(1))] else 1
+    return None
+
+
+def _rewrite_series_tvf(sql: str, literals: list[str]) -> str:
+    """Set-returning functions in FROM position (TableFunctions.java /
+    table-functions.rst): ``generate_series`` -> explode(sequence(...))
+    with PG's empty-set semantics when the range and step disagree
+    (Spark's ``sequence(1, 0)`` auto-negates the step — wrong here);
+    ``generate_subscripts`` -> explode over 1..size; ``regexp_matches``
+    -> zero-or-one row of capture groups, or one row per match with
+    the ``g`` flag. Output column names follow the reference
+    (``generate_series`` / ``generate_subscripts`` / ``groups``)."""
+    m = _SERIES_TVF_RE.search(sql)
+    if not m:
+        return sql
+    fn = m.group(2).lower()
+    open_idx = m.end() - 1
+    close = _find_close(sql, open_idx)
+    if close < 0:
+        return sql
+    a = _split_args(sql[open_idx + 1 : close])
+    # optional alias (with optional column list) after the call
+    tail = sql[close + 1 :]
+    am = re.match(
+        r"\s+(?:AS\s+)?([A-Za-z_]\w*)\s*(?:\(\s*([A-Za-z_]\w*)\s*\))?",
+        tail,
+        re.IGNORECASE,
+    )
+    alias, col, consumed = None, None, 0
+    if am and am.group(1).lower() not in _TVF_KW:
+        alias, col, consumed = am.group(1), am.group(2), am.end()
+
+    if fn == "generate_series":
+        col = col or "generate_series"
+        if len(a) == 2:
+            guard = f"CASE WHEN {a[0]} <= {a[1]} THEN sequence({a[0]}, {a[1]}) END"
+        elif len(a) == 3:
+            seq = f"sequence({a[0]}, {a[1]}, {a[2]})"
+            sign = _step_sign(a[2], literals)
+            if sign == 1:
+                guard = f"CASE WHEN {a[0]} <= {a[1]} THEN {seq} END"
+            elif sign == -1:
+                guard = f"CASE WHEN {a[0]} >= {a[1]} THEN {seq} END"
+            else:
+                guard = (
+                    f"CASE WHEN ({a[2]}) > 0 AND {a[0]} <= {a[1]} THEN {seq} "
+                    f"WHEN ({a[2]}) < 0 AND {a[0]} >= {a[1]} THEN {seq} END"
+                )
+        else:
+            return sql
+        body = f"explode({guard}) AS {col}"
+    elif fn == "generate_subscripts":
+        col = col or "generate_subscripts"
+        if len(a) not in (2, 3):
+            return sql
+        dim = a[1].strip()
+        arr = a[0] if dim == "1" else f"element_at({a[0]}, 1)" if dim == "2" else None
+        if arr is None:
+            return sql
+        rev = len(a) == 3 and a[2].strip().lower() == "true"
+        seq = (
+            f"sequence(size({arr}), 1, -1)" if rev else f"sequence(1, size({arr}))"
+        )
+        body = f"explode(CASE WHEN size({arr}) >= 1 THEN {seq} END) AS {col}"
+    else:  # regexp_matches
+        col = col or "groups"
+        if len(a) not in (2, 3):
+            return sql
+        flags = _lit_value(a[2], literals) if len(a) == 3 else ""
+        if flags is None:
+            return sql
+        pat = _lit_value(a[1], literals)
+        if pat is None:
+            return sql
+        p = _regex_inline_flags(flags, a[1])
+        groups = len(re.findall(r"(?<!\\)\((?!\?)", pat))
+        idxs = list(range(1, groups + 1)) if groups else [0]
+        if "g" in flags:
+            # one row per match: re-extract groups from each whole match
+            parts = ", ".join(f"regexp_extract(__m, {p}, {i})" for i in idxs)
+            body = (
+                f"explode(transform(regexp_extract_all({a[0]}, {p}, 0), "
+                f"__m -> array({parts}))) AS {col}"
+            )
+        else:
+            parts = ", ".join(f"regexp_extract({a[0]}, {p}, {i})" for i in idxs)
+            body = (
+                f"explode(CASE WHEN {a[0]} RLIKE {p} "
+                f"THEN array(array({parts})) END) AS {col}"
+            )
+    alias = alias or f"__{fn}"
+    # trailing space: the alias regex may have eaten the separator
+    # before the next clause (its \s* runs up to an optional col list)
+    repl = f"{m.group(1)}(SELECT {body}) AS {alias} "
+    return (
+        sql[: m.start()]
+        + repl
+        + _rewrite_series_tvf(sql[close + 1 + consumed :], literals)
+    )
+
+
 def rewrite(
     sql: str,
     string_object_columns: set[str] | None = None,
@@ -1113,6 +1440,15 @@ def rewrite(
     # lookbehind on the bare form excludes subscripts (base ends in an
     # identifier char, ']' or ')'), which earlier rewrites have
     # already consumed anyway.
+    # empty object literal {} (objectLiteral with no entries) -> the
+    # engine's JSON-string empty object, masked so no later pass can
+    # touch the braces
+    def _empty_obj(_m: re.Match) -> str:
+        literals.append("'{}'")
+        return f"__LIT_{len(literals) - 1}__"
+
+    sql = re.sub(r"\{\s*\}", _empty_obj, sql)
+
     prev_arr = None
     while prev_arr != sql:
         prev_arr = sql
@@ -1120,12 +1456,31 @@ def rewrite(
         sql = re.sub(r"(?<![\w\]\)])\[([^\[\]]*)\]", r"array(\1)", sql)
         sql = _OBJ_LIT_RE.sub(_obj_lit_sub, sql)
     sql = _finalize_obj_structs(sql)
+    # a directly-subscripted object literal reads through the struct,
+    # not the JSON encoding: to_json(named_struct(...))['k'] (and the
+    # parenthesized form) -> named_struct(...).k — typed field access
+    sql = _struct_literal_subscripts(sql, literals)
 
     # EXTRACT(EPOCH FROM x): PG epoch seconds with fraction
     # (ExtractFunctions epoch case; Spark has no EPOCH extract field)
     sql = re.sub(
         r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\s+((?:[^()]|\([^()]*\))+)\)",
         r"(unix_micros(CAST(\1 AS TIMESTAMP)) / 1e6)",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # PG day-of-week numbering (ExtractFunctions): DOW is 0-6 with
+    # Sunday=0 (Spark's EXTRACT(DOW) is dayofweek's 1-7 Sunday=1);
+    # ISODOW is 1-7 with Monday=1 (Spark's weekday is Monday=0)
+    sql = re.sub(
+        r"\bEXTRACT\s*\(\s*ISODOW\s+FROM\s+((?:[^()]|\([^()]*\))+)\)",
+        r"(weekday(CAST(\1 AS TIMESTAMP)) + 1)",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        r"\bEXTRACT\s*\(\s*DOW\s+FROM\s+((?:[^()]|\([^()]*\))+)\)",
+        r"(dayofweek(CAST(\1 AS TIMESTAMP)) - 1)",
         sql,
         flags=re.IGNORECASE,
     )
@@ -1141,6 +1496,12 @@ def rewrite(
         flags=re.IGNORECASE,
     )
     sql = _rewrite_unnest_tvf(sql)
+    # interval-typed literals as sequence steps parse as INTERVAL
+    # literals, not casts (Spark has no CAST(x AS INTERVAL))
+    sql = re.sub(
+        r"(__LIT_\d+__)\s*::\s*interval\b", r"INTERVAL \1", sql, flags=re.IGNORECASE
+    )
+    sql = _rewrite_series_tvf(sql, literals)
     sql = _rewrite_array_subquery(sql)
 
     # crate-only scalar function names (ArraySliceFunction,
@@ -1149,11 +1510,15 @@ def rewrite(
     # template output participates in them
     sql = _rewrite_crate_fns(sql, literals)
 
-    # repeat :: rewrite to handle chains like a::text::int
+    # repeat :: rewrite to handle chains like a::text::int; reference
+    # type spellings (data-types.rst) map to Spark DDL types
+    def _cast_sub(m: re.Match) -> str:
+        return f"CAST({m.group(1)} AS {_cast_type(m.group(2))})"
+
     prev = None
     while prev != sql:
         prev = sql
-        sql = _CAST_RE.sub(r"CAST(\1 AS \2)", sql)
+        sql = _CAST_RE.sub(_cast_sub, sql)
     sql = _SUBSCRIPT_SLICE_RE.sub(_subscript_slice_sub, sql)
     sql = _SUBSCRIPT_RE.sub(r"element_at(\1, \2)", sql)
     # PG/crate bitwise XOR spelling `#` -> Spark's `^` (bit-operators.rst)
@@ -1246,6 +1611,14 @@ def rewrite(
         rf"\bpg_(?:table|function)_is_visible{_call}", "TRUE", sql, flags=re.IGNORECASE
     )
     sql = re.sub(rf"\bpg_backend_pid\s*\(\s*\)", "0", sql, flags=re.IGNORECASE)
+    # PgPostmasterStartTime.java: the node's start instant — the
+    # process-start analog, constant for the session's lifetime
+    sql = re.sub(
+        r"\bpg_postmaster_start_time\s*\(\s*\)",
+        f"TIMESTAMP '{_PROCESS_START}'",
+        sql,
+        flags=re.IGNORECASE,
+    )
     sql = re.sub(rf"\bpg_encoding_to_char{_call}", "'UTF8'", sql, flags=re.IGNORECASE)
     sql = re.sub(
         rf"\b(?:col|obj)_description{_call}", "CAST(NULL AS STRING)", sql,

@@ -945,6 +945,22 @@ class CrateSession:
             key, missing_ok = m.group(1), m.group(2)
             val = self.spark.conf.get(key, None)
             if val is None:
+                # PG/crate session-setting defaults the reference
+                # answers without a prior SET (SessionSettingRegistry)
+                val = {
+                    "search_path": "doc",
+                    "application_name": "",
+                    "datestyle": "ISO",
+                    "timezone": "UTC",
+                    "server_version": "14.0",
+                    "server_version_num": "140000",
+                    "max_index_keys": "32",
+                    "max_identifier_length": "255",
+                    "enable_hashjoin": "on",
+                    "error_on_unknown_object_key": "on",
+                    "statement_timeout": "0",
+                }.get(key.lower())
+            if val is None:
                 if missing_ok and missing_ok.lower() == "true":
                     return "CAST(NULL AS STRING)"
                 raise ValueError(f"unrecognized configuration parameter '{key}'")

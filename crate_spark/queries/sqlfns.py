@@ -439,3 +439,81 @@ def streaming_rollup_events(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.sql(f"SELECT * FROM {name}")
+
+
+@query(
+    "sql_tvf_series",
+    oracle="""
+    SELECT gs.generate_series AS n,
+           gs.generate_series * r.r_regionkey AS scaled
+    FROM region r
+    CROSS JOIN generate_series(1, 20, 3) gs
+    ORDER BY r.r_regionkey, n
+    """,
+)
+def sql_tvf_series(spark, sf_dir):
+    """``FROM generate_series(start, stop, step)`` as a relation
+    (TableFunctions.java, table-functions.rst) — the shim expands it
+    to ``explode(sequence(...))`` with PG's empty-set guard (Spark's
+    ``sequence`` auto-negates the step when stop < start; PG returns
+    no rows). DuckDB evaluates its native generate_series."""
+    return _session(spark, sf_dir).execute(
+        "SELECT gs.generate_series AS n, "
+        "gs.generate_series * r.r_regionkey AS scaled "
+        "FROM region r CROSS JOIN generate_series(1, 20, 3) gs "
+        "ORDER BY r.r_regionkey, n"
+    )
+
+
+@query(
+    "sql_tvf_series_ts",
+    oracle="""
+    SELECT CAST(gs.generate_series AS TIMESTAMP) AS day,
+           CAST(strftime(gs.generate_series, '%w') AS BIGINT) AS dow
+    FROM generate_series(TIMESTAMP '2026-01-01', TIMESTAMP '2026-01-31',
+                         INTERVAL 1 DAY) gs
+    ORDER BY day
+    """,
+)
+def sql_tvf_series_ts(spark, sf_dir):
+    """Timestamp ``generate_series`` with an interval step — the
+    reference requires step for timestamp bounds; the shim turns the
+    ``::interval`` cast into a Spark INTERVAL literal inside
+    ``sequence``."""
+    return _session(spark, sf_dir).execute(
+        "SELECT generate_series AS day, "
+        "extract(dow FROM generate_series)::bigint AS dow "
+        "FROM generate_series('2026-01-01'::timestamp, "
+        "'2026-01-31'::timestamp, '1 day'::interval) gs "
+        "ORDER BY day"
+    )
+
+
+@query(
+    "sql_ident_surface",
+    oracle="""
+    SELECT n_name,
+           CASE WHEN regexp_full_match(n_name, '^[a-z_][a-z0-9_]*$')
+                THEN n_name
+                ELSE '"' || replace(n_name, '"', '""') || '"' END AS quoted,
+           lower(n_name) AS part1,
+           CASE n_nationkey % 3 WHEN 0 THEN 'bigint'
+                WHEN 1 THEN 'text' ELSE 'integer[]' END AS fmt
+    FROM nation
+    ORDER BY n_name
+    """,
+)
+def sql_ident_surface(spark, sf_dir):
+    """PG identifier tooling through SQL: ``quote_ident`` (quote only
+    when needed, QuoteIdentFunction), ``parse_ident`` (split qualified
+    names; 1-based subscript on the result), ``format_type`` (oid ->
+    reference type name, FormatTypeFunction.java:61-84). The oracle
+    reproduces each rule in DuckDB SQL."""
+    return _session(spark, sf_dir).execute(
+        "SELECT n_name, quote_ident(n_name) AS quoted, parts[1] AS part1, "
+        "format_type(CASE k % 3 WHEN 0 THEN 20 "
+        "            WHEN 1 THEN 25 ELSE 1007 END, NULL) AS fmt "
+        "FROM (SELECT n_name, n_nationkey AS k, "
+        "      parse_ident(n_name) AS parts FROM nation) t "
+        "ORDER BY n_name"
+    )

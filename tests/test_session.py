@@ -20,7 +20,10 @@ def session(spark):
 # -- pure rewrite unit checks -----------------------------------------------
 def test_rewrite_cast():
     assert rewrite("SELECT '5'::int") == "SELECT CAST('5' AS int)"
-    assert rewrite("SELECT x::text::int FROM t") == "SELECT CAST(CAST(x AS text) AS int) FROM t"
+    # reference type spellings map to Spark DDL types (text -> STRING)
+    assert rewrite("SELECT x::text::int FROM t") == "SELECT CAST(CAST(x AS STRING) AS int) FROM t"
+    assert rewrite("SELECT x::bytea FROM t") == "SELECT CAST(x AS BINARY) FROM t"
+    assert rewrite("SELECT x::float_vector(4) FROM t") == "SELECT CAST(x AS ARRAY<FLOAT>) FROM t"
     assert rewrite("SELECT price::decimal(10,2) FROM t") == "SELECT CAST(price AS decimal(10,2)) FROM t"
 
 
