@@ -243,6 +243,9 @@ def route_admin(session, stmt: str) -> DataFrame | None:
             t._save_meta()
             session._dml.crate_tables[name] = t
             session.register(name, t.read())
+            # sys.snapshot_restore feed (SysSnapshotRestoreTableInfo)
+            session._restores = getattr(session, "_restores", [])
+            session._restores.append((m.group(1), m.group(2), name))
         return ok(len(restored))
 
     return None

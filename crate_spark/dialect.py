@@ -1340,9 +1340,13 @@ def _rewrite_series_tvf(sql: str, literals: list[str]) -> str:
                 f"THEN array(array({parts})) END) AS {col}"
             )
     alias = alias or f"__{fn}"
+    # joined TVFs may reference left-side columns (regexp_matches over
+    # a doc column) — LATERAL makes the correlation explicit for Spark.
+    # The leading FROM relation can't be LATERAL (nothing to its left).
+    lateral = "" if m.group(1).upper().startswith("FROM") else "LATERAL "
     # trailing space: the alias regex may have eaten the separator
     # before the next clause (its \s* runs up to an optional col list)
-    repl = f"{m.group(1)}(SELECT {body}) AS {alias} "
+    repl = f"{m.group(1)}{lateral}(SELECT {body}) AS {alias} "
     return (
         sql[: m.start()]
         + repl

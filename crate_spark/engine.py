@@ -269,6 +269,132 @@ class CrateSession:
             "ended timestamp, error string",
         ).createOrReplaceTempView("sys_jobs_log")
 
+        # sys.operations / sys.operations_log (SysOperations(Log)
+        # TableInfo): executions are synchronous, so in-flight ops are
+        # empty and the log derives one collect-phase row per job
+        op_schema = (
+            "id string, job_id string, name string, started timestamp, "
+            "ended timestamp, used_bytes bigint, error string"
+        )
+        spark.createDataFrame([], op_schema).createOrReplaceTempView("sys_operations")
+        spark.createDataFrame(
+            [(f"op-{j[0]}", j[0], "collect", j[3], j[4], None, j[5])
+             for j in self._jobs_log],
+            op_schema,
+        ).createOrReplaceTempView("sys_operations_log")
+
+        # sys.metrics (SysMetricsTableInfo): per-statement-type latency
+        # histogram aggregated from the jobs log; classification.type
+        # is the leading SQL keyword, as the reference classifies plans
+        from collections import defaultdict
+
+        by_type: dict[str, list] = defaultdict(list)
+        for j in self._jobs_log:
+            kind = (j[1].split() or ["UNKNOWN"])[0].upper()
+            dur_ms = (j[4] - j[3]).total_seconds() * 1000.0
+            by_type[kind].append((dur_ms, j[5] is not None))
+        import statistics as _stats
+
+        metric_rows = []
+        for kind, vals in sorted(by_type.items()):
+            durs = [v[0] for v in vals]
+            metric_rows.append((
+                len(durs), int(sum(durs)), sum(1 for v in vals if v[1]),
+                float(_stats.mean(durs)),
+                float(_stats.pstdev(durs)) if len(durs) > 1 else 0.0,
+                int(max(durs)), int(min(durs)), "n1", kind,
+            ))
+        spark.createDataFrame(
+            metric_rows or [(0, 0, 0, 0.0, 0.0, 0, 0, "", "")],
+            "total_count bigint, sum_of_durations bigint, failed_count bigint, "
+            "mean double, stdev double, max bigint, min bigint, "
+            "node_id string, classification string",
+        ).filter("node_id <> ''").createOrReplaceTempView("sys_metrics")
+
+        # sys.checks / sys.node_checks (SysChecksTableInfo /
+        # SysNodeChecksTableInfo; severity 1=LOW..3=HIGH): the cluster
+        # checks a single-node engine can evaluate, all passing
+        spark.createDataFrame(
+            [(1, 3, "The cluster has a quorum of master-eligible nodes", True),
+             (2, 2, "The total number of partitions is below the soft limit", True),
+             (3, 1, "Tables need to be recreated for compatibility: none", True)],
+            "id int, severity int, description string, passed boolean",
+        ).createOrReplaceTempView("sys_checks")
+        spark.createDataFrame(
+            [(1, "n1", 2, "Free disk space above the low watermark", True, False),
+             (2, "n1", 3, "Heap usage below the limit", True, False)],
+            "id int, node_id string, severity int, description string, "
+            "passed boolean, acknowledged boolean",
+        ).createOrReplaceTempView("sys_node_checks")
+
+        # sys.allocations (SysAllocationsTableInfo): one row per shard,
+        # mirroring sys.shards routing on the single node
+        spark.createDataFrame(
+            [(r[1], r[0], None, r[2], "n1", True, "STARTED", None)
+             for r in shard_rows if r[0]] or [("", "", None, 0, "", True, "", None)],
+            "table_schema string, table_name string, partition_ident string, "
+            "shard_id int, node_id string, primary boolean, "
+            "current_state string, explanation string",
+        ).filter("table_name <> ''").createOrReplaceTempView("sys_allocations")
+
+        # sys.segments (SysSegmentsTableInfo): the storage-segment
+        # analog is one row per parquet file, with REAL per-file row
+        # counts from the parquet footer (no data scan)
+        seg_rows = []
+        for n in sorted(self.tables):
+            ct = crate_tables.get(n)
+            if ct is None:
+                continue
+            import os as _os
+
+            import pyarrow.parquet as _pq
+
+            for root, _d, files in _os.walk(ct.path):
+                for f in sorted(files):
+                    if not f.endswith(".parquet"):
+                        continue
+                    p = _os.path.join(root, f)
+                    try:
+                        num_docs = _pq.ParquetFile(p).metadata.num_rows
+                    except Exception:  # noqa: BLE001 - unreadable footer
+                        num_docs = None
+                    seg_rows.append(
+                        ("doc", n, None, 0, f, num_docs, 0,
+                         _os.path.getsize(p), True, True, True)
+                    )
+        spark.createDataFrame(
+            seg_rows or [("", "", None, 0, "", 0, 0, 0, True, True, True)],
+            "table_schema string, table_name string, partition_ident string, "
+            "shard_id int, segment_name string, num_docs bigint, "
+            "deleted_docs int, size bigint, committed boolean, "
+            "primary boolean, search boolean",
+        ).filter("table_name <> ''").createOrReplaceTempView("sys_segments")
+
+        # sys.sessions (SysSessionsTableInfo): this session
+        from datetime import datetime as _dt
+
+        last = self._jobs_log[-1] if self._jobs_log else None
+        spark.createDataFrame(
+            [("s1", getattr(self, "auth_user", self.current_user),
+              self.current_user, "n1", "local", _dt.now(), "http", False,
+              last[1] if last else None, last[0] if last else None)],
+            "id string, auth_user string, session_user string, "
+            "handler_node string, client_address string, "
+            "time_created timestamp, protocol string, ssl boolean, "
+            "last_statement string, last_job_id string",
+        ).createOrReplaceTempView("sys_sessions")
+
+        # sys.snapshot_restore (SysSnapshotRestoreTableInfo): populated
+        # by RESTORE SNAPSHOT; empty otherwise
+        spark.createDataFrame(
+            [(str(i), s[0], s[1], "doc", s[2], None, 0, "SUCCESS")
+             for i, s in enumerate(getattr(self, "_restores", []))]
+            or [("", "", "", "", "", None, 0, "")],
+            "id string, repository string, name string, table_schema string, "
+            "table_name string, partition_ident string, shard_id int, "
+            "state string",
+        ).filter("repository <> ''").createOrReplaceTempView("sys_snapshot_restore")
+
         # sys.summits (SysSummitsTableInfo: mountain/height/prominence/
         # coordinates geo_point/range/classification/region/country/
         # first_ascent; the reference embeds a 1605-row alpine list).

@@ -517,3 +517,24 @@ def sql_ident_surface(spark, sf_dir):
         "      parse_ident(n_name) AS parts FROM nation) t "
         "ORDER BY n_name"
     )
+
+
+@query(
+    "sql_tvf_regexp_docs",
+    oracle="""
+    SELECT doc_id, unnest(regexp_extract_all(text, '([a-z]+)ing', 1)) AS stem
+    FROM documents WHERE doc_id < 100
+    ORDER BY doc_id, stem
+    """,
+)
+def sql_tvf_regexp_docs(spark, sf_dir):
+    """CORRELATED ``regexp_matches`` in FROM — the table function
+    reads a column of the left relation, one output row per match
+    (``g`` flag). The shim emits a LATERAL subquery so Spark resolves
+    the correlation; stays whole-stage codegen (regexp_extract_all +
+    explode), no UDF."""
+    return _session(spark, sf_dir).execute(
+        "SELECT doc_id, groups[1] AS stem "
+        "FROM documents, regexp_matches(text, '([a-z]+)ing', 'g') "
+        "WHERE doc_id < 100 ORDER BY doc_id, stem"
+    )

@@ -117,6 +117,54 @@ def test_sys_views(session):
     assert n >= 10
 
 
+def test_sys_admin_views(session, spark, tmp_path):
+    """The remaining reference sys tables (SysChecks/NodeChecks/
+    Operations(Log)/Metrics/Sessions/Allocations/Segments/
+    SnapshotRestore TableInfo): derived from real session state —
+    operations_log and metrics from the jobs log, segments from
+    parquet footers, allocations mirroring shard routing."""
+    session.execute("SELECT 1 AS warmup")
+    checks = session.execute("SELECT * FROM sys.checks").collect()
+    assert checks and all(r["passed"] for r in checks)
+    nchecks = session.execute(
+        "SELECT * FROM sys.node_checks WHERE node_id = 'n1'"
+    ).collect()
+    assert nchecks and {r["severity"] for r in nchecks} <= {1, 2, 3}
+    assert session.execute("SELECT * FROM sys.operations").count() == 0
+    ops = session.execute(
+        "SELECT job_id, name, started, ended FROM sys.operations_log"
+    ).collect()
+    assert ops and all(r["name"] == "collect" for r in ops)
+    m = session.execute(
+        "SELECT classification, total_count, mean FROM sys.metrics "
+        "WHERE classification = 'SELECT'"
+    ).collect()
+    assert m and m[0]["total_count"] >= 1 and m[0]["mean"] >= 0.0
+    # (the session_user COLUMN needs quoting in the reference too —
+    # the keyword wins unquoted; probe auth_user instead)
+    sess = session.execute(
+        "SELECT auth_user, last_statement FROM sys.sessions"
+    ).collect()
+    assert len(sess) == 1 and sess[0]["auth_user"] == "crate"
+    alloc = session.execute(
+        "SELECT table_name, current_state, \"primary\" FROM sys.allocations"
+    ).collect()
+    assert alloc and all(r["current_state"] == "STARTED" for r in alloc)
+    # segments carry real footer row counts for SQL-created tables
+    from crate_spark.engine import CrateSession
+
+    s2 = CrateSession(spark, None, storage_dir=str(tmp_path))
+    s2.execute("CREATE TABLE segt (a integer)")
+    s2.execute("INSERT INTO segt VALUES (1), (2), (3)")
+    segs = s2.execute(
+        "SELECT segment_name, num_docs, size FROM sys.segments "
+        "WHERE table_name = 'segt'"
+    ).collect()
+    assert segs and sum(r["num_docs"] for r in segs) == 3
+    assert all(r["size"] > 0 for r in segs)
+    assert s2.execute("SELECT * FROM sys.snapshot_restore").count() == 0
+
+
 def test_explain(session):
     plan = session.execute("EXPLAIN SELECT count(*) FROM lineitem").collect()[0]["plan"]
     assert "Physical Plan" in plan and "lineitem" in plan
