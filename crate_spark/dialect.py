@@ -1517,6 +1517,13 @@ def rewrite(
     # repeat :: rewrite to handle chains like a::text::int; reference
     # type spellings (data-types.rst) map to Spark DDL types
     def _cast_sub(m: re.Match) -> str:
+        # a parenthesized operand right after OVER is a window spec,
+        # not a castable expression (`... OVER (w)::t` casts the whole
+        # window result — not expressible textually; leave to Spark)
+        if m.group(1).startswith("(") and re.search(
+            r"(?i)\bOVER\s*$", m.string[: m.start()]
+        ):
+            return m.group(0)
         return f"CAST({m.group(1)} AS {_cast_type(m.group(2))})"
 
     prev = None
@@ -1692,6 +1699,25 @@ def rewrite(
         flags=re.IGNORECASE,
     )
     sql = re.sub(r"\bOFFSET\s+(\d+)\s+ROWS?\b", r"OFFSET \1", sql, flags=re.IGNORECASE)
+
+    # aggregate-as-window with FILTER (window-functions.rst: FILTER is
+    # allowed on aggregates used as window functions; Spark rejects
+    # "window aggregate with filter predicate") -> CASE-guarded
+    # argument, identical semantics since aggregates skip NULLs.
+    # Plain aggregate FILTER (no OVER) is Spark-native — the lookahead
+    # leaves it alone.
+    def _win_filter_sub(m: re.Match) -> str:
+        fn, arg, cond, over = m.groups()
+        arg = "1" if arg.strip() == "*" else arg
+        return f"{fn}(CASE WHEN {cond} THEN {arg} END){over}"
+
+    sql = re.sub(
+        rf"\b({_IDENT})\s*\(\s*(\*|(?:[^()]|\([^()]*\))*?)\s*\)"
+        rf"\s*FILTER\s*\(\s*WHERE\s+((?:[^()]|\([^()]*\))+?)\s*\)(\s*OVER\b)",
+        _win_filter_sub,
+        sql,
+        flags=re.IGNORECASE,
+    )
 
     sql = _rewrite_order_by(sql)
     for i, lit in enumerate(literals):

@@ -122,6 +122,8 @@ class CrateSession:
         self._udfs: set[str] = set()
         #: executed-statement ring buffer backing sys.jobs_log
         self._jobs_log: list[tuple] = []
+        #: SQL-created views: name -> definition (pg_catalog.pg_views)
+        self._views: dict[str, str] = {}
         self._register_system_views()
 
     def _string_object_cols(self) -> set[str]:
@@ -492,6 +494,78 @@ class CrateSession:
             ],
             "oid int, proname string, pronamespace int",
         ).createOrReplaceTempView("pg_catalog_pg_proc")
+
+        # pg_catalog breadth (PgCatalogTableDefinitions.java lists all
+        # of these): the single-catalog/single-node values, the role
+        # store, open cursors, and views — plus the tables the
+        # reference itself serves EMPTY (pg_enum, pg_locks, pg_depend,
+        # pg_matviews, pg_event_trigger, pg_range, pg_shdescription,
+        # pg_am, pg_description) so tooling that probes them succeeds.
+        spark.createDataFrame(
+            [(0, "crate", 6, True)],
+            "oid int, datname string, encoding int, datallowconn boolean",
+        ).createOrReplaceTempView("pg_catalog_pg_database")
+        spark.createDataFrame(
+            [(0, "pg_default")], "oid int, spcname string",
+        ).createOrReplaceTempView("pg_catalog_pg_tablespace")
+        setting_rows = [
+            ("search_path", "doc"), ("datestyle", "ISO"), ("timezone", "UTC"),
+            ("server_version", "14.0"), ("server_version_num", "140000"),
+            ("max_index_keys", "32"), ("max_identifier_length", "255"),
+            ("application_name", ""), ("enable_hashjoin", "on"),
+        ]
+        spark.createDataFrame(
+            setting_rows, "name string, setting string",
+        ).createOrReplaceTempView("pg_catalog_pg_settings")
+        role_rows = [
+            (r[0], bool(r[1]), True) for r in self.roles.sys_users_rows()
+        ] or [("crate", True, True)]
+        spark.createDataFrame(
+            role_rows, "rolname string, rolsuper boolean, rolcanlogin boolean",
+        ).createOrReplaceTempView("pg_catalog_pg_roles")
+        spark.createDataFrame(
+            [(r[0],) for r in role_rows], "usename string",
+        ).createOrReplaceTempView("pg_catalog_pg_user")
+        spark.createDataFrame(
+            [(name, "doc", cur.get("stmt", ""))
+             for name, cur in self._cursors.items()] or [("", "", "")],
+            "name string, schemaname string, statement string",
+        ).filter("name <> ''").createOrReplaceTempView("pg_catalog_pg_cursors")
+        view_rows = [
+            (vn, "doc", "crate") for vn in sorted(getattr(self, "_views", {}))
+        ]
+        spark.createDataFrame(
+            view_rows or [("", "", "")],
+            "viewname string, schemaname string, viewowner string",
+        ).filter("viewname <> ''").createOrReplaceTempView("pg_catalog_pg_views")
+        idx_rows = [
+            (f"{name}_pkey", name, "doc")
+            for name, ct in sorted(getattr(self._dml, "crate_tables", {}).items())
+            if ct.primary_key
+        ]
+        spark.createDataFrame(
+            idx_rows or [("", "", "")],
+            "indexname string, tablename string, schemaname string",
+        ).filter("indexname <> ''").createOrReplaceTempView("pg_catalog_pg_indexes")
+        for empty_name, empty_schema in (
+            ("pg_enum", "oid int, enumtypid int, enumlabel string"),
+            ("pg_locks", "locktype string, relation int, pid int, granted boolean"),
+            ("pg_depend", "classid int, objid int, refclassid int, refobjid int"),
+            ("pg_matviews", "schemaname string, matviewname string"),
+            ("pg_event_trigger", "oid int, evtname string"),
+            ("pg_range", "rngtypid int, rngsubtype int"),
+            ("pg_shdescription", "objoid int, description string"),
+            ("pg_am", "oid int, amname string"),
+            ("pg_description", "objoid int, objsubid int, description string"),
+            ("pg_attrdef", "oid int, adrelid int, adnum int"),
+            ("pg_auth_members", "roleid int, member int"),
+            ("pg_index", "indexrelid int, indrelid int, indisprimary boolean"),
+            ("pg_stats", "schemaname string, tablename string, attname string, "
+             "null_frac float, n_distinct float"),
+        ):
+            spark.createDataFrame([], empty_schema).createOrReplaceTempView(
+                f"pg_catalog_{empty_name}"
+            )
         self._register_admin_views()
         # information_schema.foreign_servers / foreign_tables
         # (fdw/ServersMetadata; PG FDW catalog shape)
@@ -942,6 +1016,7 @@ class CrateSession:
         if m:
             name = m.group(1).strip('"').split(".")[-1]
             df = self._sql(m.group(2))
+            self._views[name] = m.group(2)[:500]
             self.register(name, df)
             return self.spark.createDataFrame([(name,)], "view string")
 
@@ -950,6 +1025,7 @@ class CrateSession:
             name = m.group(2).strip('"').split(".")[-1]
             self.spark.catalog.dropTempView(name)
             self.tables.pop(name, None)
+            self._views.pop(name, None)
             self._register_system_views()
             return self.spark.createDataFrame([(name,)], "dropped string")
 
@@ -976,6 +1052,7 @@ class CrateSession:
                 "fetched": 0,
                 "schema": df.schema,
                 "exhausted": False,
+                "stmt": stmt[:500],
             }
             return self.spark.createDataFrame([(m.group(1),)], "cursor string")
 

@@ -538,3 +538,32 @@ def sql_tvf_regexp_docs(spark, sf_dir):
         "FROM documents, regexp_matches(text, '([a-z]+)ing', 'g') "
         "WHERE doc_id < 100 ORDER BY doc_id, stem"
     )
+
+
+@query(
+    "sql_window_filter",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           count(*) FILTER (WHERE o_totalprice > 100000)
+               OVER (PARTITION BY o_custkey) AS n_big,
+           CAST(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F')
+               OVER (PARTITION BY o_custkey) AS DECIMAL(18,2)) AS f_total
+    FROM orders WHERE o_custkey < 200
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def sql_window_filter(spark, sf_dir):
+    """Aggregates as window functions WITH a FILTER clause
+    (window-functions.rst FILTER grammar) — Spark rejects the form
+    natively, so the shim rewrites the filter into a CASE-guarded
+    argument (aggregates skip NULLs: identical semantics). DuckDB
+    evaluates FILTER ... OVER natively."""
+    return _session(spark, sf_dir).execute(
+        "SELECT o_custkey, o_orderkey, "
+        "count(*) FILTER (WHERE o_totalprice > 100000) "
+        "    OVER (PARTITION BY o_custkey) AS n_big, "
+        "CAST(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F') "
+        "    OVER (PARTITION BY o_custkey) AS decimal(18,2)) AS f_total "
+        "FROM orders WHERE o_custkey < 200 "
+        "ORDER BY o_custkey, o_orderkey"
+    )

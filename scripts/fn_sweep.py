@@ -223,6 +223,12 @@ PROBES = {
     "tf_generate_series_ts": "SELECT * FROM generate_series('2026-01-01'::timestamp, '2026-01-03'::timestamp, '1 day'::interval)",
     "tf_generate_subscripts": "SELECT * FROM generate_subscripts([10,20], 1)",
     "tf_regexp_matches": "SELECT * FROM regexp_matches('a1b2', '[0-9]')",
+    # window function grammar (window-functions.rst)
+    "win_agg_filter": "SELECT x, sum(x) FILTER (WHERE x > 1) OVER () AS s FROM (VALUES (1),(2),(3)) t(x)",
+    "win_count_star_filter": "SELECT count(*) FILTER (WHERE x > 1) OVER (ORDER BY x) AS n FROM (VALUES (1),(2),(3)) t(x)",
+    "win_lag_ignore_nulls": "SELECT lag(y) IGNORE NULLS OVER (ORDER BY x) AS p FROM (VALUES (1, 10), (2, NULL), (3, 30)) t(x, y)",
+    "win_first_ignore_nulls": "SELECT first_value(y) IGNORE NULLS OVER (ORDER BY x) AS p FROM (VALUES (1, NULL), (2, 20)) t(x, y)",
+    "values_standalone": "VALUES (1, 'a'), (2, 'b')",
     # subquery expressions
     "in_subquery": "SELECT 1 IN (SELECT * FROM unnest([1,2])) AS v",
     "any_subquery": "SELECT 1 = ANY (SELECT * FROM unnest([1,2])) AS v",

@@ -165,6 +165,52 @@ def test_sys_admin_views(session, spark, tmp_path):
     assert s2.execute("SELECT * FROM sys.snapshot_restore").count() == 0
 
 
+def test_pg_catalog_breadth(spark, tmp_path):
+    """The full pg_catalog table list from
+    PgCatalogTableDefinitions.java: live values for database/settings/
+    roles/user/views/indexes/cursors, and the tables the reference
+    itself serves empty all resolve (tooling probes them blindly)."""
+    from crate_spark.engine import CrateSession
+
+    s = CrateSession(spark, None, storage_dir=str(tmp_path))
+    assert s.execute(
+        "SELECT datname FROM pg_catalog.pg_database"
+    ).collect()[0][0] == "crate"
+    st = {r["name"]: r["setting"] for r in s.execute(
+        "SELECT name, setting FROM pg_catalog.pg_settings"
+    ).collect()}
+    assert st["search_path"] == "doc" and st["max_index_keys"] == "32"
+    assert s.execute(
+        "SELECT rolname FROM pg_catalog.pg_roles WHERE rolsuper"
+    ).collect()[0][0] == "crate"
+    assert s.execute("SELECT usename FROM pg_catalog.pg_user").count() >= 1
+    # views / indexes / cursors reflect live DDL + session state
+    s.execute("CREATE TABLE pgb (a integer PRIMARY KEY)")
+    s.execute("CREATE VIEW pgb_v AS SELECT a FROM pgb")
+    assert ("pgb_v",) in [
+        (r["viewname"],) for r in s.execute(
+            "SELECT viewname FROM pg_catalog.pg_views"
+        ).collect()
+    ]
+    assert s.execute(
+        "SELECT indexname FROM pg_catalog.pg_indexes WHERE tablename = 'pgb'"
+    ).collect()[0][0] == "pgb_pkey"
+    s.execute("DECLARE pgb_c NO SCROLL CURSOR FOR SELECT a FROM pgb")
+    cur = s.execute(
+        "SELECT name, statement FROM pg_catalog.pg_cursors"
+    ).collect()
+    assert cur and cur[0]["name"] == "pgb_c" and "SELECT" in cur[0]["statement"]
+    s.execute("CLOSE pgb_c")
+    s.execute("DROP VIEW pgb_v")
+    assert s.execute("SELECT * FROM pg_catalog.pg_views").count() == 0
+    # reference-empty tables all resolve and are empty
+    for t in ("pg_enum", "pg_locks", "pg_depend", "pg_matviews",
+              "pg_event_trigger", "pg_range", "pg_shdescription", "pg_am",
+              "pg_description", "pg_attrdef", "pg_auth_members", "pg_index",
+              "pg_stats"):
+        assert s.execute(f"SELECT * FROM pg_catalog.{t}").count() == 0
+
+
 def test_explain(session):
     plan = session.execute("EXPLAIN SELECT count(*) FROM lineitem").collect()[0]["plan"]
     assert "Physical Plan" in plan and "lineitem" in plan
