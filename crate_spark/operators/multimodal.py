@@ -44,6 +44,7 @@ _MAGIC = {
     "494433": "audio/mpeg",  # ID3
     "000000": "video/mp4",  # ftyp boxes (loose)
     "5036": "image/x-portable-pixmap",  # P6
+    "5035": "image/x-portable-graymap",  # P5
     "424d": "image/bmp",  # BM
 }
 
@@ -162,6 +163,122 @@ def decode_media(content: bytes | None) -> dict:
                     "width": int(w), "height": int(h), "channels": 3,
                     "n_frames": frames or None,
                     "duration_ms": delay_cs * 10 if frames > 1 else None}
+        if content[:8] == b"\x89PNG\r\n\x1a\n":
+            # PNG: REAL decode for the common shape (8-bit depth,
+            # gray/RGB/RGBA, non-interlaced) using stdlib zlib +
+            # numpy row unfiltering — no codec library. Filters 0/2
+            # (none/up) vectorize; 1 (sub) is a per-channel cumsum mod
+            # 256; 3/4 (avg/paeth) fall back to a per-row loop. Other
+            # shapes (16-bit, palette, interlaced) return header
+            # metadata with feat=None — real dims, never fake pixels.
+            import zlib as _zlib
+
+            idx, w = 8, None
+            idat = b""
+            while idx + 8 <= len(content):
+                ln, typ = _struct.unpack_from(">I4s", content, idx)
+                data = content[idx + 8 : idx + 8 + ln]
+                if typ == b"IHDR":
+                    w, h, bitd, ctype, _c, _f, interlace = _struct.unpack(
+                        ">IIBBBBB", data
+                    )
+                elif typ == b"IDAT":
+                    idat += data
+                elif typ == b"IEND":
+                    break
+                idx += 12 + ln
+            if w is None:
+                return {**none, "kind": "error", "error": "png missing IHDR"}
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+            meta = {**none, "kind": "image", "width": int(w), "height": int(h),
+                    "channels": channels, "n_frames": 1}
+            if bitd != 8 or ctype not in (0, 2, 4, 6) or interlace != 0:
+                return meta
+            stride = w * channels
+            raw = _np.frombuffer(_zlib.decompress(idat), _np.uint8)
+            rows = raw.reshape(h, stride + 1)
+            ftypes, data_rows = rows[:, 0], rows[:, 1:]
+            out = _np.zeros((h, stride), _np.uint8)
+            zero = _np.zeros(stride, _np.int16)
+            for y in range(h):
+                f, cur = int(ftypes[y]), data_rows[y].astype(_np.int16)
+                prev = out[y - 1].astype(_np.int16) if y else zero
+                if f == 0:
+                    rec = cur
+                elif f == 2:  # up
+                    rec = (cur + prev) & 0xFF
+                elif f == 1:  # sub: per-channel prefix sum mod 256
+                    rec = _np.cumsum(
+                        cur.reshape(w, channels), axis=0, dtype=_np.int64
+                    ).reshape(stride) & 0xFF
+                else:  # avg / paeth: sequential left-dependency
+                    rec = _np.empty(stride, _np.int16)
+                    for x in range(stride):
+                        a = int(rec[x - channels]) if x >= channels else 0
+                        b = int(prev[x])
+                        c = int(prev[x - channels]) if x >= channels else 0
+                        if f == 3:
+                            pred = (a + b) // 2
+                        else:
+                            p = a + b - c
+                            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                            pred = a if pa <= pb and pa <= pc else (
+                                b if pb <= pc else c
+                            )
+                        rec[x] = (int(cur[x]) + pred) & 0xFF
+                out[y] = rec.astype(_np.uint8)
+            px = out.reshape(h, w, channels).astype(_np.float64) / 255.0
+            feat = [float(px[:, :, c].mean()) for c in range(channels)] + [
+                float(px.std())
+            ]
+            return {**meta, "feat": feat}
+        if content[:2] == b"\xff\xd8":
+            # JPEG: header-only metadata from the SOF marker (real
+            # dims/channels; DCT pixel decode needs a codec library,
+            # so feat stays None — never fake)
+            idx = 2
+            while idx + 4 <= len(content):
+                if content[idx] != 0xFF:
+                    idx += 1
+                    continue
+                marker = content[idx + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    idx += 2
+                    continue
+                ln = _struct.unpack_from(">H", content, idx + 2)[0]
+                if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0-3
+                    h, w = _struct.unpack_from(">HH", content, idx + 5)
+                    nch = content[idx + 9]
+                    return {**none, "kind": "image", "width": int(w),
+                            "height": int(h), "channels": int(nch),
+                            "n_frames": 1}
+                if marker == 0xDA:  # start of scan: no SOF seen
+                    break
+                idx += 2 + ln
+            return {**none, "kind": "unsupported", "error": "jpeg without SOF"}
+        if content[:2] == b"P5":
+            # PGM P5: grayscale sibling of P6
+            parts, idx, token = [], 2, b""
+            while len(parts) < 3 and idx < len(content):
+                ch = content[idx:idx + 1]
+                idx += 1
+                if ch == b"#":
+                    while idx < len(content) and content[idx:idx + 1] != b"\n":
+                        idx += 1
+                    continue
+                if ch.isspace():
+                    if token:
+                        parts.append(int(token))
+                        token = b""
+                else:
+                    token += ch
+            w, h, _maxval = parts
+            px = _np.frombuffer(
+                content[idx:idx + w * h], dtype=_np.uint8
+            ).reshape(h, w).astype(_np.float64) / 255.0
+            return {**none, "kind": "image", "width": w, "height": h,
+                    "channels": 1, "n_frames": 1,
+                    "feat": [float(px.mean()), float(px.std())]}
         if content[:2] == b"P6":
             # PPM P6: "P6\n<w> <h>\n<maxval>\n<raw RGB>"
             parts, idx, token = [], 2, b""
