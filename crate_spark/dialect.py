@@ -66,15 +66,26 @@ _KW = (
 #: match to ``ELECT (...)``)
 _OPERAND = (
     rf"(?<![A-Za-z0-9_.])(?:'[^']*'|\d+(?:\.\d+)?D?|(?!{_KW}\s*\()"
-    rf"{_IDENT}\s*\((?:[^()]|\([^()]*\))*\)|{_IDENT}|\([^()]*\))"
+    rf"{_IDENT}\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)"
+    rf"|{_IDENT}|\((?:[^()]|\([^()]*\))*\))"
 )
 
-_CAST_RE = re.compile(rf"({_OPERAND})\s*::\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)")
+_CAST_RE = re.compile(
+    rf"({_OPERAND})\s*::\s*"
+    r"((?:timestamp\s+with(?:out)?\s+time\s+zone"
+    r"|time\s+with(?:out)?\s+time\s+zone"
+    r"|double\s+precision"
+    r"|character\s+varying"
+    r"|[A-Za-z_][A-Za-z0-9_]*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+    r"(?:\s*\[\s*\])?)",
+    re.IGNORECASE,
+)
 #: subscript base: function call (keyword-guarded, like _OPERAND),
 #: identifier, or parenthesized expression
 _SUB_BASE = (
-    rf"(?<![A-Za-z0-9_.])(?:(?!{_KW}\s*\(){_IDENT}\s*\((?:[^()]|\([^()]*\))*\)"
-    rf"|{_IDENT}|\((?:[^()]|\([^()]*\))*\))"
+    rf"(?<![A-Za-z0-9_.])(?:(?!{_KW}\s*\(){_IDENT}\s*"
+    rf"\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)"
+    rf"|{_IDENT}|\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))"
 )
 _SUBSCRIPT_RE = re.compile(rf"({_SUB_BASE})\s*\[\s*(\d+)\s*\]")
 #: 1-based inclusive slice subscript arr[from:to] with optional open
@@ -89,6 +100,13 @@ _CAST_TYPE_MAP = {
     "bytea": "BINARY", "text": "STRING", "int2": "SMALLINT", "int4": "INT",
     "int8": "BIGINT", "float4": "FLOAT", "float8": "DOUBLE", "real": "FLOAT",
     "ip": "STRING", "regclass": "STRING", "regproc": "STRING",
+    # bare numeric: enough scale for display parity, enough headroom
+    # that sum/avg over bigint-range values don't overflow
+    "numeric": "DECIMAL(38,6)",
+    "timestampwithtimezone": "TIMESTAMP",
+    "timestampwithouttimezone": "TIMESTAMP_NTZ",
+    "timewithtimezone": "STRING", "timewithouttimezone": "STRING",
+    "doubleprecision": "DOUBLE", "charactervarying": "STRING",
     "regtype": "STRING", "timetz": "STRING", "geo_shape": "STRING",
     "geo_point": "ARRAY<DOUBLE>",
 }
@@ -96,6 +114,8 @@ _CAST_TYPE_MAP = {
 
 def _cast_type(t: str) -> str:
     key = re.sub(r"\s+", "", t.lower())
+    if key.endswith("[]"):  # PG array-type spelling int[] / text[]
+        return f"ARRAY<{_cast_type(key[:-2])}>"
     if key.startswith("float_vector"):
         return "ARRAY<FLOAT>"
     if re.fullmatch(r"bit\(\d+\)", key):
@@ -209,7 +229,15 @@ _FN_TEMPLATES: dict = {
     ),
     "array_upper": lambda a, lits: f"nullif(size({a[0]}), 0)" if len(a) == 2 else None,
     "array_lower": lambda a, lits: (
-        f"(CASE WHEN size({a[0]}) > 0 THEN 1 END)" if len(a) == 2 else None
+        (
+            f"(CASE WHEN size({a[0]}) > 0 THEN 1 END)"
+            if a[1].strip() == "1"
+            # dim 2: defined only when every inner array is non-empty
+            else f"(CASE WHEN size({a[0]}) > 0 AND "
+            f"array_min(transform({a[0]}, __x -> size(__x))) > 0 THEN 1 END)"
+        )
+        if len(a) == 2
+        else None
     ),
     # ArraySliceFunction: 1-based INCLUSIVE [from, to]
     "array_slice": lambda a, lits: (
@@ -217,23 +245,33 @@ _FN_TEMPLATES: dict = {
         if len(a) == 3
         else None
     ),
-    "array_unnest": lambda a, lits: f"flatten({a[0]})" if len(a) == 1 else None,
-    # ArraySetFunction single-index form: splice value at 1-based idx
-    "array_set": lambda a, lits: (
-        f"concat(slice({a[0]}, 1, ({a[1]}) - 1), array({a[2]}), "
-        f"slice({a[0]}, ({a[1]}) + 1, greatest(size({a[0]}) - ({a[1]}), 0)))"
-        if len(a) == 3
-        else None
-    ),
+    # ArraySetFunction: single-index splice, or the (arr, positions[],
+    # values[]) multi-index form (docs array_set 3-arg array variant)
+    "array_set": lambda a, lits: _array_set_sql(a),
     "array_position": lambda a, lits: (
-        # reference returns NULL when absent; Spark returns 0
-        f"nullif(array_position({a[0]}, {a[1]}), 0)" if len(a) == 2 else None
+        # reference returns NULL when absent; Spark returns 0. 3-arg
+        # form searches FROM a 1-based start position.
+        f"nullif(array_position({a[0]}, {a[1]}), 0)"
+        if len(a) == 2
+        else (
+            f"(CASE WHEN array_position(slice({a[0]}, {a[2]}, size({a[0]})), "
+            f"{a[1]}) > 0 THEN array_position(slice({a[0]}, {a[2]}, "
+            f"size({a[0]})), {a[1]}) + ({a[2]}) - 1 END)"
+            if len(a) == 3
+            else None
+        )
     ),
     "string_to_array": lambda a, lits: _string_to_array_sql(a, lits),
     # array_to_string (PG-compat, reference 4.6.0+): Spark's array_join
     # has identical null handling (omit, or replace when 3rd arg given)
     "array_to_string": lambda a, lits: (
-        f"array_join({', '.join(a)})" if len(a) in (2, 3) else None
+        (
+            f"array_join({a[0]}, {a[1]})"
+            if len(a) == 3 and a[2].strip().upper() == "NULL"
+            else f"array_join({', '.join(a)})"
+        )
+        if len(a) in (2, 3)
+        else None
     ),
     "gen_random_text_uuid": lambda a, lits: "uuid()" if len(a) == 0 else None,
     # reference arg order is (value, array) — Spark's is (array, value)
@@ -244,14 +282,60 @@ _FN_TEMPLATES: dict = {
     # in both engines (Java %)
     "modulus": lambda a, lits: f"mod({a[0]}, {a[1]})" if len(a) == 2 else None,
     "null_or_empty": lambda a, lits: _null_or_empty_sql(a, lits),
+    # PG trim-with-characters arg order is (string, chars); Spark's
+    # 2-arg ltrim/rtrim is the REVERSE (trimStr, str)
+    "ltrim": lambda a, lits: f"ltrim({a[1]}, {a[0]})" if len(a) == 2 else None,
+    "rtrim": lambda a, lits: f"rtrim({a[1]}, {a[0]})" if len(a) == 2 else None,
+    # LeftFunction/RightFunction: negative n keeps all-but-|n| from
+    # the other end (PG semantics; Spark returns '')
+    "left": lambda a, lits: (
+        f"(CASE WHEN ({a[1]}) >= 0 THEN left({a[0]}, {a[1]}) "
+        f"ELSE substring({a[0]}, 1, greatest(length({a[0]}) + ({a[1]}), 0)) END)"
+        if len(a) == 2
+        else None
+    ),
+    "right": lambda a, lits: (
+        f"(CASE WHEN ({a[1]}) >= 0 THEN right({a[0]}, {a[1]}) "
+        f"ELSE substring({a[0]}, 1 - ({a[1]})) END)"
+        if len(a) == 2
+        else None
+    ),
+    # ConcatFunction: string concat SKIPS NULL arguments (PG concat);
+    # object-literal concat merges top-level keys right-wins
+    # (ConcatFunction object overload); array concat passes through
+    "concat": lambda a, lits: _concat_sql(a, lits),
+    # ArrayAgg KEEPS NULL elements (reference array_agg; Spark's
+    # collect_list drops them) — struct-wrap preserves them
+    "array_agg": lambda a, lits: (
+        f"transform(array_agg(struct({a[0]} AS __v)), __s -> __s.__v)"
+        if len(a) == 1
+        else None
+    ),
+    # PG substring(string FROM pattern): 2-arg with a non-numeric
+    # literal pattern is the REGEX form — first match (group 1 if the
+    # pattern has groups), NULL when no match
+    "substring": lambda a, lits: _substring_regex_sql(a, lits),
+    "substr": lambda a, lits: _substring_regex_sql(a, lits),
+    # ArrayUnnestFunction: NULL sub-arrays are skipped (Spark's
+    # flatten returns NULL for the whole result instead)
+    "array_unnest": lambda a, lits: (
+        f"flatten(filter({a[0]}, __x -> __x IS NOT NULL))" if len(a) == 1 else None
+    ),
     # numeric trunc (TruncFunction): toward zero. Spark's builtin trunc
     # is date-only, so the 1-arg form and the numeric-scale 2-arg form
     # are expanded; trunc(date, 'fmt') (literal 2nd arg) passes through.
     "trunc": lambda a, lits: _trunc_sql(a),
-    # timezone(zone, ts) (TimezoneFunction, without-tz variant): treat
-    # the wall-clock value as located in the zone -> UTC instant
+    # timezone(zone, ts) (TimezoneFunction): the without-tz variant
+    # treats the wall-clock value as located in the zone -> UTC
+    # instant; the WITH-tz variant converts the instant to the zone's
+    # wall clock. Numeric operands are epoch millis (crate storage).
     "timezone": lambda a, lits: (
-        f"convert_timezone({a[0]}, 'UTC', CAST({a[1]} AS TIMESTAMP_NTZ))"
+        (
+            f"from_utc_timestamp(CAST({a[1]} AS TIMESTAMP), {a[0]})"
+            if re.search(r"(?i)with\s+time\s+zone|timestamptz", a[1])
+            else f"convert_timezone({a[0]}, 'UTC', "
+            f"CAST({_ts_coerce(a[1])} AS TIMESTAMP_NTZ))"
+        )
         if len(a) == 2
         else None
     ),
@@ -305,9 +389,11 @@ _FN_TEMPLATES: dict = {
     "object_keys": lambda a, lits: (
         f"json_object_keys({a[0]})" if len(a) == 1 else None
     ),
-    "parse_uri": lambda a, lits: _parse_uri_sql(a) if len(a) == 1 else None,
+    "parse_uri": lambda a, lits: _parse_uri_sql(a, lits) if len(a) == 1 else None,
     # 1-arg CrateDB parse_url; 2/3-arg falls through to Spark's builtin
-    "parse_url": lambda a, lits: _parse_uri_sql(a) if len(a) == 1 else None,
+    "parse_url": lambda a, lits: (
+        _parse_uri_sql(a, lits, with_params=True) if len(a) == 1 else None
+    ),
     "regexp_matches": lambda a, lits: _regexp_matches_sql(a, lits),
     "regexp_replace": lambda a, lits: _regexp_replace_sql(a, lits),
     "regexp_count": lambda a, lits: _regexp_count_sql(a, lits),
@@ -645,11 +731,43 @@ def _date_format_sql(a: list[str], literals: list[str]) -> str | None:
         fmt, tz, ts = raw, tzraw, a[2]
     else:
         return None
-    java = _mysql_template_to_java(fmt).replace("'", "\\'")
-    expr = f"CAST({ts} AS TIMESTAMP)"
+    expr = _ts_coerce(ts)
     if tz:
         expr = f"convert_timezone('{tz}', {expr})"
-    return f"date_format({expr}, '{java}')"
+    # %D (day with ordinal suffix) has no java.time pattern — stitch
+    # the parts around a CASE-built suffix
+    pieces = fmt.split("%D")
+    javas = [
+        _mysql_template_to_java(p).replace("'", "\\'") for p in pieces
+    ]
+    parts = [f"date_format({expr}, '{javas[0]}')"] if javas[0] else []
+    for j in javas[1:]:
+        parts.append(_ordinal_day_sql(expr))
+        if j:
+            parts.append(f"date_format({expr}, '{j}')")
+    if len(parts) == 1:
+        return parts[0]
+    return f"concat({', '.join(parts)})"
+
+
+def _ts_coerce(ts: str) -> str:
+    """Timestamp operand coercion: the reference treats NUMERIC
+    timestamp values as epoch MILLIS (its timestamp storage), where
+    Spark's CAST(bigint AS TIMESTAMP) reads seconds."""
+    if re.fullmatch(r"-?\d+", ts.strip()):
+        return f"timestamp_millis({ts})"
+    return f"CAST({ts} AS TIMESTAMP)"
+
+
+def _ordinal_day_sql(expr: str) -> str:
+    d = f"day({expr})"
+    return (
+        f"concat(CAST({d} AS STRING), CASE "
+        f"WHEN {d} IN (11, 12, 13) THEN 'th' "
+        f"WHEN {d} % 10 = 1 THEN 'st' "
+        f"WHEN {d} % 10 = 2 THEN 'nd' "
+        f"WHEN {d} % 10 = 3 THEN 'rd' ELSE 'th' END)"
+    )
 
 
 def _to_char_fn_sql(a: list[str], literals: list[str]) -> str | None:
@@ -667,17 +785,40 @@ def _to_char_fn_sql(a: list[str], literals: list[str]) -> str | None:
     return f"date_format(CAST({a[0]} AS TIMESTAMP), '{java}')"
 
 
-def _parse_uri_sql(a: list[str]) -> str:
-    """ParseUriFunction.java object shape via Spark's parse_url parts."""
+def _parse_uri_sql(
+    a: list[str], lits: list[str], with_params: bool = False
+) -> str:
+    """ParseUriFunction.java / ParseUrlFunction.java object shape via
+    Spark's parse_url parts: typed INT port off the authority;
+    parse_url additionally decomposes the query string into a
+    ``parameters`` map of value ARRAYS (repeated keys accumulate,
+    valueless keys yield [NULL])."""
     u = a[0]
+    amp = _mklit(lits, "'&'")
+    eq = _mklit(lits, "'='")
+    q = f"parse_url({u}, 'QUERY')"
+    key = f"element_at(split(__kv, {eq}), 1)"
+    key2 = f"element_at(split(__e, {eq}), 1)"
+    params = (
+        f"'parameters', map_from_entries(transform(array_distinct("
+        f"transform(split({q}, {amp}), __kv -> {key})), "
+        f"__k -> struct(__k, transform(filter(split({q}, {amp}), "
+        f"__e -> {key2} = __k), "
+        f"__e -> CASE WHEN instr(__e, {eq}) > 0 "
+        f"THEN substring(__e, instr(__e, {eq}) + 1) END)))), "
+        if with_params
+        else ""
+    )
     return (
-        f"map('scheme', parse_url({u}, 'PROTOCOL'), "
+        f"named_struct('scheme', parse_url({u}, 'PROTOCOL'), "
         f"'userinfo', parse_url({u}, 'USERINFO'), "
         f"'hostname', parse_url({u}, 'HOST'), "
         # Spark's parse_url has no PORT part; take it off AUTHORITY
-        f"'port', nullif(regexp_extract(parse_url({u}, 'AUTHORITY'), ':(\\\\d+)$', 1), ''), "
+        f"'port', CAST(nullif(regexp_extract(parse_url({u}, 'AUTHORITY'), "
+        f"':(\\\\d+)$', 1), '') AS INT), "
         f"'path', parse_url({u}, 'PATH'), "
-        f"'query', parse_url({u}, 'QUERY'), "
+        f"'query', {q}, "
+        f"{params}"
         f"'fragment', parse_url({u}, 'REF'))"
     )
 
@@ -874,27 +1015,120 @@ def _age_sql(a: list[str]) -> str | None:
         f"'days', {days}, 'micros', {rem})"
     )
 
+#: optional schema qualifier — the reference registers these under
+#: pg_catalog/information_schema and the docs spell them qualified
 _FN_CALL_RE = re.compile(
-    r"\b(" + "|".join(_FN_TEMPLATES) + r")\s*\(", re.IGNORECASE
+    r"(?:\b(?:pg_catalog|information_schema)\s*\.\s*)?"
+    r"\b(" + "|".join(_FN_TEMPLATES) + r")\s*\(",
+    re.IGNORECASE,
 )
 
 
 def _string_to_array_sql(a: list[str], literals: list[str]) -> str | None:
     """StringToArrayFunction: literal separators are regex-escaped for
-    Spark's split; NULL-string elements become NULL."""
+    Spark's split; NULL-string elements become NULL. PG edge cases:
+    NULL separator splits into characters, empty separator returns the
+    whole string as a one-element array."""
     if len(a) not in (2, 3):
         return None
     sep = a[1]
-    m = re.fullmatch(r"__LIT_(\d+)__", sep)
-    if m:
-        raw = literals[int(m.group(1))][1:-1].replace("''", "'")
-        escaped = re.escape(raw).replace("'", "''").replace("\\", "\\\\")
-        literals.append(f"'{escaped}'")
-        sep = f"__LIT_{len(literals) - 1}__"
-    parts = f"split({a[0]}, {sep})"
+    if sep.strip().upper() == "NULL":
+        parts = f"split({a[0]}, {_mklit(literals, chr(39) + '(?!$)' + chr(39))})"
+    else:
+        m = re.fullmatch(r"__LIT_(\d+)__", sep.strip())
+        if m:
+            raw = literals[int(m.group(1))][1:-1].replace("''", "'")
+            if raw == "":
+                parts = f"array({a[0]})"
+            else:
+                escaped = re.escape(raw).replace("'", "''").replace("\\", "\\\\")
+                literals.append(f"'{escaped}'")
+                parts = f"split({a[0]}, __LIT_{len(literals) - 1}__)"
+        else:
+            parts = f"split({a[0]}, {sep})"
     if len(a) == 2:
         return parts
     return f"transform({parts}, __x -> CASE WHEN __x <> {a[2]} THEN __x END)"
+
+
+def _concat_sql(a: list[str], lits: list[str]) -> str | None:
+    """ConcatFunction overloads, dispatched on argument shape:
+    object literals (already ``to_json(named_struct(...))`` here)
+    merge top-level keys right-wins; array operands keep Spark's
+    concat; anything else is PG string concat, which SKIPS NULLs
+    (Spark's concat returns NULL)."""
+    if len(a) < 2:
+        return None
+    objs = [_named_struct_entries(x) for x in a]
+    if all(o is not None for o in objs):
+        merged: dict[str, str] = {}
+        for entries in objs:
+            merged.update(entries)
+        body = ", ".join(f"{k}, {v}" for k, v in merged.items())
+        return f"to_json(named_struct({body}))"
+    _arrayish = re.compile(
+        r"(array\w*|slice|split|sequence|transform|filter|flatten|collect_\w+|"
+        r"sort_array|string_to_array)\s*\(",
+        re.IGNORECASE,
+    )
+    if any(_arrayish.match(x.strip()) for x in a):
+        return None  # array concat: Spark-native
+    wrapped = ", ".join(f"coalesce(CAST({x} AS STRING), '')" for x in a)
+    return f"concat({wrapped})"
+
+
+def _named_struct_entries(text: str) -> dict[str, str] | None:
+    """('key literal' -> value-expr text) of a to_json(named_struct(...))
+    or named_struct(...) span; None if the text isn't one."""
+    t = text.strip()
+    if t.startswith("to_json(") and t.endswith(")"):
+        t = t[len("to_json(") : -1].strip()
+    if not (t.startswith("named_struct(") and t.endswith(")")):
+        return None
+    args = _split_args(t[len("named_struct(") : -1])
+    if len(args) % 2:
+        return None
+    return {args[i]: args[i + 1] for i in range(0, len(args), 2)}
+
+
+def _substring_regex_sql(a: list[str], lits: list[str]) -> str | None:
+    """PG substring(string, pattern): when the 2nd arg is a STRING
+    literal the call is the regex form — first match, group 1 if the
+    pattern declares groups, NULL when no match. Numeric positions
+    fall through to Spark's substring."""
+    if len(a) != 2:
+        return None
+    pat = _lit_value(a[1], lits)
+    if pat is None:
+        return None
+    groups = len(re.findall(r"(?<!\\)\((?!\?)", pat))
+    idx = 1 if groups else 0
+    return (
+        f"(CASE WHEN {a[0]} RLIKE {a[1]} "
+        f"THEN regexp_extract({a[0]}, {a[1]}, {idx}) END)"
+    )
+
+
+def _array_set_sql(a: list[str]) -> str | None:
+    """ArraySetFunction: (arr, idx, val) single splice, or
+    (arr, indexes[], values[]) multi-update that appends past the end
+    and null-fills gaps (scalar-functions.rst array_set overloads)."""
+    if len(a) != 3:
+        return None
+    if a[1].strip().startswith("array("):
+        arr, idx, val = a
+        pos = f"array_position({idx}, CAST(__i AS INT))"
+        return (
+            f"transform(sequence(1, greatest(size({arr}), array_max({idx}))), "
+            f"__i -> CASE WHEN {pos} > 0 "
+            f"THEN element_at({val}, CAST({pos} AS INT)) "
+            f"WHEN __i <= size({arr}) THEN element_at({arr}, CAST(__i AS INT)) "
+            f"END)"
+        )
+    return (
+        f"concat(slice({a[0]}, 1, ({a[1]}) - 1), array({a[2]}), "
+        f"slice({a[0]}, ({a[1]}) + 1, greatest(size({a[0]}) - ({a[1]}), 0)))"
+    )
 
 
 def _rewrite_crate_fns(sql: str, literals: list[str]) -> str:
@@ -1015,7 +1249,7 @@ def _obj_lit_sub(m: re.Match) -> str:
     entries.append(buf)
     parts = []
     for e in entries:
-        km = re.match(r'\s*"?([A-Za-z_]\w*)"?\s*=\s*(.*)$', e, re.DOTALL)
+        km = re.match(r'\s*["`]?([A-Za-z_]\w*)["`]?\s*=\s*(.*)$', e, re.DOTALL)
         if not km:
             return m.group(0)  # not an object literal — leave alone
         parts.append(f"'{km.group(1)}'")
@@ -1252,6 +1486,204 @@ def _step_sign(step: str, literals: list[str]) -> int | None:
     return None
 
 
+def _srf_body(fn: str, a: list[str], literals: list[str]) -> str | None:
+    """The explode(...) generator expression for one set-returning
+    function call — shared by the FROM-position relation rewrite and
+    the SELECT-position (ProjectSet) rewrite."""
+    if fn == "generate_series":
+        if len(a) == 2:
+            guard = f"CASE WHEN {a[0]} <= {a[1]} THEN sequence({a[0]}, {a[1]}) END"
+        elif len(a) == 3:
+            seq = f"sequence({a[0]}, {a[1]}, {a[2]})"
+            sign = _step_sign(a[2], literals)
+            if sign == 1:
+                guard = f"CASE WHEN {a[0]} <= {a[1]} THEN {seq} END"
+            elif sign == -1:
+                guard = f"CASE WHEN {a[0]} >= {a[1]} THEN {seq} END"
+            else:
+                guard = (
+                    f"CASE WHEN ({a[2]}) > 0 AND {a[0]} <= {a[1]} THEN {seq} "
+                    f"WHEN ({a[2]}) < 0 AND {a[0]} >= {a[1]} THEN {seq} END"
+                )
+        else:
+            return None
+        return f"explode({guard})"
+    if fn == "generate_subscripts":
+        if len(a) not in (2, 3):
+            return None
+        dim = a[1].strip()
+        if not dim.isdigit() or not 1 <= int(dim) <= 3:
+            return None
+        arr = a[0]
+        for _ in range(int(dim) - 1):
+            arr = f"element_at({arr}, 1)"
+        rev = len(a) == 3 and a[2].strip().lower() == "true"
+        seq = (
+            f"sequence(size({arr}), 1, -1)" if rev else f"sequence(1, size({arr}))"
+        )
+        return f"explode(CASE WHEN size({arr}) >= 1 THEN {seq} END)"
+    # regexp_matches
+    if len(a) not in (2, 3):
+        return None
+    flags = _lit_value(a[2], literals) if len(a) == 3 else ""
+    if flags is None:
+        return None
+    pat = _lit_value(a[1], literals)
+    if pat is None:
+        return None
+    p = _regex_inline_flags(flags, a[1])
+    groups = len(re.findall(r"(?<!\\)\((?!\?)", pat))
+    idxs = list(range(1, groups + 1)) if groups else [0]
+    if "g" in flags:
+        # one row per match: re-extract groups from each whole match
+        parts = ", ".join(f"regexp_extract(__m, {p}, {i})" for i in idxs)
+        return (
+            f"explode(transform(regexp_extract_all({a[0]}, {p}, 0), "
+            f"__m -> array({parts})))"
+        )
+    parts = ", ".join(f"regexp_extract({a[0]}, {p}, {i})" for i in idxs)
+    return (
+        f"explode(CASE WHEN {a[0]} RLIKE {p} THEN array(array({parts})) END)"
+    )
+
+
+def _is_select_item(sql: str, pos: int) -> bool:
+    """True when the expression starting at ``pos`` begins a
+    SELECT-list item (directly after SELECT/DISTINCT or a comma) —
+    the only place a projection SRF may expand to a generator."""
+    before = sql[:pos].rstrip()
+    return bool(
+        re.search(r"(?i)(\bSELECT|\bDISTINCT|,)$", before)
+    ) or not before
+
+
+def _inside_call(sql: str, pos: int) -> bool:
+    """True when sql[pos] sits inside a FUNCTION-CALL argument list
+    (its enclosing '(' is preceded by an identifier). Subquery /
+    grouping parens don't count — an SRF there is still a projection
+    generator; one nested in a function call must stay scalar."""
+    depth = 0
+    for i in range(pos - 1, -1, -1):
+        c = sql[i]
+        if c == ")":
+            depth += 1
+        elif c == "(":
+            if depth == 0:
+                j = i - 1
+                while j >= 0 and sql[j].isspace():
+                    j -= 1
+                k = j
+                while k >= 0 and (sql[k].isalnum() or sql[k] == "_"):
+                    k -= 1
+                word = sql[k + 1 : j + 1]
+                return bool(word) and word.upper() not in (
+                    "SELECT", "WHERE", "VALUES", "IN", "ON", "AND", "OR",
+                    "NOT", "THEN", "ELSE", "WHEN", "FROM", "AS", "JOIN",
+                    "LATERAL", "UNION", "ALL", "BY", "HAVING", "EXISTS",
+                )
+            depth -= 1
+    return False
+
+
+_SELECT_SRF_RE = re.compile(
+    r"(?:\b(?:pg_catalog|information_schema)\s*\.\s*)?"
+    r"\b(generate_series|generate_subscripts|regexp_matches|_pg_expandarray)"
+    r"\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_select_srfs(sql: str, literals: list[str]) -> str:
+    """Set-returning functions in the SELECT list (reference
+    ProjectSet/table-functions-scalar): after the FROM-position pass
+    consumed relation usages, any remaining generate_series /
+    generate_subscripts / regexp_matches / _pg_expandarray call is a
+    projection SRF -> the same explode() generator inline. A
+    SUBSCRIPTED regexp_matches keeps the scalar form (the template
+    path) — explode(...)[i] doesn't parse. Multiple unnest() items in
+    one SELECT list zip with NULL padding (PG multi-SRF semantics) via
+    inline(arrays_zip(...))."""
+    # multi-unnest zip: unnest(A) [AS x], unnest(B) [AS y], ...
+    done = []
+    while True:
+        m = re.search(r"\bunnest\s*\(", sql, re.IGNORECASE)
+        if not m:
+            done.append(sql)
+            sql = "".join(done)
+            break
+        args, ends, scan = [], [], m.start()
+        while True:
+            mm = re.match(
+                r"\s*unnest\s*\(" if not args else r"\s*,\s*unnest\s*\(",
+                sql[scan:],
+                re.IGNORECASE,
+            )
+            if not mm:
+                break
+            open_idx = scan + mm.end() - 1
+            close = _find_close(sql, open_idx)
+            if close < 0:
+                break
+            args.append(sql[open_idx + 1 : close])
+            ends.append(close + 1)
+            scan = close + 1
+            am = re.match(r"\s+AS\s+\w+", sql[scan:], re.IGNORECASE)
+            if am:
+                scan += am.end()
+        if _inside_call(sql, m.start()) or not _is_select_item(sql, m.start()):
+            done.append(sql[: m.end()])
+            sql = sql[m.end() :]
+            continue
+        done.append(sql[: m.start()])
+        if len(args) >= 2:
+            done.append(f"inline(arrays_zip({', '.join(args)}))")
+            sql = sql[scan:]
+        elif len(args) == 1:
+            done.append(f"explode({args[0]})")
+            sql = sql[ends[0] :]
+        else:
+            done.append(sql[m.start() : m.end()])
+            sql = sql[m.end() :]
+    # other SRFs in projection position
+    out = []
+    while True:
+        m = _SELECT_SRF_RE.search(sql)
+        if not m:
+            out.append(sql)
+            return "".join(out)
+        fn = m.group(1).lower()
+        close = _find_close(sql, m.end() - 1)
+        if close < 0:
+            out.append(sql)
+            return "".join(out)
+        if _inside_call(sql, m.start()) or not _is_select_item(sql, m.start()):
+            out.append(sql[: close + 1])
+            sql = sql[close + 1 :]
+            continue
+        after = sql[close + 1 :].lstrip()
+        a = _split_args(sql[m.end() : close])
+        if fn == "_pg_expandarray":
+            # projection form yields ONE record column (x, n) per row
+            body = (
+                f"explode(zip_with({a[0]}, sequence(1, size({a[0]})), "
+                f"(__x, __i) -> struct(__x AS x, __i AS n)))"
+                if len(a) == 1
+                else None
+            )
+        elif fn == "regexp_matches" and after.startswith("["):
+            body = None  # subscripted: scalar template path
+        else:
+            body = _srf_body(fn, a, literals)
+        if body is None:
+            out.append(sql[: close + 1])
+            sql = sql[close + 1 :]
+            continue
+        out.append(sql[: m.start()])
+        out.append(body)
+        sql = sql[close + 1 :]
+    return "".join(out)
+
+
 def _rewrite_series_tvf(sql: str, literals: list[str]) -> str:
     """Set-returning functions in FROM position (TableFunctions.java /
     table-functions.rst): ``generate_series`` -> explode(sequence(...))
@@ -1281,64 +1713,11 @@ def _rewrite_series_tvf(sql: str, literals: list[str]) -> str:
     if am and am.group(1).lower() not in _TVF_KW:
         alias, col, consumed = am.group(1), am.group(2), am.end()
 
-    if fn == "generate_series":
-        col = col or "generate_series"
-        if len(a) == 2:
-            guard = f"CASE WHEN {a[0]} <= {a[1]} THEN sequence({a[0]}, {a[1]}) END"
-        elif len(a) == 3:
-            seq = f"sequence({a[0]}, {a[1]}, {a[2]})"
-            sign = _step_sign(a[2], literals)
-            if sign == 1:
-                guard = f"CASE WHEN {a[0]} <= {a[1]} THEN {seq} END"
-            elif sign == -1:
-                guard = f"CASE WHEN {a[0]} >= {a[1]} THEN {seq} END"
-            else:
-                guard = (
-                    f"CASE WHEN ({a[2]}) > 0 AND {a[0]} <= {a[1]} THEN {seq} "
-                    f"WHEN ({a[2]}) < 0 AND {a[0]} >= {a[1]} THEN {seq} END"
-                )
-        else:
-            return sql
-        body = f"explode({guard}) AS {col}"
-    elif fn == "generate_subscripts":
-        col = col or "generate_subscripts"
-        if len(a) not in (2, 3):
-            return sql
-        dim = a[1].strip()
-        arr = a[0] if dim == "1" else f"element_at({a[0]}, 1)" if dim == "2" else None
-        if arr is None:
-            return sql
-        rev = len(a) == 3 and a[2].strip().lower() == "true"
-        seq = (
-            f"sequence(size({arr}), 1, -1)" if rev else f"sequence(1, size({arr}))"
-        )
-        body = f"explode(CASE WHEN size({arr}) >= 1 THEN {seq} END) AS {col}"
-    else:  # regexp_matches
-        col = col or "groups"
-        if len(a) not in (2, 3):
-            return sql
-        flags = _lit_value(a[2], literals) if len(a) == 3 else ""
-        if flags is None:
-            return sql
-        pat = _lit_value(a[1], literals)
-        if pat is None:
-            return sql
-        p = _regex_inline_flags(flags, a[1])
-        groups = len(re.findall(r"(?<!\\)\((?!\?)", pat))
-        idxs = list(range(1, groups + 1)) if groups else [0]
-        if "g" in flags:
-            # one row per match: re-extract groups from each whole match
-            parts = ", ".join(f"regexp_extract(__m, {p}, {i})" for i in idxs)
-            body = (
-                f"explode(transform(regexp_extract_all({a[0]}, {p}, 0), "
-                f"__m -> array({parts}))) AS {col}"
-            )
-        else:
-            parts = ", ".join(f"regexp_extract({a[0]}, {p}, {i})" for i in idxs)
-            body = (
-                f"explode(CASE WHEN {a[0]} RLIKE {p} "
-                f"THEN array(array({parts})) END) AS {col}"
-            )
+    srf = _srf_body(fn, a, literals)
+    if srf is None:
+        return sql
+    col = col or ("groups" if fn == "regexp_matches" else fn)
+    body = f"{srf} AS {col}"
     alias = alias or f"__{fn}"
     # joined TVFs may reference left-side columns (regexp_matches over
     # a doc column) — LATERAL makes the correlation explicit for Spark.
@@ -1374,12 +1753,56 @@ def rewrite(
     """
     literals: list[str] = []
 
+    # PG escape-string literals E'...' (string-literal.rst): decode
+    # the C-style escapes into a plain literal before masking
+    def _e_lit(m: re.Match) -> str:
+        body, out, i = m.group(1), [], 0
+        esc = {"b": "\b", "f": "\f", "n": "\n", "r": "\r", "t": "\t"}
+        while i < len(body):
+            c = body[i]
+            if c == "\\" and i + 1 < len(body):
+                n = body[i + 1]
+                if n in esc:
+                    out.append(esc[n])
+                    i += 2
+                    continue
+                if n == "\\":
+                    out.append("\\")
+                    i += 2
+                    continue
+                if n == "'":
+                    out.append("'")
+                    i += 2
+                    continue
+                o = re.match(r"[0-7]{1,3}", body[i + 1 :])
+                if o:
+                    out.append(chr(int(o.group(0), 8)))
+                    i += 1 + len(o.group(0))
+                    continue
+                x = re.match(r"x([0-9A-Fa-f]{1,2})", body[i + 1 :])
+                if x:
+                    out.append(chr(int(x.group(1), 16)))
+                    i += 1 + x.end()
+                    continue
+            out.append(c)
+            i += 1
+        return "'" + "".join(out).replace("'", "''") + "'"
+
+    # the E must start a token — right after a quote it's the tail of
+    # an ordinary string literal ('E'), not an escape-string prefix
+    sql = re.sub(r"(?<!['\w])E'((?:[^'\\]|''|\\.)*)'", _e_lit, sql)
+
     def _mask(m: re.Match) -> str:
         literals.append(m.group(0))
         return f"__LIT_{len(literals) - 1}__"
 
     sql = _LIT_RE.sub(_mask, sql)
     n_input_lits = len(literals)
+
+    # PG double-quoted identifiers -> Spark backticks (string literals
+    # are masked, so any remaining "word" is an identifier). Dotted
+    # chains quote each part; "" inside stays (rare) untouched.
+    sql = re.sub(r'"([A-Za-z_][A-Za-z0-9_ ]*)"', r"`\1`", sql)
 
     # Integer / integer is Java integer division in the reference
     # (ArithmeticFunctions.java:78-85 integerFunction arg0/arg1:
@@ -1506,7 +1929,38 @@ def rewrite(
         r"(__LIT_\d+__)\s*::\s*interval\b", r"INTERVAL \1", sql, flags=re.IGNORECASE
     )
     sql = _rewrite_series_tvf(sql, literals)
+    sql = _rewrite_select_srfs(sql, literals)
     sql = _rewrite_array_subquery(sql)
+
+    # `||` overloads the reference resolves by type (ConcatOperator):
+    # object-literal || object-literal merges (rewrite to concat(), the
+    # template below merges); array-literal || element appends, element
+    # || array-literal prepends (ArrayCatFunction/append/prepend).
+    # Column-typed operands keep Spark's native || (string/array
+    # concat). Literal shapes only — a text shim can't see types.
+    def _concat_op_sub(m: re.Match) -> str:
+        lhs, rhs = m.group(1), m.group(2)
+        # a chain's left side may already be a merged concat(...) call
+        l_obj = lhs.lstrip().startswith(("to_json(named_struct", "concat(to_json("))
+        r_obj = rhs.lstrip().startswith("to_json(named_struct")
+        if l_obj and r_obj:
+            return f"concat({lhs}, {rhs})"
+        l_arr = lhs.lstrip().startswith("array(")
+        r_arr = rhs.lstrip().startswith("array(")
+        if l_arr and not r_arr and not rhs.lstrip().startswith("'"):
+            return f"array_append({lhs}, {rhs})"
+        if r_arr and not l_arr:
+            # crate arg order (value, array) — the array_prepend
+            # template below swaps into Spark's (array, value)
+            return f"array_prepend({lhs}, {rhs})"
+        return m.group(0)
+
+    prev_cat = None
+    while prev_cat != sql:
+        prev_cat = sql
+        sql = re.sub(
+            rf"({_OPERAND})\s*\|\|\s*({_OPERAND})", _concat_op_sub, sql
+        )
 
     # crate-only scalar function names (ArraySliceFunction,
     # StringToArrayFunction, ArrayDifferenceFunction, ...) -> Spark
@@ -1532,6 +1986,15 @@ def rewrite(
         sql = _CAST_RE.sub(_cast_sub, sql)
     sql = _SUBSCRIPT_SLICE_RE.sub(_subscript_slice_sub, sql)
     sql = _SUBSCRIPT_RE.sub(r"element_at(\1, \2)", sql)
+    # `^` is EXPONENTIATION in the reference (arithmetic.rst operator
+    # precedence: parens > exponentiation > mul/div; PG semantics),
+    # where Spark's `^` is bitwise XOR. Rewrite operand pairs to
+    # power() first — left-associative via the iteration — and only
+    # then map the reference's XOR spelling `#` onto Spark's `^`.
+    prev_pow = None
+    while prev_pow != sql:
+        prev_pow = sql
+        sql = re.sub(rf"({_OPERAND})\s*\^\s*({_OPERAND})", r"power(\1, \2)", sql)
     # PG/crate bitwise XOR spelling `#` -> Spark's `^` (bit-operators.rst)
     sql = re.sub(rf"({_OPERAND})\s*#\s*({_OPERAND})", r"\1 ^ \2", sql)
     sql = _REGEX_CI_RE.sub(r"\1 RLIKE concat('(?i)', \2)", sql)
@@ -1544,6 +2007,13 @@ def rewrite(
         # unparseable there
         if re.match(r"(?i)\s*(SELECT|VALUES)\b", inner):
             return f"{lhs} IN ({inner})"
+        # nested-array ANY (array-comparisons.rst): a SCALAR operand
+        # against array-of-arrays compares at any depth — flatten one
+        # level; an ARRAY operand compares against the elements as-is
+        if re.match(r"\s*array\s*\(\s*array\s*\(", inner) and not re.match(
+            r"\s*array\s*\(", lhs
+        ):
+            return f"array_contains(flatten({inner}), {lhs})"
         return f"array_contains({inner}, {lhs})"
 
     sql = _ANY_EQ_RE.sub(_any_eq_sub, sql)
@@ -1597,42 +2067,69 @@ def rewrite(
 
     sql = _ANY_ALL_CMP_RE.sub(_any_all_cmp_sub, sql)
     sql = _SCHEMA_RE.sub(r"\1_\2", sql)
-    sql = _PG_TYPEOF_RE.sub("typeof(", sql)
+    # pg_typeof returns PG/crate type NAMES (PgTypeofFunction), not
+    # Spark's: integer / text / double precision / integer[] ...
+    def _pg_name(t: str) -> str:
+        return (
+            f"(CASE {t} WHEN 'int' THEN 'integer' WHEN 'string' THEN 'text' "
+            f"WHEN 'double' THEN 'double precision' WHEN 'float' THEN 'real' "
+            f"WHEN 'tinyint' THEN '\"char\"' WHEN 'binary' THEN 'bytea' "
+            f"WHEN 'timestamp' THEN 'timestamp with time zone' "
+            f"WHEN 'timestamp_ntz' THEN 'timestamp without time zone' "
+            f"ELSE (CASE WHEN {t} LIKE 'decimal%' THEN 'numeric' ELSE {t} END) END)"
+        )
+
+    while True:
+        m = _PG_TYPEOF_RE.search(sql)
+        if not m:
+            break
+        close = _find_close(sql, m.end() - 1)
+        if close < 0:
+            break
+        t = f"typeof({sql[m.end():close]})"
+        inner = f"substring({t}, 7, length({t}) - 7)"
+        # crate spells array types `<inner>_array` here (PgTypeofFunction
+        # uses DataType names), unlike format_type's `inner[]`
+        mapped = (
+            f"(CASE WHEN {t} LIKE 'array<%' "
+            f"THEN concat({_pg_name(inner)}, '_array') ELSE {_pg_name(t)} END)"
+        )
+        sql = sql[: m.start()] + mapped + sql[close + 1 :]
     # session-information scalars (systeminformation/CurrentSchemaFunction,
     # CurrentSchemasFunction, CurrentDatabaseFunction): single-schema
     # catalog -> plan-time literals
     sql = re.sub(
-        r"\bcurrent_schemas\s*\(\s*true\s*\)", "array('pg_catalog', 'doc')", sql,
+        r"\b(?:pg_catalog\s*[._]\s*)?current_schemas\s*\(\s*true\s*\)", "array('pg_catalog', 'doc')", sql,
         flags=re.IGNORECASE,
     )
     sql = re.sub(
-        r"\bcurrent_schemas\s*\(\s*false\s*\)", "array('doc')", sql, flags=re.IGNORECASE
+        r"\b(?:pg_catalog\s*[._]\s*)?current_schemas\s*\(\s*false\s*\)", "array('doc')", sql, flags=re.IGNORECASE
     )
-    sql = re.sub(r"\bcurrent_schema\b(\s*\(\s*\))?", "'doc'", sql, flags=re.IGNORECASE)
-    sql = re.sub(r"\bcurrent_database\s*\(\s*\)", "'crate'", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"\b(?:pg_catalog\s*[._]\s*)?current_schema\b(\s*\(\s*\))?", "'doc'", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"\b(?:pg_catalog\s*[._]\s*)?current_database\s*\(\s*\)", "'crate'", sql, flags=re.IGNORECASE)
     # pg-compat tooling scalars (systeminformation/*.java): single-user
     # single-catalog engine -> plan-time constants, as the reference
     # resolves them for the default 'crate' superuser
     _call = r"\s*\((?:[^()]|\([^()]*\))*\)"
     sql = re.sub(
-        rf"\bhas_(?:table|schema|database|function|column)_privilege{_call}",
+        rf"\b(?:pg_catalog\s*[._]\s*)?has_(?:table|schema|database|function|column)_privilege{_call}",
         "TRUE", sql, flags=re.IGNORECASE,
     )
     sql = re.sub(
-        rf"\bpg_(?:table|function)_is_visible{_call}", "TRUE", sql, flags=re.IGNORECASE
+        rf"\b(?:pg_catalog\s*[._]\s*)?pg_(?:table|function)_is_visible{_call}", "TRUE", sql, flags=re.IGNORECASE
     )
-    sql = re.sub(rf"\bpg_backend_pid\s*\(\s*\)", "0", sql, flags=re.IGNORECASE)
+    sql = re.sub(rf"\b(?:pg_catalog\s*[._]\s*)?pg_backend_pid\s*\(\s*\)", "0", sql, flags=re.IGNORECASE)
     # PgPostmasterStartTime.java: the node's start instant — the
     # process-start analog, constant for the session's lifetime
     sql = re.sub(
-        r"\bpg_postmaster_start_time\s*\(\s*\)",
+        r"\b(?:pg_catalog\s*[._]\s*)?pg_postmaster_start_time\s*\(\s*\)",
         f"TIMESTAMP '{_PROCESS_START}'",
         sql,
         flags=re.IGNORECASE,
     )
-    sql = re.sub(rf"\bpg_encoding_to_char{_call}", "'UTF8'", sql, flags=re.IGNORECASE)
+    sql = re.sub(rf"\b(?:pg_catalog\s*[._]\s*)?pg_encoding_to_char{_call}", "'UTF8'", sql, flags=re.IGNORECASE)
     sql = re.sub(
-        rf"\b(?:col|obj)_description{_call}", "CAST(NULL AS STRING)", sql,
+        rf"\b(?:pg_catalog\s*[._]\s*)?(?:col|obj)_description{_call}", "CAST(NULL AS STRING)", sql,
         flags=re.IGNORECASE,
     )
     # session-info scalars resolve to the AUTHENTICATED session user
@@ -1715,6 +2212,17 @@ def rewrite(
         rf"\b({_IDENT})\s*\(\s*(\*|(?:[^()]|\([^()]*\))*?)\s*\)"
         rf"\s*FILTER\s*\(\s*WHERE\s+((?:[^()]|\([^()]*\))+?)\s*\)(\s*OVER\b)",
         _win_filter_sub,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+    # lag/lead over an unordered window: the reference evaluates them
+    # in partition insertion order (WindowFunction docs examples);
+    # Spark demands ORDER BY — a constant key keeps arrival order
+    sql = re.sub(
+        r"(\b(?:lag|lead)\s*\((?:[^()]|\([^()]*\))*\)\s*"
+        r"OVER\s*\(\s*PARTITION\s+BY\s+(?:(?!\bORDER\b)[^()])*)\)",
+        r"\1 ORDER BY 1)",
         sql,
         flags=re.IGNORECASE,
     )

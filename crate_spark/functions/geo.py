@@ -122,7 +122,23 @@ def point_in_polygon(lon, lat, vertices: list[tuple[float, float]]) -> Column:
         x_at_y = (F.lit(xj - xi) * (y - F.lit(yi)) / F.lit(yj - yi)) + F.lit(xi)
         hit = F.when(straddles & (x < x_at_y), 1).otherwise(0)
         crossings = hit if crossings is None else crossings + hit
-    return crossings % 2 == 1
+    # boundary points are WITHIN (JTS/spatial4j containment includes
+    # the boundary — the reference's within('POINT (10 10)', box with
+    # that corner) is true): point-on-segment = zero cross product and
+    # inside the segment's bbox
+    on_edge = None
+    for i in range(n):
+        xi, yi = vertices[i]
+        xj, yj = vertices[(i + 1) % n]
+        cross = (F.lit(xj - xi) * (y - F.lit(yi))
+                 - F.lit(yj - yi) * (x - F.lit(xi)))
+        seg = (
+            (F.abs(cross) < F.lit(1e-9))
+            & (x >= F.lit(min(xi, xj))) & (x <= F.lit(max(xi, xj)))
+            & (y >= F.lit(min(yi, yj))) & (y <= F.lit(max(yi, yj)))
+        )
+        on_edge = seg if on_edge is None else on_edge | seg
+    return (crossings % 2 == 1) | on_edge
 
 
 def polygon_ray_cast_sql(lon_sql: str, lat_sql: str, vertices: list[tuple[float, float]]) -> str:
@@ -138,7 +154,18 @@ def polygon_ray_cast_sql(lon_sql: str, lat_sql: str, vertices: list[tuple[float,
             f" AND {lon_sql} < ({xj - xi}) * ({lat_sql} - {yi}) / ({yj - yi}) + {xi}"
             f" THEN 1 ELSE 0 END)"
         )
-    return "(" + " + ".join(terms) + ") % 2 = 1"
+    edge_terms = []
+    for i in range(n):
+        xi, yi = vertices[i]
+        xj, yj = vertices[(i + 1) % n]
+        edge_terms.append(
+            f"(ABS(({xj - xi}) * ({lat_sql} - {yi})"
+            f" - ({yj - yi}) * ({lon_sql} - {xi})) < 1e-9"
+            f" AND {lon_sql} >= {min(xi, xj)} AND {lon_sql} <= {max(xi, xj)}"
+            f" AND {lat_sql} >= {min(yi, yj)} AND {lat_sql} <= {max(yi, yj)})"
+        )
+    return ("((" + " + ".join(terms) + ") % 2 = 1 OR "
+            + " OR ".join(edge_terms) + ")")
 
 
 def bbox_intersects(
@@ -162,15 +189,20 @@ def bbox_intersects(
     )
 
 
+#: steradians -> square degrees, folded with the shoelace /2
+_DEG2_FACTOR = (180.0 / 3.141592653589793) ** 2 / 2.0
+
+
 def spherical_area_m2(points: list[tuple, ]) -> Column:
-    """``area(geo_shape)`` (``expression/scalar/geo/AreaFunction.java``)
-    — polygon area in m^2 on the sphere via the Chamberlain–Duquette
-    spherical shoelace: R^2/2 * |sum over edges (λ2-λ1)(2 + sin φ1 +
-    sin φ2)| with λ, φ in radians. Matches the reference's spherical
-    (not planar) semantics to well under a part in 1e4 for the small
-    polygons CrateDB shapes carry; exact twin arithmetic lives in
-    ``spherical_area_sql``. Vertices are (lon, lat) Columns or floats,
-    ring open (first vertex not repeated). Pure JVM — codegen-side.
+    """``area(geo_shape)`` (``expression/scalar/geo/AreaFunction.java``
+    delegating to spatial4j ``shape.getArea(GEO)``) — polygon area in
+    SQUARE DEGREES (the reference's documented unit, "geodetic
+    awareness": scalar-functions.rst _scalar-area) via the
+    Chamberlain–Duquette spherical shoelace: (180/π)²/2 * |sum over
+    edges (λ2-λ1)(2 + sin φ1 + sin φ2)| with λ, φ in radians. Exact
+    twin arithmetic lives in ``spherical_area_sql``. Vertices are
+    (lon, lat) Columns or floats, ring open (first vertex not
+    repeated). Pure JVM — codegen-side.
     """
 
     def c(v):
@@ -185,7 +217,7 @@ def spherical_area_m2(points: list[tuple, ]) -> Column:
             F.lit(2.0) + F.sin(F.radians(c(lat1))) + F.sin(F.radians(c(lat2)))
         )
         total = term if total is None else total + term
-    return F.abs(total) * F.lit(EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0)
+    return F.abs(total) * F.lit(_DEG2_FACTOR)
 
 
 def spherical_area_sql(points: list[tuple[str, str]]) -> str:
@@ -201,6 +233,5 @@ def spherical_area_sql(points: list[tuple[str, str]]) -> str:
             f"(2.0 + SIN(RADIANS({lat1})) + SIN(RADIANS({lat2})))"
         )
     s = " + ".join(terms)
-    # pre-fold R^2/2 to the identical python float the Column side uses
-    # (a DECIMAL literal product overflows DuckDB's decimal multiply)
-    return f"ABS({s}) * {EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0!r}"
+    # the identical python float literal the Column side uses
+    return f"ABS({s}) * {_DEG2_FACTOR!r}"

@@ -342,24 +342,35 @@ _TO_CHAR_MAP = [
     ("DAY", "EEEE"), ("Day", "EEEE"), ("DY", "EEE"), ("Dy", "EEE"),
     ("DDD", "DDD"), ("DD", "dd"), ("MM", "MM"), ("MI", "mm"),
     ("SS", "ss"), ("MS", "SSS"), ("AM", "a"), ("PM", "a"),
-    ("YY", "yy"), ("HH", "hh"), ("D", "e"), ("Q", "Q"), ("WW", "ww"),
+    ("YY", "yy"), ("HH", "hh"), ("AD", "G"), ("BC", "G"), ("A.D.", "G"),
+    ("D", "u"), ("Q", "Q"), ("WW", "ww"),
     ("TZ", "zz"), ("J", "g"),
 ]
 
 
 def _pg_template_to_java(fmt: str) -> str:
     out, i = [], 0
+    run: list[str] = []
+
+    def flush():
+        # literal runs quote as ONE unit — adjacent single-quoted
+        # chars read as escaped quotes ('t''h''e' renders t'h'e)
+        if run:
+            text = "".join(run)
+            out.append("'" + text + "'" if any(c.isalpha() for c in text) else text)
+            run.clear()
+
     while i < len(fmt):
         for pg, java in _TO_CHAR_MAP:
             if fmt.startswith(pg, i):
+                flush()
                 out.append(java)
                 i += len(pg)
                 break
         else:
-            ch = fmt[i]
-            # literal text must be quoted if it is a pattern letter
-            out.append(f"'{ch}'" if ch.isalpha() else ch)
+            run.append(fmt[i])
             i += 1
+    flush()
     return "".join(out)
 
 
@@ -383,17 +394,28 @@ _MYSQL_FMT_MAP = [
 
 
 def _mysql_template_to_java(fmt: str) -> str:
-    out, i = [], 0
+    out, run, i = [], [], 0
+
+    def flush():
+        if run:
+            text = "".join(run)
+            if any(c.isalpha() for c in text):
+                out.append("'" + text + "'")
+            else:
+                out.append(text)
+            run.clear()
+
     while i < len(fmt):
-        for my, java in _MYSQL_FMT_MAP:
-            if fmt.startswith(my, i):
+        for key, java in _MYSQL_FMT_MAP:
+            if fmt.startswith(key, i):
+                flush()
                 out.append(java)
-                i += len(my)
+                i += len(key)
                 break
         else:
-            ch = fmt[i]
-            out.append(f"'{ch}'" if ch.isalpha() else ch)
+            run.append(fmt[i])
             i += 1
+    flush()
     return "".join(out)
 
 

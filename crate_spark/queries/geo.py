@@ -160,7 +160,7 @@ def _area_oracle() -> str:
         (f"({_SQL_LON} + 1)", f"({_SQL_LAT} + 1.5)"),
     ]
     return f"""
-    SELECT c_custkey, ROUND({spherical_area_sql(tri)} / 1000000.0, 3) AS area_km2
+    SELECT c_custkey, ROUND({spherical_area_sql(tri)}, 6) AS area_deg2
     FROM customer WHERE c_custkey <= 500
     """
 
@@ -168,7 +168,8 @@ def _area_oracle() -> str:
 @query("geo_area", oracle=_area_oracle())
 def geo_area(spark, sf_dir):
     """area(geo_shape) (``expression/scalar/geo/AreaFunction.java``):
-    spherical polygon area of a per-customer triangle, in km^2. The
+    polygon area of a per-customer triangle in SQUARE DEGREES (the
+    reference unit, spatial4j shape.getArea(GEO)). The
     oracle unrolls the identical Chamberlain–Duquette arithmetic."""
     t = load_tables(spark, sf_dir)
     lon, lat = _lon(), _lat()
@@ -178,7 +179,7 @@ def geo_area(spark, sf_dir):
         .filter(F.col("c_custkey") <= 500)
         .select(
             "c_custkey",
-            F.round(spherical_area_m2(tri) / 1_000_000.0, 3).alias("area_km2"),
+            F.round(spherical_area_m2(tri), 6).alias("area_deg2"),
         )
     )
 

@@ -912,8 +912,8 @@ def test_crate_fn_unsupported_arity_left_alone(session):
     surfaces as a Spark analysis error, not a silent rewrite."""
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="(?i)array_position|UNRESOLVED"):
-        session.execute("SELECT array_position([1], 1, 1) AS x").collect()
+    with _pytest.raises(Exception, match="(?i)array_position|UNRESOLVED|PARAMETER"):
+        session.execute("SELECT array_position([1], 1, 1, 1) AS x").collect()
 
 
 def test_pg_session_noop_statements(session):
