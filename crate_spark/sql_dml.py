@@ -316,7 +316,15 @@ class SqlDmlRouter:
                 pk.append(cname)
                 rest = re.sub(r"\bPRIMARY\s+KEY\b", "", rest, flags=re.IGNORECASE)
             rest = re.sub(r"\bNOT\s+NULL\b", "", rest, flags=re.IGNORECASE)
-            rest = re.sub(r"\bINDEX\s+\w+(\s+WITH\s*\(.*?\))?", "", rest, flags=re.IGNORECASE)
+            # column index clauses (create-table.rst): INDEX OFF,
+            # INDEX USING fulltext/plain/geohash/quadtree/bkdtree
+            # [WITH (...)] — storage/index details Parquet supersedes
+            rest = re.sub(
+                r"\bINDEX\s+(OFF\b|(USING\s+)?\w+)?(\s+WITH\s*\(.*?\))?",
+                "",
+                rest,
+                flags=re.IGNORECASE,
+            )
             ctype = _map_type(rest)
             if not ctype:
                 # typeless generated column: infer nothing, store as-is

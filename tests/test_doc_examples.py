@@ -160,6 +160,12 @@ def _fmt(v) -> str:
 def _json_cell(x):
     from pyspark.sql import Row
 
+    if isinstance(x, str) and x[:1] in "{[":
+        # dynamic-object storage is JSON text — render structurally
+        try:
+            return _json_cell(json.loads(x))
+        except ValueError:
+            return x
     if isinstance(x, datetime):
         return int(x.replace(tzinfo=timezone.utc).timestamp() * 1000)
     if isinstance(x, Decimal):
@@ -179,6 +185,11 @@ def _cell_matches(got, want: str) -> bool:
     g = _fmt(got)
     if g == want:
         return True
+    # doctest ELLIPSIS abbreviation inside a cell
+    if "..." in want:
+        pat = ".*".join(re.escape(p) for p in want.split("..."))
+        if re.fullmatch(pat, g, re.DOTALL):
+            return True
     # boolean case variants
     if g.lower() == want.lower():
         return True
@@ -198,9 +209,23 @@ def _cell_matches(got, want: str) -> bool:
         iso = got.strftime("%Y-%m-%dT%H:%M:%S")
         if want.startswith(iso):
             return True
-    # JSON containers: order-insensitive object compare
+    # JSON containers: order-insensitive object compare; dynamic
+    # OBJECT values are JSON-typed strings here, so numeric strings
+    # compare equal to numbers
+    def _lenient(v):
+        if isinstance(v, dict):
+            return {k: _lenient(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [_lenient(x) for x in v]
+        if isinstance(v, bool) or v is None:
+            return v
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return v
+
     try:
-        if json.loads(g) == json.loads(want):
+        if _lenient(json.loads(g)) == _lenient(json.loads(want)):
             return True
     except (TypeError, ValueError):
         pass

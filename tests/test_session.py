@@ -34,9 +34,13 @@ def test_rewrite_subscript():
 
 
 def test_rewrite_regex_ops():
-    assert rewrite("SELECT a ~ 'x' FROM t") == "SELECT a RLIKE 'x' FROM t"
-    assert rewrite("SELECT a !~ 'x' FROM t") == "SELECT NOT (a RLIKE 'x') FROM t"
-    assert rewrite("SELECT a ~* 'x' FROM t") == "SELECT a RLIKE concat('(?i)', 'x') FROM t"
+    # whole-string semantics (RegexpMatchOperator.java): anchored
+    assert rewrite("SELECT a ~ 'x' FROM t") == (
+        "SELECT a RLIKE concat('^(?:', 'x', ')$') FROM t")
+    assert rewrite("SELECT a !~ 'x' FROM t") == (
+        "SELECT NOT (a RLIKE concat('^(?:', 'x', ')$')) FROM t")
+    assert rewrite("SELECT a ~* 'x' FROM t") == (
+        "SELECT a RLIKE concat('^(?i)(?:', 'x', ')$') FROM t")
 
 
 def test_rewrite_any():
@@ -79,10 +83,15 @@ def test_execute_regex_operator(session):
         "SELECT n_name FROM nation WHERE n_name ~* '^nation_1$|^nation_2$' ORDER BY n_name"
     ).collect()
     assert [r["n_name"] for r in rows] == ["NATION_1", "NATION_2"]
+    # whole-string matching: 'NATION' alone matches no full name
     neg = session.execute(
-        "SELECT count(*) AS n FROM nation WHERE n_name !~ 'NATION'"
+        "SELECT count(*) AS n FROM nation WHERE n_name !~ 'NATION.*'"
     ).collect()[0]["n"]
     assert neg == 0
+    partial = session.execute(
+        "SELECT count(*) AS n FROM nation WHERE n_name !~ 'NATION'"
+    ).collect()[0]["n"]
+    assert partial == 25
 
 
 def test_execute_null_ordering_default(session):
@@ -255,7 +264,8 @@ def test_rewrite_preserves_string_literals():
     """Operator regexes must never match inside string literals."""
     assert rewrite("SELECT 'a::b' AS lit") == "SELECT 'a::b' AS lit"
     assert rewrite("SELECT 'it''s ~ here' FROM t") == "SELECT 'it''s ~ here' FROM t"
-    assert rewrite("SELECT a ~ 'x[1]' FROM t") == "SELECT a RLIKE 'x[1]' FROM t"
+    assert rewrite("SELECT a ~ 'x[1]' FROM t") == (
+        "SELECT a RLIKE concat('^(?:', 'x[1]', ')$') FROM t")
     assert (
         rewrite("SELECT arr[1] FROM t WHERE s = 'arr[2]'")
         == "SELECT element_at(arr, 1) FROM t WHERE s = 'arr[2]'"
