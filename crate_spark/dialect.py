@@ -371,7 +371,14 @@ _FN_TEMPLATES: dict = {
         )
     ),
     "area": lambda a, lits: _geo_area_sql(a, lits),
-    "intersects": lambda a, lits: _geo_intersects_sql(a, lits),
+    "intersects": lambda a, lits: (
+        _geo_intersects_sql(a, lits)
+        or (
+            f"__geo_intersects(CAST({a[0]} AS STRING), CAST({a[1]} AS STRING))"
+            if len(a) == 2
+            else None
+        )
+    ),
     "geohash": lambda a, lits: _geohash_sql(a, lits),
     # StrposFunction / PG strpos(string, substring) == instr
     "strpos": lambda a, lits: f"instr({a[0]}, {a[1]})" if len(a) == 2 else None,
@@ -423,6 +430,11 @@ _FN_TEMPLATES: dict = {
         f"approx_count_distinct({a[0]})" if len(a) in (1, 2) else None
     ),
     "topk": lambda a, lits: _topk_sql(a),
+    # crate's variance/stddev are POPULATION forms
+    # (VarianceAggregation/StandardDeviationAggregation; Spark's bare
+    # names are the sample forms)
+    "variance": lambda a, lits: f"var_pop({a[0]})" if len(a) == 1 else None,
+    "stddev": lambda a, lits: f"stddev_pop({a[0]})" if len(a) == 1 else None,
     # LogFunction.java:93-126,174 — crate log(x) is log BASE 10 (Spark's
     # 1-arg log is ln), and log(x, b) is ln(x)/ln(b) with the VALUE
     # first (Spark's 2-arg log takes the base first): swap the args.
@@ -2278,7 +2290,7 @@ def rewrite(
     # in partition insertion order (WindowFunction docs examples);
     # Spark demands ORDER BY — a constant key keeps arrival order
     sql = re.sub(
-        r"(\b(?:lag|lead)\s*\((?:[^()]|\([^()]*\))*\)\s*"
+        r"(\b(?:lag|lead|row_number|rank|dense_rank|ntile)\s*\((?:[^()]|\([^()]*\))*\)\s*"
         r"OVER\s*\(\s*PARTITION\s+BY\s+(?:(?!\bORDER\b)[^()])*)\)",
         r"\1 ORDER BY 1)",
         sql,

@@ -383,7 +383,10 @@ class CrateTable:
                     *[
                         F.expr(set_exprs[c]).alias(c)
                         if c in set_exprs
-                        else F.col(f"excluded.{c}").alias(c)
+                        # DO UPDATE SET only touches the LISTED columns;
+                        # the rest KEEP the existing row's values
+                        # (insert.rst ON CONFLICT semantics)
+                        else F.col(f"target.{c}").alias(c)
                         for c in cols
                         if c not in pk and c != "__viol"
                     ],
@@ -521,15 +524,27 @@ class CrateTable:
             # fields as strings and convert explicitly.
             from pyspark.sql import types as T
 
+            # ... and scalar fields coerce leniently ("0" -> integer 0,
+            # as the reference's type casts do): read scalars as
+            # strings, cast after
             ts_cols = [
                 f.name
                 for f in target_schema.fields
                 if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
             ]
+            scalar_cols = {
+                f.name: f.dataType.simpleString()
+                for f in target_schema.fields
+                if isinstance(
+                    f.dataType,
+                    (T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+                     T.FloatType, T.DoubleType, T.BooleanType, T.DecimalType),
+                )
+            }
             read_schema = T.StructType(
                 [
                     T.StructField(f.name, T.StringType(), f.nullable)
-                    if f.name in ts_cols
+                    if f.name in ts_cols or f.name in scalar_cols
                     else f
                     for f in target_schema.fields
                 ]
@@ -547,6 +562,8 @@ class CrateTable:
                         F.to_timestamp(F.col(c)),
                     ),
                 )
+            for c, t in scalar_cols.items():
+                raw = raw.withColumn(c, F.col(c).cast(t))
             good = raw.dropna(how="all")
         elif format in ("parquet", "orc"):
             # columnar imports carry their own schema; malformed files

@@ -103,12 +103,19 @@ class CrateSession:
         # where no JVM expression exists): geohash bit-interleave
         from pyspark.sql.functions import pandas_udf
 
-        from crate_spark.functions.geo import _geohash_batch, _within_batch
+        from crate_spark.functions.geo import (
+            _geohash_batch,
+            _intersects_batch,
+            _within_batch,
+        )
 
         spark.udf.register("__geohash", pandas_udf(_geohash_batch, "string"))
-        # column-typed within(point, shape) — literal shapes unroll to
+        # column-typed within/intersects — literal shapes unroll to
         # JVM expressions; runtime shapes need the Arrow path
         spark.udf.register("__geo_within", pandas_udf(_within_batch, "boolean"))
+        spark.udf.register(
+            "__geo_intersects", pandas_udf(_intersects_batch, "boolean")
+        )
         self.tables: dict[str, DataFrame] = {}
         if data_dir:
             self.tables = dict(load_tables(spark, data_dir, register=True))
@@ -188,6 +195,36 @@ class CrateSession:
             "table_name string, table_schema string, table_type string, "
             "number_of_shards int, number_of_replicas int",
         ).filter("table_name <> ''").createOrReplaceTempView("information_schema_tables")
+
+        # information_schema.table_partitions (TablePartitionsTableInfo):
+        # one row per live partition of a PARTITIONED BY table, values
+        # read from the partition directory layout
+        import json as _json
+        import os as _os
+
+        part_rows = []
+        for name, ct in sorted(crate_tables0.items()):
+            if not ct.partitioned_by:
+                continue
+            for entry in sorted(_os.listdir(ct.path)):
+                full = _os.path.join(ct.path, entry)
+                if not (_os.path.isdir(full) and "=" in entry):
+                    continue
+                vals = {}
+                for seg in entry.split("/"):
+                    k, _, v = seg.partition("=")
+                    vals[k] = v
+                part_rows.append(
+                    (name, "doc", entry, _json.dumps(vals),
+                     _shards_of(name), 0)
+                )
+        spark.createDataFrame(
+            part_rows or [("", "", "", "", 0, 0)],
+            "table_name string, table_schema string, partition_ident string, "
+            "values string, number_of_shards int, number_of_replicas int",
+        ).filter("table_name <> ''").createOrReplaceTempView(
+            "information_schema_table_partitions"
+        )
 
         col_rows = []
         for name, df in sorted(self.tables.items()):

@@ -341,3 +341,122 @@ def _within_batch(point_repr, shape_wkt):
             rings = cache[s] = _parse_wkt_rings(s)
         out.append(any(_pt_in_ring(pt[0], pt[1], r) for r in rings))
     return pd.Series(out, dtype="object")
+
+
+def _parse_shape(text: str):
+    """(kind, parts) for WKT or GeoJSON text: kind in point|line|rings;
+    parts = [(x, y)] / [pts] / [rings]."""
+    if text is None:
+        return None
+    pt = _parse_wkt_or_point(text)
+    if pt is not None:
+        return ("point", [pt])
+    t = text.strip()
+    if t.startswith("{"):
+        import json as _json
+
+        try:
+            obj = _json.loads(t)
+        except ValueError:
+            return None
+        typ = (obj.get("type") or "").lower()
+        coords = obj.get("coordinates")
+        if typ == "linestring" and coords:
+            return ("line", [[(float(x), float(y)) for x, y in coords]])
+        if typ == "multilinestring" and coords:
+            return ("line", [[(float(x), float(y)) for x, y in ln] for ln in coords])
+        if typ in ("polygon", "multipolygon"):
+            return ("rings", _parse_wkt_rings(t))
+        return None
+    up = t.upper()
+    if up.startswith(("LINESTRING", "MULTILINESTRING")):
+        import re as _re
+
+        lines = [
+            [(float(a), float(b)) for a, b in _re.findall(r"(-?[\d.]+)\s+(-?[\d.]+)", seg)]
+            for seg in _re.findall(r"\(([^()]+)\)", t)
+        ]
+        return ("line", [ln for ln in lines if len(ln) >= 2])
+    if up.startswith(("POLYGON", "MULTIPOLYGON")):
+        return ("rings", _parse_wkt_rings(t))
+    return None
+
+
+def _segs_intersect(p1, p2, p3, p4) -> bool:
+    def orient(a, b, c):
+        v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        return 0 if abs(v) < 1e-12 else (1 if v > 0 else -1)
+
+    def on_seg(a, b, c):
+        return (
+            min(a[0], b[0]) - 1e-12 <= c[0] <= max(a[0], b[0]) + 1e-12
+            and min(a[1], b[1]) - 1e-12 <= c[1] <= max(a[1], b[1]) + 1e-12
+        )
+
+    o1, o2 = orient(p1, p2, p3), orient(p1, p2, p4)
+    o3, o4 = orient(p3, p4, p1), orient(p3, p4, p2)
+    if o1 != o2 and o3 != o4:
+        return True
+    return (
+        (o1 == 0 and on_seg(p1, p2, p3))
+        or (o2 == 0 and on_seg(p1, p2, p4))
+        or (o3 == 0 and on_seg(p3, p4, p1))
+        or (o4 == 0 and on_seg(p3, p4, p2))
+    )
+
+
+def _shapes_intersect(a, b) -> bool:
+    """JTS-style intersects over parsed shapes: any boundary segments
+    cross, or one shape's representative point lies inside the other."""
+    def edges(shape):
+        kind, parts = shape
+        if kind == "point":
+            return []
+        if kind == "line":
+            return [
+                (ln[i], ln[i + 1]) for ln in parts for i in range(len(ln) - 1)
+            ]
+        return [
+            (r[i], r[(i + 1) % len(r)]) for r in parts for i in range(len(r))
+        ]
+
+    def a_point(shape):
+        kind, parts = shape
+        if kind == "point":
+            return parts[0]
+        if kind == "line":
+            return parts[0][0]
+        return parts[0][0]
+
+    def contains(shape, pt) -> bool:
+        kind, parts = shape
+        return kind == "rings" and any(
+            _pt_in_ring(pt[0], pt[1], r) for r in parts
+        )
+
+    for e1 in edges(a):
+        for e2 in edges(b):
+            if _segs_intersect(e1[0], e1[1], e2[0], e2[1]):
+                return True
+    return contains(a, a_point(b)) or contains(b, a_point(a))
+
+
+def _intersects_batch(shape_a, shape_b):
+    """Arrow-batched intersects(shape, shape) for COLUMN-typed or
+    GeoJSON-literal operands (IntersectsFunction on runtime shapes;
+    literal bbox forms unroll to JVM expressions instead)."""
+    import pandas as pd
+
+    out = []
+    cache: dict = {}
+
+    def parsed(s):
+        if s not in cache:
+            cache[s] = _parse_shape(s)
+        return cache[s]
+
+    for sa, sb in zip(shape_a, shape_b):
+        pa = parsed(sa) if sa is not None else None
+        pb = parsed(sb) if sb is not None else None
+        out.append(None if pa is None or pb is None else _shapes_intersect(pa, pb))
+    return pd.Series(out, dtype="object")

@@ -26,7 +26,7 @@ from crate_spark.queries import query
     "dml_lifecycle",
     oracle="""
     SELECT * FROM (VALUES
-        (1, 'a2', 15, '2024-01-01'),
+        (1, 'a',  15, '2024-01-01'),
         (2, 'b',  20, '2024-01-02'),
         (4, 'd',  4,  '2024-01-04')
     ) AS t(id, val, cnt, day)
@@ -58,7 +58,9 @@ def dml_lifecycle(spark, sf_dir):
     t.insert(rows([(1, "a", 10, "2024-01-01 08:00:00"),
                    (2, "b", 20, "2024-01-02 08:00:00"),
                    (3, "c", 30, "2024-01-03 08:00:00")]))
-    # upsert: id=1 accumulates cnt (target+excluded), id=4 inserts fresh
+    # upsert: id=1 accumulates cnt (target+excluded) — columns NOT in
+    # SET keep the existing row's values (insert.rst ON CONFLICT, so
+    # val stays 'a'); id=4 inserts fresh
     t.upsert(
         rows([(1, "a2", 5, "2024-01-01 09:00:00"),
               (4, "d", 4, "2024-01-04 08:00:00")]),

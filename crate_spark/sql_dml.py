@@ -281,7 +281,9 @@ class SqlDmlRouter:
                     for c in item[item.index("(") + 1 : item.rindex(")")].split(",")
                 ]
                 continue
-            if up.startswith("CHECK"):
+            # table-level CHECK only — a COLUMN named check_sum also
+            # starts with CHECK (dml.rst debit_card example)
+            if re.match(r"CHECK\s*\(", up):
                 checks.append(
                     _unmask(item[item.index("(") + 1 : item.rindex(")")], literals)
                 )
@@ -320,7 +322,7 @@ class SqlDmlRouter:
             # INDEX USING fulltext/plain/geohash/quadtree/bkdtree
             # [WITH (...)] — storage/index details Parquet supersedes
             rest = re.sub(
-                r"\bINDEX\s+(OFF\b|(USING\s+)?\w+)?(\s+WITH\s*\(.*?\))?",
+                r"\bINDEX\s+(OFF\b|(USING\s+)?\"?\w+\"?)?(\s+WITH\s*\(.*?\))?",
                 "",
                 rest,
                 flags=re.IGNORECASE,
@@ -556,21 +558,31 @@ class SqlDmlRouter:
             body,
             re.IGNORECASE | re.DOTALL,
         )
+        declared = self.spark.createDataFrame([], table.schema_ddl).schema
+        declared_types = {f.name: f.dataType.simpleString() for f in declared.fields}
         if cm:
             if cm.group(2).upper() == "NOTHING":
                 conflict = ("nothing",)
             else:
+                # unqualified columns in DO UPDATE SET refer to the
+                # EXISTING row (PG/insert.rst: use excluded.<col> for
+                # the incoming value). Qualify on the masked text so
+                # literal contents can't be touched.
+                colpat = re.compile(
+                    r"(?<![\w.])("
+                    + "|".join(re.escape(c) for c in declared_types)
+                    + r")\b(?!\s*\()",
+                    re.IGNORECASE,
+                )
                 set_exprs = {}
                 for a in _split_top(cm.group(3)):
                     k, _, v = a.partition("=")
+                    vq = colpat.sub(r"target.\1", v.strip())
                     set_exprs[k.strip().strip('"')] = rewrite(
-                        _unmask(v.strip(), literals)
+                        _unmask(vq, literals)
                     )
                 conflict = ("update", set_exprs)
             body = body[: cm.start()].strip()
-
-        declared = self.spark.createDataFrame([], table.schema_ddl).schema
-        declared_types = {f.name: f.dataType.simpleString() for f in declared.fields}
         gen = set(table.generated)
         target_cols = col_list or [
             f.name for f in declared.fields if f.name not in gen

@@ -14,6 +14,17 @@ import os
 import duckdb
 import pytest
 
+# something on this host periodically wipes /tmp; keep Spark scratch,
+# pytest tmp and tempfile roots inside the repo so a wipe mid-run
+# can't kill the shared SparkSession's shuffle/broadcast dirs
+_TMP = "/root/repo/.tmp"
+os.makedirs(f"{_TMP}/spark", exist_ok=True)
+os.environ.setdefault("SPARK_LOCAL_DIRS", f"{_TMP}/spark")
+os.environ.setdefault("TMPDIR", _TMP)
+import tempfile
+
+tempfile.tempdir = _TMP
+
 from crate_spark.session import TABLES, get_spark
 
 SF_DIR = os.environ.get("CRATE_SPARK_TEST_SF_DIR", "/root/testdata/sf0.001")

@@ -91,7 +91,10 @@ def test_upsert_set_exprs(spark, table):
         set_exprs={"cnt": "target.cnt + excluded.cnt"},
     )
     got = table.read().collect()[0]
-    assert got["cnt"] == 15 and got["val"] == "a2"
+    # columns not listed in SET keep the target row's values
+    # (insert.rst ON CONFLICT; verified against the reference's own
+    # dml.rst doctest)
+    assert got["cnt"] == 15 and got["val"] == "a"
 
 
 def test_update(spark, table):

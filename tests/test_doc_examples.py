@@ -19,7 +19,7 @@ from __future__ import annotations
 import json
 import math
 import re
-from datetime import date, datetime, timezone
+from datetime import date, datetime, timedelta, timezone
 from decimal import Decimal
 from pathlib import Path
 
@@ -61,8 +61,6 @@ _SKIP = {
         "geo shapes are WKT text; ring-rotation equality is geometric (declared)",
     "select 'MULTIPOINT ((10 40)":
         "geo shapes are WKT text; cross-type geometry equality (declared)",
-    "select intersects( {type=":
-        "GeoJSON object-literal shapes unsupported; WKT form is covered",
 }
 
 
@@ -148,6 +146,15 @@ def _fmt(v) -> str:
     if isinstance(v, dict):
         return json.dumps({k: _json_cell(x) for k, x in v.items()},
                           separators=(", ", ": "))
+    if isinstance(v, timedelta):
+        # crate interval console text: "N days HH:MM:SS[.ffffff]"
+        total = int(v.total_seconds())
+        days, rem = divmod(total, 86400)
+        h, rem = divmod(rem, 3600)
+        mi, sec = divmod(rem, 60)
+        frac = f".{v.microseconds:06d}" if v.microseconds else ""
+        prefix = f"{days} days " if days else ""
+        return f"{prefix}{h:02d}:{mi:02d}:{sec:02d}{frac}"
     if isinstance(v, datetime):
         return str(int(v.replace(tzinfo=timezone.utc).timestamp() * 1000))
     if isinstance(v, date):
