@@ -2319,8 +2319,18 @@ _SYS_COL_EXPRS = {
     "_id": "md5(to_json(struct(*)))",
     "_doc": "struct(*)",
     "_raw": "to_json(struct(*))",
+    # OCC columns (SysColumns.java:50-56; occ.rst): every live row is
+    # at version 1 / seq 0 / term 1 here — each mutation REWRITES the
+    # parquet content rather than versioning documents in place, so
+    # the optimistic-concurrency handshake degenerates to these
+    # constants (conflicts can't occur within one driver session)
+    "_version": "CAST(1 AS BIGINT)",
+    "_seq_no": "CAST(0 AS BIGINT)",
+    "_primary_term": "CAST(1 AS BIGINT)",
 }
-_SYS_COL_RE = re.compile(r"(?<![\w.'])(_id|_doc|_raw)\b")
+_SYS_COL_RE = re.compile(
+    r"(?<![\w.'])(_id|_doc|_raw|_version|_seq_no|_primary_term)\b"
+)
 
 
 def rewrite_sys_columns(sql: str) -> str:

@@ -1189,7 +1189,7 @@ class CrateSession:
             return self._execute_knn_match(stmt)
         stmt = self._rewrite_match_analyzer(stmt)
         # system doc columns (_id/_doc/_raw — SysColumns.java:49-63)
-        if re.search(r"(?<![\w.'])_(id|doc|raw)\b", stmt):
+        if re.search(r"(?<![\w.'])_(id|doc|raw|version|seq_no|primary_term)\b", stmt):
             stmt = rewrite_sys_columns(stmt)
         return self._sql(stmt)
 

@@ -1219,6 +1219,21 @@ def test_create_function_javascript(spark, tmp_path):
     s.execute("DROP FUNCTION IF EXISTS never_created")
 
 
+def test_occ_system_columns(session):
+    """_version/_seq_no/_primary_term (SysColumns.java:50-56, occ.rst):
+    constant OCC handshake values — mutations rewrite parquet content,
+    so in-place document versions degenerate to version 1."""
+    r = session.execute(
+        "SELECT _version, _seq_no, _primary_term FROM region LIMIT 1"
+    ).collect()[0]
+    assert tuple(r) == (1, 0, 1)
+    # the occ.rst guarded-update shape parses and matches nothing stale
+    n = session.execute(
+        "SELECT count(*) AS n FROM region WHERE _seq_no = 999"
+    ).collect()[0][0]
+    assert n == 0
+
+
 def test_array_subquery_constructor(session):
     """ARRAY(SELECT ...) (PG array constructor; reference sql
     expressions array subquery): ordered, DESC+LIMIT, and unordered
