@@ -2241,7 +2241,8 @@ def rewrite(
     # operator='and' option, phrase mode; _score ranking needs
     # operators/fulltext.bm25_scores — handled by the engine, not here)
     sql = re.sub(
-        rf"\bMATCH\s*\(\s*({_IDENT})\s*,\s*(__LIT_\d+__)\s*\)"
+        rf"\bMATCH\s*\(\s*({_IDENT}|concat_ws\s*\((?:[^()]|\([^()]*\))*\))"
+        rf"\s*,\s*(__LIT_\d+__)\s*\)"
         rf"(?:\s+USING\s+(\w+))?(?:\s+WITH\s*\(([^)]*)\))?",
         _match_sub,
         sql,

@@ -69,6 +69,9 @@ class CrateTable:
     #: key into `shards` routed files per batch
     clustered_by: list[str] = field(default_factory=list)
     shards: int | None = None
+    #: named fulltext indexes: index name -> source columns
+    #: (fulltext-indices.rst composite INDEX ... USING FULLTEXT(cols))
+    ft_indexes: dict[str, list] = field(default_factory=dict)
 
     # -- catalog ---------------------------------------------------------
     @classmethod
@@ -86,6 +89,7 @@ class CrateTable:
         settings: dict[str, str] | None = None,
         clustered_by: list[str] | None = None,
         shards: int | None = None,
+        ft_indexes: dict[str, list] | None = None,
     ) -> "CrateTable":
         os.makedirs(path, exist_ok=True)
         t = cls(
@@ -100,6 +104,7 @@ class CrateTable:
             settings=settings or {},
             clustered_by=clustered_by or [],
             shards=shards,
+            ft_indexes=ft_indexes or {},
         )
         t._save_meta()
         return t
@@ -121,6 +126,7 @@ class CrateTable:
             "settings": self.settings,
             "clustered_by": self.clustered_by,
             "shards": self.shards,
+            "ft_indexes": self.ft_indexes,
         }
         with open(os.path.join(self.path, META_FILE), "w") as f:
             json.dump(meta, f, indent=2)

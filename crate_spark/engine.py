@@ -1179,6 +1179,10 @@ class CrateSession:
         if routed is not None:
             return routed
 
+        # MATCH against a NAMED fulltext index searches its source
+        # columns (fulltext-indices.rst composite indexes)
+        if re.search(r"\bMATCH\s*\(", stmt, re.IGNORECASE):
+            stmt = self._sub_match_index_names(stmt)
         # MATCH + _score: needs the BM25 join, not a plain rewrite
         if re.search(r"(?<![\w.])_score\b", stmt) and re.search(
             r"\bMATCH\s*\(", stmt, re.IGNORECASE
@@ -1192,6 +1196,25 @@ class CrateSession:
         if re.search(r"(?<![\w.'])_(id|doc|raw|version|seq_no|primary_term)\b", stmt):
             stmt = rewrite_sys_columns(stmt)
         return self._sql(stmt)
+
+    def _sub_match_index_names(self, stmt: str) -> str:
+        """Replace a named fulltext index in MATCH(<name>, ...) with
+        the concatenation of its source columns (CompositeIndex in
+        fulltext-indices.rst: the index name is the MATCH target)."""
+        mapping: dict[str, str] = {}
+        for ct in getattr(self._dml, "crate_tables", {}).values():
+            for idx, cols in getattr(ct, "ft_indexes", {}).items():
+                mapping[idx.lower()] = "concat_ws(' ', " + ", ".join(cols) + ")"
+        if not mapping:
+            return stmt
+
+        def repl(m: re.Match) -> str:
+            expr = mapping.get(m.group(1).strip('"').split(".")[-1].lower())
+            return f"MATCH({expr}," if expr else m.group(0)
+
+        return re.sub(
+            r"\bMATCH\s*\(\s*([\w.\"]+)\s*,", repl, stmt, flags=re.IGNORECASE
+        )
 
     _CURRENT_SETTING_RE = re.compile(
         r"current_setting\(\s*'([^']+)'\s*(?:,\s*(true|false))?\s*\)", re.IGNORECASE
@@ -1270,20 +1293,27 @@ class CrateSession:
             for c in ct.checks:
                 lines.append(f"   CHECK ({c})")
             ddl = f'CREATE TABLE IF NOT EXISTS "doc"."{name}" (\n' + ",\n".join(lines) + "\n)"
+            # clause layout follows the reference's console rendering
+            # (show-create-table.rst): one clause per line, CLUSTERED
+            # INTO always shown (default 4 shards), WITH block with
+            # the default column_policy/number_of_replicas included
+            cluster = "CLUSTERED"
             if getattr(ct, "clustered_by", None):
-                ddl += " CLUSTERED BY (" + ", ".join(
+                cluster += " BY (" + ", ".join(
                     f'"{c}"' for c in ct.clustered_by
                 ) + ")"
-                if ct.shards:
-                    ddl += f" INTO {ct.shards} SHARDS"
+            cluster += f" INTO {ct.shards or 4} SHARDS"
+            ddl += "\n" + cluster
             if ct.partitioned_by:
-                ddl += " PARTITIONED BY (" + ", ".join(
+                ddl += "\nPARTITIONED BY (" + ", ".join(
                     f'"{c}"' for c in ct.partitioned_by
                 ) + ")"
-            if getattr(ct, "settings", None):
-                ddl += " WITH (" + ", ".join(
-                    f"{k} = '{v}'" for k, v in sorted(ct.settings.items())
-                ) + ")"
+            eff = {"column_policy": "strict", "number_of_replicas": "0-1"}
+            eff.update(getattr(ct, "settings", None) or {})
+            eff.pop("closed", None)
+            ddl += "\nWITH (\n" + ",\n".join(
+                f"   {k} = '{v}'" for k, v in sorted(eff.items())
+            ) + "\n)"
             return ddl
         if name in self.tables:
             fields = self.tables[name].schema.fields
@@ -1330,7 +1360,7 @@ class CrateSession:
 
     # -- fulltext --------------------------------------------------------
     _MATCH_CALL_RE = re.compile(
-        r"\bMATCH\s*\(\s*([\w.]+)\s*,\s*'([^']*)'\s*\)"
+        r"\bMATCH\s*\(\s*([\w.]+|concat_ws\s*\([^()]*\))\s*,\s*'([^']*)'\s*\)"
         r"(?:\s+USING\s+\w+)?(?:\s+WITH\s*\(\s*analyzer\s*=\s*'(\w+)'\s*\))?",
         re.IGNORECASE,
     )
@@ -1396,9 +1426,15 @@ class CrateSession:
             raise ValueError(f"unknown table '{table}' for MATCH")
         docs = self.tables[table]
         id_col = docs.columns[0]  # row identity: leading column (PK position)
-        scores = bm25_scores(
-            docs, query, id_col=id_col, text_col=col.split(".")[-1]
-        )
+        text_col = col.split(".")[-1]
+        if "(" in col:  # named-index expansion: score the concatenation
+            from pyspark.sql import functions as _F
+
+            docs = docs.withColumn("__ft_text", _F.expr(col))
+            text_col = "__ft_text"
+        scores = bm25_scores(docs, query, id_col=id_col, text_col=text_col)
+        if text_col == "__ft_text":
+            docs = docs.drop("__ft_text")
         view = f"__match_{table}"
         docs.join(scores, id_col).createOrReplaceTempView(view)
         new_stmt = stmt[: m.start()] + "TRUE" + stmt[m.end() :]

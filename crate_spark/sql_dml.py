@@ -273,6 +273,8 @@ class SqlDmlRouter:
         checks: list[str] = []
         generated: dict[str, str] = {}
         defaults: dict[str, str] = {}
+        ft_indexes: dict[str, list] = {}
+        untyped_generated: list[str] = []
         for item in _split_top(body):
             up = item.upper()
             if up.startswith("PRIMARY KEY"):
@@ -289,7 +291,19 @@ class SqlDmlRouter:
                 )
                 continue
             if up.startswith(("INDEX ", "CONSTRAINT ")):
-                continue  # fulltext INDEX defs: search handled by MATCH shim
+                # composite fulltext index (fulltext-indices.rst):
+                # INDEX <name> USING FULLTEXT (col, ...) — MATCH can
+                # target the index NAME, searching its source columns
+                fim = re.match(
+                    r'INDEX\s+"?(\w+)"?\s+USING\s+FULLTEXT\s*\(([^)]*)\)',
+                    item,
+                    re.IGNORECASE,
+                )
+                if fim:
+                    ft_indexes[fim.group(1)] = [
+                        c.strip().strip('"') for c in fim.group(2).split(",")
+                    ]
+                continue
             cm = re.match(r'("?[\w]+"?)\s+(.*)$', item, re.DOTALL)
             if not cm:
                 raise ValueError(f"cannot parse column definition: {item!r}")
@@ -329,12 +343,22 @@ class SqlDmlRouter:
             )
             ctype = _map_type(rest)
             if not ctype:
-                # typeless generated column: infer nothing, store as-is
-                # via the expression's Spark type at first write
-                raise ValueError(
-                    f"column '{cname}' needs an explicit type"
-                )
+                if cname in generated:
+                    # typeless generated column (generated-columns.rst:
+                    # "a data type is optional ... inferred from the
+                    # expression"): resolved after the loop
+                    untyped_generated.append(cname)
+                    cols.append(cname)  # placeholder, patched below
+                    continue
+                raise ValueError(f"column '{cname}' needs an explicit type")
             cols.append(f"{cname} {ctype}")
+        for cname in untyped_generated:
+            typed = ", ".join(c for c in cols if " " in c)
+            probe = self.spark.createDataFrame([], typed or "__x int")
+            dt = probe.selectExpr(
+                f"({rewrite(_unmask(generated[cname], literals))}) AS __g"
+            ).schema[0].dataType.simpleString()
+            cols[cols.index(cname)] = f"{cname} {dt}"
 
         partitioned: list[str] = []
         pm = re.search(r"PARTITIONED\s+BY\s*\(([^)]*)\)", tail, re.IGNORECASE)
@@ -377,6 +401,7 @@ class SqlDmlRouter:
             settings=settings,
             clustered_by=clustered_by,
             shards=shards,
+            ft_indexes=ft_indexes,
         )
         self.crate_tables[name] = t
         self._refresh(name)
@@ -602,6 +627,25 @@ class SqlDmlRouter:
                 f"{len(target_cols)} target columns"
             )
         src = src.toDF(*target_cols)
+        unknown = [c for c in target_cols if c not in declared_types]
+        if unknown:
+            # column-policy.rst: a dynamic table grows new top-level
+            # columns on INSERT; strict (the default) rejects them
+            policy = (table.settings.get("column_policy") or "strict").lower()
+            if policy != "dynamic":
+                raise ValueError(f"Column {unknown[0]} unknown")
+            widen = {"int": "bigint", "smallint": "bigint", "tinyint": "bigint",
+                     "float": "double", "void": "string"}
+            src_types = {f.name: f.dataType.simpleString() for f in src.schema.fields}
+            for c in unknown:
+                dt = src_types[c]
+                dt = widen.get(dt, dt)
+                table.schema_ddl += f", {c} {dt}"
+            table._save_meta()
+            declared = self.spark.createDataFrame([], table.schema_ddl).schema
+            declared_types = {
+                f.name: f.dataType.simpleString() for f in declared.fields
+            }
         # cast to declared types (VALUES literals arrive as int/decimal)
         src = src.select(
             *[F.col(c).cast(declared_types[c]).alias(c) for c in target_cols]
