@@ -27,6 +27,7 @@ def sessionize(
     ts_col: str = "ts",
     id_col: str = "event_id",
     gap_minutes: int = 30,
+    ns_col: str | None = None,
 ) -> DataFrame:
     """Assign session ids: a new session starts when the gap from the
     previous event of the same user exceeds ``gap_minutes``.
@@ -34,14 +35,32 @@ def sessionize(
     lag + running sum over (user, ts) — two window passes over one
     shuffle by user_col. This is the standard batch sessionization; the
     streaming twin lives in crate_spark.streaming.
+
+    Gap arithmetic is SESSION-STATE-FREE: ``ts`` is TIMESTAMP_NTZ and a
+    cast to TIMESTAMP interprets it in ``spark.sql.session.timeZone``,
+    so two sessions with different zone confs would disagree across DST
+    transitions. When the raw epoch column (``ns_col``, kept by
+    session._normalize_events exactly for this) is present we use pure
+    long arithmetic on it (``ts_ns div 1000`` == epoch_us(ts), matching
+    the DuckDB oracle); otherwise we subtract the NTZ timestamps
+    directly (interval comparison — also timezone-free).
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
-    gap_us = gap_minutes * 60 * 1_000_000
-    prev_us = F.lag(F.unix_micros(F.col(ts_col).cast("timestamp"))).over(w)
-    new_session = (
-        prev_us.isNull()
-        | ((F.unix_micros(F.col(ts_col).cast("timestamp")) - prev_us) > gap_us)
-    ).cast("int")
+    if ns_col is None and "ts_ns" in df.columns:
+        ns_col = "ts_ns"
+    if ns_col is not None:
+        gap_us = gap_minutes * 60 * 1_000_000
+        us = F.expr(f"{ns_col} div 1000")
+        prev_us = F.lag(us).over(w)
+        new_session = (
+            prev_us.isNull() | ((us - prev_us) > gap_us)
+        ).cast("int")
+    else:
+        prev_ts = F.lag(F.col(ts_col)).over(w)
+        new_session = (
+            prev_ts.isNull()
+            | ((F.col(ts_col) - prev_ts) > F.expr(f"INTERVAL {gap_minutes} MINUTES"))
+        ).cast("int")
     return df.withColumn("_new_session", new_session).withColumn(
         "session_id", F.sum("_new_session").over(w)
     ).drop("_new_session")
@@ -95,9 +114,14 @@ def lttb(
         sel = pdf.iloc[picked]
         return sel[[series_col, "x_us", "y"]]
 
+    x_us = (
+        F.expr("ts_ns div 1000")
+        if (x_col == "ts" and "ts_ns" in df.columns)
+        else F.unix_micros(F.col(x_col).cast("timestamp"))
+    )
     prepared = df.select(
         F.col(series_col),
-        F.unix_micros(F.col(x_col).cast("timestamp")).alias("x_us"),
+        x_us.alias("x_us"),
         F.col(y_col).cast("double").alias("y"),
     )
     return prepared.groupBy(series_col).applyInPandas(_lttb_series, out_schema)

@@ -59,7 +59,9 @@ def ts_gap_detection(spark, sf_dir):
     """Gaps > 1h between consecutive events of a user."""
     t = load_tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # ts_ns div 1000 == epoch_us(ts) exactly (ts is floor(ts_ns/1000));
+    # pure long arithmetic, no session-timezone dependence.
+    us = F.expr("ts_ns div 1000")
     return (
         t["events"]
         .withColumn("gap_us", us - F.lag(us).over(w))

@@ -86,3 +86,67 @@ def test_topk_map_shape_matches_reference(spark):
     exact = ts_topk_event_values(spark, SF_DIR).filter(F.col("rnk") <= 3).collect()
     for r in exact:
         assert rows[r["event_type"]][r["value"]] == r["n"]
+
+
+def test_sessionize_timezone_invariant(spark):
+    """CORRECTNESS r3/r4 red row: the driver harness builds a plain
+    SparkSession, so spark.sql.session.timeZone is whatever the host
+    JVM has — session ids must not depend on it. Run the registry
+    query under several DST-bearing zones (plus repeated runs) and
+    assert identical canonical hashes."""
+    from tests.conftest import canonical_rows
+    from crate_spark.queries.timeseries import ts_gap_detection, ts_sessionize
+
+    def canon(fn):
+        out = fn(spark, SF_DIR)
+        return canonical_rows(out.columns, [tuple(r) for r in out.collect()])
+
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        base_sess = canon(ts_sessionize)
+        base_gap = canon(ts_gap_detection)
+        zones = [
+            "America/New_York",
+            "Australia/Lord_Howe",  # 30-min DST shift
+            "Asia/Kathmandu",       # +05:45 fixed offset
+            "Pacific/Kiritimati",   # +14
+            "America/Sao_Paulo",
+        ]
+        for tz in zones:
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            assert canon(ts_sessionize) == base_sess, f"sessionize varies under {tz}"
+            assert canon(ts_gap_detection) == base_gap, f"gap varies under {tz}"
+        # >=10-run determinism (5 zones x 2 queries above + 5 repeats here)
+        spark.conf.set("spark.sql.session.timeZone", orig)
+        for _ in range(5):
+            assert canon(ts_sessionize) == base_sess
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
+
+
+def test_sessionize_dst_gap_no_ns_column(spark):
+    """Fallback path (no ts_ns column): two NTZ events straddling the
+    US spring-forward gap (2025-03-09 02:00 America/New_York). Wall
+    clock gap = 85 min -> MUST split sessions in every timezone; the
+    old unix_micros(cast) arithmetic said 25 min under New_York and
+    merged them."""
+    import datetime as dt
+
+    rows = [
+        (1, 1, dt.datetime(2025, 3, 9, 1, 45)),
+        (1, 2, dt.datetime(2025, 3, 9, 3, 10)),
+    ]
+    df = (
+        spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp_ntz")
+    )
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = {
+                r["event_id"]: r["session_id"]
+                for r in sessionize(df, gap_minutes=30).collect()
+            }
+            assert got == {1: 1, 2: 2}, f"under {tz}: {got}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
