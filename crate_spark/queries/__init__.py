@@ -48,16 +48,6 @@ def query(name: str, oracle: str | None = None):
 
 #: Query modules making up the operator inventory; each import
 #: registers its queries into REGISTRY via the @query decorator.
-#:
-#: ORDER MATTERS for driver coverage: the correctness driver samples
-#: the FIRST 50 registered queries each round, so modules rotate
-#: round-over-round to give every query a driver row within a bounded
-#: number of rounds. r1-r2 checked core/joins/windows/scalars[:4]
-#: (all green); r3 front-loads the never-driver-checked modules —
-#: sqlsurface..fulltext below sum to exactly 50. Next rotation (r4):
-#: front-load geo, aggregates, scalars, then the r3 additions
-#: (graphs, pipeline, sqlfns) — none of which have driver rows yet —
-#: then core/joins/windows.
 _MODULES = (
     "sqlsurface",
     "vectors",
@@ -74,18 +64,95 @@ _MODULES = (
     "core",
     "joins",
     "windows",
-    # r3 additions — appended so the first-50 driver window above is
-    # byte-stable; rotate them forward in r4.
     "graphs",
     "pipeline",
     "sqlfns",
 )
 
+#: ORDER MATTERS for driver coverage: the correctness driver samples
+#: the FIRST 50 registered queries each round, so the registry is
+#: reordered per round to give every query a driver row within a
+#: bounded number of rounds. History: r1-r2 checked
+#: core/joins/windows/scalars[:4]; r3-r4 checked sqlsurface..fulltext
+#: (all green except ts_sessionize, fixed this round). The r5 window
+#: below = ts_sessionize (driver-red twice, must re-land green) + 49
+#: of the 53 never-driver-checked queries; the 4 left over
+#: (sql_tvf_series, sql_tvf_series_ts, sql_tvf_regexp_docs,
+#: sql_ident_surface — judge-green SQL twins of driver-green tf_*
+#: operators) go in the r6 window.
+_DRIVER_PRIORITY = (
+    "ts_sessionize",
+    # geo (6)
+    "geo_distance_topk",
+    "geo_within_bbox",
+    "geo_geohash",
+    "geo_intersects",
+    "geo_area",
+    "geo_within_polygon",
+    # fulltext remainder (1)
+    "match_filter_then_query",
+    # aggregates (5)
+    "agg_any_value",
+    "agg_collect_set",
+    "agg_bool_and_or",
+    "agg_median_corr",
+    "agg_distinct_sums",
+    # scalars remainder (11)
+    "scalar_datetime_funcs2",
+    "scalar_misc_funcs",
+    "scalar_conditional",
+    "scalar_casts",
+    "scalar_array_funcs",
+    "scalar_array_numeric",
+    "scalar_json_funcs",
+    "scalar_bitwise_hash",
+    "scalar_object_funcs",
+    "interval_column_ops",
+    "scalar_to_char",
+    # graphs (4)
+    "graph_connected_components",
+    "graph_component_stats",
+    "graph_dedup_canonical",
+    "graph_neardup_clusters",
+    # pipeline (11)
+    "pipeline_train_split",
+    "pipeline_stratified_sample",
+    "pipeline_domain_mix",
+    "pipeline_pii_redact",
+    "pipeline_quality_gate",
+    "pipeline_pack_sequences",
+    "pipeline_quantize_int8",
+    "pipeline_knn_quantized",
+    "pipeline_decontaminate",
+    "pipeline_repetition_metrics",
+    "pipeline_shard_layout",
+    # sqlfns (11 of 15)
+    "sql_array_fn_surface",
+    "sql_array_numeric_fns",
+    "sql_datetime_compat",
+    "sql_geo_surface",
+    "sql_string_fn_surface",
+    "sql_datetime_fn_surface",
+    "sql_regexp_surface",
+    "sql_array_subquery",
+    "sql_agg_surface",
+    "streaming_rollup_events",
+    "sql_window_filter",
+)
+
 
 def load_all() -> dict[str, QuerySpec]:
-    """Import all query modules (side effect: fills REGISTRY)."""
+    """Import all query modules (side effect: fills REGISTRY), then
+    reorder so the driver's first-50 correctness window covers
+    ``_DRIVER_PRIORITY`` (see note above)."""
     import importlib
 
     for mod in _MODULES:
         importlib.import_module(f"crate_spark.queries.{mod}")
+    ordered = [n for n in _DRIVER_PRIORITY if n in REGISTRY] + [
+        n for n in REGISTRY if n not in set(_DRIVER_PRIORITY)
+    ]
+    reordered = {n: REGISTRY[n] for n in ordered}
+    REGISTRY.clear()
+    REGISTRY.update(reordered)
     return REGISTRY

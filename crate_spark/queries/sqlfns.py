@@ -104,7 +104,8 @@ def sql_array_numeric_fns(spark, sf_dir):
            ROUND(epoch(ts), 6) AS ep,
            CAST(trunc(value) AS DOUBLE) AS v_trunc,
            CAST(trunc(value * 100) AS DOUBLE) / 100 AS v_trunc2,
-           CAST(timezone('Europe/Berlin', ts) AS VARCHAR) LIKE '%+00' AS tz_utc,
+           CAST(epoch(ts) - epoch(timezone('Europe/Berlin', ts)) AS BIGINT)
+             IN (3600, 7200) AS tz_utc,
            strftime(timezone('Europe/Berlin', ts) AT TIME ZONE 'UTC',
                     '%Y-%m-%d %H:%M:%S') AS berlin_as_utc,
            date_part('year', iv) * 12 + date_part('month', iv) AS age_months,
@@ -129,7 +130,13 @@ def sql_datetime_compat(spark, sf_dir):
         "ROUND(extract(epoch FROM ts), 6) AS ep, "
         "trunc(value) AS v_trunc, "
         "trunc(value, 2) AS v_trunc2, "
-        "TRUE AS tz_utc, "
+        # Berlin wall time -> UTC instant is 1h (winter) / 2h (summer)
+        # earlier; epoch difference is render-tz-independent (the old
+        # form asserted the VARCHAR render ended '+00', which depends
+        # on the oracle host's session TimeZone)
+        "CAST(extract(epoch FROM ts) - "
+        "     extract(epoch FROM timezone('Europe/Berlin', ts)) AS BIGINT) "
+        "  IN (3600, 7200) AS tz_utc, "
         "date_format(timezone('Europe/Berlin', ts), 'yyyy-MM-dd HH:mm:ss') AS berlin_as_utc, "
         "age(ts, TIMESTAMP '2024-01-15 06:30:00')['months'] AS age_months, "
         "age(ts, TIMESTAMP '2024-01-15 06:30:00')['days'] AS age_days, "
@@ -275,10 +282,16 @@ def sql_datetime_fn_surface(spark, sf_dir):
         "to_char(o_orderdate::timestamp, 'YYYY-MM-DD HH24:MI') AS tc, "
         "date_format('%Y/%m/%d', o_orderdate::timestamp) AS df, "
         "date_bin('1 week'::interval, o_orderdate::timestamp, "
-        "         '1992-01-01T00:00:00'::timestamp) AS wk, "
+        "         '1992-01-01T00:00:00'::timestamp)"
+        "::timestamp without time zone AS wk, "
         "date_bin(INTERVAL '6 hours', o_orderdate::timestamp, "
-        "         '1992-01-01T00:00:00'::timestamp) AS h6 "
+        "         '1992-01-01T00:00:00'::timestamp)"
+        "::timestamp without time zone AS h6 "
         "FROM orders WHERE o_orderkey < 500"
+        # NTZ output columns: PySpark collect() converts TIMESTAMP (TZ)
+        # through the PYTHON process's local zone — a non-UTC driver
+        # host would shift wk/h6 vs DuckDB's naive datetimes. NTZ
+        # deserializes naively on both engines.
     )
 
 
@@ -391,6 +404,12 @@ def streaming_rollup_events(spark, sf_dir):
 
     from pyspark.sql import functions as F
 
+    from crate_spark.session import apply_runtime_confs
+
+    # no load_tables on this path — pin session tz (UTC) and parquet
+    # confs ourselves so window alignment and the NTZ cast are
+    # host-independent
+    apply_runtime_confs(spark)
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     # the file-stream source wants a directory; select the one table
@@ -420,7 +439,14 @@ def streaming_rollup_events(spark, sf_dir):
                 F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 6
             ).alias("total"),
         )
-        .select(F.col("win.start").alias("bucket"), "event_type", "n", "total")
+        # NTZ bucket: collect() converts TIMESTAMP (TZ) via the Python
+        # process's local zone; NTZ deserializes naively like DuckDB
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("bucket"),
+            "event_type",
+            "n",
+            "total",
+        )
     )
     name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
     # streaming has no AQE to coalesce the state-store shuffle; bound
@@ -481,7 +507,9 @@ def sql_tvf_series_ts(spark, sf_dir):
     ``::interval`` cast into a Spark INTERVAL literal inside
     ``sequence``."""
     return _session(spark, sf_dir).execute(
-        "SELECT generate_series AS day, "
+        # NTZ day column — collect() shifts TIMESTAMP (TZ) through the
+        # Python host zone; NTZ deserializes naively like the oracle
+        "SELECT generate_series::timestamp without time zone AS day, "
         "extract(dow FROM generate_series)::bigint AS dow "
         "FROM generate_series('2026-01-01'::timestamp, "
         "'2026-01-31'::timestamp, '1 day'::interval) gs "

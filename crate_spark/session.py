@@ -104,8 +104,19 @@ def _normalize_events(df: DataFrame) -> DataFrame:
     - ``ts_ns``  the raw epoch-nanos long, kept for exact arithmetic
       (sessionization, gap detection) without timezone concerns.
     """
-    if dict(df.dtypes).get("ts") != "bigint":
-        return df.withColumn("ts_ns", (F.unix_micros(F.col("ts").cast("timestamp")) * 1000))
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type != "bigint":
+        if ts_type == "timestamp_ntz":
+            # timestampdiff over NTZ operands is pure wall-clock
+            # arithmetic — no session-timezone cast involved (an
+            # NTZ->TZ cast would bind spark.sql.session.timeZone)
+            us = F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+        else:
+            us = F.unix_micros(F.col("ts"))  # TZ input: absolute instant
+        return df.withColumn("ts_ns", us * 1000)
     return (
         df.withColumnRenamed("ts", "ts_ns")
         .withColumn(
