@@ -621,7 +621,11 @@ class CrateTable:
             df = df.filter(F.expr(where))
         if columns:
             df = df.select(*columns)
-        n = df.count()
+        # row count observed ON the export write — one scan over the
+        # (possibly huge) filtered input, same pattern as copy_from /
+        # delete; a separate df.count() would scan it twice
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
         if format == "json":
             df.write.mode("overwrite").json(uri)
         elif format == "csv":
@@ -632,4 +636,4 @@ class CrateTable:
             df.write.mode("overwrite").orc(uri)
         else:
             raise ValueError(f"unsupported COPY format: {format}")
-        return n
+        return int(obs.get["n_rows"] or 0)
