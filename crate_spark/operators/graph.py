@@ -23,10 +23,22 @@ Scale design (100 TB):
 - convergence check is a count aggregate (one lightweight job), not a
   collect of the edge set.
 - hub skew: the star steps deliberately concentrate edges on
-  component minima; the per-node min is a map-side-combining
-  aggregate (immune to skew) and the mins join rides AQE's skew-join
-  split. Measured: 1.2M edges / 400k nodes with 200k-node worst-case
-  chains -> 56 components in ~32 s on local[32], ~10 rounds.
+  component minima (the final star gives the component min a degree
+  equal to the component size). Two physical forms per star step:
+  a single-exchange per-node-min WINDOW (lowest latency, but a hub's
+  entire fan-in lands in ONE window task — AQE's skew splitting
+  applies to join stages, NOT window exchanges), and a skew-safe
+  groupBy-min + join form whose partial aggregate combines map-side
+  (the two-level min — each map task collapses its slice of a hub to
+  one row, no salting needed for an associative min) and whose
+  join-back rides AQE's skew-join split. ``connected_components``
+  picks per round: window while the edge list is small, aggregate+
+  join once the round's edge count (observed free on the checkpoint)
+  exceeds ``hub_degree_threshold`` — a component min's degree is
+  bounded by the edge count, so the switch happens before any hub
+  can exceed one task's capacity. Measured: 1.2M edges / 400k nodes
+  with 200k-node worst-case chains -> 56 components in ~32 s on
+  local[32], ~10 rounds; hot-hub stress pinned in tests/test_graph.py.
 """
 
 from __future__ import annotations
@@ -45,18 +57,31 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     ).filter(F.col("src") != F.col("dst"))
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, *, skew_safe: bool = False) -> DataFrame:
     """For each node u: connect every strictly-larger neighbour to
     min(N(u) ∪ {u}). Input must be symmetric; output edges (src > dst
     oriented big→small).
 
-    Shuffle shape: the per-u min is an unbounded window over
-    partitionBy(src) — ONE exchange instead of the groupBy+join pair
-    (the join itself shuffled the full edge list on src anyway, so a
-    hub node's fan-out landed in one partition either way; the window
-    form has identical skew exposure and half the exchanges — AQE's
-    skew handling applies to both). Plus one exchange for the output
-    distinct."""
+    Two physical forms (see module docstring for the trade):
+
+    - window (default): per-u min as an unbounded window over
+      partitionBy(src) — ONE exchange, but a hub's entire fan-in is
+      processed by a single window task (AQE does not split skewed
+      window partitions, only join stages).
+    - skew_safe: groupBy-min (hash aggregate — the partial min
+      combines map-side, so each map task contributes one row per
+      hub) + join back, which AQE's skew-join split handles. One
+      extra exchange; no single-task degree bound."""
+    if skew_safe:
+        mins = edges.groupBy("src").agg(F.min("dst").alias("_mn"))
+        return (
+            edges.join(mins, "src")
+            .withColumn("_m", F.least(F.col("_mn"), F.col("src")))
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy("src")
@@ -69,21 +94,32 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame, *, oriented: bool = False) -> DataFrame:
+def _small_star(
+    edges: DataFrame, *, oriented: bool = False, skew_safe: bool = False
+) -> DataFrame:
     """Orient each edge big→small; for each node u connect all of its
     smaller neighbours (and u itself) to min(N⁻(u) ∪ {u}).
 
     ``oriented=True`` declares the input already big→small and
     duplicate-free (true for ``_large_star`` output), skipping the
-    re-orientation distinct — one exchange saved per round."""
-    from pyspark.sql import Window
-
+    re-orientation distinct — one exchange saved per round.
+    ``skew_safe`` swaps the per-node-min window for the map-side-
+    combining aggregate + join form (same trade as ``_large_star``)."""
     o = edges
     if not oriented:
         o = edges.select(
             F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
         ).distinct()
     # all dst < src after orientation, so min(N⁻(u) ∪ {u}) = min(dst)
+    if skew_safe:
+        mins = o.groupBy("src").agg(F.min("dst").alias("_m"))
+        pairs = o.join(mins, "src").select(
+            F.col("dst").alias("src"), F.col("_m").alias("dst")
+        )
+        center = mins.select("src", F.col("_m").alias("dst"))
+        return pairs.union(center).filter(F.col("src") != F.col("dst")).distinct()
+    from pyspark.sql import Window
+
     w = Window.partitionBy("src")
     o = o.withColumn("_m", F.min("dst").over(w))
     pairs = o.select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
@@ -97,9 +133,21 @@ def connected_components(
     dst: str = "dst",
     *,
     max_iterations: int = 25,
+    hub_degree_threshold: int = 5_000_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``, where
     component = the minimum node id reachable from the node.
+
+    Skew gate: each round runs the low-latency window form of the
+    star steps while the round's edge count (observed for free on the
+    checkpoint fingerprint) is at most ``hub_degree_threshold``, and
+    the skew-safe aggregate+join form above it. A node's degree is
+    bounded by the edge count, so no window task can ever be asked to
+    process more than ``hub_degree_threshold`` rows — at 100 TB the
+    contraction runs aggregate+join throughout (its map-side partial
+    min and AQE skew-join split degrade gracefully for component
+    minima whose degree approaches the component size), while small /
+    late-round edge lists keep the cheaper single-exchange plan.
 
     Raises RuntimeError if the star contraction has not converged
     after ``max_iterations`` rounds (needs ~log2(n); 25 covers 10^7
@@ -131,8 +179,15 @@ def connected_components(
         # equal counts + empty e2∖e implies set equality). The exact
         # pass runs once per convergence, not once per round, and
         # nothing ever materializes on the driver.
+        # the star input is the symmetrized list (2x rows), so the
+        # degree bound for this round is 2 * the observed edge count
+        skew_safe = 2 * int(fp_prev[0] or 0) > hub_degree_threshold
         e2, fp2 = _checkpoint_with_fingerprint(
-            _small_star(_large_star(_symmetrize(e)), oriented=True)
+            _small_star(
+                _large_star(_symmetrize(e), skew_safe=skew_safe),
+                oriented=True,
+                skew_safe=skew_safe,
+            )
         )
         changed = 1
         if fp2 == fp_prev and e2.exceptAll(e).count() == 0:

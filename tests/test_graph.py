@@ -89,3 +89,39 @@ def test_canonical_per_component(spark):
     }
     # ties on quality break to the LOWEST id (2 beats 3 at q=9.0)
     assert got == {1: (2, 3), 10: (11, 2)}
+
+
+def test_hot_hub_skew_safe_form(spark):
+    """Hot-hub stress: one node connected to 10^5 others (+ a chain
+    grafted on so convergence takes several rounds). With a low
+    hub_degree_threshold every round must take the skew-safe
+    aggregate+join form — no window task sees the hub's full fan-in —
+    and the result must still match union-find."""
+    hub_edges = [(0, i) for i in range(1, 100_001)]
+    chain = [(100_000 + i, 100_001 + i) for i in range(32)]  # attached at 100000
+    edges = hub_edges + chain
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, hub_degree_threshold=1000).collect()
+    }
+    assert got == _union_find(edges)
+    assert len(got) == 100_033
+    assert set(got.values()) == {0}
+
+
+def test_star_forms_agree(spark):
+    """Window and aggregate+join forms of each star step are plan
+    variants of the SAME operator — identical output on a shape with
+    hubs, chains and ties."""
+    from crate_spark.operators.graph import _large_star, _small_star, _symmetrize
+
+    random.seed(7)
+    edges = [(random.randrange(50), random.randrange(50)) for _ in range(300)]
+    e = _symmetrize(spark.createDataFrame(edges, "src long, dst long"))
+    ls_w = set(map(tuple, _large_star(e, skew_safe=False).collect()))
+    ls_j = set(map(tuple, _large_star(e, skew_safe=True).collect()))
+    assert ls_w == ls_j
+    ss_w = set(map(tuple, _small_star(e, skew_safe=False).collect()))
+    ss_j = set(map(tuple, _small_star(e, skew_safe=True).collect()))
+    assert ss_w == ss_j
