@@ -134,6 +134,12 @@ class CrateSession:
         self._jobs_log: list[tuple] = []
         #: SQL-created views: name -> definition (pg_catalog.pg_views)
         self._views: dict[str, str] = {}
+        #: explicitly created schemas (create-schema.rst): persist
+        #: while empty, removed only by DROP SCHEMA
+        self._schemas: set[str] = set()
+        #: schema of each SQL-created table (implicit schemas live and
+        #: die with their objects; storage is one flat namespace)
+        self._table_schema: dict[str, str] = {}
         self._register_system_views()
 
     def _string_object_cols(self) -> set[str]:
@@ -181,8 +187,9 @@ class CrateSession:
             ct = crate_tables0.get(n)
             return (ct.shards or 4) if ct is not None else 1
 
+        table_schema = getattr(self, "_table_schema", {})
         rows = [
-            (name, "doc", "BASE TABLE", _shards_of(name), 0)
+            (name, table_schema.get(name, "doc"), "BASE TABLE", _shards_of(name), 0)
             for name in sorted(self.tables)
         ]
         if self._blob_store is not None:
@@ -195,6 +202,19 @@ class CrateSession:
             "table_name string, table_schema string, table_type string, "
             "number_of_shards int, number_of_replicas int",
         ).filter("table_name <> ''").createOrReplaceTempView("information_schema_tables")
+
+        # information_schema.schemata (schemata.rst /
+        # InformationSchemataTableInfo): built-ins + implicit schemas
+        # of live tables + explicitly created (possibly empty) schemas
+        schema_names = sorted(
+            {"blob", "doc", "information_schema", "pg_catalog", "sys"}
+            | set(table_schema.values())
+            | getattr(self, "_schemas", set())
+        )
+        spark.createDataFrame(
+            [("crate", s) for s in schema_names],
+            "catalog_name string, schema_name string",
+        ).createOrReplaceTempView("information_schema_schemata")
 
         # information_schema.table_partitions (TablePartitionsTableInfo):
         # one row per live partition of a PARTITIONED BY table, values
@@ -882,6 +902,67 @@ class CrateSession:
                 [(1 if dropped else 0,)], "rowcount bigint"
             )
 
+        # CREATE SCHEMA [IF NOT EXISTS] name (create-schema.rst):
+        # explicit schemas persist while empty; CREATE TABLE in an
+        # unknown schema still implicitly creates it (handled by the
+        # table router's schema recording)
+        m = re.match(
+            r"CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?\"?([\w]+)\"?\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            name = m.group(2)
+            exists = (
+                name in self._schemas
+                or name in ("blob", "doc", "information_schema", "pg_catalog", "sys")
+                or name in set(self._table_schema.values())
+            )
+            if exists:
+                if m.group(1):
+                    return self.spark.createDataFrame([(0,)], "rowcount bigint")
+                raise ValueError(f"Schema '{name}' already exists")
+            self._schemas.add(name)
+            self._register_system_views()
+            return self.spark.createDataFrame([(1,)], "rowcount bigint")
+
+        # DROP SCHEMA [IF EXISTS] name [, ...] [CASCADE|RESTRICT]
+        # (drop-schema.rst): RESTRICT (default) refuses non-empty
+        # schemas; CASCADE drops contained tables
+        m = re.match(
+            r"DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?([\w\".,\s]+?)\s*"
+            r"(CASCADE|RESTRICT)?\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            if_exists = bool(m.group(1))
+            cascade = (m.group(3) or "RESTRICT").upper() == "CASCADE"
+            n_dropped = 0
+            for raw in m.group(2).split(","):
+                name = raw.strip().strip('"')
+                if name in ("information_schema", "pg_catalog", "sys"):
+                    raise ValueError(f"Cannot drop schema '{name}'")
+                members = sorted(
+                    t for t, s in self._table_schema.items() if s == name
+                )
+                if name not in self._schemas and not members:
+                    if if_exists:
+                        continue
+                    raise ValueError(f"Schema '{name}' unknown")
+                if members and not cascade:
+                    raise ValueError(
+                        f"Cannot drop schema '{name}': it contains "
+                        f"{len(members)} relation(s) — use DROP SCHEMA "
+                        f"... CASCADE"
+                    )
+                for t in members:
+                    self._dml._drop_table(f'DROP TABLE "{t}"')
+                self._schemas.discard(name)
+                n_dropped += 1
+            self._register_system_views()
+            return self.spark.createDataFrame([(n_dropped,)], "rowcount bigint")
+
         if upper.startswith("EXPLAIN"):
             analyze = re.match(r"EXPLAIN\s+(\(\s*)?ANALYZE", upper) is not None
             # option list form (explain.rst): EXPLAIN (ANALYZE, COSTS FALSE)
@@ -1003,9 +1084,9 @@ class CrateSession:
                     "SELECT table_name FROM information_schema_tables ORDER BY table_name"
                 )
             if what == "SCHEMAS":
-                return self.spark.createDataFrame(
-                    [("doc",), ("information_schema",), ("pg_catalog",), ("sys",)],
-                    "schema_name string",
+                return self.spark.sql(
+                    "SELECT schema_name FROM information_schema_schemata "
+                    "ORDER BY schema_name"
                 )
             return self.spark.sql(
                 f"SELECT column_name, data_type FROM information_schema_columns "

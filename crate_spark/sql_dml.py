@@ -224,6 +224,17 @@ class SqlDmlRouter:
             return self._copy(masked, literals)
         return None
 
+    def _record_schema(self, raw_name: str, table: str) -> None:
+        """Remember the schema a SQL-created table belongs to
+        (create-schema.rst: CREATE TABLE implicitly creates missing
+        schemas; they are catalog metadata — storage stays one flat
+        namespace)."""
+        parts = [p.strip('"') for p in raw_name.strip().strip('"').split(".")]
+        schema = parts[-2] if len(parts) > 1 else "doc"
+        reg = getattr(self.owner, "_table_schema", None)
+        if reg is not None:
+            reg[table] = schema
+
     # -- CREATE / DROP TABLE --------------------------------------------
     def _create_table(self, masked: str, literals: list[str]) -> DataFrame:
         m = re.match(
@@ -265,6 +276,7 @@ class SqlDmlRouter:
                 settings=dict(src.settings),
             )
             self.crate_tables[name] = t
+            self._record_schema(m.group(2), name)
             self._refresh(name)
             return self._count_df(1)
 
@@ -404,6 +416,7 @@ class SqlDmlRouter:
             ft_indexes=ft_indexes,
         )
         self.crate_tables[name] = t
+        self._record_schema(m.group(2), name)
         self._refresh(name)
         return self._count_df(1)
 
@@ -418,6 +431,7 @@ class SqlDmlRouter:
         path = os.path.join(self.owner.storage_dir, name)
         t = CrateTable.create(self.spark, path, schema_ddl)
         self.crate_tables[name] = t
+        self._record_schema(raw_name, name)
         n = t.insert(src)
         self._refresh(name)
         return self._count_df(n)
@@ -550,6 +564,9 @@ class SqlDmlRouter:
         shutil.rmtree(t.path, ignore_errors=True)
         self.spark.catalog.dropTempView(name)
         self.owner.tables.pop(name, None)
+        # implicit schemas vanish with their last object
+        # (create-schema.rst) — schemata recomputes from this map
+        getattr(self.owner, "_table_schema", {}).pop(name, None)
         self.owner._register_system_views()
         return self._count_df(1)
 

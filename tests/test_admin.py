@@ -235,3 +235,63 @@ def test_snapshot_errors(sess, tmp_path):
         sess.execute("CREATE SNAPSHOT r3.s1 TABLE region")  # dup name
     with pytest.raises(Exception):
         sess.execute("RESTORE SNAPSHOT r3.nope ALL")
+
+
+# -- CREATE SCHEMA / DROP SCHEMA (create-schema.rst, drop-schema.rst) ----
+
+
+def _schemas(sess):
+    return [
+        r["schema_name"]
+        for r in sess.execute(
+            "SELECT schema_name FROM information_schema.schemata "
+            "ORDER BY schema_name"
+        ).collect()
+    ]
+
+
+def test_schema_lifecycle(sess):
+    base = _schemas(sess)
+    assert {"blob", "doc", "information_schema", "pg_catalog", "sys"} <= set(base)
+    assert "myapp" not in base
+
+    # explicit schema persists while empty
+    sess.execute("CREATE SCHEMA myapp")
+    assert "myapp" in _schemas(sess)
+    with pytest.raises(Exception, match="already exists"):
+        sess.execute("CREATE SCHEMA myapp")
+    sess.execute("CREATE SCHEMA IF NOT EXISTS myapp")  # no error
+
+    # table lands in the schema; RESTRICT (default) refuses the drop
+    sess.execute("CREATE TABLE myapp.t1 (id integer, v text)")
+    rows = sess.execute(
+        "SELECT table_schema FROM information_schema.tables "
+        "WHERE table_name = 't1'"
+    ).collect()
+    assert [r["table_schema"] for r in rows] == ["myapp"]
+    with pytest.raises(Exception, match="CASCADE"):
+        sess.execute("DROP SCHEMA myapp")
+    sess.execute("DROP SCHEMA myapp CASCADE")
+    assert "myapp" not in _schemas(sess)
+
+    with pytest.raises(Exception, match="unknown"):
+        sess.execute("DROP SCHEMA myapp")
+    sess.execute("DROP SCHEMA IF EXISTS myapp")  # no error
+
+
+def test_schema_implicit_lifecycle(sess):
+    """CREATE TABLE in an unknown schema implicitly creates it;
+    dropping the last object removes it (create-schema.rst)."""
+    sess.execute("CREATE TABLE other.t2 (id integer)")
+    assert "other" in _schemas(sess)
+    sess.execute("DROP TABLE other.t2")
+    assert "other" not in _schemas(sess)
+    with pytest.raises(Exception, match="Cannot drop"):
+        sess.execute("DROP SCHEMA sys CASCADE")
+
+
+def test_schema_catalog_name_is_crate(sess):
+    rows = sess.execute(
+        "SELECT catalog_name FROM information_schema.schemata"
+    ).collect()
+    assert set(r["catalog_name"] for r in rows) == {"crate"}
