@@ -820,6 +820,154 @@ class CrateSession:
             )
             del self._jobs_log[:-10_000]
 
+    #: scroll-cursor buffer bound — the reference accounts buffered
+    #: rows against a circuit breaker (Cursor.java RowAccounting);
+    #: here the bound is an explicit row cap
+    _CURSOR_BUFFER_CAP = 1_000_000
+
+    def _fetch_cursor(self, cur: dict, direction: str, count_str: str | None):
+        """FETCH semantics per fetch.rst / session/Cursor.java:150-280.
+
+        Position model (PG): 0 = before first row, k = on row k
+        (1-based), total+1 = after last. FORWARD/NEXT stream; PRIOR/
+        BACKWARD/backward ABSOLUTE/RELATIVE replay the scroll buffer
+        in reverse and require DECLARE ... SCROLL. Non-scroll cursors
+        keep the streaming fast path (toLocalIterator; FETCH ALL
+        returns the residual distributed plan, never materializing)."""
+        spark = self.spark
+        schema = cur["schema"]
+
+        def empty():
+            return spark.createDataFrame([], schema)
+
+        # normalize (direction, count) -> (mode, n); n None = ALL
+        mode, n = direction, None
+        if direction == "NEXT":
+            mode, n = "FORWARD", 1
+        elif direction == "PRIOR":
+            mode, n = "BACKWARD", 1
+        elif direction in ("FORWARD", "BACKWARD"):
+            if count_str is None:
+                n = 1
+            elif count_str.upper() != "ALL":
+                n = int(count_str)
+                if n < 0:  # FETCH FORWARD -5 == FETCH BACKWARD 5
+                    mode = "BACKWARD" if mode == "FORWARD" else "FORWARD"
+                    n = -n
+        else:  # ABSOLUTE | RELATIVE
+            if count_str is None or count_str.upper() == "ALL":
+                raise ValueError(f"FETCH {direction} requires a count")
+            n = int(count_str)
+
+        scroll = cur.get("scroll", False)
+        pos = cur.get("pos", 0)
+        moves_forward = (
+            mode == "FORWARD"
+            or (mode == "RELATIVE" and n >= 0)
+            or (mode == "ABSOLUTE" and n > pos)
+        )
+        if not moves_forward and not scroll:
+            raise ValueError(
+                "Cannot move backward if cursor was created with NO SCROLL"
+            )
+
+        if not scroll:
+            # streaming path (unchanged from the NO SCROLL cursor):
+            # pos == rows consumed
+            if mode == "FORWARD" and n is None:  # FETCH ALL
+                if cur["exhausted"]:
+                    return cur["df"].limit(0)
+                residual = (
+                    cur["df"].offset(cur["fetched"]) if cur["fetched"] else cur["df"]
+                )
+                cur["exhausted"] = True
+                cur["it"] = None
+                return residual
+            if cur["exhausted"]:
+                return empty()
+            if cur["it"] is None:
+                cur["it"] = cur["df"].toLocalIterator()
+            if mode == "FORWARD":
+                rows = [r for _, r in zip(range(n), cur["it"])]
+                cur["fetched"] += len(rows)
+                cur["pos"] = cur["fetched"]
+                return spark.createDataFrame(rows, schema)
+            # forward ABSOLUTE / RELATIVE on a stream: skip to the
+            # target row, return it
+            target = n if mode == "ABSOLUTE" else pos + n
+            if mode == "RELATIVE" and n == 0:
+                return empty()  # current row is not buffered on NO SCROLL
+            skipped = 0
+            row = None
+            for r in cur["it"]:
+                skipped += 1
+                if cur["fetched"] + skipped == target:
+                    row = r
+                    break
+            cur["fetched"] += skipped
+            cur["pos"] = cur["fetched"]
+            if row is None:
+                cur["exhausted"] = True
+                if mode == "ABSOLUTE":
+                    raise ValueError(
+                        f"Cannot return row: {target}, total rows: {cur['fetched']}"
+                    )
+                return empty()
+            return spark.createDataFrame([row], schema)
+
+        # scroll path: every fetched row is buffered; backward
+        # movement replays the buffer in reverse
+        buf = cur["buffer"]
+
+        def ensure(k: int | None) -> int:
+            """Extend the buffer to >= k rows (None = drain); return size."""
+            if cur["it"] is None and not cur["exhausted"]:
+                cur["it"] = cur["df"].toLocalIterator()
+            while not cur["exhausted"] and (k is None or len(buf) < k):
+                try:
+                    buf.append(next(cur["it"]))
+                except StopIteration:
+                    cur["exhausted"] = True
+                    break
+                if len(buf) > self._CURSOR_BUFFER_CAP:
+                    raise RuntimeError(
+                        "scroll cursor buffer exceeded "
+                        f"{self._CURSOR_BUFFER_CAP} rows"
+                    )
+            return len(buf)
+
+        if mode == "FORWARD":
+            total = ensure(None if n is None else pos + n)
+            rows = buf[pos : total if n is None else min(pos + n, total)]
+            if n is None or pos + (n or 0) > total:
+                cur["pos"] = total + 1  # fetched past the end: after last
+            else:
+                cur["pos"] = pos + n
+            return spark.createDataFrame(rows, schema) if rows else empty()
+        if mode == "BACKWARD":
+            first = pos - 1  # 1-based index of first row to return
+            last = 1 if n is None else max(pos - n, 1)
+            rows = [buf[r - 1] for r in range(min(first, len(buf)), last - 1, -1)]
+            cur["pos"] = 0 if n is None else max(pos - n, 0)
+            return spark.createDataFrame(rows, schema) if rows else empty()
+        # ABSOLUTE / RELATIVE: jump, return the single row at the new
+        # position (empty if before start / past end — except ABSOLUTE
+        # past end errors, Cursor.java:219)
+        target = n if mode == "ABSOLUTE" else pos + n
+        if target <= 0:
+            cur["pos"] = 0
+            return empty()
+        total = ensure(target)
+        if target > total and cur["exhausted"]:
+            if mode == "ABSOLUTE":
+                raise ValueError(
+                    f"Cannot return row: {target}, total rows: {total}"
+                )
+            cur["pos"] = total + 1
+            return empty()
+        cur["pos"] = target
+        return spark.createDataFrame([buf[target - 1]], schema)
+
     def _dispatch(self, stmt: str) -> DataFrame:
         upper = stmt.upper()
 
@@ -1178,13 +1326,17 @@ class CrateSession:
         # carry a total ORDER BY — same caveat as PG cursors without
         # a sort.
         m = re.match(
-            r"DECLARE\s+(\w+)\s+(?:BINARY\s+)?(?:NO\s+SCROLL\s+)?CURSOR\s+"
+            r"DECLARE\s+(\w+)\s+(?:BINARY\s+)?(?:ASENSITIVE\s+|INSENSITIVE\s+)?"
+            r"((?:NO\s+)?SCROLL\s+)?CURSOR\s+"
             r"(?:WITH\s+(?:OUT\s+)?HOLD\s+)?FOR\s+(.+)$",
             stmt,
             re.IGNORECASE | re.DOTALL,
         )
         if m:
-            df = self._sql(m.group(2))
+            df = self._sql(m.group(3))
+            scroll = bool(
+                m.group(2) and not re.match(r"NO\s", m.group(2), re.IGNORECASE)
+            )
             self._cursors[m.group(1).lower()] = {
                 "df": df,
                 "it": None,  # opened lazily on first numbered FETCH
@@ -1192,36 +1344,32 @@ class CrateSession:
                 "schema": df.schema,
                 "exhausted": False,
                 "stmt": stmt[:500],
+                # SCROLL (declare.rst:75): backward movement over a
+                # buffer of already-fetched rows ("adds memory
+                # overhead" — reference Cursor.java buffers through
+                # RowAccounting/circuit breaker; here the bound is an
+                # explicit row cap)
+                "scroll": scroll,
+                "buffer": [],  # scroll only: materialized rows
+                "pos": 0,  # scroll only: 1-based row of last fetch; 0 = before first
             }
             return self.spark.createDataFrame([(m.group(1),)], "cursor string")
 
         m = re.match(
-            r"FETCH\s+(?:FORWARD\s+)?(ALL|\d+)?\s*(?:FROM|IN)\s+(\w+)$",
+            r"FETCH\s+(?:(NEXT|PRIOR|FORWARD|BACKWARD|ABSOLUTE|RELATIVE)\s+)?"
+            r"(ALL|-?\d+)?\s*(?:FROM|IN)\s+(\w+)$",
             stmt,
             re.IGNORECASE,
         )
         if m:
-            name = m.group(2).lower()
+            name = m.group(3).lower()
             if name not in self._cursors:
                 raise ValueError(f"cursor '{name}' does not exist")
-            cur = self._cursors[name]
-            count = m.group(1) or "1"
-            if count.upper() == "ALL":
-                if cur["exhausted"]:
-                    return cur["df"].limit(0)
-                residual = (
-                    cur["df"].offset(cur["fetched"]) if cur["fetched"] else cur["df"]
-                )
-                cur["exhausted"] = True
-                cur["it"] = None
-                return residual
-            if cur["exhausted"]:
-                return self.spark.createDataFrame([], cur["schema"])
-            if cur["it"] is None:
-                cur["it"] = cur["df"].toLocalIterator()
-            rows = [r for _, r in zip(range(int(count)), cur["it"])]
-            cur["fetched"] += len(rows)
-            return self.spark.createDataFrame(rows, cur["schema"])
+            return self._fetch_cursor(
+                self._cursors[name],
+                (m.group(1) or "FORWARD").upper(),
+                m.group(2),
+            )
 
         m = re.match(r"CLOSE\s+(ALL|\w+)$", stmt, re.IGNORECASE)
         if m:

@@ -1300,3 +1300,61 @@ def test_date_trunc_timezone(session):
     ).collect()[0]["x"])
     # 23:30 UTC = 01:30 Vienna (UTC+2) on the 7th; midnight Vienna = 22:00 UTC
     assert v.startswith("2021-06-06 22:00:00")
+
+
+def test_scroll_cursor_backward(session):
+    """DECLARE ... SCROLL CURSOR + FETCH BACKWARD/PRIOR/ABSOLUTE/
+    RELATIVE (declare.rst:75, fetch.rst, session/Cursor.java:150-280):
+    forward/backward interleaving over the scroll buffer."""
+    session.execute(
+        "DECLARE sc SCROLL CURSOR FOR "
+        "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10"
+    )
+    k = lambda df: [r["o_orderkey"] for r in df.collect()]
+    assert k(session.execute("FETCH 5 FROM sc")) == [0, 1, 2, 3, 4]
+    # BACKWARD n returns the n rows before the current row, in reverse
+    assert k(session.execute("FETCH BACKWARD 2 FROM sc")) == [3, 2]
+    # PRIOR == BACKWARD 1
+    assert k(session.execute("FETCH PRIOR FROM sc")) == [1]
+    # forward again from the moved position
+    assert k(session.execute("FETCH 3 FROM sc")) == [2, 3, 4]
+    # ABSOLUTE jumps both ways (backward jump needs SCROLL)
+    assert k(session.execute("FETCH ABSOLUTE 8 FROM sc")) == [7]
+    assert k(session.execute("FETCH ABSOLUTE 2 FROM sc")) == [1]
+    # RELATIVE from current position (row 2)
+    assert k(session.execute("FETCH RELATIVE 3 FROM sc")) == [4]
+    assert k(session.execute("FETCH RELATIVE -4 FROM sc")) == [0]
+    # negative count flips direction: FETCH -2 == BACKWARD 2
+    assert k(session.execute("FETCH ABSOLUTE 4 FROM sc")) == [3]
+    assert k(session.execute("FETCH -2 FROM sc")) == [2, 1]
+    # drain, then walk back from after-last
+    rest = k(session.execute("FETCH ALL FROM sc"))
+    assert rest == [2, 3, 4, 5, 6, 7, 8, 9]
+    assert k(session.execute("FETCH BACKWARD 3 FROM sc")) == [9, 8, 7]
+    # BACKWARD ALL: everything before the current row, reversed
+    assert k(session.execute("FETCH BACKWARD ALL FROM sc")) == [6, 5, 4, 3, 2, 1, 0]
+    # before-first: nothing further back
+    assert k(session.execute("FETCH BACKWARD 1 FROM sc")) == []
+    assert k(session.execute("FETCH 2 FROM sc")) == [0, 1]
+    session.execute("CLOSE sc")
+
+
+def test_scroll_cursor_errors(session):
+    session.execute(
+        "DECLARE ns NO SCROLL CURSOR FOR "
+        "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5"
+    )
+    session.execute("FETCH 3 FROM ns")
+    with pytest.raises(Exception, match="NO SCROLL"):
+        session.execute("FETCH BACKWARD 1 FROM ns")
+    with pytest.raises(Exception, match="NO SCROLL"):
+        session.execute("FETCH PRIOR FROM ns")
+    session.execute("CLOSE ns")
+    # ABSOLUTE past the end errors like the reference (Cursor.java:219)
+    session.execute(
+        "DECLARE sc2 SCROLL CURSOR FOR "
+        "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5"
+    )
+    with pytest.raises(Exception, match="Cannot return row"):
+        session.execute("FETCH ABSOLUTE 99 FROM sc2")
+    session.execute("CLOSE sc2")
