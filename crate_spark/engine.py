@@ -116,6 +116,12 @@ class CrateSession:
         spark.udf.register(
             "__geo_intersects", pandas_udf(_intersects_batch, "boolean")
         )
+        # blake3(text) (HashFunctions.java:43): no Spark builtin —
+        # Arrow-batched UDF over the native wheel or the pure-Python
+        # spec implementation (functions/_blake3.py)
+        from crate_spark.functions.scalar import _blake3_batch
+
+        spark.udf.register("blake3", pandas_udf(_blake3_batch, "string"))
         self.tables: dict[str, DataFrame] = {}
         if data_dir:
             self.tables = dict(load_tables(spark, data_dir, register=True))

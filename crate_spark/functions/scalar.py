@@ -9,6 +9,7 @@ row path).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -429,31 +430,48 @@ def date_format_mysql(ts: Column | str, fmt: str) -> Column:
 # ---------------------------------------------------------------------------
 # hashes
 # ---------------------------------------------------------------------------
-try:  # pragma: no cover - blake3 wheel not in this container
+try:  # pragma: no cover - native wheel, faster when present
     import blake3 as _blake3_mod
 except ImportError:
     _blake3_mod = None
 
 
 def blake3(c: Column | str) -> Column:
-    """``blake3(text)`` hex digest (reference scalar ``blake3``).
+    """``blake3(text)`` hex digest (reference scalar ``blake3``,
+    ``HashFunctions.java:43,61`` — commons-codec Blake3, 32-byte
+    output, hex).
 
-    The blake3 library is not installed in this environment; when it is,
-    the Arrow-batched UDF below activates. Until then calling this
-    raises — md5/sha1/sha2 cover the hashing surface (scalar_bitwise_hash).
-    """
-    if _blake3_mod is None:
-        raise NotImplementedError(
-            "blake3 requires the 'blake3' package (not in this container); "
-            "use md5/sha1/sha2"
-        )
+    Arrow-batched pandas UDF: the native ``blake3`` wheel when
+    installed, else the pure-Python spec implementation
+    (``functions/_blake3.py``) — cross-validated against the JVM's
+    commons-codec Blake3 and the reference's test vectors in
+    tests/test_functions.py. NULL -> NULL (STRICTNULL)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    if _blake3_mod is not None:
+        def _hex(v: str) -> str:
+            return _blake3_mod.blake3(v.encode()).hexdigest()
+    else:
+        from crate_spark.functions._blake3 import blake3_hex
+
+        def _hex(v: str) -> str:
+            return blake3_hex(v.encode())
+
     @pandas_udf("string")
     def _b3(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda v: _blake3_mod.blake3(v.encode()).hexdigest() if v is not None else None
-        )
+        return s.map(lambda v: _hex(v) if v is not None else None)
 
     return _b3(_col(c))
+
+
+def _blake3_batch(s: "pd.Series") -> "pd.Series":  # noqa: F821
+    """Arrow-batch blake3 (SQL registration; engine.CrateSession)."""
+    if _blake3_mod is not None:
+        return s.map(
+            lambda v: _blake3_mod.blake3(v.encode()).hexdigest()
+            if v is not None else None
+        )
+    from crate_spark.functions._blake3 import blake3_hex
+
+    return s.map(lambda v: blake3_hex(v.encode()) if v is not None else None)

@@ -706,3 +706,36 @@ def scalar_to_char(spark, sf_dir):
             F.concat(to_char(F.col("ts"), "HH24"), F.lit("h")).alias("hour_label"),
         )
     )
+
+
+@query(
+    "scalar_blake3",
+    oracle="""
+    SELECT v,
+           CASE v
+             WHEN '' THEN
+               'af1349b9f5f9a1a6a0404dea36dcc9499bcb25c9adc112b7cc9a93cae41f3262'
+             WHEN 'crate' THEN
+               '012efcab3db1a63a5d50510e48f1fbf3ac26dbd28a3cec099457eff5fefa96aa'
+             WHEN '©rate' THEN
+               '7e60e9aec3049dd63fc695ea89fc20ae8abe5ea32388a5a60cf08d97b9e25ff4'
+             WHEN 'foo' THEN
+               '04e0bb39f30b1a3feb89f536c93be15055482df748674b00d26e5a75777702e9'
+           END AS h
+    FROM (VALUES (''), ('crate'), ('©rate'), ('foo')) t(v)
+    """,
+)
+def scalar_blake3(spark, sf_dir):
+    """blake3(text) hex digest (HashFunctions.java:43,61). The oracle
+    digests are externally sourced — the reference's own test vectors
+    (HashFunctionsTest.java:42-44) and docs example
+    (scalar-functions.rst:401) — so the check is independent of this
+    repo's implementation; multi-block/multi-chunk inputs are
+    cross-validated against the JVM commons-codec Blake3 in
+    tests/test_functions.py."""
+    from crate_spark.functions.scalar import blake3
+
+    df = spark.createDataFrame(
+        [("",), ("crate",), ("©rate",), ("foo",)], "v string"
+    )
+    return df.select("v", blake3("v").alias("h"))

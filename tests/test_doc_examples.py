@@ -47,7 +47,6 @@ _SKIP = {
     "SELECT version()": "version string differs by design",
     # reference-specific renderings we intentionally diverge from
     "SELECT 'Hello World'::bytea": "docs render bytea as escape string; we keep binary",
-    "select blake3": "library absent from this container (declared, import-gated)",
     "select B'101'": "bit strings stored as text here (declared divergence)",
     "select decode('T\\214', 'escape')": "bytea escape output format not reproduced",
     "select pg_get_function_result(-919555782)":

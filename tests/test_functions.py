@@ -142,11 +142,56 @@ def test_to_char_template_translation():
     assert _pg_template_to_java("HH24h") == "HH'h'"
 
 
-def test_blake3_gated():
-    import pytest
+def test_blake3_reference_vectors():
+    """Reference HashFunctionsTest.java:42-44 vectors."""
+    from crate_spark.functions._blake3 import blake3_hex
 
+    assert blake3_hex(b"") == (
+        "af1349b9f5f9a1a6a0404dea36dcc9499bcb25c9adc112b7cc9a93cae41f3262"
+    )
+    assert blake3_hex("crate".encode()) == (
+        "012efcab3db1a63a5d50510e48f1fbf3ac26dbd28a3cec099457eff5fefa96aa"
+    )
+    assert blake3_hex("©rate".encode()) == (
+        "7e60e9aec3049dd63fc695ea89fc20ae8abe5ea32388a5a60cf08d97b9e25ff4"
+    )
+
+
+def test_blake3_cross_validates_against_jvm(spark):
+    """The pure-Python implementation must agree with the JVM's
+    commons-codec Blake3 (the exact library the reference uses,
+    HashFunctions.java:61) across single-block, multi-block and
+    multi-chunk (tree) inputs."""
+    import random
+
+    from crate_spark.functions._blake3 import blake3_hex
+
+    B3 = spark._jvm.org.apache.commons.codec.digest.Blake3
+
+    def jvm_hex(b: bytes) -> str:
+        d = B3.initHash()
+        if b:
+            d.update(bytearray(b))
+        return bytes(d.doFinalize(32)).hex()
+
+    random.seed(1234)
+    for length in (0, 1, 63, 64, 65, 1023, 1024, 1025, 2048, 3072, 5000, 70000):
+        data = bytes(random.randrange(256) for _ in range(length))
+        assert blake3_hex(data) == jvm_hex(data), f"len {length}"
+
+
+def test_blake3_column_and_sql(spark):
+    from pyspark.sql import functions as F
+
+    from crate_spark.engine import CrateSession
     from crate_spark.functions import scalar as s
 
-    if s._blake3_mod is None:
-        with pytest.raises(NotImplementedError):
-            s.blake3("x")
+    df = spark.createDataFrame([("crate",), (None,)], "v string")
+    rows = df.select(s.blake3("v").alias("h")).collect()
+    assert rows[0]["h"] == (
+        "012efcab3db1a63a5d50510e48f1fbf3ac26dbd28a3cec099457eff5fefa96aa"
+    )
+    assert rows[1]["h"] is None  # STRICTNULL
+    sess = CrateSession(spark)
+    got = sess.execute("SELECT blake3('crate') AS h").collect()[0]["h"]
+    assert got == "012efcab3db1a63a5d50510e48f1fbf3ac26dbd28a3cec099457eff5fefa96aa"
