@@ -1964,6 +1964,27 @@ def rewrite(
         sql,
         flags=re.IGNORECASE,
     )
+    # crate long-form field names (ExtractFunctions.java:73,177):
+    # DAY_OF_WEEK is ISO (Monday=1); DAY_OF_MONTH/DAY_OF_YEAR are the
+    # plain day/doy fields Spark lacks under these spellings
+    sql = re.sub(
+        r"\bEXTRACT\s*\(\s*DAY_OF_WEEK\s+FROM\s+((?:[^()]|\([^()]*\))+)\)",
+        r"(weekday(CAST(\1 AS TIMESTAMP)) + 1)",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        r"\bEXTRACT\s*\(\s*DAY_OF_MONTH\s+FROM\s+((?:[^()]|\([^()]*\))+)\)",
+        r"day(CAST(\1 AS TIMESTAMP))",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        r"\bEXTRACT\s*\(\s*DAY_OF_YEAR\s+FROM\s+((?:[^()]|\([^()]*\))+)\)",
+        r"dayofyear(CAST(\1 AS TIMESTAMP))",
+        sql,
+        flags=re.IGNORECASE,
+    )
 
     # table functions in FROM (TableFunctions.java): empty_row() is a
     # one-row zero-column anchor (Spark needs >=1 column — documented

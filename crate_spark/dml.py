@@ -72,6 +72,17 @@ class CrateTable:
     #: named fulltext indexes: index name -> source columns
     #: (fulltext-indices.rst composite INDEX ... USING FULLTEXT(cols))
     ft_indexes: dict[str, list] = field(default_factory=dict)
+    #: columns declared NOT NULL (explicitly or via PRIMARY KEY) —
+    #: surfaced as {schema}_{table}_{col}_not_null CHECK rows in
+    #: information_schema.table_constraints (information-schema.rst:600)
+    not_null: list = field(default_factory=list)
+    #: declared crate column types, in DDL order:
+    #: [{"name", "type", "children": [...]}] — "type" is the
+    #: reference's information_schema data_type spelling; object
+    #: columns carry their declared subcolumns (recursively), which
+    #: information_schema.columns expands into col['sub'] rows
+    #: (information-schema.rst:363-381)
+    crate_columns: list = field(default_factory=list)
 
     # -- catalog ---------------------------------------------------------
     @classmethod
@@ -90,6 +101,8 @@ class CrateTable:
         clustered_by: list[str] | None = None,
         shards: int | None = None,
         ft_indexes: dict[str, list] | None = None,
+        crate_columns: list | None = None,
+        not_null: list | None = None,
     ) -> "CrateTable":
         os.makedirs(path, exist_ok=True)
         t = cls(
@@ -105,6 +118,8 @@ class CrateTable:
             clustered_by=clustered_by or [],
             shards=shards,
             ft_indexes=ft_indexes or {},
+            crate_columns=crate_columns or [],
+            not_null=not_null or [],
         )
         t._save_meta()
         return t
@@ -127,6 +142,8 @@ class CrateTable:
             "clustered_by": self.clustered_by,
             "shards": self.shards,
             "ft_indexes": self.ft_indexes,
+            "crate_columns": self.crate_columns,
+            "not_null": self.not_null,
         }
         with open(os.path.join(self.path, META_FILE), "w") as f:
             json.dump(meta, f, indent=2)
@@ -203,7 +220,25 @@ class CrateTable:
         writer = df.write.mode("overwrite")
         if self.partitioned_by:
             writer = writer.partitionBy(*self.partitioned_by)
-        writer.parquet(staging)
+        # AQE's empty-relation propagation replaces the plan past an
+        # empty shuffle with a LocalRelation, dropping the caller's
+        # upstream observe node — a mutation that empties a CLUSTERED
+        # table then fails to report its observed count. Exclude the
+        # rule for the staged write only.
+        key = "spark.sql.adaptive.optimizer.excludedRules"
+        prev = self.spark.conf.get(key, None)
+        self.spark.conf.set(
+            key,
+            (prev + "," if prev else "")
+            + "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation",
+        )
+        try:
+            writer.parquet(staging)
+        finally:
+            if prev is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, prev)
         if metrics:
             got = obs.get
         return staging, got

@@ -22,6 +22,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from crate_spark.dialect import _LIT_RE, rewrite, rewrite_sys_columns
 from crate_spark.session import TABLES, apply_runtime_confs, load_tables
@@ -66,6 +67,114 @@ def _pg_type_oid(dt) -> int:
     if s.startswith("array"):
         return 2277  # anyarray
     return _PG_OIDS.get(s, 705)
+
+
+#: the reference's fixed system-catalog inventory as listed by
+#: information_schema.tables (information-schema.rst:67-156)
+_SYSTEM_TABLE_INVENTORY = {
+    "information_schema": (
+        "administrable_role_authorizations", "applicable_roles",
+        "character_sets", "collations", "columns",
+        "constraint_column_usage", "enabled_roles",
+        "foreign_server_options", "foreign_servers",
+        "foreign_table_options", "foreign_tables", "key_column_usage",
+        "referential_constraints", "role_table_grants", "routines",
+        "schemata", "sql_features", "table_constraints",
+        "table_partitions", "tables", "user_mapping_options",
+        "user_mappings", "view_column_usage", "views",
+    ),
+    "pg_catalog": (
+        "pg_am", "pg_attrdef", "pg_attribute", "pg_auth_members",
+        "pg_class", "pg_constraint", "pg_cursors", "pg_database",
+        "pg_depend", "pg_description", "pg_enum", "pg_event_trigger",
+        "pg_index", "pg_indexes", "pg_locks", "pg_matviews",
+        "pg_namespace", "pg_proc", "pg_publication",
+        "pg_publication_tables", "pg_range", "pg_roles", "pg_settings",
+        "pg_shdescription", "pg_stats", "pg_subscription",
+        "pg_subscription_rel", "pg_tables", "pg_tablespace", "pg_type",
+        "pg_user", "pg_views",
+    ),
+    "sys": (
+        "allocations", "checks", "cluster", "cluster_health", "health",
+        "jobs", "jobs_log", "jobs_metrics", "node_checks", "nodes",
+        "operations", "operations_log", "privileges", "repositories",
+        "roles", "segments", "sessions", "shards", "snapshot_restore",
+        "snapshots", "summits", "users",
+    ),
+}
+
+#: information_schema.routines built-in inventory: the reference's
+#: Lucene analysis components (RoutineInfos.java; names extracted from
+#: CommonAnalysisPlugin.java + AnalysisModule.java:95-130 +
+#: AnalysisRegistry.java:169-170 synonym/synonym_graph +
+#: FulltextAnalyzerResolver.java EXTENDED_* sets) — 45/16/61/3 per
+#: information-schema.rst:770-783
+_ROUTINE_INVENTORY = {
+    "ANALYZER": (
+        "arabic", "armenian", "basque", "bengali", "brazilian", "bulgarian",
+        "catalan", "chinese", "cjk", "czech", "danish", "default", "dutch",
+        "english", "fingerprint", "finnish", "french", "galician", "german",
+        "greek", "hindi", "hungarian", "indonesian", "irish", "italian",
+        "keyword", "latvian", "lithuanian", "norwegian", "pattern", "persian",
+        "portuguese", "romanian", "russian", "simple", "snowball", "sorani",
+        "spanish", "standard", "standard_html_strip", "stop", "swedish",
+        "thai", "turkish", "whitespace",
+    ),
+    "TOKENIZER": (
+        "PathHierarchy", "char_group", "classic", "edge_ngram", "keyword",
+        "letter", "lowercase", "ngram", "path_hierarchy", "pattern",
+        "simple_pattern", "simple_pattern_split", "standard", "thai",
+        "uax_url_email", "whitespace",
+    ),
+    "TOKEN_FILTER": (
+        "apostrophe", "arabic_normalization", "arabic_stem", "asciifolding",
+        "bengali_normalization", "brazilian_stem", "cjk_bigram", "cjk_width",
+        "classic", "common_grams", "czech_stem", "decimal_digit",
+        "delimited_payload", "dictionary_decompounder", "dutch_stem",
+        "edge_ngram", "elision", "fingerprint", "flatten_graph", "french_stem",
+        "german_normalization", "german_stem", "hindi_normalization",
+        "hunspell", "hyphenation_decompounder", "indic_normalization", "keep",
+        "keep_types", "keyword_marker", "kstem", "length", "limit",
+        "lowercase", "min_hash", "multiplexer", "ngram", "pattern_capture",
+        "pattern_replace", "persian_normalization", "porter_stem",
+        "remove_duplicates", "reverse", "russian_stem", "scandinavian_folding",
+        "scandinavian_normalization", "serbian_normalization", "shingle",
+        "snowball", "sorani_normalization", "standard", "stemmer",
+        "stemmer_override", "stop", "synonym", "synonym_graph", "trim",
+        "truncate", "unique", "uppercase", "word_delimiter",
+        "word_delimiter_graph",
+    ),
+    "CHAR_FILTER": (
+        "html_strip", "mapping", "pattern_replace",
+    ),
+}
+
+#: information_schema.columns describing ITSELF — the reference's
+#: fixed 44-column shape (information-schema.rst:395-447)
+_COLUMNS_SELF_ROWS = [
+    ("character_maximum_length", "integer"), ("character_octet_length", "integer"),
+    ("character_set_catalog", "text"), ("character_set_name", "text"),
+    ("character_set_schema", "text"), ("check_action", "integer"),
+    ("check_references", "text"), ("collation_catalog", "text"),
+    ("collation_name", "text"), ("collation_schema", "text"),
+    ("column_default", "text"), ("column_details", "object"),
+    ("column_details['name']", "text"), ("column_details['oid']", "bigint"),
+    ("column_details['path']", "text_array"), ("column_details['policy']", "text"),
+    ("column_name", "text"), ("data_type", "text"),
+    ("datetime_precision", "integer"), ("domain_catalog", "text"),
+    ("domain_name", "text"), ("domain_schema", "text"),
+    ("generation_expression", "text"), ("identity_cycle", "boolean"),
+    ("identity_generation", "text"), ("identity_increment", "text"),
+    ("identity_maximum", "text"), ("identity_minimum", "text"),
+    ("identity_start", "text"), ("interval_precision", "integer"),
+    ("interval_type", "text"), ("is_generated", "text"),
+    ("is_identity", "boolean"), ("is_nullable", "text"),
+    ("numeric_precision", "integer"), ("numeric_precision_radix", "integer"),
+    ("numeric_scale", "integer"), ("ordinal_position", "integer"),
+    ("table_catalog", "text"), ("table_name", "text"),
+    ("table_schema", "text"), ("udt_catalog", "text"),
+    ("udt_name", "text"), ("udt_schema", "text"),
+]
 
 
 class CrateSession:
@@ -154,7 +263,9 @@ class CrateSession:
         these are the columns ``col['key']`` subscripts rewrite against
         (SubscriptObjectFunction.java semantics). Map/struct columns
         are excluded: Spark's native subscript already handles them."""
-        cols: set[str] = set()
+        # information_schema.tables.settings is a JSON-string object
+        # column (settings['routing']['allocation']['enable'])
+        cols: set[str] = {"settings"}
         for df in self.tables.values():
             for f in df.schema.fields:
                 simple = f.dataType.simpleString()
@@ -194,20 +305,160 @@ class CrateSession:
             return (ct.shards or 4) if ct is not None else 1
 
         table_schema = getattr(self, "_table_schema", {})
-        rows = [
-            (name, table_schema.get(name, "doc"), "BASE TABLE", _shards_of(name), 0)
-            for name in sorted(self.tables)
-        ]
+        views = getattr(self, "_views", {})
+
+        def _replicas_of(n):
+            # reference default is the '0-1' range (create-table.rst);
+            # replicas is TEXT in the reference schema. Registered
+            # parquet sources report '0' (no replication to configure)
+            ct = crate_tables0.get(n)
+            if ct is None:
+                return "0"
+            return str(ct.settings.get("number_of_replicas", "0-1"))
+
+        def _clustered_by(n):
+            # routing column (information-schema.rst:163-177): the
+            # declared CLUSTERED BY column, '_id' when none, first PK
+            # when only a PK is declared
+            ct = crate_tables0.get(n)
+            if ct is None:
+                return "_id"
+            if ct.clustered_by:
+                return ct.clustered_by[0]
+            return ct.primary_key[0] if ct.primary_key else "_id"
+
+        def _settings_json(n):
+            # nested settings object from the flat dotted keys
+            # (information-schema.rst:238-247; numbers stay numeric)
+            ct = crate_tables0.get(n)
+            if ct is None or not ct.settings:
+                return None
+            import json as _json
+
+            out: dict = {}
+            for k, v in ct.settings.items():
+                node = out
+                parts = k.split(".")
+                for p in parts[:-1]:
+                    node = node.setdefault(p, {})
+                node[parts[-1]] = (
+                    int(v) if isinstance(v, str) and v.lstrip("-").isdigit() else v
+                )
+            return _json.dumps(out)
+
+        rows = []
+        for name in sorted(self.tables):
+            if name in views:
+                # SQL views list as VIEW with NULL shards/replicas
+                rows.append(
+                    (name, table_schema.get(name, "doc"), "VIEW",
+                     None, None, None, None, None)
+                )
+            else:
+                ct = crate_tables0.get(name)
+                rows.append(
+                    (name, table_schema.get(name, "doc"), "BASE TABLE",
+                     _shards_of(name), _replicas_of(name),
+                     _clustered_by(name),
+                     (list(ct.partitioned_by) or None) if ct is not None else None,
+                     _settings_json(name))
+                )
         if self._blob_store is not None:
             rows += [
-                (name, "blob", "BASE TABLE", 1, 0)
+                (name, "blob", "BASE TABLE", 1, "0", "digest", None, None)
                 for name in sorted(self._blob_store.tables)
             ]
+        # the reference's fixed catalog inventory
+        # (information-schema.rst:67-156): every system table listed
+        # with NULL shards/replicas
+        for sch, names in _SYSTEM_TABLE_INVENTORY.items():
+            rows += [
+                (t, sch, "BASE TABLE", None, None, None, None, None)
+                for t in names
+            ]
         spark.createDataFrame(
-            rows or [("", "", "", 0, 0)],
+            rows or [("", "", "", 0, "0", "", None, None)],
             "table_name string, table_schema string, table_type string, "
-            "number_of_shards int, number_of_replicas int",
-        ).filter("table_name <> ''").createOrReplaceTempView("information_schema_tables")
+            "number_of_shards int, number_of_replicas string, "
+            "clustered_by string, partitioned_by array<string>, "
+            "settings string",
+        ).filter("table_name <> ''").withColumn(
+            # blob-storage custom location (blob tables only; always
+            # NULL here — blobs live in the store's own directory)
+            "blobs_path", F.lit(None).cast("string")
+        ).createOrReplaceTempView("information_schema_tables")
+
+        # information_schema.routines (RoutineInfos.java): the Lucene
+        # analysis inventory + custom analyzers + CREATE FUNCTION UDFs
+        routine_rows = [
+            (n, rtype)
+            for rtype, names in _ROUTINE_INVENTORY.items()
+            for n in names
+        ]
+        routine_rows += [(n, "ANALYZER") for n in getattr(self, "_analyzers", {})]
+        routine_rows += [(n, "FUNCTION") for n in getattr(self, "_udfs", ())]
+        spark.createDataFrame(
+            routine_rows, "routine_name string, routine_type string"
+        ).createOrReplaceTempView("information_schema_routines")
+
+        # information_schema.sql_features: the SQL-standard feature
+        # conformance matrix (resources/sql_features.tsv — data
+        # resource, see resources/README.md; information-schema.rst
+        # sql_features section)
+        if not spark.catalog._jcatalog.tableExists("information_schema_sql_features"):
+            import os as _os
+
+            feat_path = _os.path.join(
+                _os.path.dirname(__file__), "resources", "sql_features.tsv"
+            )
+            feat_rows = []
+            with open(feat_path) as fh:
+                for line in fh:
+                    parts = (line.rstrip("\n").split("\t") + [""] * 7)[:7]
+                    # YES/NO -> TRUE/FALSE (reference renders boolean)
+                    parts[4] = "TRUE" if parts[4] == "YES" else "FALSE"
+                    feat_rows.append(
+                        tuple(parts[:5]) + tuple(p or None for p in parts[5:])
+                    )
+            spark.createDataFrame(
+                feat_rows,
+                "feature_id string, feature_name string, sub_feature_id string, "
+                "sub_feature_name string, is_supported string, "
+                "is_verified_by string, comments string",
+            ).createOrReplaceTempView("information_schema_sql_features")
+
+        # information_schema.character_sets: single UTF8 row
+        # (information-schema.rst:938-944)
+        spark.createDataFrame(
+            [("UTF8", "UCS", "UTF8", None, None, None)],
+            "character_set_name string, character_repertoire string, "
+            "form_of_use string, character_set_catalog string, "
+            "character_set_schema string, default_collate_name string",
+        ).createOrReplaceTempView("information_schema_character_sets")
+
+        # information_schema.collations: single C.utf8 row
+        # (information-schema.rst:988-994)
+        spark.createDataFrame(
+            [("crate", "pg_catalog", "C.utf8", "NO")],
+            "collation_catalog string, collation_schema string, "
+            "collation_name string, pad_attribute string",
+        ).createOrReplaceTempView("information_schema_collations")
+
+        # information_schema.views (information-schema.rst:260-300):
+        # definition is the stored SQL text (the reference re-prints
+        # its AST; we keep the user's text — declared divergence)
+        spark.createDataFrame(
+            [
+                ("crate", table_schema.get(n, "doc"), n, d, "NONE", False,
+                 self.current_user)
+                for n, d in sorted(views.items())
+            ] or [("", "", "", "", "", False, "")],
+            "table_catalog string, table_schema string, table_name string, "
+            "view_definition string, check_option string, "
+            "is_updatable boolean, owner string",
+        ).filter("table_name <> ''").createOrReplaceTempView(
+            "information_schema_views"
+        )
 
         # information_schema.schemata (schemata.rst /
         # InformationSchemataTableInfo): built-ins + implicit schemas
@@ -236,13 +487,51 @@ class CrateSession:
                 full = _os.path.join(ct.path, entry)
                 if not (_os.path.isdir(full) and "=" in entry):
                     continue
+                # a partition is live only while it holds data files —
+                # whole-partition DELETE drops the contents
+                # (partitioned-tables.rst:301-318) and may leave the
+                # empty directory behind
+                if not any(
+                    f.endswith(".parquet")
+                    for _r, _d, fs in _os.walk(full)
+                    for f in fs
+                ):
+                    continue
+                # values are typed per the declared partition column
+                # (TablePartitionsTableInfo renders timestamps as epoch
+                # millis, numerics as numbers); dir segments are
+                # URL-encoded by the parquet writer
+                from urllib.parse import unquote
+
+                decl_types = {
+                    c["name"]: c["type"]
+                    for c in getattr(ct, "crate_columns", [])
+                }
                 vals = {}
                 for seg in entry.split("/"):
                     k, _, v = seg.partition("=")
-                    vals[k] = v
+                    v = unquote(v)
+                    t = decl_types.get(k, "")
+                    if t.startswith("timestamp") or t == "date":
+                        try:
+                            from datetime import datetime, timezone
+
+                            dt = datetime.fromisoformat(v)
+                            if dt.tzinfo is None:
+                                dt = dt.replace(tzinfo=timezone.utc)
+                            vals[k] = int(dt.timestamp() * 1000)
+                        except ValueError:
+                            vals[k] = v
+                    elif t in ("integer", "bigint", "smallint", "byte"):
+                        try:
+                            vals[k] = int(v)
+                        except ValueError:
+                            vals[k] = v
+                    else:
+                        vals[k] = v
                 part_rows.append(
-                    (name, "doc", entry, _json.dumps(vals),
-                     _shards_of(name), 0)
+                    (name, table_schema.get(name, "doc"), entry,
+                     _json.dumps(vals), _shards_of(name), 0)
                 )
         spark.createDataFrame(
             part_rows or [("", "", "", "", 0, 0)],
@@ -252,12 +541,49 @@ class CrateSession:
             "information_schema_table_partitions"
         )
 
+        # information_schema.columns with the reference's shape
+        # (information-schema.rst:363-381): crate data_type names,
+        # object columns expanded into col['sub'] rows — subcolumns
+        # take the ordinals right after their parent, in declaration
+        # order — for SQL-created tables with declared DDL; registered
+        # parquet sources fall back to spark-type-derived names
+        from crate_spark.sql_dml import _spark_to_crate
+
         col_rows = []
         for name, df in sorted(self.tables.items()):
-            for pos, f in enumerate(df.schema.fields, start=1):
-                col_rows.append(
-                    (name, "doc", f.name, pos, f.dataType.simpleString(), f.nullable)
-                )
+            ct = crate_tables0.get(name)
+            schema_name = table_schema.get(name, "doc")
+            if ct is not None and getattr(ct, "crate_columns", None):
+                pos = 0
+
+                def _emit(decl, prefix=""):
+                    nonlocal pos
+                    pos += 1
+                    path = (
+                        f"{prefix}['{decl['name']}']" if prefix else decl["name"]
+                    )
+                    col_rows.append(
+                        (name, schema_name, path, pos, decl["type"], True)
+                    )
+                    for child in decl.get("children") or []:
+                        _emit(child, path)
+
+                for decl in ct.crate_columns:
+                    _emit(decl)
+            else:
+                for pos, f in enumerate(df.schema.fields, start=1):
+                    col_rows.append(
+                        (
+                            name, schema_name, f.name, pos,
+                            _spark_to_crate(f.dataType.simpleString()),
+                            f.nullable,
+                        )
+                    )
+        # self-description (information-schema.rst:395-447)
+        col_rows += [
+            ("columns", "information_schema", cname, pos, dtype, True)
+            for pos, (cname, dtype) in enumerate(_COLUMNS_SELF_ROWS, start=1)
+        ]
         spark.createDataFrame(
             col_rows or [("", "", "", 0, "", True)],
             "table_name string, table_schema string, column_name string, "
@@ -267,15 +593,24 @@ class CrateSession:
         # information_schema.table_constraints / key_column_usage
         # (reference InformationSchemaTableDefinitions): PK constraints
         # of SQL-created tables, what \d and ORMs introspect
-        tc_rows, kcu_rows = [], []
+        # PG-style pkey naming; NOT NULL columns surface as CHECK rows
+        # named {schema}_{table}_{col}_not_null; information_schema's
+        # own tables table has a PK (information-schema.rst:600-608)
+        tc_rows = [("tables_pkey", "tables", "information_schema", "PRIMARY KEY")]
+        kcu_rows = []
         for name, ct in sorted(getattr(self._dml, "crate_tables", {}).items()):
+            sch = table_schema.get(name, "doc")
             if ct.primary_key:
-                cn = f"{name}_pk"
-                tc_rows.append((cn, name, "doc", "PRIMARY KEY"))
+                cn = f"{name}_pkey"
+                tc_rows.append((cn, name, sch, "PRIMARY KEY"))
                 for pos, col in enumerate(ct.primary_key, start=1):
-                    kcu_rows.append((cn, name, "doc", col, pos))
+                    kcu_rows.append((cn, name, sch, col, pos))
+            for col in getattr(ct, "not_null", []):
+                tc_rows.append(
+                    (f"{sch}_{name}_{col}_not_null", name, sch, "CHECK")
+                )
             for i, _chk in enumerate(ct.checks):
-                tc_rows.append((f"{name}_check_{i}", name, "doc", "CHECK"))
+                tc_rows.append((f"{name}_check_{i}", name, sch, "CHECK"))
         spark.createDataFrame(
             tc_rows or [("", "", "", "")],
             "constraint_name string, table_name string, table_schema string, "
@@ -323,24 +658,52 @@ class CrateSession:
             if ct is not None:
                 import os as _os
 
-                size = n_files = 0
+                size = n_files = n_rows = 0
                 for root, _d, files in _os.walk(ct.path):
                     for f in files:
                         if f.endswith(".parquet"):
                             n_files += 1
-                            size += _os.path.getsize(_os.path.join(root, f))
+                            full_f = _os.path.join(root, f)
+                            size += _os.path.getsize(full_f)
+                            # num_docs from the parquet FOOTER — a
+                            # metadata read, no scan job
+                            try:
+                                import pyarrow.parquet as _pq
+
+                                n_rows += _pq.read_metadata(full_f).num_rows
+                            except Exception:
+                                pass
                 n_shards = ct.shards or 4
-                for i in range(n_shards):
+                # partitioned tables shard PER PARTITION
+                # (partitioned-tables.rst:481-489: count(*) over
+                # sys.shards = live partitions x shards)
+                n_parts = 1
+                if ct.partitioned_by:
+                    n_parts = sum(
+                        1
+                        for e in _os.listdir(ct.path)
+                        if "=" in e and _os.path.isdir(_os.path.join(ct.path, e))
+                        and any(
+                            f.endswith(".parquet")
+                            for _r, _d2, fs in _os.walk(_os.path.join(ct.path, e))
+                            for f in fs
+                        )
+                    ) or 1
+                total_shards = n_shards * n_parts
+                base, rem = divmod(n_rows, total_shards)
+                for i in range(total_shards):
                     shard_rows.append(
-                        (n, "doc", i, True, "STARTED",
-                         size // n_shards, n_files)
+                        (n, "doc", i % n_shards, True, "STARTED",
+                         size // total_shards, n_files,
+                         base + (1 if i < rem else 0))
                     )
             else:
-                shard_rows.append((n, "doc", 0, True, "STARTED", None, None))
+                shard_rows.append((n, "doc", 0, True, "STARTED", None, None, None))
         spark.createDataFrame(
-            shard_rows or [("", "", 0, True, "", 0, 0)],
+            shard_rows or [("", "", 0, True, "", 0, 0, 0)],
             "table_name string, schema_name string, id int, "
-            "primary boolean, state string, size bigint, num_segments int",
+            "primary boolean, state string, size bigint, num_segments int, "
+            "num_docs bigint",
         ).filter("table_name <> ''").createOrReplaceTempView("sys_shards")
         spark.createDataFrame(
             [(n, "GREEN", 0) for n in sorted(self.tables)] or [("", "", 0)],
@@ -525,7 +888,7 @@ class CrateSession:
         con_rows = []
         for name, ct in sorted(getattr(self._dml, "crate_tables", {}).items()):
             if ct.primary_key:
-                con_rows.append((f"{name}_pk", "p", name))
+                con_rows.append((f"{name}_pkey", "p", name))
             for i, _chk in enumerate(ct.checks):
                 con_rows.append((f"{name}_check_{i}", "c", name))
         spark.createDataFrame(

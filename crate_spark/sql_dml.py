@@ -87,6 +87,83 @@ def _map_type(t: str) -> str:
     return t.strip()
 
 
+#: normalized crate spelling -> information_schema.columns data_type
+#: (information-schema.rst:363-381 prints lowercase reference names)
+_CRATE_NAME = {
+    "string": "text", "text": "text", "varchar": "text",
+    "character varying": "text", "char": "character",
+    "character": "character", "int": "integer", "integer": "integer",
+    "long": "bigint", "bigint": "bigint", "short": "smallint",
+    "smallint": "smallint", "byte": "byte", "float": "real",
+    "real": "real", "double": "double precision",
+    "double precision": "double precision",
+    "timestamp": "timestamp with time zone",
+    "timestamptz": "timestamp with time zone",
+    "timestamp with time zone": "timestamp with time zone",
+    "timestamp without time zone": "timestamp without time zone",
+    "boolean": "boolean", "ip": "ip", "geo_point": "geo_point",
+    "geo_shape": "geo_shape", "interval": "interval", "bit": "bit",
+    "date": "date",
+}
+
+
+def _crate_decl(raw: str) -> dict:
+    """Parse one declared crate type into its information_schema form:
+    {"type": <data_type spelling>} plus, for objects, the declared
+    subcolumns as {"children": [{"name", ...decl}]} (recursive)."""
+    key = re.sub(r"\s+", " ", raw.strip().lower()).rstrip()
+    m = re.match(
+        r"object(?:\s*\(\s*(?:strict|dynamic|ignored)\s*\))?"
+        r"(?:\s+as\s*\((.*)\))?$",
+        key,
+        re.DOTALL,
+    )
+    if m:
+        children = []
+        for item in _split_top(m.group(1)) if m.group(1) else []:
+            cm = re.match(r'("?[\w]+"?)\s+(.*)$', item, re.DOTALL)
+            if cm:
+                children.append(
+                    {"name": cm.group(1).strip('"'), **_crate_decl(cm.group(2))}
+                )
+        return {"type": "object", "children": children}
+    m = re.match(r"array\s*\(\s*(.+)\s*\)$", key, re.DOTALL)
+    if m:
+        inner = _crate_decl(m.group(1))
+        out = {"type": inner["type"] + "_array"}
+        if inner.get("children"):
+            out["children"] = inner["children"]
+        return out
+    m = re.match(r"(varchar|character varying|char|character|bit)\s*\(\s*\d+\s*\)$", key)
+    if m:
+        return {"type": _CRATE_NAME[m.group(1)]}
+    if re.match(r"numeric\b", key):
+        return {"type": "numeric"}
+    if re.match(r"float_vector\b", key):
+        return {"type": "float_vector"}
+    return {"type": _CRATE_NAME.get(key, key)}
+
+
+def _spark_to_crate(simple: str) -> str:
+    """Spark simpleString -> crate data_type name (fallback for tables
+    without declared DDL — e.g. registered parquet sources)."""
+    m = re.match(r"array<(.+)>$", simple)
+    if m:
+        return _spark_to_crate(m.group(1)) + "_array"
+    if simple.startswith("decimal"):
+        return "numeric"
+    if simple.startswith("struct"):
+        return "object"
+    return {
+        "string": "text", "int": "integer", "tinyint": "byte",
+        "float": "real", "double": "double precision",
+        "timestamp": "timestamp with time zone",
+        "timestamp_ntz": "timestamp without time zone",
+        "map<string,string>": "object",
+        "binary": "text",
+    }.get(simple, simple)
+
+
 def _split_top(s: str, sep: str = ",") -> list[str]:
     """Split at depth-0 separators (parens nest, literals are masked)."""
     items, buf, depth = [], "", 0
@@ -189,6 +266,30 @@ class SqlDmlRouter:
         name = name.split(".")[-1]
         self.owner.register(name, self.crate_tables[name].read())
 
+    def _coerce_ts_literals(self, table: CrateTable, where: str) -> str:
+        """Reference semantics: a NUMERIC literal compared to a
+        timestamp column is epoch MILLIS (its timestamp storage) —
+        ``WHERE day = 1396915200000`` (partitioned-tables.rst:305).
+        Spark refuses TIMESTAMP = BIGINT, so wrap such literals in
+        timestamp_millis() for every timestamp column of the table."""
+        ts_cols = [
+            f.name
+            for f in self.spark.createDataFrame([], table.schema_ddl).schema.fields
+            if f.dataType.simpleString() in ("timestamp", "timestamp_ntz")
+        ]
+        for col in ts_cols:
+            where = re.sub(
+                rf'("?{re.escape(col)}"?\s*(?:=|!=|<>|<=|>=|<|>)\s*)(\d{{7,}})\b',
+                r"\1timestamp_millis(\2)",
+                where,
+            )
+            where = re.sub(
+                rf'(?<![\w(])(\d{{7,}})(\s*(?:=|!=|<>|<=|>=|<|>)\s*"?{re.escape(col)}"?)',
+                r"timestamp_millis(\1)\2",
+                where,
+            )
+        return where
+
     def _count_df(self, n: int) -> DataFrame:
         return self.spark.createDataFrame([(n,)], "rowcount bigint")
 
@@ -274,6 +375,7 @@ class SqlDmlRouter:
                 checks=list(src.checks),
                 defaults=dict(src.defaults),
                 settings=dict(src.settings),
+                crate_columns=[dict(c) for c in src.crate_columns],
             )
             self.crate_tables[name] = t
             self._record_schema(m.group(2), name)
@@ -281,6 +383,8 @@ class SqlDmlRouter:
             return self._count_df(1)
 
         cols: list[str] = []
+        crate_cols: list[dict] = []
+        not_null: list[str] = []
         pk: list[str] = []
         checks: list[str] = []
         generated: dict[str, str] = {}
@@ -290,10 +394,12 @@ class SqlDmlRouter:
         for item in _split_top(body):
             up = item.upper()
             if up.startswith("PRIMARY KEY"):
-                pk += [
+                named = [
                     c.strip().strip('"')
                     for c in item[item.index("(") + 1 : item.rindex(")")].split(",")
                 ]
+                pk += named
+                not_null += [c for c in named if c not in not_null]
                 continue
             # table-level CHECK only — a COLUMN named check_sum also
             # starts with CHECK (dml.rst debit_card example)
@@ -328,6 +434,18 @@ class SqlDmlRouter:
                 gclose = _find_close(rest, gm.end() - 1)
                 generated[cname] = _unmask(rest[gm.end() : gclose], literals)
                 rest = rest[: gm.start()] + rest[gclose + 1 :]
+            else:
+                # paren-less form (create-table.rst: GENERATED ALWAYS
+                # AS expr — parentheses optional): the expression runs
+                # to the end of the column item
+                gm2 = re.search(
+                    r"GENERATED\s+ALWAYS\s+AS\s+(.+)$",
+                    rest,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if gm2:
+                    generated[cname] = _unmask(gm2.group(1).strip(), literals)
+                    rest = rest[: gm2.start()]
             ckm = re.search(r"CHECK\s*\(", rest, re.IGNORECASE)
             if ckm:
                 cclose = _find_close(rest, ckm.end() - 1)
@@ -342,7 +460,10 @@ class SqlDmlRouter:
                 rest = rest[: dm.start()]
             if re.search(r"\bPRIMARY\s+KEY\b", rest, re.IGNORECASE):
                 pk.append(cname)
+                not_null.append(cname)  # PK implies NOT NULL
                 rest = re.sub(r"\bPRIMARY\s+KEY\b", "", rest, flags=re.IGNORECASE)
+            if re.search(r"\bNOT\s+NULL\b", rest, re.IGNORECASE):
+                not_null.append(cname)
             rest = re.sub(r"\bNOT\s+NULL\b", "", rest, flags=re.IGNORECASE)
             # column index clauses (create-table.rst): INDEX OFF,
             # INDEX USING fulltext/plain/geohash/quadtree/bkdtree
@@ -361,9 +482,11 @@ class SqlDmlRouter:
                     # expression"): resolved after the loop
                     untyped_generated.append(cname)
                     cols.append(cname)  # placeholder, patched below
+                    crate_cols.append({"name": cname, "type": None})
                     continue
                 raise ValueError(f"column '{cname}' needs an explicit type")
             cols.append(f"{cname} {ctype}")
+            crate_cols.append({"name": cname, **_crate_decl(rest)})
         for cname in untyped_generated:
             typed = ", ".join(c for c in cols if " " in c)
             probe = self.spark.createDataFrame([], typed or "__x int")
@@ -371,6 +494,9 @@ class SqlDmlRouter:
                 f"({rewrite(_unmask(generated[cname], literals))}) AS __g"
             ).schema[0].dataType.simpleString()
             cols[cols.index(cname)] = f"{cname} {dt}"
+            for cc in crate_cols:
+                if cc["name"] == cname and cc["type"] is None:
+                    cc["type"] = _spark_to_crate(dt)
 
         partitioned: list[str] = []
         pm = re.search(r"PARTITIONED\s+BY\s*\(([^)]*)\)", tail, re.IGNORECASE)
@@ -414,6 +540,8 @@ class SqlDmlRouter:
             clustered_by=clustered_by,
             shards=shards,
             ft_indexes=ft_indexes,
+            crate_columns=crate_cols,
+            not_null=not_null,
         )
         self.crate_tables[name] = t
         self._record_schema(m.group(2), name)
@@ -429,7 +557,15 @@ class SqlDmlRouter:
             f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
         )
         path = os.path.join(self.owner.storage_dir, name)
-        t = CrateTable.create(self.spark, path, schema_ddl)
+        t = CrateTable.create(
+            self.spark,
+            path,
+            schema_ddl,
+            crate_columns=[
+                {"name": f.name, "type": _spark_to_crate(f.dataType.simpleString())}
+                for f in src.schema.fields
+            ],
+        )
         self.crate_tables[name] = t
         self._record_schema(raw_name, name)
         n = t.insert(src)
@@ -498,9 +634,13 @@ class SqlDmlRouter:
                 for kv in sm.group(3).split(","):
                     if "=" in kv:
                         k, v = kv.split("=", 1)
-                        table.settings[k.strip().strip('"')] = _unmask(
-                            v.strip(), literals
-                        ).strip("'\"")
+                        key = k.strip().strip('"')
+                        val = _unmask(v.strip(), literals).strip("'\"")
+                        table.settings[key] = val
+                        if key == "number_of_shards" and val.isdigit():
+                            # applies to future partitions/batches
+                            # (alter-table.rst:75; sys.shards reflects it)
+                            table.shards = int(val)
             else:
                 for k in sm.group(3).split(","):
                     table.settings.pop(k.strip().strip('"'), None)
@@ -509,20 +649,56 @@ class SqlDmlRouter:
 
         m = re.match(
             r"\s*ALTER\s+TABLE\s+([\w.\"]+)\s+"
-            r"(?:ADD\s+(?:COLUMN\s+)?(\w+)\s+([\w()<>, ]+?)"
+            r"(?:ADD\s+(?:COLUMN\s+)?(\S+)\s+(.+?)"
             r"|DROP\s+(?:COLUMN\s+)?(\w+)"
-            r"|RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+))\s*$",
+            r"|RENAME\s+(?:COLUMN\s+)?(\S+)\s+TO\s+(\S+))\s*$",
             masked,
-            re.IGNORECASE,
+            re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise ValueError("unsupported ALTER TABLE syntax")
         table = self._table(m.group(1).strip('"'))
         name = m.group(1).strip('"').split(".")[-1]
-        if m.group(2):  # ADD COLUMN
-            col, ctype = m.group(2), _map_type(m.group(3))
-            table.schema_ddl = f"{table.schema_ddl}, {col} {ctype}"
-            table._save_meta()
+
+        def _subref(ref: str):
+            """col['a']['b'] -> (col, ['a','b']); plain col -> (col, [])."""
+            sm = re.match(r'"?(\w+)"?((?:\s*\[\s*\'[\w]+\'\s*\])*)\s*$', ref)
+            if not sm:
+                return None
+            path = re.findall(r"\[\s*'([\w]+)'\s*\]", sm.group(2) or "")
+            return sm.group(1), path
+
+        def _decl_at(path_parent: list[str]) -> list[dict]:
+            """children list of the object column at path_parent."""
+            level = table.crate_columns
+            for part in path_parent:
+                node = next((c for c in level if c["name"] == part), None)
+                if node is None or not node["type"].startswith("object"):
+                    raise ValueError(f"unknown object column '{part}'")
+                level = node.setdefault("children", [])
+            return level
+
+        if m.group(2):  # ADD COLUMN (top-level or obj['sub'] nested)
+            ref = _unmask(m.group(2), literals)
+            raw_type = _unmask(m.group(3), literals).strip()
+            if re.search(r"\bPRIMARY\s+KEY\b", raw_type, re.IGNORECASE):
+                table.primary_key = list(table.primary_key) + [ref]
+            raw_type = re.sub(
+                r"\b(NOT\s+NULL|PRIMARY\s+KEY)\b", "", raw_type,
+                flags=re.IGNORECASE,
+            ).strip()
+            col, path = _subref(ref)
+            if path:
+                # nested add (alter-table.rst:148): object payloads are
+                # JSON strings — the new subcolumn is catalog metadata
+                _decl_at([col] + path[:-1]).append(
+                    {"name": path[-1], **_crate_decl(raw_type)}
+                )
+                table._save_meta()
+            else:
+                table.schema_ddl = f"{table.schema_ddl}, {col} {_map_type(raw_type)}"
+                table.crate_columns.append({"name": col, **_crate_decl(raw_type)})
+                table._save_meta()
         elif m.group(4):  # DROP COLUMN
             col = m.group(4)
             fields = [
@@ -534,18 +710,71 @@ class SqlDmlRouter:
             table.schema_ddl = ", ".join(
                 f"{f.name} {f.dataType.simpleString()}" for f in fields
             )
+            table.crate_columns = [
+                c for c in table.crate_columns if c["name"] != col
+            ]
             table._save_meta()
-        else:  # RENAME COLUMN
-            old, new = m.group(5), m.group(6)
-            fields = self.spark.createDataFrame([], table.schema_ddl).schema.fields
-            renamed = table.read().withColumnRenamed(old, new) if table._has_data() else None
-            table.schema_ddl = ", ".join(
-                f"{new if f.name == old else f.name} {f.dataType.simpleString()}"
-                for f in fields
-            )
-            table._save_meta()
-            if renamed is not None:
-                table._overwrite(renamed)
+        else:  # RENAME COLUMN (top-level or nested object subcolumn)
+            old_ref = _unmask(m.group(5), literals)
+            new_ref = _unmask(m.group(6), literals)
+            ocol, opath = _subref(old_ref)
+            ncol, npath = _subref(new_ref)
+            if opath:
+                # nested rename (alter-table.rst:192): same parent path
+                if ocol != ncol or opath[:-1] != npath[:-1]:
+                    raise ValueError(
+                        "RENAME COLUMN cannot move a column between objects"
+                    )
+                level = _decl_at([ocol] + opath[:-1])
+                node = next(
+                    (c for c in level if c["name"] == opath[-1]), None
+                )
+                if node is None:
+                    raise ValueError(f"unknown column '{old_ref}'")
+                node["name"] = npath[-1]
+                table._save_meta()
+                if table._has_data():
+                    # JSON payloads key by field name — rewrite the key
+                    # at this nesting depth
+                    import json as _json
+
+                    def _rekey(v, parts=tuple(opath), new_name=npath[-1]):
+                        if v is None:
+                            return None
+                        try:
+                            obj = _json.loads(v)
+                        except Exception:
+                            return v
+                        node_ = obj
+                        for p in parts[:-1]:
+                            if not isinstance(node_, dict) or p not in node_:
+                                return v
+                            node_ = node_[p]
+                        if isinstance(node_, dict) and parts[-1] in node_:
+                            node_[new_name] = node_.pop(parts[-1])
+                        return _json.dumps(obj)
+
+                    rekey = F.udf(_rekey, "string")
+                    table._overwrite(
+                        table.read().withColumn(ocol, rekey(F.col(ocol)))
+                    )
+            else:
+                old, new = ocol, ncol
+                fields = self.spark.createDataFrame([], table.schema_ddl).schema.fields
+                renamed = (
+                    table.read().withColumnRenamed(old, new)
+                    if table._has_data() else None
+                )
+                table.schema_ddl = ", ".join(
+                    f"{new if f.name == old else f.name} {f.dataType.simpleString()}"
+                    for f in fields
+                )
+                for c in table.crate_columns:
+                    if c["name"] == old:
+                        c["name"] = new
+                table._save_meta()
+                if renamed is not None:
+                    table._overwrite(renamed)
         self._refresh(name)
         return self._count_df(1)
 
@@ -703,12 +932,33 @@ class SqlDmlRouter:
         where = None
         wm = re.search(r"\bWHERE\s+(.*)$", body, re.IGNORECASE | re.DOTALL)
         if wm:
-            where = rewrite(_unmask(wm.group(1).strip(), literals))
+            where = self._coerce_ts_literals(
+                table, rewrite(_unmask(wm.group(1).strip(), literals))
+            )
             body = body[: wm.start()].strip()
         set_exprs = {}
         for a in _split_top(body):
             k, _, v = a.partition("=")
             set_exprs[k.strip().strip('"')] = rewrite(_unmask(v.strip(), literals))
+        # partition columns are immutable — moving documents between
+        # partitions is not atomic (partitioned-tables.rst:258-273,
+        # reference ColumnValidationException); columns feeding a
+        # generated partition column are equally frozen
+        for col in set_exprs:
+            if col in table.partitioned_by:
+                raise ValueError(
+                    f"Validation failed for {col}: Updating a "
+                    "partitioned-by column is not supported"
+                )
+            for gcol, gexpr in table.generated.items():
+                if gcol in table.partitioned_by and re.search(
+                    rf"\b{re.escape(col)}\b", gexpr
+                ):
+                    raise ValueError(
+                        f"Validation failed for {col}: Updating a column "
+                        "which is referenced in a partitioned by "
+                        "generated column expression is not supported"
+                    )
         out = table.update(set_exprs, where=where, returning=returning)
         self._refresh(name)
         return out if returning is not None else self._count_df(out)
@@ -723,7 +973,12 @@ class SqlDmlRouter:
             raise ValueError("unsupported DELETE syntax")
         name = m.group(1).strip('"').split(".")[-1]
         table = self._table(name)
-        where = rewrite(_unmask(m.group(2).strip(), literals)) if m.group(2) else None
+        where = (
+            self._coerce_ts_literals(
+                table, rewrite(_unmask(m.group(2).strip(), literals))
+            )
+            if m.group(2) else None
+        )
         n = table.delete(where)
         self._refresh(name)
         return self._count_df(n)

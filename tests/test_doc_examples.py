@@ -215,6 +215,11 @@ def _cell_matches(got, want: str) -> bool:
         iso = got.strftime("%Y-%m-%dT%H:%M:%S")
         if want.startswith(iso):
             return True
+        # docs render timestamp cells as epoch millis (crate storage)
+        if re.fullmatch(r"-?\d+", want):
+            ts = got if got.tzinfo else got.replace(tzinfo=timezone.utc)
+            if int(ts.timestamp() * 1000) == int(want):
+                return True
     # JSON containers: order-insensitive object compare; dynamic
     # OBJECT values are JSON-typed strings here, so numeric strings
     # compare equal to numbers

@@ -1103,7 +1103,13 @@ def test_information_schema_constraints(dml_session):
         "information_schema.table_constraints WHERE table_name = 'conform' "
         "ORDER BY constraint_type"
     ).collect()
-    assert [r["constraint_type"] for r in tc] == ["CHECK", "PRIMARY KEY"]
+    # explicit CHECK + PK-implied NOT NULL checks (a, b) + the PK row
+    assert [r["constraint_type"] for r in tc] == [
+        "CHECK", "CHECK", "CHECK", "PRIMARY KEY"
+    ]
+    assert {"doc_conform_a_not_null", "doc_conform_b_not_null"} <= {
+        r["constraint_name"] for r in tc
+    }
     kcu = dml_session.execute(
         "SELECT column_name, ordinal_position FROM "
         "information_schema.key_column_usage WHERE table_name = 'conform' "
@@ -1145,7 +1151,7 @@ def test_array_prepend_modulus_pg_constraint(dml_session):
         "WHERE relname = 'conz' ORDER BY contype"
     ).collect()
     assert [(r["conname"], r["contype"]) for r in rows] == [
-        ("conz_check_0", "c"), ("conz_pk", "p")
+        ("conz_check_0", "c"), ("conz_pkey", "p")
     ]
 
 
