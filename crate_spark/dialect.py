@@ -105,6 +105,7 @@ _CAST_TYPE_MAP = {
     "numeric": "DECIMAL(38,6)",
     "timestampwithtimezone": "TIMESTAMP",
     "timestampwithouttimezone": "TIMESTAMP_NTZ",
+    "timestamptz": "TIMESTAMP",
     "timewithtimezone": "STRING", "timewithouttimezone": "STRING",
     "doubleprecision": "DOUBLE", "charactervarying": "STRING",
     "regtype": "STRING", "timetz": "STRING", "geo_shape": "STRING",
@@ -116,9 +117,19 @@ def _cast_type(t: str) -> str:
     key = re.sub(r"\s+", "", t.lower())
     if key.endswith("[]"):  # PG array-type spelling int[] / text[]
         return f"ARRAY<{_cast_type(key[:-2])}>"
+    m = re.fullmatch(r"array\((.+)\)", key)
+    if m:  # crate array(inner) spelling (data-types.rst)
+        return f"ARRAY<{_cast_type(m.group(1))}>"
     if key.startswith("float_vector"):
         return "ARRAY<FLOAT>"
     if re.fullmatch(r"bit\(\d+\)", key):
+        return "STRING"
+    # json and OBJECT[(policy)][AS (...)] casts: the engine's object
+    # representation is a JSON string, so these are identity-shaped
+    # (data-types.rst json / object cast examples)
+    if key in ("json", "uuid"):
+        return "STRING"
+    if re.fullmatch(r"object(\((strict|dynamic|ignored)\))?(as\(.*\))?", key):
         return "STRING"
     return _CAST_TYPE_MAP.get(key, t)
 
@@ -333,10 +344,15 @@ _FN_TEMPLATES: dict = {
     # treats the wall-clock value as located in the zone -> UTC
     # instant; the WITH-tz variant converts the instant to the zone's
     # wall clock. Numeric operands are epoch millis (crate storage).
+    # WITH-tz detection is textual (the rewrite has no schema): an
+    # explicit cast spelling, or an operand whose name marks it as a
+    # tz column (ts_tz / *_timestamptz — the docs' convention)
     "timezone": lambda a, lits: (
         (
             f"from_utc_timestamp(CAST({a[1]} AS TIMESTAMP), {a[0]})"
-            if re.search(r"(?i)with\s+time\s+zone|timestamptz", a[1])
+            if re.search(
+                r"(?i)with\s+time\s+zone|timestamptz|(?:^|\W)\w*_tz\b", a[1]
+            )
             else f"convert_timezone({a[0]}, 'UTC', "
             f"CAST({_ts_coerce(a[1])} AS TIMESTAMP_NTZ))"
         )
@@ -1252,7 +1268,7 @@ _LIT_RE = re.compile(r"'(?:[^']|'')*'")
 #: docs/general/ddl/data-types: OBJECT literals). Keys are identifiers;
 #: values are arbitrary expressions without nested braces (nesting is
 #: handled by the inner-out loop in rewrite()).
-_OBJ_LIT_RE = re.compile(r"\{\s*([A-Za-z_\"]\w*\s*=\s*[^{}]*)\}")
+_OBJ_LIT_RE = re.compile(r"\{\s*([A-Za-z_\"`]\w*`?\s*=\s*[^{}]*)\}")
 
 
 def _obj_lit_sub(m: re.Match) -> str:
@@ -1758,6 +1774,192 @@ def _rewrite_series_tvf(sql: str, literals: list[str]) -> str:
     )
 
 
+#: interval field order for <unit> TO <unit> truncation
+_IVL_FIELDS = ("YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND")
+_IVL_UNIT_WORDS = {
+    "year": ("y", 1), "years": ("y", 1), "yr": ("y", 1), "yrs": ("y", 1),
+    "month": ("mo", 1), "months": ("mo", 1), "mon": ("mo", 1), "mons": ("mo", 1),
+    "week": ("d", 7), "weeks": ("d", 7),
+    "day": ("d", 1), "days": ("d", 1),
+    "hour": ("us", 3_600_000_000), "hours": ("us", 3_600_000_000),
+    "minute": ("us", 60_000_000), "minutes": ("us", 60_000_000),
+    "min": ("us", 60_000_000), "mins": ("us", 60_000_000),
+    "second": ("us", 1_000_000), "seconds": ("us", 1_000_000),
+    "sec": ("us", 1_000_000), "secs": ("us", 1_000_000),
+    "millisecond": ("us", 1_000), "milliseconds": ("us", 1_000),
+    "microsecond": ("us", 1), "microseconds": ("us", 1),
+}
+
+
+def _parse_pg_interval(s: str):
+    """PG interval string -> (months, days, micros, used_shorthand,
+    has_ym, has_dt) or None if unparseable. Handles both the verbose
+    unit-word form ('2 years 1 month') and the sql-standard shorthand
+    ('1-2 3 04:05:06' = 1y 2mo 3d 4:05:06) the reference accepts
+    (data-types.rst interval section; IntervalParser.java)."""
+    months = days = micros = 0
+    shorthand = False
+    toks = s.strip().split()
+    i = 0
+    while i < len(toks):
+        t = toks[i].lower()
+        m = re.fullmatch(r"([+-]?\d+)-(\d+)", t)
+        if m:
+            months += int(m.group(1)) * 12 + int(m.group(2))
+            shorthand = True
+            i += 1
+            continue
+        m = re.fullmatch(r"([+-]?\d+):(\d+)(?::(\d+(?:\.\d+)?))?", t)
+        if m:
+            micros += (int(m.group(1)) * 3600 + int(m.group(2)) * 60) * 1_000_000
+            if m.group(3):
+                micros += int(round(float(m.group(3)) * 1_000_000))
+            shorthand = True
+            i += 1
+            continue
+        m = re.fullmatch(r"[+-]?\d+(\.\d+)?", t)
+        if m:
+            if i + 1 < len(toks) and toks[i + 1].lower() in _IVL_UNIT_WORDS:
+                kind, mult = _IVL_UNIT_WORDS[toks[i + 1].lower()]
+                v = float(t)
+                if kind == "y":
+                    months += int(v * 12 * mult)
+                elif kind == "mo":
+                    months += int(v * mult)
+                elif kind == "d":
+                    days += int(v * mult)
+                else:
+                    micros += int(round(v * mult))
+                i += 2
+                continue
+            # bare number followed by a time token = days
+            # ('3 4:05:06'); a lone bare number is seconds (PG)
+            if i + 1 < len(toks) and re.fullmatch(
+                r"[+-]?\d+:\d+(:\d+(\.\d+)?)?", toks[i + 1]
+            ):
+                days += int(t)
+            else:
+                micros += int(round(float(t) * 1_000_000))
+            shorthand = True
+            i += 1
+            continue
+        return None
+    return (months, days, micros, shorthand, months != 0, days != 0 or micros != 0)
+
+
+def _truncate_interval(months, days, micros, start, end):
+    """Zero out fields outside [start..end] (INTERVAL ... <u> TO <u>)."""
+    lo, hi = _IVL_FIELDS.index(start), _IVL_FIELDS.index(end)
+    keep = set(_IVL_FIELDS[lo : hi + 1])
+    y, mo = divmod(months, 12)
+    h, rest = divmod(micros, 3_600_000_000)
+    mi, us = divmod(rest, 60_000_000)
+    y = y if "YEAR" in keep else 0
+    mo = mo if "MONTH" in keep else 0
+    days = days if "DAY" in keep else 0
+    h = h if "HOUR" in keep else 0
+    mi = mi if "MINUTE" in keep else 0
+    us = us if "SECOND" in keep else 0
+    return y * 12 + mo, days, h * 3_600_000_000 + mi * 60_000_000 + us
+
+
+def _crate_interval_str(months, days, micros) -> str:
+    """Render like the reference ('1 year 2 mons 3 days 04:05:06' —
+    y/mons/days parts when nonzero, time always)."""
+    y, mo = divmod(months, 12)
+    parts = []
+    if y:
+        parts.append(f"{y} year" + ("s" if abs(y) != 1 else ""))
+    if mo:
+        parts.append(f"{mo} mon" + ("s" if abs(mo) != 1 else ""))
+    if days:
+        parts.append(f"{days} day" + ("s" if abs(days) != 1 else ""))
+    h, rest = divmod(micros, 3_600_000_000)
+    mi, rest = divmod(rest, 60_000_000)
+    s, us = divmod(rest, 1_000_000)
+    t = f"{h:02d}:{mi:02d}:{s:02d}"
+    if us:
+        frac = f"{us:06d}"
+        # millisecond precision minimum, micros digits only if set
+        t += "." + frac[:3] + frac[3:].rstrip("0")
+    parts.append(t)
+    return " ".join(parts)
+
+
+def _fold_interval_literals(sql: str, literals: list[str]) -> str:
+    """Constant-fold INTERVAL literals Spark cannot evaluate — the
+    sql-standard shorthand, mixed year-month+day-time strings, <u> TO
+    <u> truncation over them, and integer multiplication — into the
+    reference's interval TEXT render. Spark-parseable simple interval
+    literals (INTERVAL '1' DAY, INTERVAL '2 years') pass through so
+    timestamp arithmetic keeps its native types."""
+
+    def repl(m: re.Match) -> str:
+        mult = int(m.group(1)) if m.group(1) else None
+        lit = literals[int(m.group(2))]
+        parsed = _parse_pg_interval(lit[1:-1])
+        if parsed is None:
+            return m.group(0)
+        months, days, micros, shorthand, has_ym, has_dt = parsed
+        qual_start, qual_end = m.group(3), m.group(4) or m.group(3)
+        if qual_start and re.fullmatch(r"\s*[+-]?\d+\s*", lit[1:-1]):
+            # INTERVAL '1' DAY — Spark-native qualified literal
+            return m.group(0)
+        needs_fold = (
+            shorthand
+            or (has_ym and has_dt)
+            or mult is not None
+        )
+        if not needs_fold:
+            return m.group(0)
+        if qual_start:
+            months, days, micros = _truncate_interval(
+                months, days, micros, qual_start.upper(), qual_end.upper()
+            )
+        if mult is not None:
+            months, days, micros = months * mult, days * mult, micros * mult
+        literals.append("'" + _crate_interval_str(months, days, micros) + "'")
+        return f"__LIT_{len(literals) - 1}__"
+
+    return re.sub(
+        r"(?:(\d+)\s*\*\s*)?\bINTERVAL\s+__LIT_(\d+)__"
+        r"(?:\s+(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND)"
+        r"(?:\s+TO\s+(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND))?(?!\w))?",
+        repl,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
+def _pg_array_literal_to_sql(body: str) -> str:
+    """'{a, b, "c d", null}' -> array('a', 'b', 'c d', NULL) (PG array
+    input syntax; quoted "null" stays a string, bare null is NULL)."""
+    inner = body.strip()[1:-1]
+    items, buf, inq = [], "", False
+    for ch in inner:
+        if ch == '"':
+            inq = not inq
+            buf += ch
+            continue
+        if ch == "," and not inq:
+            items.append(buf)
+            buf = ""
+        else:
+            buf += ch
+    if buf.strip() or items:
+        items.append(buf)
+    parts = []
+    for it in items:
+        it = it.strip()
+        if it.startswith('"') and it.endswith('"'):
+            parts.append("'" + it[1:-1].replace("'", "''") + "'")
+        elif it.lower() == "null":
+            parts.append("NULL")
+        else:
+            parts.append("'" + it.replace("'", "''") + "'")
+    return f"array({', '.join(parts)})"
+
+
 def rewrite(
     sql: str,
     string_object_columns: set[str] | None = None,
@@ -1828,6 +2030,160 @@ def rewrite(
     # are masked, so any remaining "word" is an identifier). Dotted
     # chains quote each part; "" inside stays (rare) untouched.
     sql = re.sub(r'"([A-Za-z_][A-Za-z0-9_ ]*)"', r"`\1`", sql)
+
+    # bit-string literals B'0110' (data-types.rst bit strings): stored
+    # as bare bit text (declared divergence — no BIT runtime type)
+    def _bit_lit(m: re.Match) -> str:
+        idx = int(m.group(1))
+        literals[idx] = literals[idx]  # '0110' — already the bits
+        return f"__LIT_{m.group(1)}__"
+
+    sql = re.sub(r"(?<![\w'])B__LIT_(\d+)__", _bit_lit, sql)
+
+    # typed literals: <TYPE> 'value' -> CAST (data-types.rst "you can
+    # also use the type name followed by a string literal"); DATE /
+    # TIMESTAMP / INTERVAL are Spark-native and stay
+    _TYPED_LIT = {
+        "integer": "INT", "int": "INT", "bigint": "BIGINT",
+        "smallint": "SMALLINT", "real": "FLOAT",
+        "double precision": "DOUBLE", "boolean": "BOOLEAN",
+        "ip": "STRING", "text": "STRING",
+        "timestamp with time zone": "TIMESTAMP",
+        "timestamp without time zone": "TIMESTAMP_NTZ",
+    }
+
+    def _typed_lit(m: re.Match) -> str:
+        t = re.sub(r"\s+", " ", m.group(1).lower())
+        nm = re.match(r"numeric\s*(\(\s*\d+\s*,\s*\d+\s*\))?", t)
+        if nm:
+            target = "DECIMAL" + (re.sub(r"\s", "", nm.group(1)) if nm.group(1) else "(38,6)")
+        else:
+            target = _TYPED_LIT[t]
+        return f"CAST({m.group(2)} AS {target})"
+
+    sql = re.sub(
+        r"\b(TIMESTAMP\s+WITH(?:OUT)?\s+TIME\s+ZONE|DOUBLE\s+PRECISION|"
+        r"NUMERIC\s*\(\s*\d+\s*,\s*\d+\s*\)|NUMERIC|INTEGER|INT|BIGINT|"
+        r"SMALLINT|REAL|IP|BOOLEAN|TEXT)\s+(__LIT_\d+__)",
+        _typed_lit,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+    # expr AT TIME ZONE 'z' (PG; data-types.rst): a WITH-tz operand
+    # renders as z-local wall time; a WITHOUT-tz operand is a wall
+    # clock INTERPRETED in z -> UTC instant (direction split like
+    # timezone(); tz-ness detected textually by the *_tz naming or an
+    # explicit cast spelling)
+    def _at_time_zone(m: re.Match) -> str:
+        operand, zone = m.group(1), m.group(2)
+        if re.search(
+            r"(?i)with\s+time\s+zone|timestamptz|(?:^|\W)\w*_tz\b", operand
+        ):
+            return f"from_utc_timestamp(CAST({operand} AS TIMESTAMP), {zone})"
+        return f"to_utc_timestamp(CAST({operand} AS TIMESTAMP), {zone})"
+
+    sql = re.sub(
+        r"((?:[\w.`\]]+|\([^()]*\)))\s+AT\s+TIME\s+ZONE\s+(__LIT_\d+__)",
+        _at_time_zone,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+    # PG array-input literals cast to arrays: '{a, b}'::ARRAY(TEXT)
+    def _arr_lit_cast(m: re.Match) -> str:
+        lit = literals[int(m.group(1))]
+        body = lit[1:-1].replace("''", "'")
+        if not (body.strip().startswith("{") and body.strip().endswith("}")):
+            return m.group(0)
+        return _pg_array_literal_to_sql(body)
+
+    sql = re.sub(
+        r"__LIT_(\d+)__\s*::\s*ARRAY\s*\(\s*TEXT\s*\)",
+        _arr_lit_cast,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+    # interval literals Spark can't evaluate (sql-standard shorthand,
+    # mixed ym+dt, <u> TO <u> truncation, n * INTERVAL) fold to the
+    # reference's text render at plan time
+    sql = _fold_interval_literals(sql, literals)
+
+    # named WINDOW clause (window-functions.rst:300-365): the
+    # reference allows extending a named window — `OVER (w ORDER BY
+    # x)` and window defs referencing earlier windows (`w AS (p ORDER
+    # BY x)`). Spark accepts only bare `OVER w` refs, so resolve the
+    # definitions transitively, inline every reference, and drop the
+    # WINDOW clause. Clause overrides error like the reference.
+    _win_defs: dict[str, str] = {}
+    _win_clause_re = re.compile(
+        r"\bWINDOW\s+\w+\s+AS\s*\([^()]*\)(?:\s*,\s*\w+\s+AS\s*\([^()]*\))*",
+        re.IGNORECASE,
+    )
+    _wcm = _win_clause_re.search(sql)
+    if _wcm:
+        for wm in re.finditer(
+            r"(\w+)\s+AS\s*\(([^()]*)\)", _wcm.group(0), re.IGNORECASE
+        ):
+            _win_defs[wm.group(1).lower()] = wm.group(2).strip()
+
+        def _win_extend(name: str, base: str, extra: str) -> str:
+            for clause in ("ORDER BY", "PARTITION BY"):
+                pat = clause.replace(" ", r"\s+")
+                if re.search(rf"\b{pat}\b", extra, re.IGNORECASE) and re.search(
+                    rf"\b{pat}\b", base, re.IGNORECASE
+                ):
+                    raise ValueError(
+                        f"Cannot override {clause} clause of window {name}"
+                    )
+            return (base + " " + extra).strip()
+
+        # expand defs that start with a reference to an earlier window
+        for nm in list(_win_defs):
+            d = _win_defs[nm]
+            rm = re.match(r"(\w+)\b\s*(.*)$", d, re.DOTALL)
+            if rm and rm.group(1).lower() in _win_defs and rm.group(
+                1
+            ).lower() != nm:
+                _win_defs[nm] = _win_extend(
+                    rm.group(1), _win_defs[rm.group(1).lower()], rm.group(2)
+                )
+
+        def _over_ref(m: re.Match) -> str:
+            name = m.group(1)
+            extra = (m.group(2) or "").strip() if m.lastindex and m.lastindex >= 2 else ""
+            d = _win_defs.get(name.lower())
+            if d is None:
+                return m.group(0)
+            return f"OVER ({_win_extend(name, d, extra)})"
+
+        sql = re.sub(
+            r"\bOVER\s*\(\s*(\w+)\s*([^()]*)\)", _over_ref, sql,
+            flags=re.IGNORECASE,
+        )
+        sql = re.sub(r"\bOVER\s+(\w+)\b", _over_ref, sql, flags=re.IGNORECASE)
+        sql = _win_clause_re.sub("", sql).rstrip()
+
+    # exponent literals just past DBL_MAX: the reference rounds to the
+    # nearest double (data-types.rst:1380-1395), Spark's parser
+    # range-errors — fold only the out-of-range ones
+    def _fold_big_float(m: re.Match) -> str:
+        import sys as _sys
+        from decimal import Decimal, InvalidOperation
+
+        tok = m.group(0)
+        try:
+            if abs(Decimal(tok)) <= Decimal(repr(_sys.float_info.max)):
+                return tok
+        except InvalidOperation:
+            return tok
+        v = float(tok)
+        if v in (float("inf"), float("-inf")):
+            return tok
+        return repr(v)
+
+    sql = re.sub(r"\b\d+(?:\.\d+)?[eE][+-]?\d+\b", _fold_big_float, sql)
 
     # Integer / integer is Java integer division in the reference
     # (ArithmeticFunctions.java:78-85 integerFunction arg0/arg1:
@@ -2052,12 +2408,78 @@ def rewrite(
             r"(?i)\bOVER\s*$", m.string[: m.start()]
         ):
             return m.group(0)
-        return f"CAST({m.group(1)} AS {_cast_type(m.group(2))})"
+        # length-parameterized character casts TRUNCATE
+        # (data-types.rst: 'Alice Smith'::VARCHAR(5) -> 'Alice')
+        lm = re.fullmatch(
+            r"(?:varchar|charactervarying|char|character)\((\d+)\)",
+            re.sub(r"\s+", "", m.group(2).lower()),
+        )
+        if lm:
+            return (
+                f"substring(CAST({m.group(1)} AS STRING), 1, {lm.group(1)})"
+            )
+        # TIME [WITH TIME ZONE] literals render as [micros_since_
+        # midnight, offset_seconds] (data-types.rst TIMETZ examples)
+        if re.fullmatch(
+            r"(?i)timetz|time\s+with\s+time\s+zone", m.group(2).strip()
+        ):
+            lm2 = re.fullmatch(r"__LIT_(\d+)__", m.group(1).strip())
+            if lm2:
+                tv = literals[int(lm2.group(1))][1:-1]
+                tm = re.fullmatch(
+                    r"(\d+):(\d+)(?::(\d+(?:\.\d+)?))?"
+                    r"([+-])?(\d{2})?:?(\d{2})?",
+                    tv,
+                )
+                if tm:
+                    us = (int(tm.group(1)) * 3600 + int(tm.group(2)) * 60) * 1_000_000
+                    if tm.group(3):
+                        us += int(round(float(tm.group(3)) * 1_000_000))
+                    off = 0
+                    if tm.group(4) and tm.group(5):
+                        off = int(tm.group(5)) * 3600 + int(tm.group(6) or 0) * 60
+                        if tm.group(4) == "-":
+                            off = -off
+                    return f"array(CAST({us} AS BIGINT), CAST({off} AS BIGINT))"
+        target = _cast_type(m.group(2))
+        # string-literal -> timestamp casts: the reference's parser is
+        # laxer than Spark's ('1852-05-04T00:00Z' — minutes precision
+        # with zone); normalize via fromisoformat at rewrite time
+        if target.upper().startswith("TIMESTAMP"):
+            lm3 = re.fullmatch(r"__LIT_(\d+)__", m.group(1).strip())
+            if lm3:
+                raw = literals[int(lm3.group(1))][1:-1]
+                try:
+                    from datetime import datetime as _dt
+
+                    norm = _dt.fromisoformat(raw.replace("Z", "+00:00"))
+                    literals[int(lm3.group(1))] = (
+                        "'" + norm.isoformat(sep=" ") + "'"
+                    )
+                except ValueError:
+                    pass
+        # numeric -> timestamp casts read epoch MILLIS (crate storage;
+        # data-types.rst 1000::TIMESTAMP = 1970-01-01T00:00:01)
+        if target.upper().startswith("TIMESTAMP") and re.fullmatch(
+            r"-?\d+", m.group(1).strip()
+        ):
+            inner = f"timestamp_millis({m.group(1)})"
+            if target.upper() == "TIMESTAMP":
+                return inner
+            return f"CAST({inner} AS {target})"
+        return f"CAST({m.group(1)} AS {target})"
 
     prev = None
     while prev != sql:
         prev = sql
         sql = _CAST_RE.sub(_cast_sub, sql)
+    # explicit CAST targets in crate's array(inner) spelling
+    sql = re.sub(
+        r"\bAS\s+ARRAY\s*\(\s*([\w ]+)\s*\)",
+        lambda m: "AS " + _cast_type(f"array({m.group(1)})"),
+        sql,
+        flags=re.IGNORECASE,
+    )
     sql = _SUBSCRIPT_SLICE_RE.sub(_subscript_slice_sub, sql)
     sql = _SUBSCRIPT_RE.sub(r"element_at(\1, \2)", sql)
     # `^` is EXPONENTIATION in the reference (arithmetic.rst operator

@@ -178,6 +178,43 @@ class CrateTable:
         see _check_viol_col."""
         for col, expr in self.generated.items():
             df = df.withColumn(col, F.expr(expr))
+        # declared length enforcement (data-types.rst VARCHAR(n)/BIT(n)):
+        # VARCHAR truncates all-space excess, errors otherwise; BIT
+        # requires the exact declared length. raise_error keeps the
+        # check on the write pass — no pre-scan.
+        for decl in getattr(self, "crate_columns", []):
+            n = decl.get("length")
+            if not n or decl["name"] not in df.columns:
+                continue
+            col = decl["name"]
+            if decl["type"] == "bit":
+                df = df.withColumn(
+                    col,
+                    F.expr(
+                        f"CASE WHEN {col} IS NULL OR length({col}) = {n} "
+                        f"THEN {col} ELSE CAST(raise_error(concat("
+                        f"'bit string length ', length({col}), "
+                        f"' does not match type bit({n})')) AS STRING) END"
+                    ),
+                )
+            else:
+                df = df.withColumn(
+                    col,
+                    F.expr(
+                        f"CASE WHEN {col} IS NULL OR length({col}) <= {n} "
+                        f"THEN {col} "
+                        f"WHEN length(rtrim({col})) <= {n} "
+                        f"THEN substring({col}, 1, {n}) "
+                        f"ELSE CAST(raise_error(concat(\"'\", {col}, "
+                        f"\"' is too long for the text type of length: {n}\""
+                        f")) AS STRING) END"
+                    ),
+                )
+                if decl["type"] == "character":
+                    # CHAR(n) is blank-PADDED to the declared length
+                    df = df.withColumn(
+                        col, F.expr(f"rpad({col}, {n}, ' ')")
+                    )
         names = [f.name for f in self.spark.createDataFrame([], self.schema_ddl).schema.fields]
         return df.select(*names)
 

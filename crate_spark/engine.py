@@ -644,9 +644,11 @@ class CrateSession:
         import socket
 
         spark.createDataFrame(
-            [("n1", socket.gethostname(), spark.version,
-              spark.sparkContext.defaultParallelism)],
-            "id string, hostname string, version string, cpus int",
+            [("n1", socket.gethostname(), socket.gethostname(),
+              spark.version, spark.sparkContext.defaultParallelism,
+              {"http": 4200, "psql": 5432, "transport": 4300})],
+            "id string, name string, hostname string, version string, "
+            "cpus int, port struct<http:int,psql:int,transport:int>",
         ).createOrReplaceTempView("sys_nodes")
         # sys.shards with REAL storage stats (SysShardsTableInfo: size
         # in bytes, num file segments): SQL-created tables report their
@@ -1524,7 +1526,11 @@ class CrateSession:
         if m:
             return self.spark.createDataFrame([("OK",)], "status string")
 
-        m = re.match(r"SET\s+(\S+)\s*=\s*(.+)$", stmt, re.IGNORECASE)
+        # SET [SESSION] key = value / SET SESSION CHARACTERISTICS
+        # (set.rst; session settings like error_on_unknown_object_key)
+        m = re.match(
+            r"SET\s+(?:SESSION\s+)?([\w.]+)\s*(?:=|TO)\s*(.+)$", stmt, re.IGNORECASE
+        )
         if m:
             self.spark.conf.set(m.group(1), m.group(2).strip("'\""))
             return self.spark.createDataFrame([(m.group(1), m.group(2))], "setting string, value string")

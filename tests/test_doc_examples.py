@@ -199,6 +199,9 @@ def _cell_matches(got, want: str) -> bool:
     # boolean case variants
     if g.lower() == want.lower():
         return True
+    # console cells cannot carry trailing blanks (CHAR(n) padding)
+    if isinstance(got, str) and g.rstrip() == want:
+        return True
     # numeric tolerance (docs round doubles for display)
     try:
         a, b = float(str(got)), float(want)
@@ -208,8 +211,26 @@ def _cell_matches(got, want: str) -> bool:
         digits = len(want.split(".")[1]) if "." in want else 0
         if f"{a:.{digits}f}" == want:
             return True
+        # REAL columns: docs print the float32 render, collect()
+        # widens to double — equal if the same 32-bit float
+        import struct as _struct
+
+        try:
+            if _struct.pack("f", a) == _struct.pack("f", b):
+                return True
+        except Exception:  # noqa: BLE001 - overflow on non-float32 values
+            pass
     except (TypeError, ValueError):
         pass
+    # day-time intervals collect as timedelta; docs print the crate
+    # interval render ('1 day 00:00:00')
+    if isinstance(got, timedelta):
+        from crate_spark.dialect import _crate_interval_str
+
+        us = int(round(got.total_seconds() * 1e6))
+        d, rem = divmod(us, 86_400_000_000)
+        if _crate_interval_str(0, d, rem) == want:
+            return True
     # epoch-millis timestamp vs ISO spelling
     if isinstance(got, datetime):
         iso = got.strftime("%Y-%m-%dT%H:%M:%S")

@@ -275,7 +275,9 @@ def test_registry_wide_python_allowlist(spark):
     Arrow group/map paths (FlatMapGroupsInPandas for packing/LTTB,
     MapInPandas for multimodal decode). Row-at-a-time BatchEvalPython
     is banned everywhere."""
-    arrow_scalar_ok = {"geo_geohash"}
+    # declared Arrow-vectorized scalars with no JVM equivalent:
+    # geohash bit-interleave, blake3 digest
+    arrow_scalar_ok = {"geo_geohash", "scalar_blake3"}
     for name, spec in REGISTRY.items():
         df = spec.fn(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
