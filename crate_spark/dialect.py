@@ -595,21 +595,30 @@ def _format_type_sql(a: list[str]) -> str | None:
 
 
 def _topk_sql(a: list[str]) -> str | None:
-    """TopKAggregation as SQL text: top-k (item, frequency) pairs,
-    frequency-desc then item-asc. Built from one collect_list via
-    higher-order functions (Catalyst dedupes the repeated aggregate);
-    O(distinct x n) per group — the DataFrame operator
-    (operators/timeseries.topk) is the scale path, this is the
-    SQL-front-door convenience."""
+    """TopKAggregation as SQL text with the reference's OUTPUT SHAPE
+    (TopKAggregation.java:77 ItemsSketch render, aggregation.rst topk
+    example): {frequencies: [{estimate, item, lower_bound,
+    upper_bound}...], maximum_error} — counts are EXACT here, so
+    estimate == lower == upper and maximum_error = 0. Built from one
+    collect_list via higher-order functions (Catalyst dedupes the
+    repeated aggregate); O(distinct x n) per group — the DataFrame
+    operator (operators/timeseries.topk) is the scale path, this is
+    the SQL-front-door convenience."""
     if len(a) not in (1, 2):
         return None
     k = a[1] if len(a) == 2 else "8"
     l = f"collect_list({a[0]})"
-    return (
+    pairs = (
         f"transform(slice(array_sort(transform(array_distinct({l}), "
         f"__d -> struct(CAST(-size(filter({l}, __v -> __v <=> __d)) AS BIGINT) AS __nc, "
         f"__d AS item))), 1, {k}), "
         f"__s -> struct(__s.item AS item, -__s.__nc AS frequency))"
+    )
+    return (
+        f"named_struct('frequencies', transform({pairs}, "
+        f"__f -> named_struct('estimate', __f.frequency, 'item', __f.item, "
+        f"'lower_bound', __f.frequency, 'upper_bound', __f.frequency)), "
+        f"'maximum_error', 0)"
     )
 
 
@@ -1774,6 +1783,45 @@ def _rewrite_series_tvf(sql: str, literals: list[str]) -> str:
     )
 
 
+#: pg_get_keywords(): the reference grammar's 96 reserved words
+#: (PgGetKeywordsFunction; list as published in
+#: lexical-structure.rst:134-233) plus representative unreserved
+#: entries; catcode R=reserved, U=unreserved. Shared with the SQL
+#: front door's FROM-position rewrite (dialect.PG_KEYWORDS re-export).
+PG_KEYWORDS = [
+    ("add", "R"), ("all", "R"), ("alter", "R"), ("and", "R"),
+    ("any", "R"), ("array", "R"), ("as", "R"), ("asc", "R"),
+    ("between", "R"), ("by", "R"), ("called", "R"), ("case", "R"),
+    ("cast", "R"), ("column", "R"), ("constraint", "R"), ("costs", "R"),
+    ("create", "R"), ("cross", "R"), ("current_catalog", "R"),
+    ("current_date", "R"), ("current_role", "R"), ("current_time", "R"),
+    ("current_timestamp", "R"), ("current_user", "R"), ("default", "R"),
+    ("delete", "R"), ("deny", "R"), ("desc", "R"), ("describe", "R"),
+    ("directory", "R"), ("distinct", "R"), ("drop", "R"), ("else", "R"),
+    ("end", "R"), ("escape", "R"), ("except", "R"), ("exists", "R"),
+    ("extract", "R"), ("false", "R"), ("first", "R"), ("for", "R"),
+    ("from", "R"), ("full", "R"), ("function", "R"), ("grant", "R"),
+    ("group", "R"), ("having", "R"), ("if", "R"), ("in", "R"),
+    ("index", "R"), ("inner", "R"), ("input", "R"), ("insert", "R"),
+    ("intersect", "R"), ("into", "R"), ("is", "R"), ("join", "R"),
+    ("last", "R"), ("left", "R"), ("like", "R"), ("limit", "R"),
+    ("match", "R"), ("natural", "R"), ("not", "R"), ("null", "R"),
+    ("nulls", "R"), ("object", "R"), ("offset", "R"), ("on", "R"),
+    ("or", "R"), ("order", "R"), ("outer", "R"), ("persistent", "R"),
+    ("recursive", "R"), ("reset", "R"), ("returns", "R"),
+    ("revoke", "R"), ("right", "R"), ("select", "R"),
+    ("session_user", "R"), ("set", "R"), ("some", "R"),
+    ("stratify", "R"), ("table", "R"), ("then", "R"), ("transient", "R"),
+    ("true", "R"), ("try_cast", "R"), ("unbounded", "R"), ("union", "R"),
+    ("update", "R"), ("user", "R"), ("using", "R"), ("when", "R"),
+    ("where", "R"), ("with", "R"),
+    ("values", "U"), ("analyzer", "U"), ("blob", "U"), ("copy", "U"),
+    ("format", "U"), ("fulltext", "U"), ("ignored", "U"),
+    ("optimize", "U"), ("refresh", "U"), ("restore", "U"),
+    ("snapshot", "U"), ("strict", "U"), ("summary", "U"),
+]
+
+
 #: interval field order for <unit> TO <unit> truncation
 _IVL_FIELDS = ("YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND")
 _IVL_UNIT_WORDS = {
@@ -2011,13 +2059,29 @@ def rewrite(
                     out.append(chr(int(x.group(1), 16)))
                     i += 1 + x.end()
                     continue
+                u = re.match(
+                    r"u([0-9A-Fa-f]{4})|U([0-9A-Fa-f]{8})", body[i + 1 :]
+                )
+                if u:
+                    out.append(chr(int(u.group(1) or u.group(2), 16)))
+                    i += 1 + u.end()
+                    continue
             out.append(c)
             i += 1
         return "'" + "".join(out).replace("'", "''") + "'"
 
     # the E must start a token — right after a quote it's the tail of
     # an ordinary string literal ('E'), not an escape-string prefix
-    sql = re.sub(r"(?<!['\w])E'((?:[^'\\]|''|\\.)*)'", _e_lit, sql)
+    sql = re.sub(r"(?<!['\w])[Ee]'((?:[^'\\]|''|\\.)*)'", _e_lit, sql)
+
+    # dollar-quoted strings $tag$...$tag$ (lexical-structure.rst:26-44;
+    # no nesting) -> ordinary literals
+    sql = re.sub(
+        r"\$(\w*)\$(.*?)\$\1\$",
+        lambda m: "'" + m.group(2).replace("'", "''") + "'",
+        sql,
+        flags=re.DOTALL,
+    )
 
     def _mask(m: re.Match) -> str:
         literals.append(m.group(0))
@@ -2109,6 +2173,34 @@ def rewrite(
     # mixed ym+dt, <u> TO <u> truncation, n * INTERVAL) fold to the
     # reference's text render at plan time
     sql = _fold_interval_literals(sql, literals)
+
+    # schema-qualified table-function spellings resolve to the bare
+    # registered names (lexical-structure.rst pg_catalog.pg_get_keywords)
+    sql = re.sub(
+        r"\b(?:pg_catalog|information_schema)\.(pg_get_keywords|"
+        r"generate_series|generate_subscripts|_pg_expandarray|unnest)\b",
+        r"\1",
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+    # FROM pg_get_keywords() (PgGetKeywordsFunction): inline the
+    # keyword relation. New literals go through the mask so the later
+    # passes keep their all-literals-masked invariant.
+    if re.search(r"(?i)\bpg_get_keywords\s*\(\s*\)", sql):
+
+        def _kw_lit(v: str) -> str:
+            literals.append(f"'{v}'")
+            return f"__LIT_{len(literals) - 1}__"
+
+        _kw_vals = ", ".join(
+            f"({_kw_lit(w)}, {_kw_lit(c)})" for w, c in PG_KEYWORDS
+        )
+        sql = re.sub(
+            r"(?i)\bpg_get_keywords\s*\(\s*\)",
+            f"(VALUES {_kw_vals}) AS pg_get_keywords(word, catcode)",
+            sql,
+        )
 
     # named WINDOW clause (window-functions.rst:300-365): the
     # reference allows extending a named window — `OVER (w ORDER BY
@@ -2396,6 +2488,25 @@ def rewrite(
     # StringToArrayFunction, ArrayDifferenceFunction, ...) -> Spark
     # builtin expression templates, before the cast/subscript passes so
     # template output participates in them
+    # (information_schema._pg_expandarray(arr)).field — record field
+    # access over the SRF (value-expressions.rst:180): project the
+    # requested field directly (.x = values, .n = 1-based indices)
+    def _expand_field(m: re.Match) -> str:
+        arr, field = m.group(1), m.group(2).lower()
+        if field == "n":
+            return f"explode(sequence(1, size({arr})))"
+        if field == "x":
+            return f"explode({arr})"
+        return m.group(0)
+
+    sql = re.sub(
+        r"\(\s*(?:information_schema\.)?_pg_expandarray\s*\("
+        r"((?:[^()]|\([^()]*\))*)\)\s*\)\s*\.\s*(\w+)",
+        _expand_field,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
     sql = _rewrite_crate_fns(sql, literals)
 
     # repeat :: rewrite to handle chains like a::text::int; reference

@@ -241,10 +241,17 @@ class CrateSession:
         self._cursors: dict[str, dict] = {}
         #: CREATE ANALYZER registry: name -> {"tokenizer": ..., "definition": ...}
         self._analyzers: dict[str, dict] = {}
-        #: names registered via CREATE FUNCTION — DROP FUNCTION only
-        #: ever touches these (a user function may shadow a Spark
-        #: builtin; dropping it must restore the builtin, not erase it)
-        self._udfs: set[str] = set()
+        #: CREATE FUNCTION registry: (schema, name) -> {signature ->
+        #: {"fn", "ret", "kind", "seq"}} — user functions are
+        #: schema-scoped and overloadable like the reference
+        #: (UserDefinedFunctionService.java, user-defined-functions.rst
+        #: Overloading). Each (schema, name) registers ONE Spark UDF
+        #: under a mangled internal name, so a user function can never
+        #: shadow or erase a Spark builtin: unqualified calls resolve
+        #: builtin-FIRST, then search_path (the reference's documented
+        #: lookup order); qualified calls always reach the UDF.
+        self._udfs: dict[tuple[str, str], dict[tuple, dict]] = {}
+        self._udf_seq = 0
         #: executed-statement ring buffer backing sys.jobs_log
         self._jobs_log: list[tuple] = []
         #: SQL-created views: name -> definition (pg_catalog.pg_views)
@@ -282,11 +289,69 @@ class CrateSession:
         """Shim + run one SELECT-shaped statement."""
         return self.spark.sql(
             rewrite(
-                self._sub_current_setting(stmt),
+                self._sub_current_setting(self._resolve_udf_calls(stmt)),
                 self._string_object_cols(),
                 session_user=self.current_user,
             )
         )
+
+    # -- user-defined functions -------------------------------------------
+    def _search_path(self) -> list[str]:
+        raw = self.spark.conf.get("search_path", "doc") or "doc"
+        return [s.strip().strip('"') for s in raw.split(",") if s.strip()]
+
+    @staticmethod
+    def _udf_spark_name(schema: str, name: str) -> str:
+        return f"__udf_{schema}__{name}".lower()
+
+    def _builtin_exists(self, name: str) -> bool:
+        jvm = self.spark._jvm
+        ident = jvm.org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+        return bool(
+            jvm.org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+            .builtin().functionExists(ident)
+        )
+
+    def _resolve_udf_calls(self, sql: str) -> str:
+        """Rewrite UDF call sites to their mangled per-(schema, name)
+        Spark registrations. Qualified calls (``doc.log10(...)``)
+        always reach the user function; unqualified calls resolve
+        builtin-FIRST, then by search_path order — the reference's
+        documented lookup ("a built-in function with the same name as
+        a user-defined function will hide the latter",
+        user-defined-functions.rst)."""
+        if not self._udfs:
+            return sql
+        parts = re.split(r"('(?:[^']|'')*')", sql)  # literals untouched
+        sp = self._search_path()
+
+        def _rank(s: str) -> int:
+            return sp.index(s) if s in sp else len(sp)
+
+        by_name: dict[str, str] = {}
+        for sch, nm in self._udfs:
+            if self._builtin_exists(nm):
+                continue
+            if nm not in by_name or _rank(sch) < _rank(by_name[nm]):
+                by_name[nm] = sch
+        for i in range(0, len(parts), 2):
+            seg = parts[i]
+            for sch, nm in self._udfs:
+                seg = re.sub(
+                    rf'(?<![\w.]){re.escape(sch)}\s*\.\s*"?{re.escape(nm)}"?\s*\(',
+                    self._udf_spark_name(sch, nm) + "(",
+                    seg,
+                    flags=re.IGNORECASE,
+                )
+            for nm, sch in by_name.items():
+                seg = re.sub(
+                    rf"(?<![\w.]){re.escape(nm)}\s*\(",
+                    self._udf_spark_name(sch, nm) + "(",
+                    seg,
+                    flags=re.IGNORECASE,
+                )
+            parts[i] = seg
+        return "".join(parts)
 
     # -- catalog ---------------------------------------------------------
     def register(self, name: str, df: DataFrame) -> None:
@@ -396,7 +461,9 @@ class CrateSession:
             for n in names
         ]
         routine_rows += [(n, "ANALYZER") for n in getattr(self, "_analyzers", {})]
-        routine_rows += [(n, "FUNCTION") for n in getattr(self, "_udfs", ())]
+        routine_rows += [
+            (f"{sch}.{n}", "FUNCTION") for (sch, n) in getattr(self, "_udfs", ())
+        ]
         spark.createDataFrame(
             routine_rows, "routine_name string, routine_type string"
         ).createOrReplaceTempView("information_schema_routines")
@@ -848,31 +915,44 @@ class CrateSession:
 
         # sys.summits (SysSummitsTableInfo: mountain/height/prominence/
         # coordinates geo_point/range/classification/region/country/
-        # first_ascent; the reference embeds a 1605-row alpine list).
-        # Same schema here with a hand-typed subset of the best-known
-        # 4000ers — representative rows for the tutorial queries, not a
-        # copy of the reference's data file.
-        spark.createDataFrame(
-            [
-                ("Mont Blanc", 4808, 4695, [6.86444, 45.8325], "Mont Blanc massif", "FR/IT", 1786),
-                ("Monte Rosa", 4634, 2165, [7.86694, 45.93694], "Monte Rosa Alps", "CH", 1855),
-                ("Dom", 4545, 1046, [7.85889, 46.09389], "Mischabel", "CH", 1858),
-                ("Weisshorn", 4506, 1235, [7.71583, 46.10139], "Weisshorn-Matterhorn", "CH", 1861),
-                ("Matterhorn", 4478, 1042, [7.65861, 45.97639], "Weisshorn-Matterhorn", "CH/IT", 1865),
-                ("Dent Blanche", 4357, 915, [7.61194, 46.03417], "Weisshorn-Matterhorn", "CH", 1862),
-                ("Grand Combin", 4314, 1517, [7.29917, 45.9375], "Grand Combin Alps", "CH", 1859),
-                ("Finsteraarhorn", 4274, 2280, [8.12611, 46.53722], "Bernese Alps", "CH", 1829),
-                ("Jungfrau", 4158, 695, [7.96250, 46.53694], "Bernese Alps", "CH", 1811),
-                ("Barre des Ecrins", 4102, 2045, [6.36056, 44.92361], "Ecrins", "FR", 1864),
-                ("Gran Paradiso", 4061, 1891, [7.26833, 45.51722], "Graian Alps", "IT", 1860),
-                ("Piz Bernina", 4049, 2234, [9.90806, 46.38222], "Bernina Range", "CH", 1850),
-                ("Eiger", 3967, 362, [8.00528, 46.5775], "Bernese Alps", "CH", 1858),
-                ("Grossglockner", 3798, 2424, [12.69444, 47.07444], "Hohe Tauern", "AT", 1800),
-                ("Zugspitze", 2962, 1746, [10.98528, 47.42111], "Wetterstein", "DE/AT", 1820),
-            ],
-            "mountain string, height int, prominence int, "
-            "coordinates array<double>, range string, country string, first_ascent int",
-        ).createOrReplaceTempView("sys_summits")
+        # first_ascent): the full 1605-row alpine dataset, vendored as
+        # a DATA resource (resources/summits.tsv, see resources/
+        # README.md — public geographic facts, reference
+        # SummitsIterable.java loads the same file). Registered once
+        # per spark session (static data).
+        if not spark.catalog._jcatalog.tableExists("sys_summits"):
+            import os as _os2
+            import re as _re2
+
+            srows = []
+            with open(
+                _os2.path.join(
+                    _os2.path.dirname(__file__), "resources", "summits.tsv"
+                )
+            ) as fh:
+                for line in fh:
+                    p = line.rstrip("\n").split("\t")
+                    pm = _re2.match(
+                        r"POINT\((-?[\d.]+) (-?[\d.]+)\)", p[3]
+                    )
+                    srows.append((
+                        p[0],
+                        int(p[1]) if p[1] else None,
+                        int(p[2]) if p[2] else None,
+                        [float(pm.group(1)), float(pm.group(2))] if pm else None,
+                        p[4] or None,
+                        p[5] or None,
+                        p[6] or None,
+                        p[7] or None,
+                        int(p[8]) if len(p) > 8 and p[8] else None,
+                    ))
+            spark.createDataFrame(
+                srows,
+                "mountain string, height int, prominence int, "
+                "coordinates array<double>, range string, "
+                "classification string, region string, country string, "
+                "first_ascent int",
+            ).createOrReplaceTempView("sys_summits")
 
         # pg_catalog minimum for PG-compat tooling (reference
         # metadata/pgcatalog/PgCatalogTableDefinitions.java): pg_tables,
@@ -1541,48 +1621,30 @@ class CrateSession:
             return self.spark.createDataFrame([(m.group(1),)], "setting string")
 
         m = re.match(
-            r"CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+([\w.]+)\s*\(([^)]*)\)\s*"
+            r"CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+((?:[\w]+\.)?[\w]+)\s*"
+            r"\(([^)]*)\)\s*"
             r"RETURNS\s+([\w()\s]+?)\s+LANGUAGE\s+(PYTHON|PANDAS|JAVASCRIPT)\s+"
             r"AS\s+'(.*)'\s*$",
             stmt,
             re.IGNORECASE | re.DOTALL,
         )
         if m:
+            schema, _, fname = m.group(2).rpartition(".")
             return self._create_function(
-                m.group(1).split(".")[-1], m.group(2), m.group(3).strip(),
-                m.group(5), language=m.group(4).upper(),
+                fname, m.group(3), m.group(4).strip(),
+                m.group(6).replace("''", "'"), language=m.group(5).upper(),
+                schema=schema or None, or_replace=bool(m.group(1)),
             )
 
         # DROP FUNCTION [IF EXISTS] name[(argtypes)] (drop-function.rst)
         m = re.match(
-            r"DROP\s+FUNCTION\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*(?:\([^)]*\))?\s*$",
+            r"DROP\s+FUNCTION\s+(?:(IF\s+EXISTS)\s+)?((?:[\w]+\.)?[\w]+)\s*"
+            r"(?:\(([^)]*)\))?\s*$",
             stmt,
             re.IGNORECASE,
         )
         if m:
-            name = m.group(1).split(".")[-1]
-            if_exists = re.search(r"IF\s+EXISTS", stmt, re.IGNORECASE)
-            if name.lower() not in self._udfs:
-                # never drop anything we didn't CREATE: a user function
-                # may shadow a Spark builtin in the session registry,
-                # and dropping that name would erase the builtin too
-                if if_exists:
-                    return self.spark.createDataFrame([], "dropped string")
-                raise ValueError(f"Unknown function: {name}")
-            jvm = self.spark._jvm
-            ident = jvm.org.apache.spark.sql.catalyst.FunctionIdentifier(name)
-            reg = self.spark._jsparkSession.sessionState().functionRegistry()
-            reg.dropFunction(ident)
-            self._udfs.discard(name.lower())
-            # un-shadow: restore the builtin of the same name, if any
-            builtin = jvm.org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin()
-            if builtin.functionExists(ident):
-                reg.registerFunction(
-                    ident,
-                    builtin.lookupFunction(ident).get(),
-                    builtin.lookupFunctionBuilder(ident).get(),
-                )
-            return self.spark.createDataFrame([(name,)], "dropped string")
+            return self._drop_function(m.group(2), m.group(3), bool(m.group(1)))
 
         m = re.match(r"ANALYZE\s+(\S+)$", stmt, re.IGNORECASE)
         if m:
@@ -1882,9 +1944,40 @@ class CrateSession:
         ct = self._dml.crate_tables.get(name)
         if ct is not None:
             fields = self.spark.createDataFrame([], ct.schema_ddl).schema.fields
+
+            def _decl_type(decl, indent):
+                # declared crate spelling; objects nest their
+                # subcolumns like the reference's renderer
+                t = decl["type"]
+                if t == "object" or t.startswith("object"):
+                    pol = decl.get("policy", "dynamic").upper()
+                    out = f"OBJECT({pol})"
+                    kids = decl.get("children") or []
+                    if kids:
+                        pad = " " * (indent + 3)
+                        inner = ",\n".join(
+                            f'{pad}"{k["name"]}" {_decl_type(k, indent + 3)}'
+                            for k in kids
+                        )
+                        out += " AS (\n" + inner + "\n" + " " * indent + ")"
+                    return out
+                if t.endswith("_array"):
+                    return f"ARRAY({t[:-6].upper()})"
+                return t.upper()
+
+            decls = {c["name"]: c for c in getattr(ct, "crate_columns", [])}
+            not_null = set(getattr(ct, "not_null", []))
             lines = []
             for f in fields:
-                line = f'   "{f.name}" {self._crate_type(f.dataType.simpleString())}'
+                decl = decls.get(f.name)
+                spelled = (
+                    _decl_type(decl, 3)
+                    if decl is not None and decl.get("type")
+                    else self._crate_type(f.dataType.simpleString())
+                )
+                line = f'   "{f.name}" {spelled}'
+                if f.name in not_null:
+                    line += " NOT NULL"
                 if f.name in ct.generated:
                     line += f" GENERATED ALWAYS AS ({ct.generated[f.name]})"
                 if f.name in getattr(ct, "defaults", {}):
@@ -1915,8 +2008,20 @@ class CrateSession:
             eff = {"column_policy": "strict", "number_of_replicas": "0-1"}
             eff.update(getattr(ct, "settings", None) or {})
             eff.pop("closed", None)
+
+            def _setting_line(k, v):
+                # reference render: dotted keys double-quoted, numeric
+                # values bare, TEXT-typed settings (replica ranges,
+                # policies) quoted (show-create-table.rst:36-38)
+                key = f'"{k}"' if "." in k else k
+                if k == "number_of_replicas" or not str(v).lstrip("-").isdigit():
+                    val = f"'{v}'"
+                else:
+                    val = v
+                return f"   {key} = {val}"
+
             ddl += "\nWITH (\n" + ",\n".join(
-                f"   {k} = '{v}'" for k, v in sorted(eff.items())
+                _setting_line(k, v) for k, v in sorted(eff.items())
             ) + "\n)"
             return ddl
         if name in self.tables:
@@ -2129,59 +2234,33 @@ class CrateSession:
 
     def _create_function(
         self, name: str, args: str, ret_type: str, body: str,
-        language: str = "PYTHON",
+        language: str = "PYTHON", schema: str | None = None,
+        or_replace: bool = True,
     ) -> DataFrame:
-        """CREATE FUNCTION name(args) RETURNS type LANGUAGE PYTHON|PANDAS
-        AS '<expression over the arg names>'.
+        """CREATE [OR REPLACE] FUNCTION [schema.]name(args) RETURNS type
+        LANGUAGE PYTHON|PANDAS|JAVASCRIPT AS '<body>'.
 
         Reference: ``expression/udf/UserDefinedFunctionService.java:67``
-        — scalar UDFs only, there in JavaScript on GraalVM; here the
-        body is a Python expression (JS-source compat is out of scope,
-        SURVEY.md §2.11). LANGUAGE PYTHON registers a row-at-a-time UDF
-        (documented slow path); LANGUAGE PANDAS registers an
-        Arrow-batched pandas UDF — the body is evaluated over pandas
-        Series (vectorized: ~10-100x faster on the hot path, the right
+        — schema-scoped, overloadable scalar UDFs in GraalVM JS.
+        LANGUAGE JAVASCRIPT here translates the documented ECMAScript
+        subset (expression bodies, var/let/const, if/else chains,
+        while/for loops, return) to Python at CREATE time — anything
+        outside the subset raises immediately, not at first call.
+        LANGUAGE PYTHON is the expression-body extension (row-at-a-time,
+        documented slow path); LANGUAGE PANDAS evaluates the body over
+        pandas Series (Arrow-batched, ~10-100x faster — the right
         choice at scale when a built-in genuinely can't express it).
         """
-        from crate_spark.sql_dml import _map_type
+        from crate_spark.sql_dml import _map_type, _split_top
 
+        schema = (schema or self._search_path()[0]).lower()
+        if schema in ("sys", "information_schema"):
+            # user-defined-functions.rst: pg_catalog is allowed for PG
+            # compat, the read-only system schemas are not
+            raise ValueError(
+                f"Cannot create a function in the read-only schema '{schema}'"
+            )
         ret_type = _map_type(ret_type)
-        if language == "JAVASCRIPT":
-            # the reference's native UDF language (GraalVM JS,
-            # UserDefinedFunctionService.java). Single-return function
-            # bodies — the documented shape (user-defined-functions.rst
-            # examples are all `function f(a, b) { return <expr>; }`) —
-            # translate mechanically to a Python expression; anything
-            # with statements raises with guidance to LANGUAGE PYTHON.
-            arg_names, body = _js_body_to_python(body)
-            language = "PYTHON"
-            # SQL signature may be type-only (`(integer, integer)`);
-            # coerce positionally against it using the JS param names
-            types = [a.strip() for a in args.split(",") if a.strip()]
-            specs = []
-            for i, n in enumerate(arg_names):
-                declared = types[i] if i < len(types) else ""
-                # drop a leading arg name if the signature was named
-                parts = declared.split()
-                if len(parts) > 1:
-                    declared = " ".join(parts[1:])
-                specs.append([n] + declared.split())
-        else:
-            specs = [a.strip().split() for a in args.split(",") if a.strip()]
-            arg_names = [s[0] for s in specs]
-        # coerce inputs to natural Python types (SQL decimal literals
-        # arrive as decimal.Decimal, which breaks float arithmetic)
-        _float_types = {"double", "real", "float", "double precision"}
-        _int_types = {"int", "integer", "bigint", "smallint", "byte"}
-        coercers = []
-        for s in specs:
-            declared = " ".join(s[1:]).lower() if len(s) > 1 else ""
-            if declared in _float_types:
-                coercers.append(float)
-            elif declared in _int_types:
-                coercers.append(int)
-            else:
-                coercers.append(lambda x: x)
         # The reference runs UDF bodies in a sandboxed GraalVM JS context
         # (UserDefinedFunctionService). A Python eval cannot be a real
         # sandbox, so (a) CREATE FUNCTION must only be exposed to trusted
@@ -2200,50 +2279,209 @@ class CrateSession:
         }
         import math as _math
 
-        if language == "PANDAS":
+        if language == "JAVASCRIPT":
+            env = {
+                "__builtins__": safe_builtins, "math": _math,
+                "Math": _JsMath, "Date": _JsDate,
+            }
+            arg_names, body_fn = _js_function(body, env)
+            types = [a for a in _split_top(args) if a.strip()]
+            specs = []
+            for i, n in enumerate(arg_names):
+                declared = _sig_item_type(types[i]) if i < len(types) else ""
+                specs.append([n] + declared.split())
+            kind = "row"
+        else:
+            specs = [
+                [p.strip('"') for p in a.strip().split()]
+                for a in _split_top(args)
+                if a.strip()
+            ]
+            arg_names = [s[0] for s in specs]
+            kind = "pandas" if language == "PANDAS" else "row"
+            body_fn = None
+        # coerce inputs to natural Python types (SQL decimal literals
+        # arrive as decimal.Decimal, which breaks float arithmetic)
+        _float_types = {"double", "real", "float", "double precision"}
+        _int_types = {"int", "integer", "bigint", "smallint", "byte"}
+        declared_types = [
+            " ".join(s[1:]).lower() if len(s) > 1 else "" for s in specs
+        ]
+        sig = tuple(_map_type(t) if t else "" for t in declared_types)
+        coercers = []
+        for declared in declared_types:
+            if declared in _float_types:
+                coercers.append(float)
+            elif declared in _int_types:
+                coercers.append(int)
+            else:
+                coercers.append(lambda x: x)
+
+        if kind == "pandas":
             # vectorized path: args are pandas Series; numpy/pandas in
             # scope, Arrow batches end-to-end. Declared-type coercion:
             # SQL decimal literals arrive as object-dtype Decimal Series.
             import numpy as _np
             import pandas as _pd
-            from pyspark.sql.functions import pandas_udf
 
-            dtypes = []
-            for s in specs:
-                declared = " ".join(s[1:]).lower() if len(s) > 1 else ""
-                if declared in _float_types:
-                    dtypes.append("float64")
-                elif declared in _int_types:
-                    dtypes.append("int64")
-                else:
-                    dtypes.append(None)
-            body_fn = eval(  # noqa: S307 - trusted-caller surface by design
+            dtypes = [
+                "float64" if d in _float_types
+                else "int64" if d in _int_types
+                else None
+                for d in declared_types
+            ]
+            pbody_fn = eval(  # noqa: S307 - trusted-caller surface by design
                 f"lambda {', '.join(arg_names)}: ({body})",
                 {"__builtins__": safe_builtins, "np": _np, "pd": _pd},
             )
 
-            def vec_fn(*series):
-                return body_fn(
+            def entry_fn(*series):
+                return pbody_fn(
                     *[s if d is None else s.astype(d) for s, d in zip(series, dtypes)]
                 )
+        else:
+            if body_fn is None:
+                body_fn = eval(  # noqa: S307 - trusted-caller surface by design
+                    f"lambda {', '.join(arg_names)}: ({body})",
+                    {"__builtins__": safe_builtins, "math": _math},
+                )
+            # numeric returns into a timestamp-typed function are UTC
+            # seconds, like the reference's double->timestamp cast
+            # (user-defined-functions.rst "Working with NUMBERS")
+            _ts_ret = ret_type.startswith("timestamp")
 
-            self.spark.udf.register(name, pandas_udf(vec_fn, ret_type))
-            self._udfs.add(name.lower())
-            return self.spark.createDataFrame(
-                [(name, ret_type)], "function string, returns string"
+            def entry_fn(*vals, _bf=body_fn, _co=coercers):
+                r = _bf(*[
+                    None if v is None else c(v) for c, v in zip(_co, vals)
+                ])
+                if (
+                    _ts_ret
+                    and isinstance(r, (int, float))
+                    and not isinstance(r, bool)
+                ):
+                    import datetime as _dt
+
+                    return _dt.datetime.fromtimestamp(
+                        float(r), tz=_dt.timezone.utc
+                    )
+                return r
+
+        key = (schema, name.lower())
+        overloads = self._udfs.setdefault(key, {})
+        if sig in overloads and not or_replace:
+            raise ValueError(
+                f"function '{schema}.{name}({', '.join(sig)})' already "
+                "exists (use CREATE OR REPLACE FUNCTION)"
             )
-
-        body_fn = eval(  # noqa: S307 - trusted-caller surface by design
-            f"lambda {', '.join(arg_names)}: ({body})",
-            {"__builtins__": safe_builtins, "math": _math},
+        self._udf_seq += 1
+        overloads[sig] = {
+            "fn": entry_fn, "ret": ret_type, "kind": kind,
+            "seq": self._udf_seq,
+        }
+        self._register_udf_dispatch(schema, name.lower())
+        self._register_system_views()
+        return self.spark.createDataFrame(
+            [(f"{schema}.{name}", ret_type)], "function string, returns string"
         )
 
-        def fn(*vals):
-            return body_fn(*[None if v is None else c(v) for c, v in zip(coercers, vals)])
+    #: widening order for overloads whose return types differ — the
+    #: single Spark registration must pick one result type
+    _NUM_RANK = {
+        "tinyint": 0, "smallint": 1, "int": 2, "bigint": 3,
+        "float": 4, "double": 5,
+    }
 
-        self.spark.udf.register(name, fn, ret_type)
-        self._udfs.add(name.lower())
-        return self.spark.createDataFrame([(name, ret_type)], "function string, returns string")
+    def _register_udf_dispatch(self, schema: str, name: str) -> None:
+        """(Re-)register the single mangled Spark UDF for a (schema,
+        name) pair: an arity dispatcher over its overloads. Two
+        overloads with the same arity but different declared types
+        (``my_multiply(int,int)`` vs ``(bigint,bigint)``) both stay in
+        the catalog for DROP bookkeeping; calls take the most recently
+        created one — Python cannot see the SQL-side static types, and
+        the reference's own docs only overload semantically-identical
+        bodies this way."""
+        overloads = self._udfs[(schema, name)]
+        kinds = {o["kind"] for o in overloads.values()}
+        if len(kinds) > 1:
+            raise ValueError(
+                f"overloads of {schema}.{name} must share the same "
+                "LANGUAGE kind (scalar vs pandas)"
+            )
+        by_arity: dict[int, dict] = {}
+        for s, o in overloads.items():
+            cur = by_arity.get(len(s))
+            if cur is None or o["seq"] > cur["seq"]:
+                by_arity[len(s)] = o
+        rets = {o["ret"] for o in overloads.values()}
+        if len(rets) == 1:
+            ret = next(iter(rets))
+        elif all(r in self._NUM_RANK for r in rets):
+            ret = max(rets, key=self._NUM_RANK.get)
+        else:
+            ret = max(overloads.values(), key=lambda o: o["seq"])["ret"]
+        mangled = self._udf_spark_name(schema, name)
+
+        def disp(*vals):
+            o = by_arity.get(len(vals))
+            if o is None:
+                raise ValueError(
+                    f"no overload of {schema}.{name} takes "
+                    f"{len(vals)} arguments"
+                )
+            return o["fn"](*vals)
+
+        if kinds == {"pandas"}:
+            from pyspark.sql.functions import pandas_udf
+
+            self.spark.udf.register(mangled, pandas_udf(disp, ret))
+        else:
+            self.spark.udf.register(mangled, disp, ret)
+
+    def _drop_function(
+        self, qname: str, argspec: str | None, if_exists: bool
+    ) -> DataFrame:
+        """DROP FUNCTION [IF EXISTS] [schema.]name[(argtypes)]
+        (drop-function.rst): with an argument list, drop exactly that
+        overload; without one, drop every overload of the name. The
+        mangled registration means Spark builtins are never touched."""
+        from crate_spark.sql_dml import _map_type, _split_top
+
+        schema, _, name = qname.rpartition(".")
+        schema = (schema or self._search_path()[0]).lower()
+        key = (schema, name.lower())
+        empty = self.spark.createDataFrame([], "dropped string")
+        overloads = self._udfs.get(key)
+        if overloads is None:
+            if if_exists:
+                return empty
+            raise ValueError(f"Unknown function: {qname}")
+        if argspec is not None:
+            sig = tuple(
+                _map_type(_sig_item_type(a))
+                for a in _split_top(argspec)
+                if a.strip()
+            )
+            if sig not in overloads:
+                if if_exists:
+                    return empty
+                raise ValueError(
+                    f"Unknown function: {qname}({', '.join(sig)})"
+                )
+            del overloads[sig]
+        else:
+            overloads.clear()
+        if overloads:
+            self._register_udf_dispatch(schema, name.lower())
+        else:
+            del self._udfs[key]
+            jvm = self.spark._jvm
+            self.spark._jsparkSession.sessionState().functionRegistry().dropFunction(
+                jvm.org.apache.spark.sql.catalyst.FunctionIdentifier(
+                    self._udf_spark_name(schema, name.lower())
+                )
+            )
+        self._register_system_views()
+        return self.spark.createDataFrame([(qname,)], "dropped string")
 
     def _explain_analyze(self, body: str) -> DataFrame:
         """EXPLAIN ANALYZE: execute the statement and report per-phase
@@ -2290,17 +2528,80 @@ class CrateSession:
         return self.spark.createDataFrame([(table, status)], "table string, status string")
 
 
-#: Math.* -> Python translation for the JS UDF shim
-_JS_MATH = {
-    "Math.log10": "math.log10", "Math.log2": "math.log2", "Math.log": "math.log",
-    "Math.sqrt": "math.sqrt", "Math.pow": "math.pow", "Math.exp": "math.exp",
-    "Math.floor": "math.floor", "Math.ceil": "math.ceil", "Math.trunc": "math.trunc",
-    "Math.sin": "math.sin", "Math.cos": "math.cos", "Math.tan": "math.tan",
-    "Math.atan2": "math.atan2", "Math.atan": "math.atan", "Math.asin": "math.asin",
-    "Math.acos": "math.acos", "Math.hypot": "math.hypot",
-    "Math.abs": "abs", "Math.round": "round", "Math.max": "max", "Math.min": "min",
-    "Math.PI": "math.pi", "Math.E": "math.e",
+#: words that can START a type spelling in a function signature — used
+#: to tell `name type` items from bare `type` items (`double precision`
+#: has no name; `"start" geo_point` does)
+_TYPE_HEAD_WORDS = {
+    "text", "ip", "object", "varchar", "character", "uuid", "json",
+    "timestamp", "timestamptz", "byte", "short", "integer", "long",
+    "real", "double", "geo_point", "geo_shape", "float_vector",
+    "boolean", "bit", "char", "regproc", "regclass", "oidvector",
+    "time", "timetz", "string", "int", "bigint", "smallint", "tinyint",
+    "float", "decimal", "numeric", "array", "interval", "date",
 }
+
+
+def _sig_item_type(item: str) -> str:
+    """One signature item -> its bare type spelling, dropping an
+    optional leading argument name (create-function.rst: names in
+    signatures are allowed and ignored for identity)."""
+    toks = item.strip().split()
+    if len(toks) > 1 and toks[0].split("(")[0].strip('"').lower() not in _TYPE_HEAD_WORDS:
+        toks = toks[1:]
+    return " ".join(toks)
+
+
+class _JsMath:
+    """``Math`` namespace for translated JS UDF bodies. JS silently
+    ignores surplus call arguments (the reference docs' own
+    calculate_distance example passes two args to Math.sqrt), so the
+    wrappers are lenient."""
+
+    import math as _m
+
+    PI = _m.pi
+    E = _m.e
+    sqrt = staticmethod(lambda x, *_: _JsMath._m.sqrt(x))
+    pow = staticmethod(lambda a, b, *_: a ** b)
+    log = staticmethod(lambda x, *_: _JsMath._m.log(x))
+    log10 = staticmethod(lambda x, *_: _JsMath._m.log10(x))
+    log2 = staticmethod(lambda x, *_: _JsMath._m.log2(x))
+    exp = staticmethod(lambda x, *_: _JsMath._m.exp(x))
+    floor = staticmethod(lambda x, *_: _JsMath._m.floor(x))
+    ceil = staticmethod(lambda x, *_: _JsMath._m.ceil(x))
+    trunc = staticmethod(lambda x, *_: _JsMath._m.trunc(x))
+    sin = staticmethod(lambda x, *_: _JsMath._m.sin(x))
+    cos = staticmethod(lambda x, *_: _JsMath._m.cos(x))
+    tan = staticmethod(lambda x, *_: _JsMath._m.tan(x))
+    asin = staticmethod(lambda x, *_: _JsMath._m.asin(x))
+    acos = staticmethod(lambda x, *_: _JsMath._m.acos(x))
+    atan = staticmethod(lambda x, *_: _JsMath._m.atan(x))
+    atan2 = staticmethod(lambda y, x, *_: _JsMath._m.atan2(y, x))
+    hypot = staticmethod(lambda *a: _JsMath._m.hypot(*a))
+    abs = staticmethod(lambda x, *_: abs(x))
+    round = staticmethod(lambda x, *_: round(x))
+    max = staticmethod(lambda *a: max(a))
+    min = staticmethod(lambda *a: min(a))
+
+
+class _JsDate:
+    """``Date.UTC`` for translated JS UDF bodies: 0-based months,
+    epoch MILLISECONDS return — the semantics the reference's
+    "Working with NUMBERS" doc section depends on."""
+
+    @staticmethod
+    def UTC(year, month=0, day=1, hour=0, minute=0, second=0, ms=0):
+        import datetime as _dt
+
+        y, mo = int(year), int(month)
+        y += mo // 12
+        mo %= 12
+        base = _dt.datetime(y, mo + 1, 1, tzinfo=_dt.timezone.utc)
+        base += _dt.timedelta(
+            days=int(day) - 1, hours=int(hour), minutes=int(minute),
+            seconds=int(second), milliseconds=int(ms),
+        )
+        return base.timestamp() * 1000.0
 
 
 def _js_ternary_to_python(expr: str) -> str:
@@ -2358,31 +2659,226 @@ def _js_ternary_to_python(expr: str) -> str:
     return expr
 
 
-def _js_body_to_python(body: str) -> tuple[list[str], str]:
-    """``function f(a, b) { return <expr>; }`` -> (['a','b'],
-    python_expr). The documented single-return JS UDF shape; statement
-    bodies raise with guidance."""
+def _js_expr_to_python(expr: str) -> str:
+    """Translate one JS expression to Python. String literals are
+    masked first so operators inside them survive untouched."""
+    lits: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"__JSLIT{len(lits) - 1}__"
+
+    expr = re.sub(
+        r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'', _mask, expr.strip()
+    )
+    expr = expr.replace("!==", "!=").replace("===", "==")
+    expr = re.sub(r"&&", " and ", expr)
+    expr = re.sub(r"\|\|", " or ", expr)
+    expr = re.sub(r"!(?![=])", " not ", expr)
+    expr = re.sub(r"\bnull\b", "None", expr)
+    expr = re.sub(r"\bundefined\b", "None", expr)
+    expr = re.sub(r"\btrue\b", "True", expr)
+    expr = re.sub(r"\bfalse\b", "False", expr)
+    expr = re.sub(r"\b([\w$]+)\s*\.\s*length\b", r"len(\1)", expr)
+    expr = _js_ternary_to_python(expr)
+    for i, lit in enumerate(lits):
+        expr = expr.replace(f"__JSLIT{i}__", lit)
+    return expr
+
+
+def _js_balanced(s: str, start: int) -> tuple[str, int]:
+    """s[start] == '(' -> (inner text, index after the closer)."""
+    depth = 0
+    for i in range(start, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return s[start + 1:i], i + 1
+    raise ValueError("unbalanced parentheses in JavaScript UDF body")
+
+
+def _js_brace_block(s: str, start: int) -> tuple[str, int]:
+    """Block after position start: `{ ... }` -> inner text, or a
+    single unbraced statement up to ';'."""
+    j = start
+    while j < len(s) and s[j] in " \t\r\n":
+        j += 1
+    if j < len(s) and s[j] == "{":
+        depth = 0
+        for i in range(j, len(s)):
+            if s[i] == "{":
+                depth += 1
+            elif s[i] == "}":
+                depth -= 1
+                if depth == 0:
+                    return s[j + 1:i], i + 1
+        raise ValueError("unbalanced braces in JavaScript UDF body")
+    k = s.find(";", j)
+    if k < 0:
+        k = len(s) - 1
+    return s[j:k + 1], k + 1
+
+
+def _js_block_to_python(src: str, depth: int, lines: list[str]) -> None:
+    """Translate a JS statement block to indented Python lines.
+    Covers the reference-doc UDF subset: var/let/const declarations
+    (incl. comma lists), assignments (`=`, `+=`, ..., `++`/`--`),
+    if / else if / else, while, C-style for, break, and return.
+    Anything else raises — at CREATE FUNCTION time, not first call."""
+    from crate_spark.sql_dml import _split_top
+
+    pad = "    " * depth
+    i, n = 0, len(src)
+    while i < n:
+        while i < n and src[i] in " \t\r\n;":
+            i += 1
+        if i >= n:
+            return
+        rest = src[i:]
+        m = re.match(r"(?:var|let|const)\b(.*?);", rest, re.DOTALL)
+        if m:
+            for decl in _split_top(m.group(1)):
+                dm = re.match(
+                    r"\s*([\w$]+)\s*(?:=\s*(.*))?$", decl, re.DOTALL
+                )
+                if not dm:
+                    raise ValueError(
+                        f"unsupported JavaScript declaration: {decl[:60]!r}"
+                    )
+                val = (
+                    _js_expr_to_python(dm.group(2)) if dm.group(2) else "None"
+                )
+                lines.append(f"{pad}{dm.group(1)} = {val}")
+            i += m.end()
+            continue
+        m = re.match(r"return\b\s*(.*?)\s*(?:;|$)", rest, re.DOTALL)
+        if m:
+            val = _js_expr_to_python(m.group(1)) if m.group(1) else "None"
+            lines.append(f"{pad}return {val}")
+            i += m.end()
+            continue
+        m = re.match(r"if\s*\(", rest)
+        if m:
+            cond, j = _js_balanced(rest, m.end() - 1)
+            block, j = _js_brace_block(rest, j)
+            lines.append(f"{pad}if {_js_expr_to_python(cond)}:")
+            _js_block_to_python(block, depth + 1, lines)
+            while True:
+                em = re.match(r"\s*else\s+if\s*\(", rest[j:])
+                if em:
+                    cond, k = _js_balanced(rest[j:], em.end() - 1)
+                    block, k = _js_brace_block(rest[j:], k)
+                    lines.append(f"{pad}elif {_js_expr_to_python(cond)}:")
+                    _js_block_to_python(block, depth + 1, lines)
+                    j += k
+                    continue
+                em = re.match(r"\s*else\b", rest[j:])
+                if em:
+                    block, k = _js_brace_block(rest[j:], em.end())
+                    lines.append(f"{pad}else:")
+                    _js_block_to_python(block, depth + 1, lines)
+                    j += k
+                break
+            i += j
+            continue
+        m = re.match(r"while\s*\(", rest)
+        if m:
+            cond, j = _js_balanced(rest, m.end() - 1)
+            block, j = _js_brace_block(rest, j)
+            lines.append(f"{pad}while {_js_expr_to_python(cond)}:")
+            _js_block_to_python(block, depth + 1, lines)
+            i += j
+            continue
+        m = re.match(r"for\s*\(", rest)
+        if m:
+            head, j = _js_balanced(rest, m.end() - 1)
+            parts = head.split(";")
+            if len(parts) != 3:
+                raise ValueError(
+                    "only C-style `for (init; cond; step)` loops are "
+                    "supported in JavaScript UDF bodies"
+                )
+            init, cond, step = (p.strip() for p in parts)
+            block, j = _js_brace_block(rest, j)
+            if init:
+                _js_block_to_python(init + ";", depth, lines)
+            lines.append(
+                f"{pad}while {_js_expr_to_python(cond) if cond else 'True'}:"
+            )
+            _js_block_to_python(block, depth + 1, lines)
+            if step:
+                _js_block_to_python(step + ";", depth + 1, lines)
+            i += j
+            continue
+        m = re.match(r"break\s*(?:;|$)", rest)
+        if m:
+            lines.append(f"{pad}break")
+            i += m.end()
+            continue
+        m = re.match(r"([\w$]+)\s*\+\+\s*(?:;|$)", rest)
+        if m:
+            lines.append(f"{pad}{m.group(1)} += 1")
+            i += m.end()
+            continue
+        m = re.match(r"([\w$]+)\s*--\s*(?:;|$)", rest)
+        if m:
+            lines.append(f"{pad}{m.group(1)} -= 1")
+            i += m.end()
+            continue
+        m = re.match(
+            r"([\w$]+(?:\[[^\]]*\])*)\s*(=(?!=)|\+=|-=|\*=|/=|%=)\s*(.*?)\s*(?:;|$)",
+            rest,
+            re.DOTALL,
+        )
+        if m:
+            lines.append(
+                f"{pad}{m.group(1)} {m.group(2)} "
+                f"{_js_expr_to_python(m.group(3))}"
+            )
+            i += m.end()
+            continue
+        raise ValueError(
+            "unsupported JavaScript construct in UDF body near: "
+            f"{rest[:60]!r} (supported: declarations, assignments, "
+            "if/else, while, C-style for, return)"
+        )
+
+
+def _js_function(body: str, env: dict) -> tuple[list[str], object]:
+    """``function name(params) { statements }`` -> (params, Python
+    callable). Translation + compilation happen HERE, at CREATE
+    FUNCTION time, so unsupported constructs fail loudly up front.
+    The reference runs full GraalVM ECMAScript
+    (extensions/lang-js JavaScriptLanguage.java:28); this covers the
+    documented UDF subset. Params default to None — JS treats missing
+    arguments as undefined."""
     m = re.match(
-        r"\s*function\s+\w+\s*\(([^)]*)\)\s*\{\s*return\s+(.*?);?\s*\}\s*$",
+        r"\s*function\s+[\w$]+\s*\(([^)]*)\)\s*\{(.*)\}\s*;?\s*$",
         body,
         re.DOTALL,
     )
     if not m:
         raise ValueError(
-            "LANGUAGE JAVASCRIPT supports single-return function bodies "
-            "(`function f(a) { return <expr>; }`); for statement bodies "
-            "use LANGUAGE PYTHON with a Python expression"
+            "LANGUAGE JAVASCRIPT bodies must be a single "
+            "`function name(args) { ... }` definition"
         )
     params = [p.strip() for p in m.group(1).split(",") if p.strip()]
-    expr = m.group(2).strip()
-    for js, py in _JS_MATH.items():
-        expr = expr.replace(js, py)
-    expr = expr.replace("===", "==").replace("!==", "!=")
-    expr = re.sub(r"&&", " and ", expr)
-    expr = re.sub(r"\|\|", " or ", expr)
-    expr = re.sub(r"!(?![=])", " not ", expr)
-    expr = re.sub(r"\bnull\b", "None", expr)
-    expr = re.sub(r"\btrue\b", "True", expr)
-    expr = re.sub(r"\bfalse\b", "False", expr)
-    expr = _js_ternary_to_python(expr)
-    return params, expr
+    lines = [
+        "def __js_udf({}):".format(", ".join(f"{p}=None" for p in params))
+    ]
+    _js_block_to_python(m.group(2), 1, lines)
+    if len(lines) == 1:
+        lines.append("    return None")
+    src = "\n".join(lines)
+    try:
+        code = compile(src, "<js-udf>", "exec")
+    except SyntaxError as e:
+        raise ValueError(
+            f"unsupported JavaScript construct in UDF body: {e.msg} "
+            f"(translated line: {e.text!r})"
+        ) from None
+    ns: dict = {}
+    exec(code, env, ns)  # noqa: S102 - trusted-caller surface by design
+    return params, ns["__js_udf"]

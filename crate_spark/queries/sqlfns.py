@@ -376,7 +376,8 @@ def sql_agg_surface(spark, sf_dir):
         "arbitrary(n_regionkey) AS arb, "
         "ROUND(geometric_mean(n_nationkey + 1), 6) AS gmean, "
         "hyperloglog_distinct(n_name) AS approx_names, "
-        "array_to_string(transform(topk(n_name, 2), __s -> __s.item), '|') AS top2 "
+        "array_to_string(transform(topk(n_name, 2)['frequencies'], "
+        "__s -> __s.item), '|') AS top2 "
         "FROM nation GROUP BY n_regionkey"
     )
 

@@ -133,21 +133,9 @@ def tf_regexp_matches(spark, sf_dir):
     )
 
 
-#: pg_get_keywords() subset: the reserved words both engines' parsers
-#: treat as keywords (reference ``PgGetKeywordsFunction`` returns the
-#: full grammar keyword list; catcode R=reserved, U=unreserved).
-PG_KEYWORDS = [
-    ("all", "R"), ("and", "R"), ("any", "R"), ("as", "R"), ("between", "U"),
-    ("by", "R"), ("case", "R"), ("cast", "R"), ("create", "R"),
-    ("cross", "R"), ("delete", "U"), ("distinct", "R"), ("else", "R"),
-    ("exists", "U"), ("false", "R"), ("from", "R"), ("group", "R"),
-    ("having", "R"), ("in", "R"), ("inner", "R"), ("insert", "U"),
-    ("join", "R"), ("left", "R"), ("like", "R"), ("limit", "R"),
-    ("not", "R"), ("null", "R"), ("on", "R"), ("or", "R"), ("order", "R"),
-    ("outer", "R"), ("select", "R"), ("table", "U"), ("then", "R"),
-    ("true", "R"), ("union", "R"), ("update", "U"), ("values", "U"),
-    ("when", "R"), ("where", "R"), ("with", "R"),
-]
+#: pg_get_keywords() keyword list lives in the dialect (shared with
+#: the SQL front door's FROM-position rewrite)
+from crate_spark.dialect import PG_KEYWORDS
 
 
 @query(

@@ -118,20 +118,23 @@ def _crate_decl(raw: str) -> dict:
     subcolumns as {"children": [{"name", ...decl}]} (recursive)."""
     key = re.sub(r"\s+", " ", raw.strip().lower()).rstrip()
     m = re.match(
-        r"object(?:\s*\(\s*(?:strict|dynamic|ignored)\s*\))?"
+        r"object(?:\s*\(\s*(strict|dynamic|ignored)\s*\))?"
         r"(?:\s+as\s*\((.*)\))?$",
         key,
         re.DOTALL,
     )
     if m:
         children = []
-        for item in _split_top(m.group(1)) if m.group(1) else []:
+        for item in _split_top(m.group(2)) if m.group(2) else []:
             cm = re.match(r'("?[\w]+"?)\s+(.*)$', item, re.DOTALL)
             if cm:
                 children.append(
                     {"name": cm.group(1).strip('"'), **_crate_decl(cm.group(2))}
                 )
-        return {"type": "object", "children": children}
+        out = {"type": "object", "children": children}
+        if m.group(1):
+            out["policy"] = m.group(1)
+        return out
     m = re.match(r"array\s*\(\s*(.+)\s*\)$", key, re.DOTALL)
     if m:
         inner = _crate_decl(m.group(1))

@@ -120,6 +120,16 @@ FILES = {
     "../ddl/views.rst": ("locations", "quotes"),
     "../ddl/alter-table.rst": ("locations", "quotes"),
     "../ddl/data-types.rst": ("locations", "quotes"),
+    # r5 second batch (same reference doctest setUp); dql/index.rst and
+    # ddl/system-columns.rst carry no cr> examples
+    "../ddl/create-table.rst": ("locations", "quotes"),
+    "../ddl/storage.rst": ("locations", "quotes"),
+    "../ddl/fulltext-indices.rst": ("locations", "quotes"),
+    "../ddl/show-create-table.rst": ("locations", "quotes"),
+    "../../sql/general/lexical-structure.rst": ("locations", "quotes"),
+    "../../sql/general/value-expressions.rst": ("locations", "quotes"),
+    "../../sql/general/constraints.rst": ("locations", "quotes"),
+    "../../sql/statements/values.rst": ("locations", "quotes"),
 }
 
 #: sql prefix -> skip reason, matched per example
@@ -146,12 +156,10 @@ _SKIP = {
     "copy locations from '/tmp/import_data/":
         "per-URI RETURN SUMMARY rows with cast-error details; ours "
         "reports aggregate success/error counts (test_dml)",
-    "select topk(country, 3) from sys.summits":
-        "sys.summits subset + exact counts instead of the ItemsSketch "
-        "estimate envelope (declared: exact-supersedes-sketch)",
     "select min_by(mountain, height) from sys.summits":
-        "sys.summits here is a representative subset, not the full "
-        "1605-row embedded list (lowest peak differs)",
+        "two summits tie at the minimum height (1996m: Kitzbüheler "
+        "Horn / Puy de Rent); min_by picks arbitrarily on ties in "
+        "both engines",
     "select partition_ident":
         "partition_ident uses crate's base-32 encoding; ours is the "
         "directory ident (values/shape otherwise live in the view)",
@@ -164,9 +172,6 @@ _SKIP = {
     "select table_name, partition_ident, values, number_of_shards":
         "partition_ident uses crate's base-32 encoding; ours is the "
         "directory ident (values/shape otherwise live in the view)",
-    "select mountain, height from big_mountains":
-        "sys.summits here is a representative subset, not the full "
-        "1605-row embedded list (view mechanics still exercised)",
     "select table_schema, table_name, view_definition":
         "view_definition re-prints the reference's AST formatting; we "
         "store the user's SQL text (declared divergence)",

@@ -1060,7 +1060,7 @@ def test_create_table_like_and_settings(dml_session):
         "WITH (number_of_replicas = 2, refresh_interval = 1000)"
     )
     ddl = dml_session.execute("SHOW CREATE TABLE src_t").collect()[0]["create_table"]
-    assert "number_of_replicas = '2'" in ddl and "refresh_interval = '1000'" in ddl
+    assert "number_of_replicas = '2'" in ddl and "refresh_interval = 1000" in ddl
     dml_session.execute("CREATE TABLE like_t (LIKE src_t INCLUDING ALL)")
     like_ddl = dml_session.execute("SHOW CREATE TABLE like_t").collect()[0]["create_table"]
     assert '"id" INTEGER' in like_ddl and "PRIMARY KEY" in like_ddl
@@ -1202,14 +1202,42 @@ def test_create_function_javascript(spark, tmp_path):
         ).collect()
     ]
     assert got == [0.0, 0.25, 1.0]
-    # statement bodies are rejected with guidance, not silently wrong
+    # statement bodies translate (var/if/for/while subset); constructs
+    # outside the subset are rejected at CREATE time, not first call
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="single-return"):
+    s.execute(
+        "CREATE FUNCTION looped(integer) RETURNS integer LANGUAGE JAVASCRIPT "
+        "AS 'function looped(n) { var x = 0; "
+        "for (var i = 1; i <= n; i++) { x += i; } return x; }'"
+    )
+    assert s.execute("SELECT looped(4) AS col").collect()[0][0] == 10
+    s.execute("DROP FUNCTION looped(integer)")
+    with _pytest.raises(ValueError, match="unsupported JavaScript"):
         s.execute(
-            "CREATE FUNCTION looped(integer) RETURNS integer LANGUAGE JAVASCRIPT "
-            "AS 'function looped(a) { var x = 0; return x; }'"
+            "CREATE FUNCTION thrower(integer) RETURNS integer LANGUAGE JAVASCRIPT "
+            "AS 'function thrower(a) { throw new Error(a); }'"
         )
+    # overloads: same name, different arity, schema-scoped; unqualified
+    # lookup is builtin-first (log10 above resolved to Spark's builtin)
+    s.execute(
+        "CREATE FUNCTION my_schema.my_multiply(integer, integer) RETURNS integer "
+        "LANGUAGE JAVASCRIPT AS 'function my_multiply(a, b) { return a * b; }'"
+    )
+    s.execute(
+        "CREATE FUNCTION my_schema.my_multiply(bigint, bigint, bigint) RETURNS bigint "
+        "LANGUAGE JAVASCRIPT AS 'function my_multiply(a, b, c) { return a * b * c; }'"
+    )
+    r = s.execute(
+        "SELECT my_schema.my_multiply(2, 3) AS a, my_schema.my_multiply(2, 3, 4) AS b"
+    ).collect()[0]
+    assert (r["a"], r["b"]) == (6, 24)
+    # DROP by signature removes only the matching overload
+    s.execute("DROP FUNCTION my_schema.my_multiply(bigint, bigint, bigint)")
+    assert s.execute("SELECT my_schema.my_multiply(2, 3) AS a").collect()[0][0] == 6
+    with _pytest.raises(Exception):
+        s.execute("SELECT my_schema.my_multiply(2, 3, 4)").collect()
+    s.execute("DROP FUNCTION my_schema.my_multiply")
     # dropping the shadowing UDF restores Spark's builtin log10 —
     # never erases it (the registries are per-SparkSession, so an
     # unrestored drop would poison every later statement)
