@@ -65,35 +65,70 @@ def route_admin(session, stmt: str) -> DataFrame | None:
 
     # -- users / roles ---------------------------------------------------
     m = re.match(
-        r"CREATE\s+(USER|ROLE)\s+(?:IF\s+NOT\s+EXISTS\s+)?\"?([\w]+)\"?"
+        r"CREATE\s+(USER|ROLE)\s+(?:IF\s+NOT\s+EXISTS\s+)?(\"[^\"]+\"|[\w]+)"
         r"(?:\s+WITH\s*\(?\s*PASSWORD\s*=?\s*'([^']*)'\s*\)?)?\s*$",
         stmt,
         re.IGNORECASE,
     )
     if m:
         roles.create(
-            m.group(2), is_user=m.group(1).upper() == "USER", password=m.group(3)
+            m.group(2).strip('"'),
+            is_user=m.group(1).upper() == "USER",
+            password=m.group(3),
         )
         session._register_admin_views()
         return ok()
 
+    # ALTER USER x SET (password = ... | <session setting> = ..., ...)
+    # (alter-role.rst: password plus per-user session-setting defaults)
     m = re.match(
-        r"ALTER\s+(?:USER|ROLE)\s+\"?([\w]+)\"?\s+SET\s*\(\s*PASSWORD\s*=\s*"
-        r"(?:'([^']*)'|NULL)\s*\)\s*$",
+        r"ALTER\s+(?:USER|ROLE)\s+(\"[^\"]+\"|[\w]+)\s+SET\s*\((.*)\)\s*$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name = m.group(1).strip('"')
+        for item in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", m.group(2)):
+            km = re.match(
+                r"\s*\"?([\w.]+)\"?\s*=\s*(?:'([^']*)'|(NULL))\s*$",
+                item,
+                re.IGNORECASE,
+            )
+            if not km:
+                raise ValueError(f"Cannot parse ALTER setting: {item!r}")
+            key = km.group(1).lower()
+            val = None if km.group(3) else km.group(2)
+            if key == "password":
+                roles.alter_password(name, val)
+            else:
+                roles.alter_session_setting(name, key, val)
+        session._register_admin_views()
+        return ok()
+
+    # ALTER USER x RESET <setting> / RESET ALL
+    m = re.match(
+        r"ALTER\s+(?:USER|ROLE)\s+(\"[^\"]+\"|[\w]+)\s+RESET\s+"
+        r"(ALL|\"?[\w.]+\"?)\s*$",
         stmt,
         re.IGNORECASE,
     )
     if m:
-        roles.alter_password(m.group(1), m.group(2))
+        name = m.group(1).strip('"')
+        target = m.group(2).strip('"')
+        if target.upper() == "ALL":
+            roles.alter_session_setting(name, None, None)
+        else:
+            roles.alter_session_setting(name, target, None)
+        session._register_admin_views()
         return ok()
 
     m = re.match(
-        r"DROP\s+(USER|ROLE)\s+(IF\s+EXISTS\s+)?\"?([\w]+)\"?\s*$",
+        r"DROP\s+(USER|ROLE)\s+(IF\s+EXISTS\s+)?(\"[^\"]+\"|[\w]+)\s*$",
         stmt,
         re.IGNORECASE,
     )
     if m:
-        dropped = roles.drop(m.group(3), if_exists=bool(m.group(2)))
+        dropped = roles.drop(m.group(3).strip('"'), if_exists=bool(m.group(2)))
         session._register_admin_views()
         return ok(1 if dropped else 0)
 

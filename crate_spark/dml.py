@@ -685,9 +685,16 @@ class CrateTable:
         return {"loaded": loaded, "errors": int(obs_in.get["n_bad"] or 0)}
 
     def copy_to(self, uri: str, *, format: str = "json",
-                columns: list[str] | None = None, where: str | None = None) -> int:
+                columns: list[str] | None = None, where: str | None = None,
+                directory: bool = False, compression: str | None = None) -> int:
         """COPY TO: parallel export (json-lines / csv / parquet),
-        optional column subset + WHERE (WriterProjection.java:66)."""
+        optional column subset + WHERE (WriterProjection.java:66).
+
+        ``TO DIRECTORY`` (copy-to.rst:175) writes named export files
+        INTO an existing directory — it must never be replaced (the
+        docs export into /tmp/), so the write lands in a scratch dir
+        and the part files are MOVED in as ``<table>_<i>.<ext>[.gz]``,
+        the reference's shard-file naming."""
         df = self.read()
         if where:
             df = df.filter(F.expr(where))
@@ -698,14 +705,35 @@ class CrateTable:
         # delete; a separate df.count() would scan it twice
         obs = Observation()
         df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
+        target = uri
+        if directory:
+            import tempfile
+
+            target = tempfile.mkdtemp(prefix="crate_copy_to_") + "/out"
+        writer = df.write.mode("overwrite")
+        if compression:
+            writer = writer.option("compression", compression)
         if format == "json":
-            df.write.mode("overwrite").json(uri)
+            writer.json(target)
         elif format == "csv":
-            df.write.mode("overwrite").option("header", True).csv(uri)
+            writer.option("header", True).csv(target)
         elif format == "parquet":
-            df.write.mode("overwrite").parquet(uri)
+            writer.parquet(target)
         elif format == "orc":
-            df.write.mode("overwrite").orc(uri)
+            writer.orc(target)
         else:
             raise ValueError(f"unsupported COPY format: {format}")
+        if directory:
+            import glob as _glob
+            import os as _os
+            import shutil as _shutil
+
+            tname = _os.path.basename(self.path.rstrip("/")) or "export"
+            _os.makedirs(uri, exist_ok=True)
+            for i, part in enumerate(
+                sorted(_glob.glob(_os.path.join(target, "part-*")))
+            ):
+                ext = _os.path.basename(part).split(".", 1)[1]
+                _shutil.move(part, _os.path.join(uri, f"{tname}_{i}.{ext}"))
+            _shutil.rmtree(_os.path.dirname(target), ignore_errors=True)
         return int(obs.get["n_rows"] or 0)

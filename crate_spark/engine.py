@@ -978,16 +978,71 @@ class CrateSession:
             "conname string, contype string, relname string",
         ).filter("conname <> ''").createOrReplaceTempView("pg_catalog_pg_constraint")
 
-        # the PG type OIDs tooling actually probes (PGTypes.java)
+        # pg_type: the reference's full 54-row catalog inventory
+        # (PGTypes.java; listed verbatim in interfaces/postgres.rst) —
+        # standard PostgreSQL catalog facts: oid, typname, typarray
+        # (oid of the array type), typelem (element oid for arrays),
+        # typlen (-1 varlena, -2 cstring), typtype (b base/p pseudo),
+        # typcategory (N numeric, S string, A array, D datetime, ...)
         spark.createDataFrame(
             [
-                (16, "bool", 1), (20, "int8", 8), (21, "int2", 2),
-                (23, "int4", 4), (25, "text", -1), (700, "float4", 4),
-                (701, "float8", 8), (1043, "varchar", -1),
-                (1114, "timestamp", 8), (1184, "timestamptz", 8),
-                (1700, "numeric", -1), (114, "json", -1), (2950, "uuid", 16),
+                (16, "bool", 1000, 0, 1, "b", "N"),
+                (18, "char", 1002, 0, 1, "b", "S"),
+                (19, "name", -1, 0, 64, "b", "S"),
+                (20, "int8", 1016, 0, 8, "b", "N"),
+                (21, "int2", 1005, 0, 2, "b", "N"),
+                (23, "int4", 1007, 0, 4, "b", "N"),
+                (24, "regproc", 1008, 0, 4, "b", "N"),
+                (25, "text", 1009, 0, -1, "b", "S"),
+                (26, "oid", 1028, 0, 4, "b", "N"),
+                (30, "oidvector", 1013, 26, -1, "b", "A"),
+                (114, "json", 199, 0, -1, "b", "U"),
+                (199, "_json", 0, 114, -1, "b", "A"),
+                (600, "point", 1017, 0, 16, "b", "G"),
+                (700, "float4", 1021, 0, 4, "b", "N"),
+                (701, "float8", 1022, 0, 8, "b", "N"),
+                (705, "unknown", 0, 0, -2, "p", "X"),
+                (1000, "_bool", 0, 16, -1, "b", "A"),
+                (1002, "_char", 0, 18, -1, "b", "A"),
+                (1005, "_int2", 0, 21, -1, "b", "A"),
+                (1007, "_int4", 0, 23, -1, "b", "A"),
+                (1008, "_regproc", 0, 24, -1, "b", "A"),
+                (1009, "_text", 0, 25, -1, "b", "A"),
+                (1014, "_bpchar", 0, 1042, -1, "b", "A"),
+                (1015, "_varchar", 0, 1043, -1, "b", "A"),
+                (1016, "_int8", 0, 20, -1, "b", "A"),
+                (1017, "_point", 0, 600, -1, "b", "A"),
+                (1021, "_float4", 0, 700, -1, "b", "A"),
+                (1022, "_float8", 0, 701, -1, "b", "A"),
+                (1042, "bpchar", 1014, 0, -1, "b", "S"),
+                (1043, "varchar", 1015, 0, -1, "b", "S"),
+                (1082, "date", 1182, 0, 4, "b", "D"),
+                (1114, "timestamp", 1115, 0, 8, "b", "D"),
+                (1115, "_timestamp", 0, 1114, -1, "b", "A"),
+                (1182, "_date", 0, 1082, -1, "b", "A"),
+                (1184, "timestamptz", 1185, 0, 8, "b", "D"),
+                (1185, "_timestamptz", 0, 1184, -1, "b", "A"),
+                (1186, "interval", 1187, 0, 16, "b", "T"),
+                (1187, "_interval", 0, 1186, -1, "b", "A"),
+                (1231, "_numeric", 0, 1700, -1, "b", "A"),
+                (1266, "timetz", 1270, 0, 12, "b", "D"),
+                (1270, "_timetz", 0, 1266, -1, "b", "A"),
+                (1560, "bit", 1561, 0, -1, "b", "V"),
+                (1561, "_bit", 0, 1560, -1, "b", "A"),
+                (1700, "numeric", 1231, 0, -1, "b", "N"),
+                (2205, "regclass", 2210, 0, 4, "b", "N"),
+                (2206, "regtype", 2211, 0, 4, "b", "N"),
+                (2210, "_regclass", 0, 2205, -1, "b", "A"),
+                (2211, "_regtype", 0, 2206, -1, "b", "A"),
+                (2249, "record", 2287, 0, -1, "p", "P"),
+                (2276, "any", 0, 0, 4, "p", "P"),
+                (2277, "anyarray", 0, 2276, -1, "p", "P"),
+                (2287, "_record", 0, 2249, -1, "p", "A"),
+                (2950, "uuid", 2951, 0, 16, "b", "U"),
+                (2951, "_uuid", 0, 2950, -1, "b", "A"),
             ],
-            "oid int, typname string, typlen int",
+            "oid int, typname string, typarray int, typelem int, "
+            "typlen int, typtype string, typcategory string",
         ).createOrReplaceTempView("pg_catalog_pg_type")
 
         # pg_class / pg_attribute / pg_proc — what psql's \d and ORM
@@ -1219,7 +1274,8 @@ class CrateSession:
         spark = self.spark
         spark.createDataFrame(
             self.roles.sys_users_rows(),
-            "name string, superuser boolean, password string, granted_roles string",
+            "name string, superuser boolean, password string, "
+            "granted_roles string, session_settings string",
         ).createOrReplaceTempView("sys_users")
         spark.createDataFrame(
             self.roles.sys_roles_rows() or [("", "")],
@@ -1227,8 +1283,8 @@ class CrateSession:
         ).filter("name <> ''").createOrReplaceTempView("sys_roles")
         spark.createDataFrame(
             self.roles.sys_privileges_rows() or [("", "", "", "", "", "")],
-            "grantee string, grantor string, state string, type string, "
-            "class string, ident string",
+            "class string, grantee string, grantor string, "
+            "ident string, state string, type string",
         ).filter("grantee <> ''").createOrReplaceTempView("sys_privileges")
         spark.createDataFrame(
             self.snapshots.sys_repositories_rows() or [("", "", "")],
@@ -1622,7 +1678,7 @@ class CrateSession:
 
         m = re.match(
             r"CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+((?:[\w]+\.)?[\w]+)\s*"
-            r"\(([^)]*)\)\s*"
+            r"\(((?:[^()]|\([^()]*\))*)\)\s*"
             r"RETURNS\s+([\w()\s]+?)\s+LANGUAGE\s+(PYTHON|PANDAS|JAVASCRIPT)\s+"
             r"AS\s+'(.*)'\s*$",
             stmt,
@@ -1639,7 +1695,7 @@ class CrateSession:
         # DROP FUNCTION [IF EXISTS] name[(argtypes)] (drop-function.rst)
         m = re.match(
             r"DROP\s+FUNCTION\s+(?:(IF\s+EXISTS)\s+)?((?:[\w]+\.)?[\w]+)\s*"
-            r"(?:\(([^)]*)\))?\s*$",
+            r"(?:\(((?:[^()]|\([^()]*\))*)\))?\s*$",
             stmt,
             re.IGNORECASE,
         )
@@ -1677,6 +1733,15 @@ class CrateSession:
                 f"SELECT column_name, data_type FROM information_schema_columns "
                 f"WHERE table_name = '{m.group(2)}' ORDER BY ordinal_position"
             )
+        # PG-compat: the engine is autocommit, the reported isolation
+        # level is fixed (interfaces/postgres.rst)
+        if re.match(
+            r"SHOW\s+TRANSACTION\s+ISOLATION\s+LEVEL\s*$", stmt, re.IGNORECASE
+        ):
+            return self.spark.createDataFrame(
+                [("read uncommitted",)], "transaction_isolation string"
+            )
+
         m = re.match(r"SHOW\s+(\S+)\s*$", stmt, re.IGNORECASE)
         if m:
             val = self.spark.conf.get(m.group(1), None)
@@ -1684,12 +1749,27 @@ class CrateSession:
                 [(m.group(1), val)], "setting string, value string"
             )
 
-        if re.match(r"REFRESH\s+TABLE\s+", upper):
+        m = re.match(
+            r"REFRESH\s+TABLE\s+([\w.\"]+(?:\s*,\s*[\w.\"]+)*)"
+            r"(?:\s+PARTITION\s*\([^)]*\))?\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
             # Lucene-refresh analog: parquet reads are always visible;
-            # clear any cached plans for the table.
-            name = stmt.split()[-1]
-            self.spark.catalog.refreshTable(name)
-            return self.spark.createDataFrame([(name,)], "refreshed string")
+            # clear any cached plans for the named table(s). Accepts
+            # schema-qualified spellings and PARTITION clauses
+            # (refresh.rst:20,58) — storage is one flat namespace, so
+            # a partition refresh refreshes the base table.
+            names = [
+                n.strip().strip('"').split(".")[-1]
+                for n in m.group(1).split(",")
+            ]
+            for name in names:
+                self.spark.catalog.refreshTable(name)
+            return self.spark.createDataFrame(
+                [(n,) for n in names], "refreshed string"
+            )
 
         # Transaction statements are accepted no-ops: the engine is
         # autocommit exactly like the reference (Planner.java:289-304
@@ -1820,7 +1900,8 @@ class CrateSession:
         # create-analyzer.rst): register a named tokenizer config that
         # MATCH ... WITH (analyzer='name') resolves against.
         m = re.match(
-            r"CREATE\s+ANALYZER\s+(\w+)\s*(?:EXTENDS\s+(\w+)\s+)?\((.*)\)\s*$",
+            r"CREATE\s+ANALYZER\s+\"?(\w+)\"?\s*(?:EXTENDS\s+\"?(\w+)\"?\s*)?"
+            r"(?:WITH\s*)?\((.*)\)\s*$",
             stmt,
             re.IGNORECASE | re.DOTALL,
         )
@@ -1834,21 +1915,23 @@ class CrateSession:
             }
             return self.spark.createDataFrame([(m.group(1),)], "analyzer string")
 
-        m = re.match(r"DROP\s+ANALYZER\s+(\w+)\s*$", stmt, re.IGNORECASE)
+        m = re.match(r"DROP\s+ANALYZER\s+\"?(\w+)\"?\s*$", stmt, re.IGNORECASE)
         if m:
             self._analyzers.pop(m.group(1).lower(), None)
             return self.spark.createDataFrame([(m.group(1),)], "dropped string")
+
+        # MATCH against a NAMED fulltext index searches its source
+        # columns (fulltext-indices.rst composite indexes) — resolved
+        # BEFORE DML routing so COPY/UPDATE/DELETE WHERE clauses see
+        # the expansion too (dml.rst COPY ... WHERE match(quote_ft, ..))
+        if re.search(r"\bMATCH\s*\(", stmt, re.IGNORECASE):
+            stmt = self._sub_match_index_names(stmt)
 
         # DML/DDL dispatch (reference planner/Planner.java:273-500):
         # CREATE TABLE / DROP TABLE / INSERT / UPDATE / DELETE / COPY
         routed = self._dml.route(stmt)
         if routed is not None:
             return routed
-
-        # MATCH against a NAMED fulltext index searches its source
-        # columns (fulltext-indices.rst composite indexes)
-        if re.search(r"\bMATCH\s*\(", stmt, re.IGNORECASE):
-            stmt = self._sub_match_index_names(stmt)
         # MATCH + _score: needs the BM25 join, not a plain rewrite
         if re.search(r"(?<![\w.])_score\b", stmt) and re.search(
             r"\bMATCH\s*\(", stmt, re.IGNORECASE
@@ -2284,12 +2367,16 @@ class CrateSession:
                 "__builtins__": safe_builtins, "math": _math,
                 "Math": _JsMath, "Date": _JsDate,
             }
-            arg_names, body_fn = _js_function(body, env)
-            types = [a for a in _split_top(args) if a.strip()]
-            specs = []
-            for i, n in enumerate(arg_names):
-                declared = _sig_item_type(types[i]) if i < len(types) else ""
-                specs.append([n] + declared.split())
+            _, body_fn = _js_function(body, env)
+            # identity (signature + coercers) comes from the SQL
+            # argument list — the JS function may declare surplus
+            # params (undefined at call, like the reference's GraalVM
+            # binding; symmetric_point in user-defined-functions.rst)
+            specs = [
+                ["__arg"] + _sig_item_type(a).split()
+                for a in _split_top(args)
+                if a.strip()
+            ]
             kind = "row"
         else:
             specs = [

@@ -48,6 +48,9 @@ class Role:
     password: str | None = None
     #: [(role_name, grantor)]
     granted_roles: list[tuple[str, str]] = field(default_factory=list)
+    #: ALTER USER ... SET (<setting> = ...) session defaults
+    #: (alter-role.rst; surfaced in sys.users.session_settings)
+    session_settings: dict[str, str] = field(default_factory=dict)
 
     def granted_role_names(self) -> list[str]:
         return [r for r, _ in self.granted_roles]
@@ -110,6 +113,24 @@ class RoleStore:
             raise RoleError("Cannot set a password for a role")
         role.password = password
 
+    def alter_session_setting(
+        self, name: str, setting: str | None, value: str | None
+    ) -> None:
+        """ALTER USER ... SET (<setting> = <value>) / RESET <setting> /
+        RESET ALL (alter-role.rst:40-78; users only, not roles)."""
+        role = self._get(name)
+        if not role.is_user:
+            raise RoleError(
+                f"Cannot alter session settings for role '{name}' "
+                "(ALTER is supported for users only)"
+            )
+        if setting is None:  # RESET ALL
+            role.session_settings.clear()
+        elif value is None:  # RESET <setting>
+            role.session_settings.pop(setting.lower(), None)
+        else:
+            role.session_settings[setting.lower()] = value
+
     def _get(self, name: str) -> Role:
         key = name.lower()
         if key not in self.roles:
@@ -150,10 +171,15 @@ class RoleStore:
                         if bucket.pop(subject, None) is not None:
                             count += 1
                     else:
-                        bucket[subject] = Privilege(
-                            role.name, grantor, state, perm, clazz, ident
-                        )
-                        count += 1
+                        # affected-row count = privileges actually
+                        # CHANGED (privileges.rst: re-granting an
+                        # existing GRANT reports 0 rows for it)
+                        prev = bucket.get(subject)
+                        if prev is None or prev.state != state:
+                            bucket[subject] = Privilege(
+                                role.name, grantor, state, perm, clazz, ident
+                            )
+                            count += 1
         return count
 
     def grant_roles(self, rolenames: list[str], grantees: list[str], grantor: str) -> int:
@@ -262,9 +288,20 @@ class RoleStore:
             )
 
     # -- sys rows --------------------------------------------------------
+    @staticmethod
+    def _granted_json(r: Role) -> str:
+        # grantor-first key order matches the reference's render
+        # (user-management.rst sys.roles/sys.users examples)
+        import json
+
+        return json.dumps(
+            [{"grantor": g, "role": rn} for rn, g in sorted(r.granted_roles)]
+        )
+
     def sys_users_rows(self) -> list[tuple]:
-        """(name, superuser, password, granted_roles_json) rows —
-        SysUsersTableInfo shape; password always masked."""
+        """(name, superuser, password, granted_roles_json,
+        session_settings_json) rows — SysUsersTableInfo shape;
+        password always masked."""
         import json
 
         return [
@@ -272,32 +309,27 @@ class RoleStore:
                 r.name,
                 r.superuser,
                 "********" if r.password else None,
-                json.dumps(
-                    [{"role": rn, "grantor": g} for rn, g in sorted(r.granted_roles)]
-                ),
+                self._granted_json(r),
+                json.dumps(dict(sorted(r.session_settings.items()))),
             )
             for r in sorted(self.roles.values(), key=lambda x: x.name)
             if r.is_user
         ]
 
     def sys_roles_rows(self) -> list[tuple]:
-        import json
-
         return [
-            (
-                r.name,
-                json.dumps(
-                    [{"role": rn, "grantor": g} for rn, g in sorted(r.granted_roles)]
-                ),
-            )
+            (r.name, self._granted_json(r))
             for r in sorted(self.roles.values(), key=lambda x: x.name)
             if not r.is_user
         ]
 
     def sys_privileges_rows(self) -> list[tuple]:
+        """Alphabetical column order (class, grantee, grantor, ident,
+        state, type) — the reference's SELECT * render
+        (privileges.rst listing example)."""
         rows = []
         for grantee in sorted(self.privileges):
             for p in self.privileges[grantee].values():
-                rows.append((p.grantee, p.grantor, p.state, p.type, p.clazz, p.ident))
-        rows.sort()
+                rows.append((p.clazz, p.grantee, p.grantor, p.ident, p.state, p.type))
+        rows.sort(key=lambda r: tuple("" if v is None else v for v in r))
         return rows

@@ -172,6 +172,18 @@ def _spark_to_crate(simple: str) -> str:
     }.get(simple, simple)
 
 
+def _expand_occ_where(where: str) -> str:
+    """Expand OCC system columns (``_seq_no``/``_primary_term``/
+    ``_version``, occ.rst:60) referenced in an UPDATE/DELETE WHERE into
+    their row-level expressions — every live row is at version 1 /
+    seq 0 / term 1 here, so the optimistic-concurrency handshake
+    matches exactly the rows the reference's would."""
+    from crate_spark.dialect import rewrite_sys_columns
+
+    where = re.sub(r'"(_id|_doc|_raw|_version|_seq_no|_primary_term)"', r"\1", where)
+    return rewrite_sys_columns(where)
+
+
 def _split_top(s: str, sep: str = ",") -> list[str]:
     """Split at depth-0 separators (parens nest, literals are masked)."""
     items, buf, depth = [], "", 0
@@ -416,7 +428,28 @@ class SqlDmlRouter:
                     _unmask(item[item.index("(") + 1 : item.rindex(")")], literals)
                 )
                 continue
-            if up.startswith(("INDEX ", "CONSTRAINT ")):
+            if up.startswith("CONSTRAINT "):
+                # named table-level constraints (constraints.rst:
+                # CONSTRAINT name CHECK (...) / PRIMARY KEY (...)) —
+                # the name is metadata, the body routes as unnamed
+                item = re.sub(
+                    r'^\s*CONSTRAINT\s+"?[\w]+"?\s+', "", item, flags=re.IGNORECASE
+                )
+                up = item.upper()
+                if up.startswith("PRIMARY KEY"):
+                    named = [
+                        c.strip().strip('"')
+                        for c in item[item.index("(") + 1 : item.rindex(")")].split(",")
+                    ]
+                    pk += named
+                    not_null += [c for c in named if c not in not_null]
+                    continue
+                if re.match(r"CHECK\s*\(", up):
+                    checks.append(
+                        _unmask(item[item.index("(") + 1 : item.rindex(")")], literals)
+                    )
+                    continue
+            if up.startswith("INDEX "):
                 # composite fulltext index (fulltext-indices.rst):
                 # INDEX <name> USING FULLTEXT (col, ...) — MATCH can
                 # target the index NAME, searching its source columns
@@ -435,6 +468,11 @@ class SqlDmlRouter:
                 raise ValueError(f"cannot parse column definition: {item!r}")
             cname = cm.group(1).strip('"')
             rest = cm.group(2)
+            # named column constraints (constraints.rst): the name
+            # tags whatever constraint clause follows it
+            rest = re.sub(
+                r'\bCONSTRAINT\s+"?[\w]+"?\s+', "", rest, flags=re.IGNORECASE
+            )
             gm = re.search(
                 r"GENERATED\s+ALWAYS\s+AS\s*\(", rest, re.IGNORECASE
             )
@@ -473,9 +511,18 @@ class SqlDmlRouter:
             if re.search(r"\bNOT\s+NULL\b", rest, re.IGNORECASE):
                 not_null.append(cname)
             rest = re.sub(r"\bNOT\s+NULL\b", "", rest, flags=re.IGNORECASE)
+            # explicit nullable spelling `<col> <type> NULL`
+            # (ddl/constraints.rst:72) — the default, drop the token
+            # (DEFAULT/CHECK/GENERATED expressions holding real NULLs
+            # were already extracted above)
+            rest = re.sub(r"\bNULL\b", "", rest, flags=re.IGNORECASE)
             # column index clauses (create-table.rst): INDEX OFF,
             # INDEX USING fulltext/plain/geohash/quadtree/bkdtree
-            # [WITH (...)] — storage/index details Parquet supersedes
+            # [WITH (...)] — storage/index details Parquet supersedes;
+            # STORAGE WITH (columnstore = ...) likewise (storage.rst)
+            rest = re.sub(
+                r"\bSTORAGE\s+WITH\s*\([^)]*\)", "", rest, flags=re.IGNORECASE
+            )
             rest = re.sub(
                 r"\bINDEX\s+(OFF\b|(USING\s+)?\"?\w+\"?)?(\s+WITH\s*\(.*?\))?",
                 "",
@@ -589,12 +636,20 @@ class SqlDmlRouter:
         # refuses queries — modeled by deregistering its view; OPEN
         # re-registers it. The closed flag persists in settings.
         ocm = re.match(
-            r"\s*ALTER\s+TABLE\s+([\w.\"]+)\s+(OPEN|CLOSE)\s*$", masked, re.IGNORECASE
+            r"\s*ALTER\s+TABLE\s+([\w.\"]+)(\s+PARTITION\s*\([^)]*\))?"
+            r"\s+(OPEN|CLOSE)\s*$",
+            masked,
+            re.IGNORECASE,
         )
         if ocm:
             name = ocm.group(1).strip('"').split(".")[-1]
             table = self._table(ocm.group(1).strip('"'))
-            if ocm.group(2).upper() == "CLOSE":
+            if ocm.group(2):
+                # partition-scoped OPEN/CLOSE (partitioned-tables.rst):
+                # partition open-state isn't tracked on the flat
+                # parquet store — accepted, table stays queryable
+                return self._count_df(1)
+            if ocm.group(3).upper() == "CLOSE":
                 table.settings["closed"] = "true"
                 table._save_meta()
                 self.spark.catalog.dropTempView(name)
@@ -629,10 +684,15 @@ class SqlDmlRouter:
             self._refresh(new)
             return self._count_df(1)
 
-        # ALTER TABLE t SET (k = v, ...) / RESET (k, ...) — storage
-        # settings on the table metadata (alter-table.rst)
+        # ALTER TABLE t [PARTITION (...)] SET (k = v, ...) / RESET (...)
+        # — storage settings on the table metadata (alter-table.rst;
+        # partitioned-tables.rst:436 applies them to one partition —
+        # storage here is table-scoped, so partition settings land on
+        # the table)
         sm = re.match(
-            r"\s*ALTER\s+TABLE\s+([\w.\"]+)\s+(SET|RESET)\s*\(([^)]*)\)\s*$",
+            r"\s*ALTER\s+TABLE\s+(?:ONLY\s+)?([\w.\"]+)"
+            r"(?:\s+PARTITION\s*\([^)]*\))?"
+            r"\s+(SET|RESET)\s*\(([^)]*)\)\s*$",
             masked,
             re.IGNORECASE,
         )
@@ -955,7 +1015,8 @@ class SqlDmlRouter:
         wm = re.search(r"\bWHERE\s+(.*)$", body, re.IGNORECASE | re.DOTALL)
         if wm:
             where = self._coerce_ts_literals(
-                table, rewrite(_unmask(wm.group(1).strip(), literals))
+                table,
+                rewrite(_expand_occ_where(_unmask(wm.group(1).strip(), literals))),
             )
             body = body[: wm.start()].strip()
         set_exprs = {}
@@ -997,7 +1058,8 @@ class SqlDmlRouter:
         table = self._table(name)
         where = (
             self._coerce_ts_literals(
-                table, rewrite(_unmask(m.group(2).strip(), literals))
+                table,
+                rewrite(_expand_occ_where(_unmask(m.group(2).strip(), literals))),
             )
             if m.group(2) else None
         )
@@ -1008,7 +1070,8 @@ class SqlDmlRouter:
     # -- COPY ------------------------------------------------------------
     def _copy(self, masked: str, literals: list[str]) -> DataFrame:
         m = re.match(
-            r"\s*COPY\s+([\w.\"]+)\s*(\(([^)]*)\))?\s+(FROM|TO)\s+(DIRECTORY\s+)?"
+            r"\s*COPY\s+([\w.\"]+)\s*(?:PARTITION\s*\([^)]*\)\s*)?"
+            r"(\(([^)]*)\))?(?:\s+WHERE\s+(.+?))?\s+(FROM|TO)\s+(DIRECTORY\s+)?"
             r"(__LIT_\d+__)\s*(.*)$",
             masked,
             re.IGNORECASE | re.DOTALL,
@@ -1017,9 +1080,9 @@ class SqlDmlRouter:
             raise ValueError("unsupported COPY syntax")
         name = m.group(1).strip('"').split(".")[-1]
         table = self._table(name)
-        direction = m.group(4).upper()
-        uri = _unmask(m.group(6), literals).strip("'")
-        tail = m.group(7) or ""
+        direction = m.group(5).upper()
+        uri = _unmask(m.group(7), literals).strip("'")
+        tail = m.group(8) or ""
         props: dict[str, str] = {}
         pm = re.search(r"WITH\s*\(([^)]*)\)", tail, re.IGNORECASE)
         if pm:
@@ -1027,9 +1090,14 @@ class SqlDmlRouter:
                 k, _, v = kv.partition("=")
                 props[k.strip().lower()] = _unmask(v.strip(), literals).strip("'\"")
         where = None
+        # copy-to.rst grammar puts WHERE before TO; accept a trailing
+        # spelling too for compatibility with earlier statements
+        where_src = m.group(4)
         wm = re.search(r"\bWHERE\s+(.+?)(?:WITH\s*\(|$)", tail, re.IGNORECASE | re.DOTALL)
-        if wm:
-            where = rewrite(_unmask(wm.group(1).strip(), literals))
+        if where_src is None and wm:
+            where_src = wm.group(1)
+        if where_src:
+            where = rewrite(_unmask(where_src.strip(), literals))
 
         if direction == "FROM":
             fmt = props.get("format", "csv" if not uri.endswith(".json") else "json")
@@ -1048,6 +1116,11 @@ class SqlDmlRouter:
             [c.strip().strip('"') for c in m.group(3).split(",")] if m.group(3) else None
         )
         n = table.copy_to(
-            uri, format=props.get("format", "json"), columns=cols, where=where
+            uri,
+            format=props.get("format", "json"),
+            columns=cols,
+            where=where,
+            directory=bool(m.group(6)),
+            compression=props.get("compression"),
         )
         return self._count_df(n)

@@ -130,6 +130,20 @@ FILES = {
     "../../sql/general/value-expressions.rst": ("locations", "quotes"),
     "../../sql/general/constraints.rst": ("locations", "quotes"),
     "../../sql/statements/values.rst": ("locations", "quotes"),
+    "../user-defined-functions.rst": ("locations", "quotes"),
+    "../../admin/user-management.rst": ("locations", "quotes"),
+    "../../admin/privileges.rst": ("locations", "quotes"),
+    "../../admin/optimization.rst": ("locations", "quotes"),
+    "../../interfaces/postgres.rst": ("locations", "quotes"),
+}
+
+#: sql prefix -> skip reason, FIRST occurrence only — for doc pairs
+#: where the identical statement appears twice with different session
+#: state and only the first is unreproducible
+_SKIP_ONCE = {
+    "select date_format(utc(2016,04,6))":
+        "the deliberately-wrong epoch-millis demo renders year 48314, "
+        "beyond Python's datetime range; the corrected twin runs",
 }
 
 #: sql prefix -> skip reason, matched per example
@@ -239,7 +253,21 @@ def _cases(fname: str):
             cases.append((sql, rows))
             i = j
         else:
-            cases.append((sql, None))
+            # statement-only example: when the doc prints a success
+            # acknowledgment (`CREATE OK, ...`), executing it must NOT
+            # raise; docs showing an error message (or nothing) keep
+            # the lenient expected-None path
+            ok = (
+                j < len(lines)
+                and re.match(
+                    r"\s*(?:CREATE|DROP|ALTER|GRANT|DENY|REVOKE|INSERT|"
+                    r"UPDATE|DELETE|REFRESH|COPY|SET|RESET|KILL|DECLARE|"
+                    r"CLOSE|BEGIN|COMMIT|START|OPTIMIZE|RESTORE|ANALYZE|"
+                    r"EXPLAIN)\s+OK",
+                    lines[j],
+                )
+            )
+            cases.append((sql, "OK" if ok else None))
     return cases
 
 
@@ -314,9 +342,15 @@ def _rows_match(got, expected) -> bool:
 @pytest.mark.parametrize("fname", sorted(FILES))
 def test_dql_doc_file(session, fname):
     ran = failures = skipped = 0
+    once_used: set[str] = set()
     for sql, expected in _cases(fname):
         low = sql.lower()
         if any(low.startswith(p) for p in _SKIP):
+            skipped += 1
+            continue
+        once = next((p for p in _SKIP_ONCE if low.startswith(p)), None)
+        if once is not None and once not in once_used:
+            once_used.add(once)
             skipped += 1
             continue
         if "_score" in low and "match" in low and expected is not None:
@@ -336,7 +370,7 @@ def test_dql_doc_file(session, fname):
                 f"{fname}: {sql[:120]}\n  raised {type(e).__name__}: "
                 f"{str(e).splitlines()[0][:200]}"
             )
-        if expected is None:
+        if expected is None or expected == "OK":
             continue  # side-effect statement: executing it is the test
         if not _rows_match(got, expected):
             from .test_doc_examples import _fmt
