@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 
 from crate_spark.dml import CrateTable
 from crate_spark.roles import PERMISSIONS, SUPERUSER, RoleStore
-from crate_spark.snapshots import SnapshotStore
+from crate_spark.snapshots import SnapshotError, SnapshotStore
 
 _PRIV_WORD = "|".join(PERMISSIONS)
 
@@ -213,7 +213,7 @@ def route_admin(session, stmt: str) -> DataFrame | None:
     # -- snapshots -------------------------------------------------------
     m = re.match(
         r"CREATE\s+SNAPSHOT\s+\"?([\w]+)\"?\.\"?([\w]+)\"?\s+"
-        r"(ALL|TABLE\s+[\w.\",\s]+?)(?:\s+WITH\s*\(.*\))?\s*$",
+        r"(ALL|TABLE\s+.+?)(?:\s+WITH\s*\(.*\))?\s*$",
         stmt,
         re.IGNORECASE | re.DOTALL,
     )
@@ -222,7 +222,14 @@ def route_admin(session, stmt: str) -> DataFrame | None:
         if what.upper() == "ALL":
             names = sorted(session.tables)
         else:
-            names = [n.split(".")[-1] for n in _names(what[len("TABLE"):])]
+            # table list entries may carry PARTITION clauses
+            # (snapshots.rst:96): partition granularity collapses to
+            # the owning table on the flat parquet store
+            listed = re.sub(
+                r"PARTITION\s*\([^)]*\)", "", what[len("TABLE"):],
+                flags=re.IGNORECASE,
+            )
+            names = [n.split(".")[-1] for n in _names(listed)]
         tables, metas = {}, {}
         for name in names:
             if name not in session.tables:
@@ -255,14 +262,32 @@ def route_admin(session, stmt: str) -> DataFrame | None:
 
     m = re.match(
         r"RESTORE\s+SNAPSHOT\s+\"?([\w]+)\"?\.\"?([\w]+)\"?"
-        r"(?:\s+(ALL|TABLE\s+[\w.\",\s]+?))?(?:\s+WITH\s*\(.*\))?\s*$",
+        r"(?:\s+(ALL|TABLE\s+.+?))?(?:\s+WITH\s*\(.*\))?\s*$",
         stmt,
         re.IGNORECASE | re.DOTALL,
     )
     if m:
         only = None
         if m.group(3) and m.group(3).upper() != "ALL":
-            only = [n.split(".")[-1] for n in _names(m.group(3)[len("TABLE"):])]
+            raw_list = m.group(3)[len("TABLE"):]
+            # partition-scoped restores (snapshots.rst:178) import into
+            # an existing partitioned table; a plain TABLE restore of
+            # an existing relation is rejected like the reference's
+            partitioned = {
+                n.split(".")[-1].lower()
+                for n in re.findall(
+                    r'([\w."]+)\s+PARTITION\s*\(', raw_list, re.IGNORECASE
+                )
+            }
+            listed = re.sub(
+                r"PARTITION\s*\([^)]*\)", "", raw_list, flags=re.IGNORECASE
+            )
+            only = [n.split(".")[-1] for n in _names(listed)]
+            for name in only:
+                if name not in partitioned and name in session.tables:
+                    raise SnapshotError(
+                        f"Relation 'doc.{name}' already exists."
+                    )
         restored = snaps.restore_tables(m.group(1), m.group(2), only)
         for name, src, tmeta in restored:
             df = spark.read.parquet(src)

@@ -2075,13 +2075,43 @@ def rewrite(
     sql = re.sub(r"(?<!['\w])[Ee]'((?:[^'\\]|''|\\.)*)'", _e_lit, sql)
 
     # dollar-quoted strings $tag$...$tag$ (lexical-structure.rst:26-44;
-    # no nesting) -> ordinary literals
-    sql = re.sub(
-        r"\$(\w*)\$(.*?)\$\1\$",
-        lambda m: "'" + m.group(2).replace("'", "''") + "'",
-        sql,
-        flags=re.DOTALL,
-    )
+    # no nesting) -> ordinary literals. Single left-to-right scan so a
+    # $$ INSIDE an ordinary '...' literal never opens a dollar quote.
+    if "$" in sql:
+        parts, i, n = [], 0, len(sql)
+        while i < n:
+            c = sql[i]
+            if c == "'":
+                j = i + 1
+                while j < n:
+                    if sql[j] == "'":
+                        if j + 1 < n and sql[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                parts.append(sql[i : j + 1])
+                i = j + 1
+            elif c == '"':
+                j = sql.find('"', i + 1)
+                j = n - 1 if j < 0 else j
+                parts.append(sql[i : j + 1])
+                i = j + 1
+            elif c == "$":
+                dm = re.match(r"\$(\w*)\$", sql[i:])
+                if dm:
+                    close = sql.find(dm.group(0), i + dm.end())
+                    if close >= 0:
+                        body = sql[i + dm.end() : close]
+                        parts.append("'" + body.replace("'", "''") + "'")
+                        i = close + dm.end()
+                        continue
+                parts.append(c)
+                i += 1
+            else:
+                parts.append(c)
+                i += 1
+        sql = "".join(parts)
 
     def _mask(m: re.Match) -> str:
         literals.append(m.group(0))

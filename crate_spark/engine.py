@@ -19,6 +19,7 @@ Surface:
 
 from __future__ import annotations
 
+import json as _json
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -236,6 +237,7 @@ class CrateSession:
             self.tables = dict(load_tables(spark, data_dir, register=True))
         #: root directory for tables created via SQL CREATE TABLE
         self.storage_dir = storage_dir or tempfile.mkdtemp(prefix="crate_tables_")
+        self.snapshots.base_dir = self.storage_dir
         self._dml = SqlDmlRouter(self)
         #: open cursors: name -> {"df", "it", "fetched", "schema", "exhausted"}
         self._cursors: dict[str, dict] = {}
@@ -262,6 +264,9 @@ class CrateSession:
         #: schema of each SQL-created table (implicit schemas live and
         #: die with their objects; storage is one flat namespace)
         self._table_schema: dict[str, str] = {}
+        #: SET GLOBAL overrides surfaced in sys.cluster.settings
+        #: (runtime-config.rst; defaults in _CLUSTER_SETTING_DEFAULTS)
+        self._cluster_settings: dict[str, object] = {}
         self._register_system_views()
 
     def _string_object_cols(self) -> set[str]:
@@ -693,9 +698,30 @@ class CrateSession:
             "information_schema_key_column_usage"
         )
 
+        # sys.cluster with the live settings object: SET GLOBAL
+        # overrides on top of the reference defaults, rendered as the
+        # nested JSON object settings['stats']['enabled'] subscripts
+        # resolve against (runtime-config.rst)
+        import json as _json
+
+        nested_settings: dict = {}
+        merged = {
+            **_CLUSTER_SETTING_DEFAULTS,
+            **getattr(self, "_cluster_settings", {}),
+        }
+        for k, v in merged.items():
+            cur = nested_settings
+            parts = k.split(".")
+            for p in parts[:-1]:
+                cur = cur.setdefault(p, {})
+            cur[parts[-1]] = v
         spark.createDataFrame(
-            [("crate-spark", spark.version, spark.sparkContext.defaultParallelism)],
-            "name string, version string, parallelism int",
+            [(
+                "crate-spark", spark.version,
+                spark.sparkContext.defaultParallelism,
+                _json.dumps(nested_settings, sort_keys=True),
+            )],
+            "name string, version string, parallelism int, settings string",
         ).createOrReplaceTempView("sys_cluster")
         spark.createDataFrame(
             [(n, "doc") for n in sorted(self.tables)] or [("", "")],
@@ -1292,8 +1318,9 @@ class CrateSession:
         ).filter("name <> ''").createOrReplaceTempView("sys_repositories")
         spark.createDataFrame(
             self.snapshots.sys_snapshots_rows()
-            or [("", "", "", [""], "", "", "", "")],
+            or [("", "", "", [""], [""], "", "", "", "")],
             "id string, name string, repository string, tables array<string>, "
+            "concrete_indices array<string>, "
             "started string, finished string, version string, state string",
         ).filter("id <> ''").createOrReplaceTempView("sys_snapshots")
 
@@ -1632,23 +1659,43 @@ class CrateSession:
             plan = self.explain(body)
             return self.spark.createDataFrame([(plan,)], "plan string")
 
-        # SET GLOBAL [PERSISTENT|TRANSIENT] key = value (set.rst; AL
-        # privilege class). Cluster settings land in the Spark conf —
-        # the single shared runtime here.
+        # SET GLOBAL [PERSISTENT|TRANSIENT] assignments (set.rst; AL
+        # privilege class): comma-separated `k = v` pairs, values may
+        # be nested objects `stats = {jobs_log_size = 2048, ...}`
+        # (runtime-config.rst). Overrides surface in
+        # sys.cluster.settings and the Spark conf.
         m = re.match(
-            r"SET\s+GLOBAL\s+(?:PERSISTENT\s+|TRANSIENT\s+)?([\w.\[\]\"]+)\s*=\s*(.+)$",
+            r"SET\s+GLOBAL\s+(?:PERSISTENT\s+|TRANSIENT\s+)?(.+)$",
             stmt,
-            re.IGNORECASE,
+            re.IGNORECASE | re.DOTALL,
         )
         if m:
-            self.spark.conf.set(m.group(1).strip('"'), m.group(2).strip().strip("'\""))
+            pairs = _parse_global_assignments(m.group(1))
+            for key, val in pairs:
+                self._cluster_settings[key] = val
+                # JSON spelling in the conf: booleans stay lowercase
+                self.spark.conf.set(key, _json.dumps(val) if isinstance(val, bool) else str(val))
+            self._register_system_views()
             return self.spark.createDataFrame(
-                [(m.group(1), m.group(2))], "setting string, value string"
+                [(k, _json.dumps(v) if isinstance(v, bool) else str(v)) for k, v in pairs],
+                "setting string, value string",
             )
-        m = re.match(r"RESET\s+GLOBAL\s+([\w.\[\]\"]+)$", stmt, re.IGNORECASE)
+        m = re.match(r"RESET\s+GLOBAL\s+(.+)$", stmt, re.IGNORECASE)
         if m:
-            self.spark.conf.unset(m.group(1).strip('"'))
-            return self.spark.createDataFrame([(m.group(1),)], "setting string")
+            keys = [k.strip().strip('"') for k in m.group(1).split(",") if k.strip()]
+            for key in keys:
+                # a bare group name resets every setting under it
+                for stored in list(self._cluster_settings):
+                    if stored == key or stored.startswith(key + "."):
+                        del self._cluster_settings[stored]
+                try:
+                    self.spark.conf.unset(key)
+                except Exception:  # noqa: BLE001 - never-set key
+                    pass
+            self._register_system_views()
+            return self.spark.createDataFrame(
+                [(k,) for k in keys], "setting string"
+            )
 
         # ALTER CLUSTER REROUTE/DECOMMISSION/GC (alter-cluster.rst):
         # shard placement is Spark's scheduler's job — accepted no-ops
@@ -1662,14 +1709,26 @@ class CrateSession:
         if m:
             return self.spark.createDataFrame([("OK",)], "status string")
 
-        # SET [SESSION] key = value / SET SESSION CHARACTERISTICS
-        # (set.rst; session settings like error_on_unknown_object_key)
+        # SET [SESSION|LOCAL] key { = | TO } value|DEFAULT (set.rst,
+        # config/session.rst; keys may be double-quoted, search_path
+        # takes a comma list, TO DEFAULT restores the default)
         m = re.match(
-            r"SET\s+(?:SESSION\s+)?([\w.]+)\s*(?:=|TO)\s*(.+)$", stmt, re.IGNORECASE
+            r"SET\s+(?:SESSION\s+|LOCAL\s+)?\"?([\w.]+)\"?\s*(?:=\s*|TO\s+)(.+)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
         )
         if m:
-            self.spark.conf.set(m.group(1), m.group(2).strip("'\""))
-            return self.spark.createDataFrame([(m.group(1), m.group(2))], "setting string, value string")
+            key, val = m.group(1), m.group(2).strip()
+            if val.upper() == "DEFAULT":
+                try:
+                    self.spark.conf.unset(key)
+                except Exception:  # noqa: BLE001 - never-set key
+                    pass
+            else:
+                self.spark.conf.set(key, val.strip("'\""))
+            return self.spark.createDataFrame(
+                [(key, val)], "setting string, value string"
+            )
 
         m = re.match(r"RESET\s+(\S+)$", stmt, re.IGNORECASE)
         if m:
@@ -1702,9 +1761,15 @@ class CrateSession:
         if m:
             return self._drop_function(m.group(2), m.group(3), bool(m.group(1)))
 
-        m = re.match(r"ANALYZE\s+(\S+)$", stmt, re.IGNORECASE)
+        m = re.match(r"ANALYZE(?:\s+(\S+))?\s*$", stmt, re.IGNORECASE)
         if m:
-            return self.analyze(m.group(1))
+            if m.group(1):
+                return self.analyze(m.group(1))
+            # bare ANALYZE (analyze.rst): collect stats for every
+            # user table
+            for name in sorted(self.tables):
+                self.analyze(name)
+            return self.spark.createDataFrame([(1,)], "rowcount bigint")
 
         m = re.match(r"SHOW\s+CREATE\s+TABLE\s+([\w.\"]+)\s*$", stmt, re.IGNORECASE)
         if m:
@@ -2613,6 +2678,58 @@ class CrateSession:
         except Exception:
             status = "skipped (temp view)"
         return self.spark.createDataFrame([(table, status)], "table string, status string")
+
+
+#: cluster settings surfaced in sys.cluster.settings with their
+#: reference defaults (runtime-config.rst stats.* examples;
+#: JobsLogService defaults: logs enabled, 10k ring buffers)
+_CLUSTER_SETTING_DEFAULTS: dict[str, object] = {
+    "stats.enabled": True,
+    "stats.jobs_log_size": 10000,
+    "stats.operations_log_size": 10000,
+}
+
+
+def _parse_setting_value(v: str):
+    """A SET GLOBAL value literal -> typed Python value (booleans and
+    integers must round-trip through the settings JSON unquoted)."""
+    v = v.strip()
+    if v.lower() == "true":
+        return True
+    if v.lower() == "false":
+        return False
+    if re.fullmatch(r"-?\d+", v):
+        return int(v)
+    return v.strip("'\"")
+
+
+def _parse_global_assignments(body: str) -> list[tuple[str, object]]:
+    """``k = v, k2 = {a = 1, b = 2}`` -> [(k, v), (k2.a, 1), (k2.b, 2)]
+    — the SET GLOBAL assignment grammar incl. nested-object values
+    (runtime-config.rst:53-57)."""
+    items, depth, buf = [], 0, ""
+    for ch in body:
+        if ch in "{(":
+            depth += 1
+        elif ch in "})":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append(buf)
+            buf = ""
+        else:
+            buf += ch
+    if buf.strip():
+        items.append(buf)
+    out: list[tuple[str, object]] = []
+    for item in items:
+        k, _, v = item.partition("=")
+        k, v = k.strip().strip('"'), v.strip()
+        if v.startswith("{") and v.endswith("}"):
+            for sk, sv in _parse_global_assignments(v[1:-1]):
+                out.append((f"{k}.{sk}", sv))
+        else:
+            out.append((k, _parse_setting_value(v)))
+    return out
 
 
 #: words that can START a type spelling in a function signature — used

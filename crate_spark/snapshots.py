@@ -56,8 +56,12 @@ class SnapshotStore:
     plus ``{repo.location}/{snapshot}/_snapshot.json`` metadata.
     """
 
-    def __init__(self) -> None:
+    def __init__(self, base_dir: str | None = None) -> None:
         self.repositories: dict[str, Repository] = {}
+        #: root for RELATIVE fs locations (create-repository.rst uses
+        #: bare names like 'repo_path') — session-scoped so repeated
+        #: doc runs start clean and never litter the caller's cwd
+        self.base_dir = base_dir
 
     # -- repositories ----------------------------------------------------
     def create_repository(self, name: str, type_: str, settings: dict) -> None:
@@ -71,8 +75,13 @@ class SnapshotStore:
             raise SnapshotError(f"Unsupported repository type '{type_}' (only fs)")
         if "location" not in settings:
             raise SnapshotError("fs repository requires WITH (location='...')")
+        settings = dict(settings)
+        if self.base_dir and not os.path.isabs(settings["location"]):
+            settings["location"] = os.path.join(
+                self.base_dir, "_repositories", settings["location"]
+            )
         os.makedirs(settings["location"], exist_ok=True)
-        self.repositories[key] = Repository(key, type_, dict(settings))
+        self.repositories[key] = Repository(key, type_, settings)
 
     def alter_repository(self, name: str, settings: dict) -> None:
         repo = self._repo(name)
@@ -201,12 +210,16 @@ class SnapshotStore:
         ]
 
     def sys_snapshots_rows(self) -> list[tuple]:
+        """SysSnapshotsTableInfo shape; concrete_indices is the
+        reference's per-index (≈ per-table) name list
+        (admin/snapshots.rst sys.snapshots example)."""
         return [
             (
                 m["id"],
                 m["name"],
                 m["repository"],
                 m["tables"],
+                [f"doc.{t}" for t in m["tables"]],
                 m["started"],
                 m["finished"],
                 m["version"],

@@ -17,6 +17,7 @@ error instead of guessing.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import shutil
@@ -497,13 +498,60 @@ class SqlDmlRouter:
                 cclose = _find_close(rest, ckm.end() - 1)
                 checks.append(_unmask(rest[ckm.end() : cclose], literals))
                 rest = rest[: ckm.start()] + rest[cclose + 1 :]
-            dm = re.search(r"\bDEFAULT\s+(.+?)\s*$", rest, re.IGNORECASE | re.DOTALL)
+            # column DEFAULT expression (reference metadata
+            # Reference.defaultExpression; insert.rst) — applied when
+            # INSERT omits the column. Only a DEFAULT at paren depth 0
+            # belongs to this column: OBJECT AS (key TEXT DEFAULT '')
+            # carries subcolumn defaults inside the shape
+            # (sql/statements/create-table.rst)
+            dm = next(
+                (
+                    c
+                    for c in re.finditer(r"\bDEFAULT\s+", rest, re.IGNORECASE)
+                    if rest[: c.start()].count("(")
+                    == rest[: c.start()].count(")")
+                ),
+                None,
+            )
             if dm:
-                # column DEFAULT expression (reference metadata
-                # Reference.defaultExpression; insert.rst) — applied
-                # when INSERT omits the column
-                defaults[cname] = rewrite(_unmask(dm.group(1), literals))
+                defaults[cname] = rewrite(
+                    _unmask(rest[dm.end():].strip(), literals)
+                )
                 rest = rest[: dm.start()]
+            else:
+                # OBJECT AS (key TEXT DEFAULT '') — subcolumn defaults
+                # materialize the whole object when INSERT omits the
+                # column (sql/statements/create-table.rst:141-156)
+                om = re.match(
+                    r"object(?:\s*\(\s*\w+\s*\))?\s+as\s*\((.*)\)\s*$",
+                    rest.strip(),
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if om:
+                    obj_defaults = {}
+                    for child in _split_top(om.group(1)):
+                        cdm = re.match(
+                            r'"?(\w+)"?\s+.*?\bDEFAULT\s+(.+?)\s*$',
+                            child,
+                            re.IGNORECASE | re.DOTALL,
+                        )
+                        if cdm:
+                            raw = _unmask(cdm.group(2).strip(), literals)
+                            obj_defaults[cdm.group(1)] = (
+                                raw[1:-1].replace("''", "'")
+                                if raw.startswith("'")
+                                else json.loads(raw.lower())
+                                if raw.lower() in ("true", "false")
+                                else float(raw)
+                                if "." in raw
+                                else int(raw)
+                            )
+                    if obj_defaults:
+                        defaults[cname] = (
+                            "'"
+                            + json.dumps(obj_defaults).replace("'", "''")
+                            + "'"
+                        )
             if re.search(r"\bPRIMARY\s+KEY\b", rest, re.IGNORECASE):
                 pk.append(cname)
                 not_null.append(cname)  # PK implies NOT NULL

@@ -187,9 +187,18 @@ def test_snapshot_restore_roundtrip(sess, tmp_path):
     assert rows[0]["tables"] == ["snap_t"]
     assert rows[0]["state"] == "SUCCESS"
 
-    # mutate + corrupt, then restore
+    # mutate, then restore — restoring over a live table is rejected
+    # (snapshots.rst: "not possible to restore tables that exist");
+    # the documented flow drops first
     sess.execute("DELETE FROM snap_t WHERE id = 1")
     sess.execute("INSERT INTO snap_t (id, v) VALUES (3, 'c')")
+    import pytest as _pytest
+
+    from crate_spark.snapshots import SnapshotError
+
+    with _pytest.raises(SnapshotError, match="already exists"):
+        sess.execute("RESTORE SNAPSHOT backups.s1 TABLE snap_t")
+    sess.execute("DROP TABLE snap_t")
     sess.execute("RESTORE SNAPSHOT backups.s1 TABLE snap_t")
     got = sorted(
         (r["id"], r["v"]) for r in sess.execute("SELECT id, v FROM snap_t").collect()

@@ -135,6 +135,19 @@ FILES = {
     "../../admin/privileges.rst": ("locations", "quotes"),
     "../../admin/optimization.rst": ("locations", "quotes"),
     "../../interfaces/postgres.rst": ("locations", "quotes"),
+    # r5 third batch
+    "../../admin/snapshots.rst": ("locations", "quotes"),
+    "../../admin/runtime-config.rst": ("locations", "quotes"),
+    "../../config/session.rst": (),
+    "../../config/cluster.rst": (),
+    "../../sql/statements/refresh.rst": (),
+    "../../sql/statements/create-table.rst": (),
+    "../../sql/statements/explain.rst": (
+        "employees", "departments", "articles", "colors",
+        "photos", "countries",
+    ),
+    "../../admin/jobs-management.rst": (),
+    "../../admin/monitoring.rst": (),
 }
 
 #: sql prefix -> skip reason, FIRST occurrence only — for doc pairs
@@ -189,6 +202,12 @@ _SKIP = {
     "select table_schema, table_name, view_definition":
         "view_definition re-prints the reference's AST formatting; we "
         "store the user's SQL text (declared divergence)",
+    "explain select * from pk_demo":
+        "EXPLAIN prints the physical plan render, which is "
+        "engine-specific (Spark formatted plan vs crate operators)",
+    "explain verbose":
+        "EXPLAIN VERBOSE prints the reference optimizer's rule-by-rule "
+        "trace; Catalyst's phases don't map to it (declared divergence)",
     "select 0.0 / 0.0":
         "crate float division yields NaN/Infinity; Spark's ANSI decimal "
         "division raises (declared literal-typing divergence)",
