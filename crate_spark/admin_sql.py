@@ -180,7 +180,7 @@ def route_admin(session, stmt: str) -> DataFrame | None:
 
     # -- repositories ----------------------------------------------------
     m = re.match(
-        r"CREATE\s+REPOSITORY\s+\"?([\w]+)\"?\s+TYPE\s+(\w+)"
+        r"CREATE\s+REPOSITORY\s+\"?([\w]+)\"?\s+TYPE\s+\"?(\w+)\"?"
         r"(?:\s+WITH\s*\((.*)\))?\s*$",
         stmt,
         re.IGNORECASE | re.DOTALL,

@@ -2012,6 +2012,7 @@ def rewrite(
     sql: str,
     string_object_columns: set[str] | None = None,
     session_user: str = "crate",
+    user_schemas: set[str] | None = None,
 ) -> str:
     """Apply all crate-ism rewrites to one statement.
 
@@ -2721,6 +2722,15 @@ def rewrite(
     # the default schema prefix is transparent: doc.t (and the
     # column-qualifying doc.t.c) resolve to the bare table name
     sql = re.sub(r"(?<![\w.])doc\s*\.\s*(?=[A-Za-z_])", "", sql)
+    # user schemas are catalog metadata over one flat storage
+    # namespace (create-schema.rst): rx.metrics (and "rx"."metrics",
+    # and the column-qualifying rx.t.c) resolve to the bare name
+    for _sch in sorted(user_schemas or (), key=len, reverse=True):
+        if _sch and re.fullmatch(r"[A-Za-z_]\w*", _sch):
+            sql = re.sub(
+                rf'(?<![\w."])"?{_sch}"?\s*\.\s*(?=[A-Za-z_"])', "", sql,
+                flags=re.IGNORECASE,
+            )
     # pg_typeof returns PG/crate type NAMES (PgTypeofFunction), not
     # Spark's: integer / text / double precision / integer[] ...
     def _pg_name(t: str) -> str:

@@ -186,6 +186,7 @@ class CrateSession:
         spark: SparkSession,
         data_dir: str | None = None,
         storage_dir: str | None = None,
+        cluster_name: str = "crate-spark",
     ):
         import tempfile
 
@@ -195,6 +196,9 @@ class CrateSession:
         from crate_spark.snapshots import SnapshotStore
 
         self.spark = spark
+        #: sys.cluster.name (reference setting ``cluster.name``; its
+        #: doctest harness runs under "Testing-CrateDB")
+        self.cluster_name = cluster_name
         apply_runtime_confs(spark)
         #: role catalog + session user (reference Role.CRATE_USER
         #: bootstrap; SET SESSION AUTHORIZATION switches it)
@@ -265,8 +269,15 @@ class CrateSession:
         #: die with their objects; storage is one flat namespace)
         self._table_schema: dict[str, str] = {}
         #: SET GLOBAL overrides surfaced in sys.cluster.settings
-        #: (runtime-config.rst; defaults in _CLUSTER_SETTING_DEFAULTS)
+        #: (runtime-config.rst; defaults in cluster_settings.py)
         self._cluster_settings: dict[str, object] = {}
+        #: statements currently executing (stack — execute() nests for
+        #: fixture loads); backs sys.jobs / sys.operations, which the
+        #: reference populates with in-flight work (SysJobsTableInfo)
+        self._jobs_stack: list[tuple] = []
+        #: sys.node_checks ids acknowledged via UPDATE (transient,
+        #: like the reference's — lost on restart)
+        self._node_check_ack: set[int] = set()
         self._register_system_views()
 
     def _string_object_cols(self) -> set[str]:
@@ -297,8 +308,18 @@ class CrateSession:
                 self._sub_current_setting(self._resolve_udf_calls(stmt)),
                 self._string_object_cols(),
                 session_user=self.current_user,
+                user_schemas=self._user_schemas(),
             )
         )
+
+    def _user_schemas(self) -> set[str]:
+        """Schemas whose prefix is transparent in queries: storage is
+        one flat namespace, so rx.metrics resolves to the bare table
+        (create-schema.rst; RelationName resolution)."""
+        return (
+            set(getattr(self, "_table_schema", {}).values())
+            | getattr(self, "_schemas", set())
+        ) - {"doc", "sys", "information_schema", "pg_catalog", "blob"}
 
     # -- user-defined functions -------------------------------------------
     def _search_path(self) -> list[str]:
@@ -416,13 +437,16 @@ class CrateSession:
                 )
             return _json.dumps(out)
 
+        #: version['created'] for user tables (reference stamps the
+        #: CrateDB version that created the table; doc reindex example)
+        _tbl_version = ("6.5.0", None)
         rows = []
         for name in sorted(self.tables):
             if name in views:
                 # SQL views list as VIEW with NULL shards/replicas
                 rows.append(
                     (name, table_schema.get(name, "doc"), "VIEW",
-                     None, None, None, None, None)
+                     None, None, None, None, None, None)
                 )
             else:
                 ct = crate_tables0.get(name)
@@ -431,11 +455,12 @@ class CrateSession:
                      _shards_of(name), _replicas_of(name),
                      _clustered_by(name),
                      (list(ct.partitioned_by) or None) if ct is not None else None,
-                     _settings_json(name))
+                     _settings_json(name), _tbl_version)
                 )
         if self._blob_store is not None:
             rows += [
-                (name, "blob", "BASE TABLE", 1, "0", "digest", None, None)
+                (name, "blob", "BASE TABLE", 1, "0", "digest", None, None,
+                 _tbl_version)
                 for name in sorted(self._blob_store.tables)
             ]
         # the reference's fixed catalog inventory
@@ -443,15 +468,15 @@ class CrateSession:
         # with NULL shards/replicas
         for sch, names in _SYSTEM_TABLE_INVENTORY.items():
             rows += [
-                (t, sch, "BASE TABLE", None, None, None, None, None)
+                (t, sch, "BASE TABLE", None, None, None, None, None, None)
                 for t in names
             ]
         spark.createDataFrame(
-            rows or [("", "", "", 0, "0", "", None, None)],
+            rows or [("", "", "", 0, "0", "", None, None, None)],
             "table_name string, table_schema string, table_type string, "
             "number_of_shards int, number_of_replicas string, "
             "clustered_by string, partitioned_by array<string>, "
-            "settings string",
+            "settings string, version struct<created:string,upgraded:string>",
         ).filter("table_name <> ''").withColumn(
             # blob-storage custom location (blob tables only; always
             # NULL here — blobs live in the store's own directory)
@@ -656,6 +681,20 @@ class CrateSession:
             ("columns", "information_schema", cname, pos, dtype, True)
             for pos, (cname, dtype) in enumerate(_COLUMNS_SELF_ROWS, start=1)
         ]
+        # sys.cluster with the full documented settings subscript tree
+        # (system-information.rst:86-215; CrateSettings registry)
+        from crate_spark.cluster_settings import SETTINGS_COLUMNS
+
+        sys_cluster_cols = (
+            [("id", "text"), ("license", "object"),
+             ("master_node", "text"), ("name", "text")]
+            + list(SETTINGS_COLUMNS)
+            + [("state", "text")]
+        )
+        col_rows += [
+            ("cluster", "sys", cname, pos, dtype, True)
+            for pos, (cname, dtype) in enumerate(sys_cluster_cols, start=1)
+        ]
         spark.createDataFrame(
             col_rows or [("", "", "", 0, "", True)],
             "table_name string, table_schema string, column_name string, "
@@ -699,9 +738,10 @@ class CrateSession:
         )
 
         # sys.cluster with the live settings object: SET GLOBAL
-        # overrides on top of the reference defaults, rendered as the
-        # nested JSON object settings['stats']['enabled'] subscripts
-        # resolve against (runtime-config.rst)
+        # overrides on top of the full documented defaults tree
+        # (cluster_settings.py), rendered as the nested JSON object
+        # settings['stats']['enabled'] subscripts resolve against
+        # (runtime-config.rst, system-information.rst)
         import json as _json
 
         nested_settings: dict = {}
@@ -717,11 +757,13 @@ class CrateSession:
             cur[parts[-1]] = v
         spark.createDataFrame(
             [(
-                "crate-spark", spark.version,
+                "cluster-1", getattr(self, "cluster_name", "crate-spark"),
+                "n1", None, spark.version,
                 spark.sparkContext.defaultParallelism,
                 _json.dumps(nested_settings, sort_keys=True),
             )],
-            "name string, version string, parallelism int, settings string",
+            "id string, name string, master_node string, license string, "
+            "version string, parallelism int, settings string",
         ).createOrReplaceTempView("sys_cluster")
         spark.createDataFrame(
             [(n, "doc") for n in sorted(self.tables)] or [("", "")],
@@ -795,18 +837,44 @@ class CrateSession:
             else:
                 shard_rows.append((n, "doc", 0, True, "STARTED", None, None, None))
         spark.createDataFrame(
-            shard_rows or [("", "", 0, True, "", 0, 0, 0)],
+            # full SysShardsTableInfo routing columns: never
+            # relocating, routing == lifecycle state, no orphaned
+            # partitions on the parquet store
+            [r + ("", None, r[4], False) for r in shard_rows]
+            or [("", "", 0, True, "", 0, 0, 0, "", None, "", False)],
             "table_name string, schema_name string, id int, "
             "primary boolean, state string, size bigint, num_segments int, "
-            "num_docs bigint",
+            "num_docs bigint, partition_ident string, "
+            "relocating_node string, routing_state string, "
+            "orphan_partition boolean",
         ).filter("table_name <> ''").createOrReplaceTempView("sys_shards")
+        # sys.health / sys.cluster_health (SysHealth; columns in
+        # alphabetical order — crate prints SELECT * alphabetically):
+        # every shard is a started primary here, so always GREEN
         spark.createDataFrame(
-            [(n, "GREEN", 0) for n in sorted(self.tables)] or [("", "", 0)],
-            "table_name string, health string, missing_shards int",
+            [("GREEN", 0, None, 1, n, table_schema.get(n, "doc"), 0)
+             for n in sorted(self.tables)]
+            or [("", 0, None, 0, "", "", 0)],
+            "health string, missing_shards int, partition_ident string, "
+            "severity int, table_name string, table_schema string, "
+            "underreplicated_shards int",
         ).filter("table_name <> ''").createOrReplaceTempView("sys_health")
         spark.createDataFrame(
-            [], "id string, stmt string, username string, started timestamp"
-        ).createOrReplaceTempView("sys_jobs")
+            [("", "GREEN", 0, 0, 1, 0)],
+            "description string, health string, missing_shards int, "
+            "pending_tasks int, severity int, underreplicated_shards int",
+        ).createOrReplaceTempView("sys_cluster_health")
+        # in-flight statements (SysJobsTableInfo): the statement being
+        # executed right now IS a job — the reference's doc examples
+        # select themselves out of sys.jobs
+        node_obj = ("n1", "crate")
+        jobs_now = list(getattr(self, "_jobs_stack", []))
+        spark.createDataFrame(
+            [(j[0], j[1], j[2], j[3], node_obj, 1) for j in jobs_now]
+            or [("", "", "", None, node_obj, 0)],
+            "id string, stmt string, username string, started timestamp, "
+            "node struct<id:string,name:string>, session_id int",
+        ).filter("id <> ''").createOrReplaceTempView("sys_jobs")
         spark.createDataFrame(
             list(self._jobs_log),
             "id string, stmt string, username string, started timestamp, "
@@ -814,13 +882,20 @@ class CrateSession:
         ).createOrReplaceTempView("sys_jobs_log")
 
         # sys.operations / sys.operations_log (SysOperations(Log)
-        # TableInfo): executions are synchronous, so in-flight ops are
-        # empty and the log derives one collect-phase row per job
+        # TableInfo): one collect-phase operation per in-flight job;
+        # the log derives one collect-phase row per finished job
         op_schema = (
             "id string, job_id string, name string, started timestamp, "
             "ended timestamp, used_bytes bigint, error string"
         )
-        spark.createDataFrame([], op_schema).createOrReplaceTempView("sys_operations")
+        spark.createDataFrame(
+            [(f"op-{j[0]}", j[0], "collect", node_obj, j[3], 0)
+             for j in jobs_now]
+            or [("", "", "", node_obj, None, 0)],
+            "id string, job_id string, name string, "
+            "node struct<id:string,name:string>, started timestamp, "
+            "used_bytes bigint",
+        ).filter("id <> ''").createOrReplaceTempView("sys_operations")
         spark.createDataFrame(
             [(f"op-{j[0]}", j[0], "collect", j[3], j[4], None, j[5])
              for j in self._jobs_log],
@@ -856,17 +931,25 @@ class CrateSession:
         ).filter("node_id <> ''").createOrReplaceTempView("sys_metrics")
 
         # sys.checks / sys.node_checks (SysChecksTableInfo /
-        # SysNodeChecksTableInfo; severity 1=LOW..3=HIGH): the cluster
-        # checks a single-node engine can evaluate, all passing
+        # SysNodeChecksTableInfo; severity 1=LOW..3=HIGH): the
+        # reference's registered checks with their documented
+        # descriptions (system-information.rst example output), all
+        # passing; acknowledged is UPDATE-able and transient
         spark.createDataFrame(
-            [(1, 3, "The cluster has a quorum of master-eligible nodes", True),
-             (2, 2, "The total number of partitions is below the soft limit", True),
-             (3, 1, "Tables need to be recreated for compatibility: none", True)],
+            [(2, 2,
+              "The total number of partitions of one or more partitioned "
+              "tables is approaching the soft limit. Consider reducing "
+              "the partition count.", True),
+             (3, 3,
+              "The following tables need to be recreated for "
+              "compatibility with future major versions of CrateDB: []. "
+              "Use the reindexing procedure to upgrade them.", True)],
             "id int, severity int, description string, passed boolean",
         ).createOrReplaceTempView("sys_checks")
+        ack = getattr(self, "_node_check_ack", set())
         spark.createDataFrame(
-            [(1, "n1", 2, "Free disk space above the low watermark", True, False),
-             (2, "n1", 3, "Heap usage below the limit", True, False)],
+            [(cid, "n1", sev, desc, True, cid in ack)
+             for cid, sev, desc in _NODE_CHECKS],
             "id int, node_id string, severity int, description string, "
             "passed boolean, acknowledged boolean",
         ).createOrReplaceTempView("sys_node_checks")
@@ -1340,17 +1423,23 @@ class CrateSession:
         from datetime import datetime
 
         started = datetime.now()
+        jid = str(uuid.uuid4())
         err = None
+        # in-flight entry backing sys.jobs (SysJobsTableInfo: a
+        # running statement sees itself); stack because fixture loads
+        # nest execute() calls
+        self._jobs_stack.append((jid, stmt[:500], self.current_user, started))
         try:
             return self._dispatch(stmt)
         except Exception as e:
             err = str(e).split("\n")[0][:200]
             raise
         finally:
+            self._jobs_stack.pop()
             # sys.jobs_log ring buffer (reference SysJobsLogTableInfo;
             # stats.jobs_log_size default 10_000)
             self._jobs_log.append(
-                (str(uuid.uuid4()), stmt[:500], self.current_user, started, datetime.now(), err)
+                (jid, stmt[:500], self.current_user, started, datetime.now(), err)
             )
             del self._jobs_log[:-10_000]
 
@@ -1513,6 +1602,33 @@ class CrateSession:
             self._register_system_views()
         if re.search(r"\bblob\s*\.", stmt, re.IGNORECASE):
             self._register_blob_views()
+
+        # UPDATE sys.node_checks SET acknowledged = <bool> [WHERE ...]
+        # — the one writable sys column (SysNodeChecksTableInfo;
+        # system-information.rst "Acknowledge failed checks");
+        # transient, like the reference's
+        m = re.match(
+            r"UPDATE\s+sys\.\"?node_checks\"?\s+SET\s+acknowledged\s*=\s*"
+            r"(true|false)(?:\s+WHERE\s+(.+))?\s*$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            flag = m.group(1).lower() == "true"
+            cond = rewrite(m.group(2)) if m.group(2) else "TRUE"
+            ids = [
+                r["id"]
+                for r in self.spark.sql(
+                    f"SELECT id FROM sys_node_checks WHERE {cond}"
+                ).collect()
+            ]
+            for cid in ids:
+                (self._node_check_ack.add if flag
+                 else self._node_check_ack.discard)(cid)
+            self._register_system_views()
+            return self.spark.createDataFrame(
+                [(len(ids),)], "rowcount bigint"
+            )
 
         # privilege enforcement + admin statements (users/roles/
         # privileges, repositories/snapshots, session authorization)
@@ -2680,14 +2796,43 @@ class CrateSession:
         return self.spark.createDataFrame([(table, status)], "table string, status string")
 
 
-#: cluster settings surfaced in sys.cluster.settings with their
-#: reference defaults (runtime-config.rst stats.* examples;
-#: JobsLogService defaults: logs enabled, 10k ring buffers)
-_CLUSTER_SETTING_DEFAULTS: dict[str, object] = {
-    "stats.enabled": True,
-    "stats.jobs_log_size": 10000,
-    "stats.operations_log_size": 10000,
-}
+#: cluster settings surfaced in sys.cluster.settings — the full
+#: documented defaults tree (runtime-config.rst; JobsLogService
+#: defaults: logs enabled, 10k ring buffers)
+from crate_spark.cluster_settings import (  # noqa: E402
+    SETTING_DEFAULTS as _CLUSTER_SETTING_DEFAULTS,
+)
+
+#: sys.node_checks rows: (id, severity, description) — the reference's
+#: registered node checks with their documented description texts
+#: (system-information.rst node-checks example + settings sections)
+_NODE_CHECKS: list[tuple[int, int, str]] = [
+    (1, 3,
+     "It has been detected that the 'gateway.expected_data_nodes' "
+     "setting is not set or does not match the current number of data "
+     "nodes in the cluster."),
+    (2, 3,
+     "The cluster setting 'gateway.recover_after_data_nodes' (or the "
+     "deprecated 'gateway.recover_after_nodes') is not set or has an "
+     "invalid value relative to the expected number of data nodes."),
+    (3, 3,
+     'If any of the "expected data nodes" recovery settings are set, '
+     'the "recover after time" setting should also be set so state '
+     "recovery does not start prematurely."),
+    (5, 3,
+     "The high disk watermark is exceeded on the node. The cluster "
+     "will attempt to relocate existing shards away from this node."),
+    (6, 2,
+     "The low disk watermark is exceeded on the node. The cluster "
+     "will not allocate new shards to this node."),
+    (7, 3,
+     "The flood stage disk watermark is exceeded on the node. Tables "
+     "on this node are enforced read-only to prevent running out of "
+     "disk space."),
+    (8, 2,
+     "The amount of shards on the node reached 90 % of the limit of "
+     "1000 shards per node."),
+]
 
 
 def _parse_setting_value(v: str):

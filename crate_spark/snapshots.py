@@ -42,11 +42,15 @@ TABLE_META = "_crate_meta.json"
 class Repository:
     name: str
     type: str
+    #: settings as the user supplied them (sys.repositories renders
+    #: these verbatim — a relative location displays unresolved)
     settings: dict = field(default_factory=dict)
+    #: physical directory (relative locations resolved to base_dir)
+    resolved_location: str = ""
 
     @property
     def location(self) -> str:
-        return self.settings["location"]
+        return self.resolved_location or self.settings["location"]
 
 
 class SnapshotStore:
@@ -75,13 +79,11 @@ class SnapshotStore:
             raise SnapshotError(f"Unsupported repository type '{type_}' (only fs)")
         if "location" not in settings:
             raise SnapshotError("fs repository requires WITH (location='...')")
-        settings = dict(settings)
-        if self.base_dir and not os.path.isabs(settings["location"]):
-            settings["location"] = os.path.join(
-                self.base_dir, "_repositories", settings["location"]
-            )
-        os.makedirs(settings["location"], exist_ok=True)
-        self.repositories[key] = Repository(key, type_, settings)
+        resolved = settings["location"]
+        if self.base_dir and not os.path.isabs(resolved):
+            resolved = os.path.join(self.base_dir, "_repositories", resolved)
+        os.makedirs(resolved, exist_ok=True)
+        self.repositories[key] = Repository(key, type_, dict(settings), resolved)
 
     def alter_repository(self, name: str, settings: dict) -> None:
         repo = self._repo(name)
@@ -204,8 +206,14 @@ class SnapshotStore:
 
     # -- sys rows --------------------------------------------------------
     def sys_repositories_rows(self) -> list[tuple]:
+        # settings render with every value as its text form, like the
+        # reference's flat setting strings ({"compress": "true", ...})
         return [
-            (r.name, r.type, json.dumps(r.settings, sort_keys=True))
+            (r.name, r.type, json.dumps(
+                {k: (str(v).lower() if isinstance(v, bool) else str(v))
+                 for k, v in r.settings.items()},
+                sort_keys=True,
+            ))
             for r in sorted(self.repositories.values(), key=lambda x: x.name)
         ]
 

@@ -655,7 +655,7 @@ class SqlDmlRouter:
         """CREATE TABLE t AS <query> (reference ``CreateTableAsPlan``):
         materialize the query result as a new stored table."""
         name = raw_name.strip('"').split(".")[-1]
-        src = self.spark.sql(rewrite(_unmask(query.strip(), literals)))
+        src = self.spark.sql(rewrite(_unmask(query.strip(), literals), user_schemas=self.owner._user_schemas()))
         schema_ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
         )
@@ -982,7 +982,7 @@ class SqlDmlRouter:
             # `INSERT INTO t (SELECT ...)` — PG-style parenthesized query
             if body.startswith("(") and _find_close(body, 0) == len(body) - 1:
                 body = body[1:-1].strip()
-            src = self.spark.sql(rewrite(_unmask(body, literals)))
+            src = self.spark.sql(rewrite(_unmask(body, literals), user_schemas=self.owner._user_schemas()))
         if len(src.columns) != len(target_cols):
             raise ValueError(
                 f"INSERT has {len(src.columns)} expressions for "

@@ -139,7 +139,11 @@ def test_sys_admin_views(session, spark, tmp_path):
         "SELECT * FROM sys.node_checks WHERE node_id = 'n1'"
     ).collect()
     assert nchecks and {r["severity"] for r in nchecks} <= {1, 2, 3}
-    assert session.execute("SELECT * FROM sys.operations").count() == 0
+    # the executing statement is itself an in-flight job with one
+    # collect operation (reference semantics: sys.operations shows
+    # currently running work, which includes this very query)
+    inflight = session.execute("SELECT name FROM sys.operations").collect()
+    assert [r["name"] for r in inflight] == ["collect"]
     ops = session.execute(
         "SELECT job_id, name, started, ended FROM sys.operations_log"
     ).collect()
@@ -870,7 +874,10 @@ def test_sys_runtime_views(session):
         "SELECT health FROM sys.health WHERE table_name = 'orders'"
     ).collect()
     assert h[0]["health"] == "GREEN"
-    assert session.execute("SELECT * FROM sys.jobs").count() == 0
+    # a running statement sees itself in sys.jobs (the reference doc
+    # examples select themselves out of it)
+    jobs = session.execute("SELECT stmt FROM sys.jobs").collect()
+    assert len(jobs) == 1 and "sys.jobs" in jobs[0]["stmt"]
 
 
 def test_create_table_crate_ddl_trimmings(dml_session):
