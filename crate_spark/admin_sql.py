@@ -187,9 +187,11 @@ def route_admin(session, stmt: str) -> DataFrame | None:
     )
     if m:
         settings = _parse_with(m.group(3) or "")
-        settings.setdefault(
-            "location", os.path.join(session.storage_dir, "_repo_" + m.group(1).lower())
-        )
+        if m.group(2).lower() == "fs":
+            settings.setdefault(
+                "location",
+                os.path.join(session.storage_dir, "_repo_" + m.group(1).lower()),
+            )
         snaps.create_repository(m.group(1), m.group(2), settings)
         session._register_admin_views()
         return ok()
@@ -201,6 +203,19 @@ def route_admin(session, stmt: str) -> DataFrame | None:
     )
     if m:
         snaps.alter_repository(m.group(1), _parse_with(m.group(2)))
+        session._register_admin_views()
+        return ok()
+
+    # ALTER REPOSITORY name RESET prop [, prop ...]
+    # (alter-repository.rst:72-77)
+    m = re.match(
+        r"ALTER\s+REPOSITORY\s+\"?([\w]+)\"?\s+RESET\s+(.+?)\s*$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        props = [p.strip().strip('"') for p in m.group(2).split(",")]
+        snaps.reset_repository_settings(m.group(1), props)
         session._register_admin_views()
         return ok()
 

@@ -73,21 +73,37 @@ class SnapshotStore:
         if key in self.repositories:
             raise SnapshotError(f"Repository '{name}' already exists")
         type_ = type_.lower()
-        if type_ != "fs":
-            # create-repository.rst lists s3/azure/gcs/url too — those
-            # are cloud-credential bound; fs is the one testable here
-            raise SnapshotError(f"Unsupported repository type '{type_}' (only fs)")
-        if "location" not in settings:
-            raise SnapshotError("fs repository requires WITH (location='...')")
-        resolved = settings["location"]
-        if self.base_dir and not os.path.isabs(resolved):
-            resolved = os.path.join(self.base_dir, "_repositories", resolved)
-        os.makedirs(resolved, exist_ok=True)
+        if type_ not in ("fs", "s3", "azure", "gcs", "url"):
+            raise SnapshotError(f"Unsupported repository type '{type_}'")
+        resolved = ""
+        if type_ == "fs":
+            if "location" not in settings:
+                raise SnapshotError(
+                    "fs repository requires WITH (location='...')"
+                )
+            resolved = settings["location"]
+            if self.base_dir and not os.path.isabs(resolved):
+                resolved = os.path.join(self.base_dir, "_repositories", resolved)
+            os.makedirs(resolved, exist_ok=True)
+        # non-fs types (create-repository.rst: s3/azure/gcs/url) are
+        # cloud-credential bound: the registration and its settings are
+        # real catalog state (sys.repositories, ALTER/DROP), but
+        # snapshot I/O against them raises (no cloud access here)
         self.repositories[key] = Repository(key, type_, dict(settings), resolved)
 
     def alter_repository(self, name: str, settings: dict) -> None:
         repo = self._repo(name)
         repo.settings.update(settings)
+
+    def reset_repository_settings(self, name: str, props: list[str]) -> None:
+        """ALTER REPOSITORY ... RESET prop[, ...] — drop optional
+        settings back to their defaults (alter-repository.rst:72-77;
+        required ones like fs `location` stay)."""
+        repo = self._repo(name)
+        for p in props:
+            if p == "location" and repo.type == "fs":
+                raise SnapshotError("'location' is required for fs repositories")
+            repo.settings.pop(p, None)
 
     def drop_repository(self, name: str) -> None:
         key = name.lower()
@@ -104,6 +120,12 @@ class SnapshotStore:
 
     # -- snapshots -------------------------------------------------------
     def _snap_dir(self, repo: Repository, snapshot: str) -> str:
+        if repo.type != "fs":
+            raise SnapshotError(
+                f"Repository '{repo.name}' is of type '{repo.type}'; "
+                "snapshot I/O requires cloud credentials (only fs "
+                "repositories are operable here)"
+            )
         return os.path.join(repo.location, snapshot.lower())
 
     def create_snapshot(
@@ -158,7 +180,7 @@ class SnapshotStore:
             [self._repo(repo_name)] if repo_name else list(self.repositories.values())
         )
         for repo in repos:
-            if not os.path.isdir(repo.location):
+            if repo.type != "fs" or not os.path.isdir(repo.location):
                 continue
             for entry in sorted(os.listdir(repo.location)):
                 meta_path = os.path.join(repo.location, entry, SNAP_META)

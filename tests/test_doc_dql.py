@@ -149,6 +149,51 @@ FILES = {
     "../../admin/jobs-management.rst": (),
     "../../admin/monitoring.rst": (),
     "../../admin/system-information.rst": ("locations", "quotes"),
+    # r5 final batch — the remaining reference doc files with console
+    # examples (these are NOT in the reference's own doctest suite, so
+    # the fixtures they assume are reconstructed in _PRE below).
+    # admin/fdw.rst is omitted: its only two examples print the
+    # reference's EXPLAIN plan render for foreign scans (engine-
+    # specific; the FDW surface itself is covered by tests/test_fdw.py)
+    "../../sql/statements/insert.rst": ("uservisits",),
+    "../../sql/statements/copy-from.rst": (),
+    "../../sql/statements/copy-to.rst": (),
+    "../../sql/statements/alter-repository.rst": (),
+    "../ddl/replication.rst": (),
+    "../../admin/auth/hba.rst": (),
+    "../../appendices/glossary.rst": (),
+}
+
+#: per-file setup SQL executed after fixture load — reconstructs the
+#: tables/objects that doc files outside the reference's doctest suite
+#: assume exist (their examples were written against ad-hoc state)
+_PRE: dict[str, tuple[str, ...]] = {
+    # copy-from.rst imports into an EMPTY quotes table (the staged
+    # /tmp/import_data files carry ids 1-3)
+    "../../sql/statements/copy-from.rst": (
+        """create table quotes (id integer primary key, quote string)
+           clustered by(id) into 2 shards with(number_of_replicas=0)""",
+    ),
+    # copy-to.rst exports a quotes table with author+category columns
+    # (all three philosophy rows, matching the '3 rows affected' cells)
+    "../../sql/statements/copy-to.rst": (
+        """create table quotes (id integer primary key, quote string,
+           author string, category string)""",
+        """insert into quotes (id, quote, author, category) values
+           (1, 'Don''t pañic.', 'Douglas Adams', 'philosophy'),
+           (2, 'Time is an illusion. Lunchtime doubly so.',
+            'Douglas Adams', 'philosophy'),
+           (3, 'I may not have gone where I intended to go, but I think
+            I have ended up where I needed to be.',
+            'Douglas Adams', 'philosophy')""",
+        "refresh table quotes",
+    ),
+    # alter-repository.rst assumes both repositories pre-exist
+    "../../sql/statements/alter-repository.rst": (
+        "create repository fs_repo type fs with (compress = true)",
+        """create repository s3_repo type s3 with
+           (bucket = 'docs-bucket', chunk_size = '8mb')""",
+    ),
 }
 
 #: sql prefix -> skip reason, FIRST occurrence only — for doc pairs
@@ -327,6 +372,17 @@ def session(spark, tmp_path_factory, request):
         "test_copy_from.json",
         import_dir / "quotes.json",
     )
+    # headerless CSV twin for copy-from.rst's `header=false` example
+    # (the reference's test_copy_from.csv carries a header row)
+    src_csv = Path(
+        "/root/reference/server/src/test/resources/essetup/data/copy/"
+        "test_copy_from.csv"
+    ).read_text()
+    (import_dir / "quotes.csv").write_text(
+        "".join(src_csv.splitlines(keepends=True)[1:])
+    )
+    for pre in _PRE.get(fname, ()):
+        s.execute(pre)
     return s
 
 
