@@ -1687,6 +1687,26 @@ class CrateSession:
             )
             self._register_blob_views()
             return self.spark.createDataFrame([(1,)], "rowcount bigint")
+        # ALTER BLOB TABLE t SET (...) / RESET (...) — replication and
+        # allocation settings are cluster-topology knobs, recorded as
+        # table settings (blobs.rst "Altering a blob table")
+        m = re.match(
+            r"ALTER\s+BLOB\s+TABLE\s+\"?([\w]+)\"?\s+"
+            r"(SET\s*\((.*)\)|RESET\s*\((.*)\))\s*$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            from crate_spark.admin_sql import _parse_with
+
+            store = self.blobs.get(m.group(1))
+            if m.group(3) is not None:
+                store.settings.update(_parse_with(m.group(3)))
+            else:
+                for k in m.group(4).split(","):
+                    store.settings.pop(k.strip().strip('"'), None)
+            # ALTER acks with -1 rows affected (crash renders it so)
+            return self.spark.createDataFrame([(-1,)], "rowcount bigint")
         m = re.match(
             r"DROP\s+BLOB\s+TABLE\s+(IF\s+EXISTS\s+)?\"?([\w]+)\"?\s*$",
             stmt,

@@ -48,47 +48,132 @@ def _json_value(v):
     return v
 
 
-def _error_code(exc: Exception) -> int:
+#: fixed schemas every session exposes (Schemas.java builtins)
+_BUILTIN_SCHEMAS = {"doc", "sys", "information_schema", "pg_catalog", "blob"}
+
+
+def _error_envelope(session, stmt: str, exc: Exception) -> dict:
+    """Map an engine exception to the reference's error body
+    (``rest/action/HttpError.java`` code families). An unresolved
+    relation whose schema prefix names no known schema reports
+    SchemaUnknownException/4045, exactly as the reference's analyzer
+    does before relation lookup (interfaces/http.rst error example)."""
+    import re as _re
+
     msg = str(exc)
     if "TABLE_OR_VIEW_NOT_FOUND" in msg or "unknown table" in msg:
-        return 4041  # unknown relation (RelationUnknown)
-    if isinstance(exc, ValueError) or "PARSE_SYNTAX_ERROR" in msg or "Analysis" in type(exc).__name__:
-        return 4000  # statement invalid (SQLParseException family)
-    return 5000  # unhandled server error
+        known = _BUILTIN_SCHEMAS | (
+            session._user_schemas() if hasattr(session, "_user_schemas") else set()
+        )
+        for sch, _tbl in _re.findall(
+            r"(?:FROM|JOIN|INTO|UPDATE|TABLE)\s+\"?([A-Za-z_]\w*)\"?\s*\.\s*\"?(\w+)\"?",
+            stmt,
+            _re.IGNORECASE,
+        ):
+            if sch.lower() not in known:
+                return {
+                    "message": f"SchemaUnknownException[Schema '{sch}' unknown]",
+                    "code": 4045,
+                }
+        return {"message": msg.split("\n")[0][:500], "code": 4041}
+    code = (
+        4000
+        if isinstance(exc, ValueError)
+        or "PARSE_SYNTAX_ERROR" in msg
+        or "Analysis" in type(exc).__name__
+        else 5000
+    )
+    return {"message": msg.split("\n")[0][:500], "code": code}
 
 
-def execute_request(session, payload: dict) -> dict:
+#: Spark type -> crate HTTP type id (interfaces/http.rst data-type
+#: table; DataTypes.java ids). Arrays nest as [100, inner].
+def _crate_type_id(dt):
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return [100, _crate_type_id(dt.elementType)]
+    if isinstance(dt, (T.StructType, T.MapType)):
+        return 12  # OBJECT
+    return {
+        T.BooleanType: 3, T.StringType: 4, T.DoubleType: 6,
+        T.FloatType: 7, T.ShortType: 8, T.ByteType: 8, T.IntegerType: 9,
+        T.LongType: 10, T.TimestampType: 11, T.TimestampNTZType: 15,
+        T.DecimalType: 22, T.DateType: 24, T.BinaryType: 4,
+    }.get(type(dt), 0)
+
+
+def execute_request(session, payload: dict, *, types: bool = False,
+                    error_trace: bool = False) -> dict:
     """One ``/_sql`` request against a CrateSession — the
-    ``executeSimpleRequest`` analog. Returns the response dict."""
+    ``executeSimpleRequest`` analog. Returns the response dict.
+    ``types`` adds ``col_types`` (the ``?types`` GET param);
+    ``error_trace`` adds the stack trace to error envelopes."""
     stmt = payload.get("stmt")
     if not stmt:
         return {"error": {"message": "missing statement", "code": 4000}}
     t0 = time.time()
     try:
         if payload.get("bulk_args"):
+            # bulk responses: cols always [], one result per arg row;
+            # a failing arg row reports rowcount -2 + its error
+            # (http.rst "Bulk errors": runtime errors don't abort)
             results = []
             for row_args in payload["bulk_args"]:
-                df = session.execute(stmt, params=list(row_args))
-                n = len(df.collect()) if df is not None else 0
-                results.append({"rowcount": n})
-            return {"results": results, "duration": round((time.time() - t0) * 1000, 3)}
+                try:
+                    df = session.execute(stmt, params=list(row_args))
+                    n = len(df.collect()) if df is not None else 0
+                    results.append({"rowcount": n})
+                except Exception as e:
+                    results.append(
+                        {"rowcount": -2,
+                         "error": _error_envelope(session, stmt, e)}
+                    )
+            return {"cols": [], "results": results,
+                    "duration": round((time.time() - t0) * 1000, 3)}
         df = session.execute(stmt, params=payload.get("args"))
         if df is None:
             return {"cols": [], "rows": [], "rowcount": 0,
                     "duration": round((time.time() - t0) * 1000, 3)}
         rows = [[_json_value(v) for v in r] for r in df.collect()]
-        return {
+        resp = {
             "cols": list(df.columns),
             "rows": rows,
             "rowcount": len(rows),
             "duration": round((time.time() - t0) * 1000, 3),
         }
+        if types:
+            resp["col_types"] = [
+                _crate_type_id(f.dataType) for f in df.schema.fields
+            ]
+        return resp
     except Exception as e:  # error envelope, never a raw 500 body
-        return {"error": {"message": str(e).split("\n")[0][:500], "code": _error_code(e)}}
+        out = {"error": _error_envelope(session, stmt, e)}
+        if error_trace:
+            import traceback
+
+            out["error_trace"] = traceback.format_exc()[:4000]
+        return out
 
 
 class _Handler(BaseHTTPRequestHandler):
     session = None  # injected by serve()
+    #: the reference answers HTTP/1.1 (Netty); curl -i output in
+    #: general/blobs.rst prints that status line verbatim
+    protocol_version = "HTTP/1.1"
+
+    def _plain(self, code: int, body: bytes = b"", headers: tuple = ()):
+        """Response with ONLY the given headers (+content-length) —
+        blob routes mirror the reference's lean header set
+        (blobs.rst prints `curl -i` output verbatim: no Server/Date)."""
+        self.send_response_only(code)
+        for k, v in headers:
+            self.send_header(k, v)
+        if code != 204:  # 204 No Content carries no entity headers
+            self.send_header("content-length", str(len(body)))
+        self.end_headers()
+        if body and self.command != "HEAD":
+            self.wfile.write(body)
 
     def _authed_user(self) -> str | None:
         """HTTP Basic auth against the role store (reference
@@ -111,13 +196,21 @@ class _Handler(BaseHTTPRequestHandler):
         return role.name
 
     def do_POST(self):  # noqa: N802 (http.server API)
-        if self.path.rstrip("/") not in ("/_sql", ""):
+        path, _, query = self.path.partition("?")
+        if path.rstrip("/") not in ("/_sql", ""):
             self.send_error(404)
             return
         user = self._authed_user()
         if user is None:
             self.send_error(401, "password authentication failed")
             return
+        # GET params: ?types adds col_types; ?error_trace=true adds
+        # the stack trace to error envelopes (SqlHttpHandler.java)
+        params = dict(
+            (kv.partition("=")[0], kv.partition("=")[2])
+            for kv in query.split("&")
+            if kv
+        )
         length = int(self.headers.get("Content-Length", 0))
         try:
             payload = json.loads(self.rfile.read(length) or b"{}")
@@ -126,15 +219,20 @@ class _Handler(BaseHTTPRequestHandler):
         prev = self.session.current_user
         self.session.current_user = user
         try:
-            resp = execute_request(self.session, payload)
+            resp = execute_request(
+                self.session,
+                payload,
+                types="types" in params,
+                error_trace=params.get("error_trace", "").lower() == "true",
+            )
         finally:
             self.session.current_user = prev
         body = json.dumps(resp).encode()
-        self.send_response(400 if "error" in resp else 200)
-        self.send_header("Content-Type", "application/json")
-        self.send_header("Content-Length", str(len(body)))
-        self.end_headers()
-        self.wfile.write(body)
+        self._plain(
+            400 if "error" in resp else 200,
+            body,
+            (("Content-Type", "application/json"),),
+        )
 
     # -- /_blobs/<table>/<digest> (general/blobs.rst HTTP surface) ------
     _BLOB_PATH = None  # compiled lazily
@@ -160,9 +258,15 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_error(400, str(e).split("\n")[0])
             return
         # reference: 201 Created on new, 409 Conflict on re-upload
-        self.send_response(409 if existed else 201)
-        self.send_header("Content-Length", "0")
-        self.end_headers()
+        self._plain(409 if existed else 201)
+
+    #: blob cache headers are static — blobs are immutable
+    #: (HttpBlobHandler; blobs.rst prints these verbatim)
+    _BLOB_CACHE = (
+        ("accept-ranges", "bytes"),
+        ("expires", "Thu, 31 Dec 2037 23:59:59 GMT"),
+        ("cache-control", "max-age=315360000"),
+    )
 
     def do_GET(self):  # noqa: N802
         route = self._blob_route()
@@ -172,13 +276,9 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             content = self.session.get_blob(*route)
         except Exception:
-            self.send_error(404)
+            self._plain(404)
             return
-        self.send_response(200)
-        self.send_header("Content-Type", "application/octet-stream")
-        self.send_header("Content-Length", str(len(content)))
-        self.end_headers()
-        self.wfile.write(content)
+        self._plain(200, content, self._BLOB_CACHE)
 
     def do_HEAD(self):  # noqa: N802
         route = self._blob_route()
@@ -186,11 +286,16 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_error(404)
             return
         try:
-            ok = self.session.blob_exists(*route)
+            content = self.session.get_blob(*route)
         except Exception:
-            ok = False
-        self.send_response(200 if ok else 404)
-        self.send_header("Content-Length", "0")
+            self._plain(404)
+            return
+        # HEAD advertises the body length without sending it
+        # (header order matches the reference's handler render)
+        self.send_response_only(200)
+        self.send_header("content-length", str(len(content)))
+        for k, v in self._BLOB_CACHE:
+            self.send_header(k, v)
         self.end_headers()
 
     def do_DELETE(self):  # noqa: N802
@@ -202,9 +307,7 @@ class _Handler(BaseHTTPRequestHandler):
             ok = self.session.delete_blob(*route)
         except Exception:
             ok = False
-        self.send_response(204 if ok else 404)
-        self.send_header("Content-Length", "0")
-        self.end_headers()
+        self._plain(204 if ok else 404)
 
     def log_message(self, *args):  # quiet test runs
         pass
