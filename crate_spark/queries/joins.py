@@ -391,3 +391,100 @@ def join_q10_returned_items(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "join_q18_large_orders",
+    oracle=f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, q.sum_qty
+    FROM (SELECT l_orderkey,
+                 {sql_dsum('l_quantity')} AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 250) q
+    JOIN orders o   ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+    """,
+)
+def join_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): the HAVING subquery's
+    aggregate is computed ONCE and reused as both the filter and the
+    reported sum — not re-joined against lineitem a second time as the
+    literal SQL would.
+
+    At scale: one lineitem shuffle (map-side-combining partial sum on
+    l_orderkey), the >250 filter collapses it to a tiny qualifying
+    set, orders joins on its key, customer broadcasts, and the top-k
+    is TakeOrderedAndProject. The naive plan (semi-join then re-join
+    lineitem and re-aggregate) shuffles lineitem twice.
+    """
+    t = load_tables(spark, sf_dir)
+    qualifying = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        qualifying.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "join_q16_supplier_cnt",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#3'
+      AND p.p_size IN (1, 5, 9, 14, 23)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def join_q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-count aggregate behind a NOT IN
+    anti-join (``PlanSubqueries`` in the reference rewrites NOT IN to
+    anti; ``queries/joins.py`` join_anti is the bare operator).
+
+    At scale: the excluded-supplier set is a broadcast anti join (no
+    fact shuffle for the exclusion), part is a broadcast dim, and the
+    only fact shuffle is the partial-aggregating distinct on
+    (brand, type, size, suppkey). NOT IN's null trap doesn't apply:
+    s_suppkey is a key, never NULL.
+    """
+    t = load_tables(spark, sf_dir)
+    bad_supp = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(
+                t["part"].filter(
+                    (F.col("p_brand") != "Brand#3")
+                    & F.col("p_size").isin(1, 5, 9, 14, 23)
+                )
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )

@@ -596,3 +596,145 @@ def sql_window_filter(spark, sf_dir):
         "FROM orders WHERE o_custkey < 200 "
         "ORDER BY o_custkey, o_orderkey"
     )
+
+
+@query(
+    "streaming_sessionize_events",
+    oracle="""
+    WITH brk AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM brk
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS total
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def streaming_sessionize_events(spark, sf_dir):
+    """Custom STATEFUL streaming operator with an EXACT oracle: the
+    events table replayed through ``applyInPandasWithState`` session
+    windows (streaming/ingest.sessionize_stream) must hash-match the
+    batch lag+gap sessionization DuckDB computes over the same rows —
+    batch == drained stream for per-key mutable state, not just for
+    windowed aggregates (streaming_rollup_events).
+
+    Replay mechanics: the parquet file streams as micro-batch 1; two
+    far-future sentinel events (a reserved user id) stream as batches
+    2 and 3, advancing the event-time watermark past every real
+    session's last+gap so EventTimeTimeout closes and emits them all
+    — the streaming equivalent of end-of-input flush. Sentinel rows
+    are filtered from the result. At 100 TB/day the same operator
+    runs unbounded: state is one tuple per active user, evicted on
+    emit; no flush is needed because live traffic advances the
+    watermark.
+    """
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from crate_spark.session import apply_runtime_confs
+    from crate_spark.streaming import sessionize_stream
+
+    apply_runtime_confs(spark)
+    stage = tempfile.mkdtemp(prefix="stream_sess_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/b0_events.parquet")
+    # ts arrives as nanos-long (TIMESTAMP(NANOS) under nanosAsLong) or
+    # as µs TIMESTAMP_NTZ, depending on how the table was generated
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_is_ns = dict(batch.dtypes)["ts"] == "bigint"
+    # sentinel events: one reserved user, one day apart, starting a day
+    # past the real maximum — each sentinel batch advances the global
+    # watermark (delay 0s) past all remaining real-session timeouts
+    max_us = batch.agg(
+        F.max(
+            F.expr("ts div 1000")
+            if ts_is_ns
+            else F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+        )
+    ).collect()[0][0]
+    day_us = 86_400 * 1_000_000
+    for i in (1, 2):
+        sent_us = max_us + i * day_us
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(
+                        [sent_us * 1000 if ts_is_ns else sent_us],
+                        type=pa.int64()
+                        if ts_is_ns
+                        else pa.timestamp("us"),
+                    ),
+                    "user_id": pa.array([-1], type=pa.int64()),
+                    "value": pa.array([0.0], type=pa.float64()),
+                }
+            ),
+            f"{stage}/b{i}_sentinel.parquet",
+        )
+    # the file source orders micro-batches by modification time
+    base = time.time() - 100
+    for i, name in enumerate(
+        ["b0_events.parquet", "b1_sentinel.parquet", "b2_sentinel.parquet"]
+    ):
+        os.utime(f"{stage}/{name}", (base + i * 10, base + i * 10))
+    ts_ddl = "bigint" if ts_is_ns else "timestamp_ntz"
+    src = (
+        spark.readStream.schema(f"ts {ts_ddl}, user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000"))
+            if ts_is_ns
+            # NTZ -> TZ is value-preserving in the UTC session
+            else F.col("ts").cast("timestamp"),
+        )
+    )
+    sessions = sessionize_stream(src, gap_minutes=30).filter(
+        F.col("user_id") >= 0
+    )
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    # bound the state-store shuffle (no AQE on streaming plans)
+    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(stage, ignore_errors=True)
+    # NTZ timestamps deserialize naively, like DuckDB's (rollup twin)
+    return spark.sql(f"SELECT * FROM {name}").select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        F.round("total", 6).alias("total"),
+    )

@@ -16,6 +16,7 @@ from crate_spark.streaming.ingest import (  # noqa: F401
     stream_enrich,
     stream_ingest,
     stream_quality_gate,
+    sessionize_stream,
     stream_sessionize,
     stream_windowed_rollup,
 )

@@ -76,10 +76,8 @@ def stream_windowed_rollup(
     )
 
 
-def stream_sessionize(
-    spark: SparkSession,
-    src_dir: str,
-    schema_ddl: str,
+def sessionize_stream(
+    src: DataFrame,
     *,
     user_col: str = "user_id",
     ts_col: str = "ts",
@@ -90,10 +88,14 @@ def stream_sessionize(
     """Custom stateful operator: streaming session windows per user via
     ``applyInPandasWithState`` with an event-time timeout — the
     streaming twin of the batch ``sessionize`` (operators/timeseries.py).
+    ``src`` is a streaming DataFrame whose ``ts_col`` is TIMESTAMP.
 
-    State per user = (session_start_ms, last_ms, n_events, total).
-    Events within ``gap_minutes`` of the last seen event extend the
-    session; a session EMITS when the watermark passes last + gap
+    State per user = (session_start_us, last_us, n_events, total) —
+    microsecond precision, so session bounds match the batch answer
+    bit-for-bit (the state-timeout API itself is millisecond-granular;
+    timeouts round UP so a timeout never fires early). Events within
+    ``gap_minutes`` of the last seen event extend the session; a
+    session EMITS when the watermark passes last + gap
     (EventTimeTimeout), i.e. when no on-time event can extend it. State
     is bounded by (active users x one tuple) and evicted on emit — the
     shape that holds at 100 TB/day ingest.
@@ -104,24 +106,24 @@ def stream_sessionize(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    gap_ms = gap_minutes * 60 * 1000
+    gap_us = gap_minutes * 60 * 1_000_000
 
     out_schema = (
         f"{user_col} bigint, session_start timestamp, session_end timestamp, "
         "n_events bigint, total double"
     )
-    state_schema = "start_ms bigint, last_ms bigint, n bigint, total double"
+    state_schema = "start_us bigint, last_us bigint, n bigint, total double"
 
     def fn(key, pdf_iter, state):
         (user,) = key
 
         def emit(seg):
-            start_ms, last_ms, n, total = seg
+            start_us, last_us, n, total = seg
             return pd.DataFrame(
                 {
                     user_col: [user],
-                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
-                    "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
                     "n_events": [n],
                     "total": [total],
                 }
@@ -134,10 +136,10 @@ def stream_sessionize(
             return
 
         rows = pd.concat(list(pdf_iter)).sort_values(ts_col)
-        ts = (rows[ts_col].astype("int64") // 1_000_000).reset_index(drop=True)
+        ts = (rows[ts_col].astype("int64") // 1_000).reset_index(drop=True)
         vals = rows[value_col].astype(float).reset_index(drop=True)
         # vectorized gap split: a new segment starts after a > gap break
-        seg_id = (ts.diff() > gap_ms).cumsum()
+        seg_id = (ts.diff() > gap_us).cumsum()
         grouped = pd.DataFrame({"t": ts, "v": vals, "g": seg_id}).groupby("g")
         segs = [
             (int(g["t"].min()), int(g["t"].max()), int(len(g)), float(g["v"].sum()))
@@ -145,7 +147,7 @@ def stream_sessionize(
         ]
         if state.exists:
             s0, l0, n0, t0 = state.get
-            if segs[0][0] - l0 <= gap_ms:
+            if segs[0][0] - l0 <= gap_us:
                 first = segs[0]
                 segs[0] = (min(s0, first[0]), max(l0, first[1]), n0 + first[2], t0 + first[3])
             else:
@@ -155,8 +157,8 @@ def stream_sessionize(
         for seg in segs[:-1]:
             yield emit(seg)
         tail = segs[-1]
-        timeout = tail[1] + gap_ms
-        if timeout <= state.getCurrentWatermarkMs():
+        timeout_ms = -(-(tail[1] + gap_us) // 1000)  # ceil us -> ms
+        if timeout_ms <= state.getCurrentWatermarkMs():
             # out-of-order micro-batch: the watermark already passed
             # last+gap, so no on-time event can extend the tail — close
             # it now instead of registering an in-the-past timeout
@@ -165,16 +167,39 @@ def stream_sessionize(
             yield emit(tail)
             return
         state.update(tail)
-        state.setTimeoutTimestamp(timeout)
+        state.setTimeoutTimestamp(timeout_ms)
 
-    src = spark.readStream.schema(schema_ddl).option("maxFilesPerTrigger", 1).json(src_dir)
-    src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         src.withWatermark(ts_col, watermark)
         .groupBy(user_col)
         .applyInPandasWithState(
             fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
         )
+    )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    src_dir: str,
+    schema_ddl: str,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_minutes: int = 30,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """:func:`sessionize_stream` over a JSON file source (one file per
+    micro-batch, so tests drive watermark advancement batch by batch)."""
+    src = spark.readStream.schema(schema_ddl).option("maxFilesPerTrigger", 1).json(src_dir)
+    src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return sessionize_stream(
+        src,
+        user_col=user_col,
+        ts_col=ts_col,
+        value_col=value_col,
+        gap_minutes=gap_minutes,
+        watermark=watermark,
     )
 
 
