@@ -156,6 +156,19 @@ FILES = {
     # reference's EXPLAIN plan render for foreign scans (engine-
     # specific; the FDW surface itself is covered by tests/test_fdw.py)
     "../../sql/statements/insert.rst": ("uservisits",),
+    # builtins files with TABLE-dependent examples: the builtins
+    # harness (test_doc_examples) runs only self-contained expressions,
+    # so the fixture-backed examples run here, with the same fixtures
+    # the reference's doctest suite loads for them
+    "../builtins/subquery-expressions.rst": (
+        "employees", "departments", "articles", "colors",
+        "photos", "countries",
+    ),
+    "../builtins/table-functions.rst": ("locations", "quotes"),
+    "../builtins/comparison-operators.rst": ("locations", "quotes"),
+    "../builtins/array-comparisons.rst": ("locations", "quotes"),
+    "../builtins/arithmetic.rst": ("locations", "quotes"),
+    "../builtins/bit-operators.rst": ("locations", "quotes"),
     "../../sql/statements/copy-from.rst": (),
     "../../sql/statements/copy-to.rst": (),
     "../../sql/statements/alter-repository.rst": (),
@@ -274,6 +287,17 @@ _SKIP = {
     "select pg_typeof(protagonist[":
         "dynamic OBJECT content is a JSON string — subscripts are "
         "text-typed (declared divergence; values themselves match)",
+    # same declared divergences as test_doc_examples._SKIP — these
+    # examples appear again in the fixture-backed builtins files
+    "select 'polygon (( 0 0":
+        "geo shapes are WKT text; ring-rotation equality is geometric "
+        "(declared divergence)",
+    "select 'multipoint ((10 40)":
+        "geo shapes are WKT text; cross-type geometry equality "
+        "(declared divergence)",
+    "select b'101' # b'011'":
+        "bit strings stored as bare bit text (declared divergence; "
+        "numeric #/&/| operators themselves are covered)",
     "select person['name'], person['age'] from":
         "object subscripts on subquery aliases: the engine's dynamic "
         "objects are JSON strings resolved via catalog columns",
