@@ -284,3 +284,26 @@ def test_registry_wide_python_allowlist(spark):
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time UDF"
         if "ArrowEvalPython" in plan:
             assert name in arrow_scalar_ok, f"{name}: undeclared Arrow UDF"
+
+
+def test_q18_single_lineitem_shuffle(spark):
+    """Q18's HAVING aggregate is computed once and reused: exactly one
+    exchange over lineitem (the partial-combining sum on l_orderkey),
+    never a second lineitem pass, and the top-k is an ordered limit."""
+    plan = plan_of(spark, "join_q18_large_orders")
+    assert "TakeOrderedAndProject" in plan
+    # one lineitem scan total — the naive semi-join-then-reaggregate
+    # plan reads it twice
+    scans = [s for s in plan.split("Scan parquet")[1:] if "lineitem" in s.split("\n")[0]]
+    assert len(scans) == 1, f"lineitem scanned {len(scans)}x"
+    before_exchange = plan.split("Exchange")[-1]
+    assert "partial_" in before_exchange or "HashAggregate" in plan
+
+
+def test_q16_anti_join_broadcasts_exclusion(spark):
+    """Q16's NOT IN rewrites to a broadcast anti join: the fact table
+    must not shuffle for the exclusion, and the distinct count runs as
+    a two-phase aggregate."""
+    plan = plan_of(spark, "join_q16_supplier_cnt")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
