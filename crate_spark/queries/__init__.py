@@ -76,10 +76,12 @@ _MODULES = (
 #: core/joins/windows/scalars[:4]; r3-r4 checked sqlsurface..fulltext
 #: (all green except ts_sessionize, fixed this round). The r5 window
 #: below = ts_sessionize (driver-red twice, must re-land green) + 49
-#: of the 53 never-driver-checked queries; the 4 left over
+#: of the 53 never-driver-checked queries. The r6 window should
+#: front-load the 7 still-unchecked queries: the 4 left over from r5
 #: (sql_tvf_series, sql_tvf_series_ts, sql_tvf_regexp_docs,
 #: sql_ident_surface — judge-green SQL twins of driver-green tf_*
-#: operators) go in the r6 window.
+#: operators) plus the 3 added mid-r5 (join_q18_large_orders,
+#: join_q16_supplier_cnt, streaming_sessionize_events).
 _DRIVER_PRIORITY = (
     "ts_sessionize",
     # geo (6)
