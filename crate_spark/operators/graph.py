@@ -71,7 +71,16 @@ def _large_star(edges: DataFrame, *, skew_safe: bool = False) -> DataFrame:
     - skew_safe: groupBy-min (hash aggregate — the partial min
       combines map-side, so each map task contributes one row per
       hub) + join back, which AQE's skew-join split handles. One
-      extra exchange; no single-task degree bound."""
+      extra exchange; no single-task degree bound.
+
+    Output is NOT deduplicated: different centers u emit the same
+    (dst, m) pair, but duplicate edges cannot change the min
+    aggregates downstream, and ``_small_star``'s trailing distinct is
+    the round's single dedup point — skipping the exchange here saves
+    one full-edge-list shuffle per round (~25% round cost measured at
+    sf0.1). The duplicate volume entering small-star is bounded by
+    THIS step's input size, so the data-volume contract is unchanged
+    at scale."""
     if skew_safe:
         mins = edges.groupBy("src").agg(F.min("dst").alias("_mn"))
         return (
@@ -80,7 +89,6 @@ def _large_star(edges: DataFrame, *, skew_safe: bool = False) -> DataFrame:
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
-            .distinct()
         )
     from pyspark.sql import Window
 
@@ -90,7 +98,6 @@ def _large_star(edges: DataFrame, *, skew_safe: bool = False) -> DataFrame:
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
@@ -100,9 +107,11 @@ def _small_star(
     """Orient each edge big→small; for each node u connect all of its
     smaller neighbours (and u itself) to min(N⁻(u) ∪ {u}).
 
-    ``oriented=True`` declares the input already big→small and
-    duplicate-free (true for ``_large_star`` output), skipping the
-    re-orientation distinct — one exchange saved per round.
+    ``oriented=True`` declares the input already big→small (true for
+    ``_large_star`` output), skipping the re-orientation distinct —
+    one exchange saved per round. Duplicate input edges are fine:
+    they cannot change the per-node min, and the trailing distinct
+    here is the round's dedup point.
     ``skew_safe`` swaps the per-node-min window for the map-side-
     combining aggregate + join form (same trade as ``_large_star``)."""
     o = edges
