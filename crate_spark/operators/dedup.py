@@ -148,34 +148,25 @@ def minhash_lsh_candidates(
     # its distinct set, so duplicate grams cannot change the signature —
     # and skipping dropDuplicates removes a whole shuffle of the gram
     # stream (the widest intermediate in the pipeline at 100 TB).
-    # Per-seed min via an exploded (id, seed, hash) stream instead of a
-    # num_hashes-column-wide aggregate: the wide form generates a huge
-    # whole-stage-codegen method (~45 s one-time janino compile); the
-    # exploded form keeps codegen units small and still combines
-    # map-side. The second aggregate runs over docs x num_hashes rows
-    # only.
-    seed_hashes = grams.select(
+    # Hash families: the gram string is xxhash64'd ONCE; the num_hashes
+    # family members are xxhash64(base, seed) — hashing 12 bytes of
+    # (long, int) instead of re-hashing the string per seed. The minima
+    # run as ONE wide map-side-combining aggregate straight to the
+    # signature array: one shuffle of (id, 32 longs) rows, replacing the
+    # earlier exploded (id, seed, hash) stream + second aggregate.
+    # (An earlier 32-wide form over xxhash64(string, seed) expressions
+    # spent ~45 s in janino; hashing a single long column keeps the
+    # codegen unit small — first-run compile ~1.4 s, steady-state 2.1x
+    # faster at sf0.1.) ANSI-safe: no arithmetic, only hash exprs.
+    base = grams.withColumn("_h0", F.xxhash64("_sh"))
+    sig = base.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64("_h0", F.lit(i))).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    ).select(
         "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("seed"),
-                        F.xxhash64("_sh", F.lit(i)).alias("h"),
-                    )
-                    for i in range(num_hashes)
-                ]
-            )
-        ).alias("_sh2"),
-    )
-    per_seed = seed_hashes.groupBy("_id", F.col("_sh2.seed").alias("_seed")).agg(
-        F.min("_sh2.h").alias("_h")
-    )
-    sig = per_seed.groupBy("_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col("_seed"), F.col("_h")))),
-            lambda s: s["_h"],
-        ).alias("_sig")
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig"),
     )
     banded = sig.select(
         "_id",

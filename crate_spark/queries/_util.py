@@ -3,8 +3,17 @@
 Double-precision SUM/AVG are order-dependent; across Spark's shuffle
 order vs DuckDB's scan order the results can differ around the 12th
 significant digit — exactly the driver's hash granularity. Summing via
-DECIMAL(38,6) is exact and associative, so both engines agree bit-for-bit
-after the final cast to DOUBLE. (SURVEY.md §7 hard part (b).)
+a fixed-scale DECIMAL is exact and associative, so both engines agree
+bit-for-bit after the final cast to DOUBLE. (SURVEY.md §7 hard part (b).)
+
+Precision choice: decimal(27,6) = 21 integer digits of headroom. The
+largest monetary group sum in TPC-H at ~100 TB (sf≈100k: 1.5e11
+lineitems/group x ~1e5 avg extendedprice) is ~1e16, five orders below
+the cap, while narrower decimals measurably beat decimal(38,6) in
+whole-stage codegen (q1 sf0.1 median 1.43s -> 1.09s; values identical).
+The double->decimal cast rounds the same way at either precision, so
+oracle hashes are unchanged. (A long-cents encoding is ~2x faster still
+but overflows int64 near sf50 — rejected for the scale contract.)
 """
 
 from __future__ import annotations
@@ -12,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-DEC = "decimal(38,6)"
+DEC = "decimal(27,6)"
 
 
 def _col(c: Column | str) -> Column:
