@@ -684,6 +684,56 @@ class CrateTable:
         loaded = int(obs_in.get["n_total"] or 0) - int(obs_in.get["n_bad"] or 0)
         return {"loaded": loaded, "errors": int(obs_in.get["n_bad"] or 0)}
 
+    def optimize(self, *, max_num_segments: int | None = None,
+                 partition: dict | None = None) -> dict:
+        """OPTIMIZE TABLE — the Lucene segment-merge analog
+        (``OptimizeTablePlan.java``; optimize.rst): compact the
+        table's parquet part files. Streaming/append ingest and
+        per-statement INSERTs accumulate small files; at scale a
+        100k-file table pays one task + one open per file on every
+        scan, so periodic compaction is a real operation here, not a
+        no-op.
+
+        Layout contract is preserved: CLUSTERED tables re-route
+        through their MODULO hash partitioning (``shards`` files),
+        PARTITIONED BY tables keep their directory layout (compaction
+        runs within partitions; the ``partition`` arg restricts the
+        rewrite to one partition, per the PARTITION clause), flat
+        tables coalesce to ``max_num_segments`` (WITH
+        (max_num_segments=N); default one file per 128 MB). The
+        rewrite stages and swaps like every other mutation — readers
+        never observe a partial table.
+        """
+        n_before = files_before = 0
+        bytes_total = 0
+        for root, _dirs, files in os.walk(self.path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    files_before += 1
+                    bytes_total += os.path.getsize(os.path.join(root, f))
+        if files_before == 0:
+            return {"files_before": 0, "files_after": 0}
+        df = self.read()
+        if partition:
+            cond = " AND ".join(f"{k} = {v!r}" for k, v in partition.items())
+            keep = df.filter(f"NOT ({cond})")
+            df = df.filter(cond)
+        if not (self.clustered_by and self.shards):
+            target = max_num_segments or max(1, bytes_total // (128 << 20))
+            df = df.coalesce(int(target))
+        if partition:
+            df = df.unionByName(keep)
+        # _write_staged applies MODULO routing / partitionBy itself
+        staging, _ = self._write_staged(df)
+        self._swap_in(staging)
+        files_after = sum(
+            1
+            for root, _dirs, files in os.walk(self.path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        return {"files_before": files_before, "files_after": files_after}
+
     def copy_to(self, uri: str, *, format: str = "json",
                 columns: list[str] | None = None, where: str | None = None,
                 directory: bool = False, compression: str | None = None) -> int:

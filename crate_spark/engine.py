@@ -2007,11 +2007,56 @@ class CrateSession:
         if m:
             return self.spark.createDataFrame([("OK",)], "status string")
 
-        # OPTIMIZE TABLE: segment merge analog — parquet compaction is
-        # a storage-layer concern (AQE coalescing at read); no-op marker
-        m = re.match(r"OPTIMIZE\s+TABLE\s+(\S+)", stmt, re.IGNORECASE)
+        # OPTIMIZE TABLE [PARTITION (...)] [WITH (...)]: parquet
+        # small-file compaction — the Lucene segment-merge analog
+        # (optimize.rst; CrateTable.optimize preserves the routing /
+        # partition layout and swaps atomically)
+        m = re.match(
+            r"OPTIMIZE\s+TABLE\s+(.+?)(?:\s+WITH\s*\((.*)\))?\s*$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
         if m:
-            return self.spark.createDataFrame([(m.group(1), "ok")], "table string, status string")
+            from crate_spark.admin_sql import _parse_with
+
+            props = _parse_with(m.group(2) or "")
+            mns = props.get("max_num_segments")
+            # comma-separated target list, each `ident [PARTITION (...)]`
+            out_rows = []
+            for entry in re.split(r",(?![^()]*\))", m.group(1)):
+                em = re.match(
+                    r"\s*([\w.\"]+)(?:\s+PARTITION\s*\(([^)]*)\))?\s*$",
+                    entry,
+                )
+                if not em:
+                    raise ValueError(f"unsupported OPTIMIZE target: {entry!r}")
+                name = em.group(1).strip('"').split(".")[-1]
+                table = getattr(self._dml, "crate_tables", {}).get(name)
+                if table is None:
+                    # views/virtual relations ack without a rewrite
+                    out_rows.append((name, "ok", 0, 0))
+                    continue
+                part = None
+                if em.group(2):
+                    part = {}
+                    for kv in em.group(2).split(","):
+                        k, _, v = kv.partition("=")
+                        part[k.strip().strip('"')] = _parse_setting_value(
+                            v.strip().strip("'\"")
+                        )
+                stats = table.optimize(
+                    max_num_segments=int(mns) if mns is not None else None,
+                    partition=part,
+                )
+                self._dml._refresh(name)
+                out_rows.append(
+                    (name, "ok", stats.get("files_before", 0),
+                     stats.get("files_after", 0))
+                )
+            return self.spark.createDataFrame(
+                out_rows,
+                "table string, status string, files_before int, files_after int",
+            )
 
         m = re.match(
             r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.\"]+)\s+AS\s+(.+)$",

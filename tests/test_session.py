@@ -1399,3 +1399,62 @@ def test_scroll_cursor_errors(session):
     with pytest.raises(Exception, match="Cannot return row"):
         session.execute("FETCH ABSOLUTE 99 FROM sc2")
     session.execute("CLOSE sc2")
+
+
+def test_optimize_table_compacts_files(dml_session):
+    """OPTIMIZE TABLE merges small part files (the segment-merge
+    analog): per-statement INSERTs accumulate one file each; after
+    OPTIMIZE the table reads identically from fewer files."""
+    import os
+
+    s = dml_session
+    s.execute("CREATE TABLE opt_t (id int PRIMARY KEY, v text)")
+    for i in range(6):
+        s.execute(f"INSERT INTO opt_t (id, v) VALUES ({i}, 'row{i}')")
+    table = s._dml.crate_tables["opt_t"]
+
+    def nfiles():
+        return sum(
+            1
+            for root, _d, fs in os.walk(table.path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before = nfiles()
+    assert before >= 6
+    res = s.execute("OPTIMIZE TABLE opt_t WITH (max_num_segments=1)").collect()
+    assert res[0]["status"] == "ok"
+    assert res[0]["files_before"] == before
+    assert nfiles() == 1 and res[0]["files_after"] == 1
+    rows = s.execute("SELECT id, v FROM opt_t ORDER BY id").collect()
+    assert [(r["id"], r["v"]) for r in rows] == [(i, f"row{i}") for i in range(6)]
+
+
+def test_optimize_partitioned_single_partition(dml_session):
+    """PARTITION clause: only the named partition is compacted; the
+    directory layout and all rows survive."""
+    import os
+
+    s = dml_session
+    s.execute(
+        "CREATE TABLE opt_p (id int, region text) PARTITIONED BY (region)"
+    )
+    for i in range(4):
+        s.execute(f"INSERT INTO opt_p (id, region) VALUES ({i}, 'eu')")
+        s.execute(f"INSERT INTO opt_p (id, region) VALUES ({i + 10}, 'us')")
+    res = s.execute(
+        "OPTIMIZE TABLE opt_p PARTITION (region='eu') "
+        "WITH (max_num_segments=1)"
+    ).collect()
+    assert res[0]["status"] == "ok"
+    table = s._dml.crate_tables["opt_p"]
+    eu_files = sum(
+        1
+        for root, _d, fs in os.walk(os.path.join(table.path, "region=eu"))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert eu_files == 1
+    rows = s.execute("SELECT count(*) AS n FROM opt_p").collect()
+    assert rows[0]["n"] == 8
