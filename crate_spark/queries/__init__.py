@@ -8,9 +8,9 @@ the same parquet tables. The driver hash-compares the two at sf0.01.
 Determinism rules used throughout (see SURVEY.md §7 "hard parts"):
 
 - SUM/AVG over doubles are order-dependent at ~1e-12 relative error —
-  enough to break a 12-significant-digit hash. We sum via
-  DECIMAL(38,6) (exact, associative) in BOTH engines and cast the
-  final value to DOUBLE.
+  enough to break a 12-significant-digit hash. We sum via a
+  fixed-scale DECIMAL (exact, associative; width rationale in
+  `_util.DEC`) in BOTH engines and cast the final value to DOUBLE.
 - Window/ranking queries always carry a unique tiebreaker column in
   ORDER BY so top-k cuts are deterministic.
 - Transcendental outputs (stddev, ln, geometric mean, distances) are
