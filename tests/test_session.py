@@ -1458,3 +1458,29 @@ def test_optimize_partitioned_single_partition(dml_session):
     assert eu_files == 1
     rows = s.execute("SELECT count(*) AS n FROM opt_p").collect()
     assert rows[0]["n"] == 8
+
+
+def test_optimize_clustered_preserves_routing(dml_session):
+    """CLUSTERED tables compact through their MODULO routing: after
+    OPTIMIZE at most one file per declared shard remains (empty hash
+    partitions write nothing), down from one file per INSERT."""
+    import os
+
+    s = dml_session
+    s.execute(
+        "CREATE TABLE opt_c (id int PRIMARY KEY, v text) "
+        "CLUSTERED BY (id) INTO 3 SHARDS"
+    )
+    for i in range(5):
+        s.execute(f"INSERT INTO opt_c (id, v) VALUES ({i}, 'r{i}')")
+    res = s.execute("OPTIMIZE TABLE opt_c").collect()
+    table = s._dml.crate_tables["opt_c"]
+    n = sum(
+        1
+        for root, _d, fs in os.walk(table.path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert 1 <= n <= 3 and res[0]["files_after"] == n
+    assert n < res[0]["files_before"]
+    assert s.execute("SELECT count(*) AS n FROM opt_c").collect()[0]["n"] == 5
