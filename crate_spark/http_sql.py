@@ -61,6 +61,9 @@ def _error_envelope(session, stmt: str, exc: Exception) -> dict:
     import re as _re
 
     msg = str(exc)
+    if type(exc).__name__ == "PermissionDenied" or "not authorized" in msg:
+        # MISSING_USER_PRIVILEGES (HttpErrorStatus.java:60) -> 401
+        return {"message": msg.split("\n")[0][:500], "code": 4011}
     if "TABLE_OR_VIEW_NOT_FOUND" in msg or "unknown table" in msg:
         known = _BUILTIN_SCHEMAS | (
             session._user_schemas() if hasattr(session, "_user_schemas") else set()
@@ -108,10 +111,35 @@ def execute_request(session, payload: dict, *, types: bool = False,
     """One ``/_sql`` request against a CrateSession — the
     ``executeSimpleRequest`` analog. Returns the response dict.
     ``types`` adds ``col_types`` (the ``?types`` GET param);
-    ``error_trace`` adds the stack trace to error envelopes."""
+    ``error_trace`` adds the stack trace to error envelopes.
+    Payload validation mirrors ``SQLRequestParser``: a body without a
+    ``stmt`` string, or carrying BOTH ``args`` and ``bulk_args``, is a
+    4000 parse error (RestSQLActionIntegrationTest.java:173-191)."""
     stmt = payload.get("stmt")
-    if not stmt:
-        return {"error": {"message": "missing statement", "code": 4000}}
+    if not stmt or not isinstance(stmt, str):
+        return {
+            "error": {
+                "message": (
+                    "SQLParseException[Can't parse request. Expecting "
+                    "payload with `stmt` string and `args` or "
+                    "`bulk_args` arrays]"
+                ),
+                "code": 4000,
+            }
+        }
+    if payload.get("args") and payload.get("bulk_args"):
+        return {
+            "error": {
+                "message": (
+                    "SQLParseException[request body contains args and "
+                    "bulk_args. It's forbidden to provide both]"
+                ),
+                "code": 4000,
+            }
+        }
+    if payload.get("bulk_args") == []:
+        # empty bulk: nothing executes, ack with an empty result list
+        return {"cols": [], "results": [], "duration": 0.0}
     t0 = time.time()
     try:
         if payload.get("bulk_args"):
@@ -212,8 +240,16 @@ class _Handler(BaseHTTPRequestHandler):
             if kv
         )
         length = int(self.headers.get("Content-Length", 0))
+        raw = self.rfile.read(length)
+        if not raw:
+            body = json.dumps(
+                {"error": {"message": "SQLParseException[Missing request body]",
+                           "code": 4000}}
+            ).encode()
+            self._plain(400, body, (("Content-Type", "application/json"),))
+            return
         try:
-            payload = json.loads(self.rfile.read(length) or b"{}")
+            payload = json.loads(raw)
         except json.JSONDecodeError:
             payload = {}
         prev = self.session.current_user
@@ -228,11 +264,16 @@ class _Handler(BaseHTTPRequestHandler):
         finally:
             self.session.current_user = prev
         body = json.dumps(resp).encode()
-        self._plain(
-            400 if "error" in resp else 200,
-            body,
-            (("Content-Type", "application/json"),),
-        )
+        # HTTP status tracks the error-code family, as the reference's
+        # HttpErrorStatus does: unknown relation/schema -> 404,
+        # duplicate key -> 409, user errors -> 400, internal -> 500
+        if "error" not in resp:
+            status = 200
+        else:
+            code = resp["error"].get("code", 5000)
+            status = {4010: 401, 4011: 401, 4041: 404, 4045: 404,
+                      4091: 409}.get(code, 500 if code >= 5000 else 400)
+        self._plain(status, body, (("Content-Type", "application/json"),))
 
     # -- /_blobs/<table>/<digest> (general/blobs.rst HTTP surface) ------
     _BLOB_PATH = None  # compiled lazily
@@ -271,6 +312,26 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):  # noqa: N802
         route = self._blob_route()
         if not route:
+            # root banner (MainAndStaticFileHandler): GET / answers the
+            # node identity document with ok/status/name/cluster_name
+            if self.path.split("?")[0].rstrip("/") in ("", "/admin"):
+                body = json.dumps(
+                    {
+                        "ok": True,
+                        "status": 200,
+                        "name": "n1",
+                        "cluster_name": getattr(
+                            self.session, "cluster_name", "crate-spark"
+                        ),
+                        "version": {
+                            "number": "6.5.0",
+                            "build_snapshot": False,
+                        },
+                    },
+                    indent=2,
+                ).encode()
+                self._plain(200, body, (("Content-Type", "application/json"),))
+                return
             self.send_error(404)
             return
         try:

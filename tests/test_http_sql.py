@@ -45,9 +45,29 @@ def test_http_sql_roundtrip(http_session):
         # parameterized
         status, resp = _post(port, {"stmt": "SELECT n_name FROM nation WHERE n_nationkey = $1", "args": [3]})
         assert status == 200 and resp["rowcount"] == 1
-        # error envelope with reference-style code
+        # error envelope with reference-style code; unknown relation
+        # answers 404 like the reference's HttpErrorStatus mapping
         status, resp = _post(port, {"stmt": "SELECT * FROM no_such_table_xyz"})
-        assert status == 400 and resp["error"]["code"] in (4000, 4041, 5000)
+        assert status == 404 and resp["error"]["code"] == 4041
+        # payload validation (SQLRequestParser semantics)
+        status, resp = _post(port, {"foo": "bar"})
+        assert status == 400 and "stmt" in resp["error"]["message"]
+        status, resp = _post(
+            port,
+            {"stmt": "SELECT 1", "args": [1], "bulk_args": [[1]]},
+        )
+        assert status == 400 and "forbidden" in resp["error"]["message"]
+        status, resp = _post(
+            port, {"stmt": "SELECT $1 AS x", "bulk_args": []}
+        )
+        assert status == 200 and resp == {
+            "cols": [], "results": [], "duration": 0.0
+        }
+        # root banner
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            banner = json.loads(r.read())
+        assert banner["ok"] is True and banner["status"] == 200
+        assert "cluster_name" in banner
     finally:
         srv.shutdown()
 
@@ -113,11 +133,12 @@ def test_http_basic_auth(spark, tmp_path):
     try:
         status, body = post("SELECT count(*) AS n FROM region", "webuser:s3cret")
         assert status == 200 and body["rows"][0][0] == 5
-        # DML not granted
+        # DML not granted -> MISSING_USER_PRIVILEGES 4011, HTTP 401
+        # (HttpErrorStatus.java:60)
         status, body = post(
             "INSERT INTO region (r_regionkey) VALUES (9)", "webuser:s3cret"
         )
-        assert status == 400
+        assert status == 401
         assert post("SELECT 1", "webuser:wrong")[0] == 401
         assert post("SELECT 1", "ghost:x")[0] == 401
         # trust without header (superuser)
