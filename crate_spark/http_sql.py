@@ -64,6 +64,9 @@ def _error_envelope(session, stmt: str, exc: Exception) -> dict:
     if type(exc).__name__ == "PermissionDenied" or "not authorized" in msg:
         # MISSING_USER_PRIVILEGES (HttpErrorStatus.java:60) -> 401
         return {"message": msg.split("\n")[0][:500], "code": 4011}
+    if "conflict with existing primary key" in msg:
+        # DUPLICATE_KEY (HttpErrorStatus: CONFLICT 4091)
+        return {"message": msg.split("\n")[0][:500], "code": 4091}
     if "TABLE_OR_VIEW_NOT_FOUND" in msg or "unknown table" in msg:
         known = _BUILTIN_SCHEMAS | (
             session._user_schemas() if hasattr(session, "_user_schemas") else set()

@@ -145,3 +145,26 @@ def test_http_basic_auth(spark, tmp_path):
         assert post("SELECT 1 AS x")[0] == 200
     finally:
         srv.shutdown()
+
+
+def test_http_bulk_duplicate_key_errors(spark, tmp_path):
+    """Bulk runtime errors (http.rst "Bulk errors"): a failing arg row
+    reports rowcount -2 + a DuplicateKeyException-family 4091 envelope
+    while the other rows still apply; single-statement duplicates map
+    to HTTP 409."""
+    from crate_spark.engine import CrateSession
+    from crate_spark.http_sql import execute_request
+
+    s = CrateSession(spark, None, storage_dir=str(tmp_path))
+    s.execute("CREATE TABLE dupk (id int PRIMARY KEY, v text)")
+    s.execute("INSERT INTO dupk (id, v) VALUES (1, 'a')")
+    resp = execute_request(
+        s,
+        {"stmt": "INSERT INTO dupk (id, v) VALUES (?, ?)",
+         "bulk_args": [[2, "x"], [1, "y"], [3, "z"]]},
+    )
+    assert resp["cols"] == []
+    rcs = [r["rowcount"] for r in resp["results"]]
+    assert rcs == [1, -2, 1]
+    assert resp["results"][1]["error"]["code"] == 4091
+    assert s.execute("SELECT count(*) AS n FROM dupk").collect()[0]["n"] == 3
