@@ -69,6 +69,20 @@ def _text(v) -> str | None:
     return str(v)
 
 
+def _sqlstate_of(exc: Exception) -> str:
+    """Exception -> PG SQLSTATE, the classes the reference's
+    PostgresWireProtocol reports: 42P01 undefined table, 42501
+    insufficient privilege, 23505 unique violation, 42601 syntax."""
+    msg = str(exc)
+    if type(exc).__name__ == "PermissionDenied" or "not authorized" in msg:
+        return "42501"
+    if "conflict with existing primary key" in msg:
+        return "23505"
+    if "TABLE_OR_VIEW_NOT_FOUND" in msg or "unknown table" in msg:
+        return "42P01"
+    return "42601"
+
+
 def _msg(tag: bytes, payload: bytes) -> bytes:
     return tag + struct.pack("!I", len(payload) + 4) + payload
 
@@ -243,8 +257,7 @@ class _PgHandler(socketserver.BaseRequestHandler):
             self._send_rows(sock, df.schema.fields, rows, with_description=True)
             sock.sendall(_msg(b"C", _cstr(f"SELECT {len(rows)}")))
         except Exception as e:
-            code = "42P01" if "TABLE_OR_VIEW_NOT_FOUND" in str(e) else "42601"
-            self._error(sock, code, str(e).split("\n")[0][:400])
+            self._error(sock, _sqlstate_of(e), str(e).split("\n")[0][:400])
         sock.sendall(_msg(b"Z", b"I"))
 
     @staticmethod
@@ -283,6 +296,8 @@ class _PgHandler(socketserver.BaseRequestHandler):
             sock.sendall(_msg(b"D", payload))
 
     def _error(self, sock, sqlstate: str, message: str) -> None:
+        """ErrorResponse with severity/SQLSTATE/message fields — the
+        envelope `SQLExceptions.createSQLActionException` fills."""
         payload = (
             b"S" + _cstr("ERROR") + b"C" + _cstr(sqlstate) + b"M" + _cstr(message) + b"\x00"
         )

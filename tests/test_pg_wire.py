@@ -225,3 +225,14 @@ def test_wire_auth_password_roundtrip(spark, pg_server):
     ctl.query("DROP USER open_user")
     ctl.query("DROP USER wired")
     ctl.close()
+
+
+def test_sqlstate_mapping():
+    """Error classes map to the PG SQLSTATEs the reference reports."""
+    from crate_spark.pg_wire import _sqlstate_of
+    from crate_spark.roles import PermissionDenied
+
+    assert _sqlstate_of(PermissionDenied("x not authorized")) == "42501"
+    assert _sqlstate_of(ValueError("1 row(s) conflict with existing primary keys")) == "23505"
+    assert _sqlstate_of(ValueError("[TABLE_OR_VIEW_NOT_FOUND] nope")) == "42P01"
+    assert _sqlstate_of(ValueError("syntax error")) == "42601"
