@@ -73,73 +73,67 @@ _MODULES = (
 #: the FIRST 50 registered queries each round, so the registry is
 #: reordered per round to give every query a driver row within a
 #: bounded number of rounds. History: r1-r2 checked
-#: core/joins/windows/scalars[:4]; r3-r4 checked sqlsurface..fulltext
-#: (all green except ts_sessionize, fixed this round). The r5 window
-#: below = ts_sessionize (driver-red twice, must re-land green) + 49
-#: of the 53 never-driver-checked queries. The r6 window should
-#: front-load the 7 still-unchecked queries: the 4 left over from r5
-#: (sql_tvf_series, sql_tvf_series_ts, sql_tvf_regexp_docs,
-#: sql_ident_surface — judge-green SQL twins of driver-green tf_*
-#: operators) plus the 3 added mid-r5 (join_q18_large_orders,
-#: join_q16_supplier_cnt, streaming_sessionize_events).
+#: core/joins/windows/scalars[:4]; r3-r4 checked sqlsurface..fulltext;
+#: r5 checked geo/aggregates/scalars-rest/graphs/pipeline/sqlfns.
+#: The r6 window = the 6 r5 driver-reds (all one defect: oracle
+#: output columns DuckDB typed HUGEINT/DECIMAL, now cast to
+#: BIGINT/DOUBLE — see tests/test_oracle_types.py for the lint that
+#: keeps them out) + scalar_math_funcs (stale r1 red, fixed r2,
+#: judge-green since — needs a fresh row) + the 8 never-checked
+#: (3 added mid-r5 + 4 sql twins + scalar_blake3) + 35 of the 52
+#: longest-unchecked greens (last row r1/r2). The remaining 17
+#: r1/r2-stale greens roll to the r7 window.
 _DRIVER_PRIORITY = (
     "ts_sessionize",
-    # geo (6)
-    "geo_distance_topk",
-    "geo_within_bbox",
-    "geo_geohash",
-    "geo_intersects",
-    "geo_area",
-    "geo_within_polygon",
-    # fulltext remainder (1)
-    "match_filter_then_query",
-    # aggregates (5)
-    "agg_any_value",
-    "agg_collect_set",
-    "agg_bool_and_or",
-    "agg_median_corr",
-    "agg_distinct_sums",
-    # scalars remainder (11)
-    "scalar_datetime_funcs2",
-    "scalar_misc_funcs",
-    "scalar_conditional",
-    "scalar_casts",
-    "scalar_array_funcs",
-    "scalar_array_numeric",
-    "scalar_json_funcs",
-    "scalar_bitwise_hash",
-    "scalar_object_funcs",
     "interval_column_ops",
-    "scalar_to_char",
-    # graphs (4)
-    "graph_connected_components",
-    "graph_component_stats",
-    "graph_dedup_canonical",
-    "graph_neardup_clusters",
-    # pipeline (11)
     "pipeline_train_split",
-    "pipeline_stratified_sample",
-    "pipeline_domain_mix",
-    "pipeline_pii_redact",
-    "pipeline_quality_gate",
-    "pipeline_pack_sequences",
     "pipeline_quantize_int8",
-    "pipeline_knn_quantized",
-    "pipeline_decontaminate",
-    "pipeline_repetition_metrics",
     "pipeline_shard_layout",
-    # sqlfns (11 of 15)
-    "sql_array_fn_surface",
-    "sql_array_numeric_fns",
-    "sql_datetime_compat",
-    "sql_geo_surface",
-    "sql_string_fn_surface",
-    "sql_datetime_fn_surface",
-    "sql_regexp_surface",
-    "sql_array_subquery",
-    "sql_agg_surface",
-    "streaming_rollup_events",
     "sql_window_filter",
+    "scalar_math_funcs",
+    "join_q18_large_orders",
+    "join_q16_supplier_cnt",
+    "scalar_blake3",
+    "sql_ident_surface",
+    "sql_tvf_series",
+    "sql_tvf_series_ts",
+    "sql_tvf_regexp_docs",
+    "streaming_sessionize_events",
+    "scalar_string_funcs",
+    "scalar_string_funcs2",
+    "scalar_array_funcs2",
+    "scalar_regexp_funcs",
+    "scalar_datetime_funcs",
+    "scalar_date_bin",
+    "q1_pricing_summary",
+    "scan_filter_project",
+    "point_lookup",
+    "count_star",
+    "distinct_flags",
+    "topk_orders",
+    "limit_offset",
+    "order_nulls_last",
+    "agg_global",
+    "agg_group_having",
+    "agg_stats",
+    "agg_string_agg",
+    "agg_array_agg",
+    "agg_geometric_mean",
+    "agg_percentile",
+    "agg_minmax_by",
+    "conditional_agg",
+    "union_all",
+    "union_distinct",
+    "except_intersect",
+    "subquery_scalar",
+    "subquery_correlated",
+    "cte_query",
+    "join_inner_multiway",
+    "join_q5_regional_revenue",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_cross",
 )
 
 

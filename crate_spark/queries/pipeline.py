@@ -32,7 +32,7 @@ _DUCK_SPLIT = f"""
     "pipeline_train_split",
     oracle=f"""
     SELECT {_DUCK_SPLIT} AS split, lang, count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY 1, 2
     """,
 )
@@ -190,8 +190,8 @@ def pipeline_pack_sequences(spark, sf_dir):
     )
     SELECT vec_id,
            ROUND(scale, 9) AS scale_r,
-           list_sum(codes) AS code_sum,
-           list_sum(list_transform(codes, c -> c * c)) AS code_sq_sum,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           CAST(list_sum(list_transform(codes, c -> c * c)) AS BIGINT) AS code_sq_sum,
            ROUND(sqrt(list_sum(list_transform(list_zip(embedding, codes),
                  p -> pow(CAST(p[1] AS DOUBLE) - p[2] * scale, 2.0))) / len(embedding)), 9) AS rmse
     FROM coded
@@ -371,7 +371,7 @@ def pipeline_repetition_metrics(spark, sf_dir):
            count(*) AS n_docs,
            min(doc_id) AS min_id,
            max(doc_id) AS max_id,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY 1
     """,
 )

@@ -631,9 +631,9 @@ def scalar_object_funcs(spark, sf_dir):
     SELECT event_type,
            CAST(SUM(m) AS INTEGER) AS sum_months,
            CAST(SUM(d) AS INTEGER) AS sum_days,
-           SUM(us) AS sum_micros,
-           COUNT(*) FILTER (WHERE m * 2592000000000 + d * 86400000000 + us
-                                  > 45 * 86400000000) AS n_longer_45d,
+           CAST(SUM(us) AS BIGINT) AS sum_micros,
+           CAST(COUNT(*) FILTER (WHERE m * 2592000000000 + d * 86400000000 + us
+                                  > 45 * 86400000000) AS BIGINT) AS n_longer_45d,
            CAST(MAX(m * 2592000000000 + d * 86400000000 + us) AS BIGINT) AS max_norm_us
     FROM iv GROUP BY event_type
     """,

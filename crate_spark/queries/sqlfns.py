@@ -573,10 +573,10 @@ def sql_tvf_regexp_docs(spark, sf_dir):
     "sql_window_filter",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           count(*) FILTER (WHERE o_totalprice > 100000)
-               OVER (PARTITION BY o_custkey) AS n_big,
-           CAST(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F')
-               OVER (PARTITION BY o_custkey) AS DECIMAL(18,2)) AS f_total
+           CAST(count(*) FILTER (WHERE o_totalprice > 100000)
+               OVER (PARTITION BY o_custkey) AS BIGINT) AS n_big,
+           CAST(ROUND(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F')
+               OVER (PARTITION BY o_custkey), 2) AS DOUBLE) AS f_total
     FROM orders WHERE o_custkey < 200
     ORDER BY o_custkey, o_orderkey
     """,
@@ -591,8 +591,8 @@ def sql_window_filter(spark, sf_dir):
         "SELECT o_custkey, o_orderkey, "
         "count(*) FILTER (WHERE o_totalprice > 100000) "
         "    OVER (PARTITION BY o_custkey) AS n_big, "
-        "CAST(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F') "
-        "    OVER (PARTITION BY o_custkey) AS decimal(18,2)) AS f_total "
+        "CAST(ROUND(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F') "
+        "    OVER (PARTITION BY o_custkey), 2) AS double) AS f_total "
         "FROM orders WHERE o_custkey < 200 "
         "ORDER BY o_custkey, o_orderkey"
     )
