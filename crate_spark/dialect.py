@@ -1953,11 +1953,13 @@ def _fold_interval_literals(sql: str, literals: list[str]) -> str:
         if qual_start and re.fullmatch(r"\s*[+-]?\d+\s*", lit[1:-1]):
             # INTERVAL '1' DAY — Spark-native qualified literal
             return m.group(0)
-        needs_fold = (
-            shorthand
-            or (has_ym and has_dt)
-            or mult is not None
-        )
+        # Fold only literals Spark itself cannot parse (sql-standard
+        # shorthand, mixed ym+dt).  A plain `N * INTERVAL '1 day'`
+        # must pass through untouched: Spark natively evaluates
+        # integer*interval, and folding it to a TEXT literal broke
+        # `now() - 3 * INTERVAL '1 day'` with DATATYPE_MISMATCH
+        # (ADVICE r5).
+        needs_fold = shorthand or (has_ym and has_dt)
         if not needs_fold:
             return m.group(0)
         if qual_start:
@@ -2723,12 +2725,30 @@ def rewrite(
     # column-qualifying doc.t.c) resolve to the bare table name
     sql = re.sub(r"(?<![\w.])doc\s*\.\s*(?=[A-Za-z_])", "", sql)
     # user schemas are catalog metadata over one flat storage
-    # namespace (create-schema.rst): rx.metrics (and "rx"."metrics",
-    # and the column-qualifying rx.t.c) resolve to the bare name
+    # namespace (create-schema.rst): rx.metrics (and `rx`.`metrics` —
+    # double quotes became backticks earlier in rewrite() — and the
+    # column-qualifying rx.t.c) resolve to the bare name.  The strip
+    # is positional, NOT a blind substitution (ADVICE r5): a table
+    # alias that happens to equal a schema name (FROM t AS rx ...
+    # rx.col) must keep its qualifier, so we only strip (a) directly
+    # after a relation-introducing keyword and (b) three-part
+    # schema.table.column qualifiers, which an alias.column reference
+    # can never be.
     for _sch in sorted(user_schemas or (), key=len, reverse=True):
         if _sch and re.fullmatch(r"[A-Za-z_]\w*", _sch):
+            sch_pat = rf"(?:`{_sch}`|{_sch}\b)"
             sql = re.sub(
-                rf'(?<![\w."])"?{_sch}"?\s*\.\s*(?=[A-Za-z_"])', "", sql,
+                rf"(\b(?:FROM|JOIN|INTO|UPDATE|TABLE|EXISTS)\s+){sch_pat}"
+                rf"\s*\.\s*(?=[A-Za-z_`])",
+                r"\1",
+                sql,
+                flags=re.IGNORECASE,
+            )
+            sql = re.sub(
+                rf"(?<![\w.`\"]){sch_pat}\s*\.\s*"
+                rf"(?=(?:[A-Za-z_]\w*|`[^`]+`)\s*\.\s*[A-Za-z_`])",
+                "",
+                sql,
                 flags=re.IGNORECASE,
             )
     # pg_typeof returns PG/crate type NAMES (PgTypeofFunction), not

@@ -358,6 +358,11 @@ class CrateSession:
         for sch, nm in self._udfs:
             if self._builtin_exists(nm):
                 continue
+            # unqualified calls resolve only through search_path
+            # (Functions.java resolution order) — a UDF in a schema
+            # not on the path must be called schema-qualified
+            if sch not in sp:
+                continue
             if nm not in by_name or _rank(sch) < _rank(by_name[nm]):
                 by_name[nm] = sch
         for i in range(0, len(parts), 2):
@@ -2996,6 +3001,69 @@ class _JsMath:
     round = staticmethod(lambda x, *_: round(x))
     max = staticmethod(lambda *a: max(a))
     min = staticmethod(lambda *a: min(a))
+
+
+class _JsObject(dict):
+    """JS-object view of a dict: property access (``obj.y``) and
+    subscript (``obj['y']``) both work; missing keys read as None
+    (undefined), like GraalVM's host access in the reference's
+    lang-js extension (JavascriptUserDefinedFunctionTest
+    f_dot/f_brackets)."""
+
+    def __getattr__(self, name):
+        return self.get(name)
+
+    def __getitem__(self, key):
+        return self.get(key)
+
+
+def _js_wrap_value(v):
+    """Recursively convert dict/Row/list values into JS-friendly
+    shapes so translated bodies can use property access."""
+    try:
+        from pyspark.sql import Row as _Row
+
+        if isinstance(v, _Row):
+            v = v.asDict(recursive=True)
+    except Exception:
+        pass
+    if isinstance(v, dict):
+        return _JsObject({k: _js_wrap_value(x) for k, x in v.items()})
+    if isinstance(v, (list, tuple)):
+        return [_js_wrap_value(x) for x in v]
+    return v
+
+
+def _js_str(v) -> str:
+    """JS string conversion: booleans lowercase, null -> 'null',
+    integral floats render without the trailing .0."""
+    if v is None:
+        return "null"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)
+
+
+class _JsJSON:
+    """``JSON.parse`` / ``JSON.stringify`` for translated JS UDF
+    bodies (JavascriptUserDefinedFunctionTest
+    testObjectReturnType)."""
+
+    @staticmethod
+    def parse(s):
+        import json as _json
+
+        return _js_wrap_value(_json.loads(s))
+
+    @staticmethod
+    def stringify(v, *_):
+        import json as _json
+
+        return _json.dumps(v)
 
 
 class _JsDate:

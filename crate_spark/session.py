@@ -115,7 +115,9 @@ def _normalize_events(df: DataFrame) -> DataFrame:
                 " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
             )
         else:
-            us = F.unix_micros(F.col("ts"))  # TZ input: absolute instant
+            # TZ input: absolute instant; coerce string/date columns
+            # to timestamp first (unix_micros requires timestamp)
+            us = F.unix_micros(F.col("ts").cast("timestamp"))
         return df.withColumn("ts_ns", us * 1000)
     return (
         df.withColumnRenamed("ts", "ts_ns")

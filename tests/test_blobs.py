@@ -119,3 +119,10 @@ def test_blob_http_surface(sess):
         assert req("GET", digest)[0] == 404
     finally:
         srv.shutdown()
+
+
+def test_alter_blob_table_unknown_raises_clean_error(sess):
+    """ALTER BLOB TABLE on a nonexistent table raises BlobError (the
+    reference's RelationUnknown), not an AttributeError."""
+    with pytest.raises(BlobError, match="does not exist"):
+        sess.execute("ALTER BLOB TABLE no_such_blob SET (number_of_replicas = 2)")

@@ -1484,3 +1484,67 @@ def test_optimize_clustered_preserves_routing(dml_session):
     assert 1 <= n <= 3 and res[0]["files_after"] == n
     assert n < res[0]["files_before"]
     assert s.execute("SELECT count(*) AS n FROM opt_c").collect()[0]["n"] == 5
+
+
+def test_multiplied_interval_stays_interval_typed(session):
+    """``N * INTERVAL <plain literal>`` must NOT be constant-folded to
+    the crate TEXT render: Spark evaluates integer*interval natively,
+    and the folded string broke ``now() - 3 * INTERVAL '1 day'`` with
+    DATATYPE_MISMATCH (ADVICE r5).  Folding still applies where Spark
+    cannot parse the literal at all: sql-standard shorthand and mixed
+    year-month + day-time strings (data-types.rst interval examples)."""
+    import datetime
+
+    r = session.execute(
+        "SELECT now() - 3 * INTERVAL '1 day' < now() AS ok, "
+        "3 * INTERVAL '1 hour' AS h, "
+        "2 * INTERVAL '2 years 1 month 10 days' AS mixed, "
+        "INTERVAL '1-2' YEAR TO MONTH AS ym"
+    ).collect()[0]
+    assert r["ok"] is True
+    assert r["h"] == datetime.timedelta(hours=3)  # still interval-typed
+    # un-Spark-parseable literals keep the reference's text render
+    assert r["mixed"] == "4 years 2 mons 20 days 00:00:00"
+    assert r["ym"] == "1 year 2 mons 00:00:00"
+
+
+def test_udf_unqualified_resolution_respects_search_path(spark, tmp_path):
+    """Unqualified function calls resolve only through search_path
+    (reference function resolution: schema-qualified otherwise) — a
+    UDF living in a schema NOT on the path must not hijack the bare
+    name (ADVICE r5)."""
+    import pytest as _pytest
+
+    from crate_spark.engine import CrateSession
+
+    s = CrateSession(spark, None, storage_dir=str(tmp_path))
+    s.execute(
+        "CREATE FUNCTION far_schema.fancy_inc(integer) RETURNS integer "
+        "LANGUAGE JAVASCRIPT AS 'function fancy_inc(a) { return a + 1; }'"
+    )
+    # qualified always works
+    assert s.execute("SELECT far_schema.fancy_inc(1) AS v").collect()[0][0] == 2
+    # unqualified: far_schema is not on search_path -> unresolvable
+    with _pytest.raises(Exception):
+        s.execute("SELECT fancy_inc(1) AS v").collect()
+    # putting the schema on the path makes the bare name resolve
+    s.execute("SET search_path = far_schema, doc")
+    assert s.execute("SELECT fancy_inc(1) AS v").collect()[0][0] == 2
+    s.execute("SET search_path = doc")
+    s.execute("DROP FUNCTION far_schema.fancy_inc(integer)")
+
+
+def test_normalize_events_coerces_string_ts(spark):
+    """_normalize_events must coerce a string/date ts column to
+    timestamp before unix_micros (ADVICE r5: the cast was dropped on
+    the fallback branch)."""
+    from crate_spark.session import _normalize_events
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-15 10:00:00", 7, "click", 1.5, None)],
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    out = _normalize_events(df)
+    row = out.select("ts_ns").collect()[0]
+    assert row["ts_ns"] == 1_705_312_800_000_000_000  # 2024-01-15T10:00Z ns
