@@ -2616,7 +2616,21 @@ class CrateSession:
         if language == "JAVASCRIPT":
             env = {
                 "__builtins__": safe_builtins, "math": _math,
-                "Math": _JsMath, "Date": _JsDate,
+                "Math": _JsMath, "Date": _JsDate, "JSON": _JsJSON,
+                "__js_join": (
+                    lambda arr, sep=",": _js_str(sep).join(
+                        "" if e is None else _js_str(e) for e in arr
+                    )
+                ),
+                "__js_str": _js_str,
+                "String": _js_str,
+                "Number": (lambda v=0: float(v)),
+                "parseInt": (lambda s, base=10: int(str(s).strip(), base)),
+                "parseFloat": (lambda s: float(str(s).strip())),
+                "isNaN": (
+                    lambda v: not isinstance(v, (int, float))
+                    or (isinstance(v, float) and v != v)
+                ),
             }
             _, body_fn = _js_function(body, env)
             # identity (signature + coercers) comes from the SQL
@@ -3154,6 +3168,26 @@ def _js_expr_to_python(expr: str) -> str:
         r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'', _mask, expr.strip()
     )
     expr = expr.replace("!==", "!=").replace("===", "==")
+    # fn.apply(null, xs) -> fn(*xs) (Math.max.apply in the reference's
+    # arr_max integration test)
+    expr = re.sub(
+        r"\.\s*apply\(\s*null\s*,\s*([\w$]+(?:\[[^\]]*\])*)\s*\)",
+        r"(*\1)",
+        expr,
+    )
+    # arr.join(sep) -> helper (JS stringifies elements; default ',')
+    expr = re.sub(
+        r"([\w$]+(?:\[[^\]]*\])*)\s*\.\s*join\(",
+        r"__js_join(\1, ",
+        expr,
+    )
+    expr = re.sub(r", \)", ")", expr)  # join() with no separator
+    # object literals: quote bare keys so {x: 1} becomes a dict
+    # literal, not a Python set/annotation error (already-quoted keys
+    # are masked placeholders — leave those alone)
+    expr = re.sub(
+        r"([{,]\s*)(?!__JSLIT\d+__)([A-Za-z_$][\w$]*)\s*:", r'\1"\2":', expr
+    )
     expr = re.sub(r"&&", " and ", expr)
     expr = re.sub(r"\|\|", " or ", expr)
     expr = re.sub(r"!(?![=])", " not ", expr)
@@ -3363,4 +3397,23 @@ def _js_function(body: str, env: dict) -> tuple[list[str], object]:
         ) from None
     ns: dict = {}
     exec(code, env, ns)  # noqa: S102 - trusted-caller surface by design
-    return params, ns["__js_udf"]
+    fn = ns["__js_udf"]
+    # unresolvable globals (Java.type, require, document, ...) fail at
+    # CREATE FUNCTION time, matching the reference's script-compile
+    # error ("Java is not defined", JavascriptUserDefinedFunctionTest)
+    import dis as _dis
+
+    known = set(env) | set(env.get("__builtins__", {})) | {"True", "False", "None"}
+    for ins in _dis.get_instructions(fn.__code__):
+        if ins.opname == "LOAD_GLOBAL" and ins.argval not in known:
+            raise ValueError(
+                f"unsupported JavaScript construct in UDF body: "
+                f"{ins.argval} is not defined"
+            )
+
+    def _wrapped(*vals, _fn=fn):
+        # object/Row args become attr-accessible (obj.y), like
+        # GraalVM's host access in the reference's lang-js extension
+        return _fn(*[_js_wrap_value(v) for v in vals])
+
+    return params, _wrapped
