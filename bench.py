@@ -69,15 +69,24 @@ def main() -> None:
                 "noop"
             ).save()
 
+    # Sub-second queries swung ±30% round-over-round on identical code
+    # from scheduler jitter (VERDICT r5 #7): give them extra medians.
+    # A query whose first run finishes under SUBSEC_CUTOFF gets
+    # SUBSEC_ITERS total iterations; heavier queries keep ITERS.
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+    subsec_iters = int(os.environ.get("SPARK_GRAFT_BENCH_SUBSEC_ITERS", "7"))
+    subsec_cutoff = float(os.environ.get("SPARK_GRAFT_BENCH_SUBSEC_CUTOFF", "1.0"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name].fn
         runs = []
-        for _ in range(iters):
+        budget = iters
+        while len(runs) < budget:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
+            if len(runs) == 1 and runs[0] < subsec_cutoff:
+                budget = max(budget, subsec_iters)
         timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
@@ -90,6 +99,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "iterations": iters,
+                "subsec_iterations": subsec_iters,
                 "stat": "median",
             }
         )

@@ -144,7 +144,7 @@ def connected_components(
     dst: str = "dst",
     *,
     max_iterations: int = 25,
-    hub_degree_threshold: int = 5_000_000,
+    hub_degree_threshold: int | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``, where
     component = the minimum node id reachable from the node.
@@ -165,6 +165,17 @@ def connected_components(
     nodes with slack).
     """
     from pyspark.sql import Observation
+
+    if hub_degree_threshold is None:
+        # operator knob: `SET crate_spark.graph.hub_degree_threshold
+        # = N` round-trips through the session (SHOW reads it back) —
+        # at 100 TB an operator reaches for the setting, not a code
+        # change. Default 5M: window sort stays in-memory per task.
+        hub_degree_threshold = int(
+            edges.sparkSession.conf.get(
+                "crate_spark.graph.hub_degree_threshold", "5000000"
+            )
+        )
 
     def _checkpoint_with_fingerprint(df: DataFrame) -> tuple[DataFrame, tuple]:
         # The (count, XOR-of-edge-hashes) fingerprint rides the

@@ -125,3 +125,30 @@ def test_star_forms_agree(spark):
     ss_w = set(map(tuple, _small_star(e, skew_safe=False).collect()))
     ss_j = set(map(tuple, _small_star(e, skew_safe=True).collect()))
     assert ss_w == ss_j
+
+
+def test_hub_threshold_session_setting(spark):
+    """`SET crate_spark.graph.hub_degree_threshold` is the operator
+    knob for the CC skew gate: with no explicit argument the operator
+    reads the session conf, and SHOW reads the value back (VERDICT r5
+    #6)."""
+    from crate_spark.engine import CrateSession
+
+    s = CrateSession(spark, None)
+    s.execute("SET crate_spark.graph.hub_degree_threshold = 1000")
+    row = s.execute("SHOW crate_spark.graph.hub_degree_threshold").collect()[0]
+    assert row["value"] == "1000"
+    # a 300-edge hot hub exceeds the 1000 threshold once symmetrized
+    # rounds double it past 2*count > 1000 -> skew-safe form; result
+    # must still be the single star component
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 301)], "src bigint, dst bigint"
+    )
+    try:
+        got = {
+            (r["node"], r["component"])
+            for r in connected_components(df).collect()
+        }
+        assert got == {(i, 0) for i in range(301)}
+    finally:
+        spark.conf.unset("crate_spark.graph.hub_degree_threshold")
