@@ -2942,9 +2942,13 @@ _SYS_COL_EXPRS = {
     "_version": "CAST(1 AS BIGINT)",
     "_seq_no": "CAST(0 AS BIGINT)",
     "_primary_term": "CAST(1 AS BIGINT)",
+    # _score outside a MATCH/knn_match context: 1.0 on every row
+    # (SysColumns.java `_score`, REAL; the scoring paths intercept
+    # BEFORE this rewrite in engine.execute)
+    "_score": "CAST(1.0 AS FLOAT)",
 }
 _SYS_COL_RE = re.compile(
-    r"(?<![\w.'])(_id|_doc|_raw|_version|_seq_no|_primary_term)\b"
+    r"(?<![\w.'])(_id|_doc|_raw|_version|_seq_no|_primary_term|_score)\b"
 )
 
 

@@ -2183,17 +2183,21 @@ class CrateSession:
         routed = self._dml.route(stmt)
         if routed is not None:
             return routed
+        has_score = bool(re.search(r"(?<![\w.'])_score\b", stmt))
+        if has_score:
+            self._validate_score_in_where(stmt)
         # MATCH + _score: needs the BM25 join, not a plain rewrite
-        if re.search(r"(?<![\w.])_score\b", stmt) and re.search(
-            r"\bMATCH\s*\(", stmt, re.IGNORECASE
-        ):
+        if has_score and re.search(r"\bMATCH\s*\(", stmt, re.IGNORECASE):
             return self._execute_match_score(stmt)
         # knn_match predicate: top-k vector search join
         if re.search(r"\bknn_match\s*\(", stmt, re.IGNORECASE):
             return self._execute_knn_match(stmt)
         stmt = self._rewrite_match_analyzer(stmt)
-        # system doc columns (_id/_doc/_raw — SysColumns.java:49-63)
-        if re.search(r"(?<![\w.'])_(id|doc|raw|version|seq_no|primary_term)\b", stmt):
+        # system doc columns (_id/_doc/_raw — SysColumns.java:49-63;
+        # _score with no scoring predicate reads 1.0 on every row)
+        if re.search(
+            r"(?<![\w.'])_(id|doc|raw|version|seq_no|primary_term|score)\b", stmt
+        ):
             stmt = rewrite_sys_columns(stmt)
         return self._sql(stmt)
 
@@ -2444,6 +2448,33 @@ class CrateSession:
             return f"arrays_overlap({toks_sql}, {arr})"
 
         return self._MATCH_CALL_RE.sub(_sub, stmt)
+
+    def _validate_score_in_where(self, stmt: str) -> None:
+        """The reference allows ``_score`` in WHERE only as a bare
+        ``_score >= <literal>`` comparison — any other operator, or a
+        surrounding NOT, is rejected at analysis time
+        (analyze/where/WhereClauseValidator.java:59-70,
+        SCORE_ALLOWED_COMPARISONS = {gte})."""
+        err = (
+            "System column '_score' can only be used within a '>=' "
+            "comparison without any surrounded predicate"
+        )
+        m = re.search(
+            r"\bWHERE\b(.*?)(?:\bGROUP\s+BY\b|\bORDER\s+BY\b|\bHAVING\b"
+            r"|\bLIMIT\b|\bWINDOW\b|$)",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            return
+        where = m.group(1)
+        for occ in re.finditer(r"(?<![\w.'])_score\b", where):
+            if not re.match(
+                r"\s*>=\s*(?:\d+(?:\.\d+)?|\?)", where[occ.end():]
+            ):
+                raise ValueError(err)
+            if re.search(r"\bNOT\s*\(?\s*$", where[: occ.start()], re.IGNORECASE):
+                raise ValueError(err)
 
     def _execute_match_score(self, stmt: str) -> DataFrame:
         """``SELECT ... _score ... FROM t WHERE MATCH(col, 'q') ...

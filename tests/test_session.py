@@ -1548,3 +1548,34 @@ def test_normalize_events_coerces_string_ts(spark):
     out = _normalize_events(df)
     row = out.select("ts_ns").collect()[0]
     assert row["ts_ns"] == 1_705_312_800_000_000_000  # 2024-01-15T10:00Z ns
+
+
+def test_score_system_column_semantics(session):
+    """`_score` fidelity beyond MATCH (SysColumns `_score`;
+    WhereClauseValidator.java:59-70): without a scoring predicate every
+    row reads 1.0; WHERE allows only a bare `_score >= <literal>`;
+    anything else raises the reference's error."""
+    import pytest as _pytest
+
+    rows = session.execute(
+        "SELECT n_name, _score FROM nation ORDER BY n_name LIMIT 2"
+    ).collect()
+    assert [r["_score"] for r in rows] == [1.0, 1.0]
+    n = session.execute(
+        "SELECT count(*) AS n FROM nation WHERE _score >= 0.5"
+    ).collect()[0][0]
+    assert n == 25
+    # the fulltext.rst:426 shape: MATCH + AND _score >= works
+    scored = session.execute(
+        "SELECT doc_id, _score FROM documents "
+        "WHERE MATCH(text, 'data') AND _score >= 0.1 "
+        "ORDER BY _score DESC LIMIT 3"
+    ).collect()
+    assert len(scored) == 3 and all(r["_score"] >= 0.1 for r in scored)
+    for bad in (
+        "SELECT * FROM nation WHERE _score > 0.5",
+        "SELECT * FROM nation WHERE _score = 1.0",
+        "SELECT * FROM documents WHERE MATCH(text,'x') AND NOT (_score >= 0.5)",
+    ):
+        with _pytest.raises(ValueError, match="'>=' comparison"):
+            session.execute(bad).collect()
