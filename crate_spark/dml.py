@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import tempfile
 import uuid
@@ -584,7 +585,31 @@ class CrateTable:
     def copy_from(self, uri: str, *, format: str = "csv",
                   header: bool = True, delimiter: str = ",") -> dict:
         """COPY FROM with RETURN SUMMARY semantics: load good rows,
-        count bad ones (PERMISSIVE + _corrupt_record)."""
+        count bad ones (PERMISSIVE + _corrupt_record).
+
+        ``http(s)://`` URIs are fetched to a local spool file first
+        (copy-from.rst "Other schemes": JVM URL protocols, no wildcard
+        expansion) — Spark's file sources don't speak http. The spool
+        is driver-local and bounded by one import file, matching the
+        reference where each URI is one stream; bulk lake imports use
+        file:// / s3a:// paths that executors read directly."""
+        if re.match(r"^https?://", uri, re.IGNORECASE):
+            if "*" in uri:
+                raise ValueError(
+                    "wildcard expansion is not supported for http(s) URIs"
+                )
+            import urllib.request
+
+            suffix = "." + format
+            fd, spool = tempfile.mkstemp(suffix=suffix, prefix="crate_copy_")
+            os.close(fd)
+            with urllib.request.urlopen(uri) as resp, open(spool, "wb") as out:  # noqa: S310
+                while True:
+                    chunk = resp.read(1 << 20)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+            uri = spool
         target_schema = self.spark.createDataFrame([], self.schema_ddl).schema
         if format == "csv":
             raw = (

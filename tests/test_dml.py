@@ -333,3 +333,34 @@ def test_alter_table_rename_to(spark, tmp_path):
     # PK metadata moved with the table
     with _p.raises(Exception):
         s.execute("INSERT INTO new_name (id) VALUES (2)")
+
+
+def test_copy_from_http_url(spark, tmp_path):
+    """COPY FROM an ``http://`` URI (copy-from.rst "Other schemes":
+    JVM URL protocols, no wildcard expansion) — fetched to a local
+    spool then loaded like any file, summary semantics intact."""
+    import functools
+    import http.server
+    import threading
+
+    import pytest as _pytest
+
+    src = tmp_path / "web"
+    src.mkdir()
+    (src / "rows.csv").write_text("id,val\n1,a\n2,b\n3,c\n")
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(src)
+    )
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        t = CrateTable.create(spark, str(tmp_path / "t_http"), "id int, val string")
+        summary = t.copy_from(f"http://127.0.0.1:{port}/rows.csv", format="csv")
+        assert summary == {"loaded": 3, "errors": 0}
+        assert sorted(r["val"] for r in t.read().collect()) == ["a", "b", "c"]
+        with _pytest.raises(ValueError, match="wildcard"):
+            t.copy_from(f"http://127.0.0.1:{port}/*.csv", format="csv")
+    finally:
+        httpd.shutdown()
