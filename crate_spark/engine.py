@@ -3429,18 +3429,14 @@ def _js_function(body: str, env: dict) -> tuple[list[str], object]:
     ns: dict = {}
     exec(code, env, ns)  # noqa: S102 - trusted-caller surface by design
     fn = ns["__js_udf"]
-    # unresolvable globals (Java.type, require, document, ...) fail at
-    # CREATE FUNCTION time, matching the reference's script-compile
-    # error ("Java is not defined", JavascriptUserDefinedFunctionTest)
-    import dis as _dis
-
-    known = set(env) | set(env.get("__builtins__", {})) | {"True", "False", "None"}
-    for ins in _dis.get_instructions(fn.__code__):
-        if ins.opname == "LOAD_GLOBAL" and ins.argval not in known:
-            raise ValueError(
-                f"unsupported JavaScript construct in UDF body: "
-                f"{ins.argval} is not defined"
-            )
+    # Unresolvable globals (Java.type, start_point in the docs' line()
+    # example) resolve at CALL time, like GraalVM: CREATE succeeds,
+    # the first evaluation raises "<name> is not defined"
+    # (JavascriptUserDefinedFunctionTest testDisableEvalAndExit...
+    # asserts the ScriptException on evaluate, and
+    # user-defined-functions.rst:307 CREATEs a body whose identifiers
+    # never resolve). Python's NameError carries the identical
+    # message shape, so no extra machinery is needed.
 
     def _wrapped(*vals, _fn=fn):
         # object/Row args become attr-accessible (obj.y), like

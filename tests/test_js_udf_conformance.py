@@ -128,9 +128,6 @@ def test_reference_js_expression(name, body, args, expected):
 REJECTED = [
     # testValidateCatchesScriptException: syntactically invalid
     ("invalid_syntax", "function f(a) { return a[0]1*#?; }"),
-    # testDisableEvalAndExitFunctions family: host access is banned
-    ("java_type",
-     'function f(x) { var File = Java.type("java.io.File"); return x; }'),
     # not a single function definition
     ("not_a_function", "var x = 1;"),
     # throw is outside the subset
@@ -142,6 +139,27 @@ REJECTED = [
 def test_unsupported_js_rejected_at_create(name, body):
     with pytest.raises(ValueError):
         _run(body, 1)
+
+
+def test_unresolved_global_raises_at_call_not_create():
+    """GraalVM defers identifier resolution to evaluation: CREATE
+    succeeds even for bodies whose names never resolve (the docs'
+    line() example uses undeclared start_point), and the first call
+    raises '<name> is not defined'
+    (JavascriptUserDefinedFunctionTest testDisableEvalAndExit...
+    asserts the evaluate-time ScriptException)."""
+    _, fn = _js_function(
+        'function f(x) { var File = Java.type("java.io.File"); return x; }',
+        _env(),
+    )
+    with pytest.raises(NameError, match="Java.*not defined"):
+        fn(1)
+    # docs' line(): CREATE-time OK
+    _js_function(
+        'function line(start, end) { return { "type": "LineString", '
+        '"coordinates" : [start_point, end_point] }; }',
+        _env(),
+    )
 
 
 def test_missing_object_key_reads_undefined():
