@@ -1,0 +1,223 @@
+"""Seeded differential fuzzing: random ANSI SELECTs through
+``CrateSession.execute`` (shim + engine dispatch, the user's SQL
+front door) AND DuckDB over the same parquet, compared as canonical
+multisets.
+
+The registry's 160 oracle queries pin KNOWN shapes; this fuzz sweeps
+the combinatorial space BETWEEN them — arbitrary nesting of
+arithmetic, string ops, CASE, predicates, GROUP BY/HAVING and
+aggregates — with a fixed seed so failures reproduce exactly.
+
+Generation rules avoid the handful of declared engine divergences so
+every mismatch is a real bug:
+
+- integer `/` (crate/Spark truncate, DuckDB promotes to double):
+  division is always through CAST(x AS DOUBLE)
+- ORDER BY is never asserted: results compare as sorted multisets
+  (LIMIT appears only under a total order on the unique key)
+- float aggregates round to 6 decimals in BOTH engines before compare
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from crate_spark.engine import CrateSession
+from tests.conftest import SF_DIR, canonical_rows
+
+N_QUERIES = 120
+SEED = 0xC0FFEE
+
+#: (name, type) columns of the two tables the grammar draws from.
+NATION_COLS = [("n_nationkey", "i"), ("n_regionkey", "i"), ("n_name", "s")]
+ORDERS_COLS = [
+    ("o_orderkey", "i"),
+    ("o_custkey", "i"),
+    ("o_totalprice", "f"),
+    ("o_orderstatus", "s"),
+    ("o_orderpriority", "s"),
+]
+
+
+class Gen:
+    def __init__(self, rng: random.Random, cols):
+        self.rng = rng
+        self.cols = cols
+
+    def col(self, kind=None):
+        opts = [c for c, k in self.cols if kind is None or k == kind]
+        return self.rng.choice(opts) if opts else None
+
+    def int_expr(self, depth=0):
+        r = self.rng.random()
+        c = self.col("i")
+        if depth > 1 or r < 0.35:
+            return c if self.rng.random() < 0.7 else str(self.rng.randint(1, 50))
+        if r < 0.55:
+            return f"({self.int_expr(depth + 1)} + {self.int_expr(depth + 1)})"
+        if r < 0.7:
+            return f"({self.int_expr(depth + 1)} * {self.rng.randint(2, 9)})"
+        if r < 0.85:
+            return f"({self.int_expr(depth + 1)} % {self.rng.randint(2, 13)})"
+        return f"abs({self.int_expr(depth + 1)} - {self.rng.randint(1, 40)})"
+
+    def dbl_expr(self):
+        c = self.col("f") or self.col("i")
+        r = self.rng.random()
+        if r < 0.4:
+            return f"round(CAST({c} AS DOUBLE) / {self.rng.randint(2, 9)}, 6)"
+        if r < 0.7:
+            return f"round(CAST({self.int_expr()} AS DOUBLE) / 7.0, 6)"
+        return f"round(CAST({c} AS DOUBLE) * 0.25, 6)"
+
+    def str_expr(self, depth=0):
+        c = self.col("s")
+        r = self.rng.random()
+        if depth > 1 or r < 0.4:
+            return c
+        if r < 0.55:
+            return f"upper({self.str_expr(depth + 1)})"
+        if r < 0.7:
+            return f"lower({self.str_expr(depth + 1)})"
+        if r < 0.85:
+            return f"substr({self.str_expr(depth + 1)}, 1, {self.rng.randint(1, 6)})"
+        return f"({self.str_expr(depth + 1)} || '_' || {self.str_expr(depth + 1)})"
+
+    def case_expr(self):
+        return (
+            f"CASE WHEN {self.pred(1)} THEN {self.rng.randint(0, 5)} "
+            f"ELSE {self.rng.randint(6, 9)} END"
+        )
+
+    def misc_expr(self):
+        r = self.rng.random()
+        if r < 0.25:
+            return f"length({self.str_expr()})"
+        if r < 0.45:
+            return f"trim(replace({self.str_expr()}, 'A', ' '))"
+        if r < 0.65:
+            return (
+                f"coalesce(nullif({self.col('s')}, "
+                f"'{self.rng.choice('AEK')}'), 'dflt')"
+            )
+        if r < 0.85:
+            return f"CASE WHEN {self.col('s')} IN ('A', 'B', 'UNITED STATES') THEN 1 ELSE 0 END"
+        return f"greatest({self.int_expr()}, {self.int_expr()})"
+
+    def pred(self, depth=0):
+        r = self.rng.random()
+        if depth < 1 and r < 0.25:
+            return f"({self.pred(depth + 1)} AND {self.pred(depth + 1)})"
+        if depth < 1 and r < 0.4:
+            return f"({self.pred(depth + 1)} OR {self.pred(depth + 1)})"
+        if depth < 1 and r < 0.47:
+            return f"(NOT {self.pred(depth + 1)})"
+        r = self.rng.random()
+        if r < 0.3:
+            op = self.rng.choice(["<", "<=", ">", ">=", "=", "<>"])
+            return f"{self.int_expr()} {op} {self.rng.randint(1, 60)}"
+        if r < 0.45:
+            lo = self.rng.randint(0, 20)
+            return f"{self.int_expr()} BETWEEN {lo} AND {lo + self.rng.randint(1, 30)}"
+        if r < 0.6:
+            vals = ", ".join(str(self.rng.randint(0, 30)) for _ in range(3))
+            return f"{self.int_expr()} IN ({vals})"
+        if r < 0.75:
+            c = self.col("s")
+            ch = self.rng.choice("ABCDEFGHIJKLMNOP")
+            return f"{c} LIKE '%{ch}%'"
+        if r < 0.85:
+            return f"{self.col('s')} IS NOT NULL"
+        return (
+            f"{self.str_expr()} "
+            f"{self.rng.choice(['<', '>', '>=', '<='])} "
+            f"'{self.rng.choice('AEKNRSTZ')}'"
+        )
+
+
+def gen_query(rng: random.Random) -> str:
+    table = rng.choice(["nation", "orders"])
+    cols = NATION_COLS if table == "nation" else ORDERS_COLS
+    g = Gen(rng, cols)
+    shape = rng.random()
+    if shape < 0.45:
+        # plain select with computed columns
+        items = []
+        for i in range(rng.randint(1, 4)):
+            kind = rng.random()
+            if kind < 0.3:
+                e = g.int_expr()
+            elif kind < 0.5:
+                e = g.str_expr()
+            elif kind < 0.65:
+                e = g.dbl_expr()
+            elif kind < 0.82:
+                e = g.case_expr()
+            else:
+                e = g.misc_expr()
+            items.append(f"{e} AS c{i}")
+        sql = f"SELECT {', '.join(items)} FROM {table}"
+        if rng.random() < 0.8:
+            sql += f" WHERE {g.pred()}"
+        return sql
+    if shape < 0.85:
+        # group-by aggregate
+        gcol = g.col("s") if rng.random() < 0.6 else g.int_expr()
+        aggs = []
+        for i, _ in enumerate(range(rng.randint(1, 3))):
+            a = rng.random()
+            if a < 0.3:
+                aggs.append(f"count(*) AS a{i}")
+            elif a < 0.55:
+                aggs.append(f"CAST(sum({g.int_expr()}) AS BIGINT) AS a{i}")
+            elif a < 0.7:
+                aggs.append(f"CAST(min({g.int_expr()}) AS BIGINT) AS a{i}")
+            elif a < 0.85:
+                aggs.append(f"CAST(max({g.int_expr()}) AS BIGINT) AS a{i}")
+            else:
+                aggs.append(
+                    f"round(avg(CAST({g.col('i')} AS DOUBLE)), 6) AS a{i}"
+                )
+        sql = (
+            f"SELECT {gcol} AS g, {', '.join(aggs)} FROM {table}"
+        )
+        if rng.random() < 0.6:
+            sql += f" WHERE {g.pred()}"
+        sql += " GROUP BY g"
+        if rng.random() < 0.4:
+            sql += " HAVING count(*) > 1"
+        return sql
+    # top-k under a total order on the unique key
+    key = "n_nationkey" if table == "nation" else "o_orderkey"
+    sql = f"SELECT {key}, {g.str_expr()} AS s FROM {table}"
+    if rng.random() < 0.7:
+        sql += f" WHERE {g.pred()}"
+    sql += f" ORDER BY {key} LIMIT {rng.randint(1, 20)}"
+    return sql
+
+
+def _queries():
+    rng = random.Random(SEED)
+    return [gen_query(rng) for _ in range(N_QUERIES)]
+
+
+@pytest.fixture(scope="module")
+def crate(spark):
+    return CrateSession(spark, SF_DIR)
+
+
+@pytest.mark.parametrize(
+    "i,sql", list(enumerate(_queries())), ids=[f"q{i:03d}" for i in range(N_QUERIES)]
+)
+def test_differential(crate, duck, i, sql):
+    sdf = crate.execute(sql)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(sql)
+    ocols = [c[0] for c in cur.description]
+    orows = cur.fetchall()
+    assert len(srows) == len(orows), f"row count differs for: {sql}"
+    a = canonical_rows([c.lower() for c in sdf.columns], srows)
+    b = canonical_rows([c.lower() for c in ocols], orows)
+    assert a == b, f"values differ for: {sql}"
