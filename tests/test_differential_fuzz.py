@@ -27,7 +27,7 @@ import pytest
 from crate_spark.engine import CrateSession
 from tests.conftest import SF_DIR, canonical_rows
 
-N_QUERIES = 120
+N_QUERIES = 160
 SEED = 0xC0FFEE
 
 #: (name, type) columns of the two tables the grammar draws from.
@@ -189,12 +189,44 @@ def gen_query(rng: random.Random) -> str:
         if rng.random() < 0.4:
             sql += " HAVING count(*) > 1"
         return sql
-    # top-k under a total order on the unique key
-    key = "n_nationkey" if table == "nation" else "o_orderkey"
-    sql = f"SELECT {key}, {g.str_expr()} AS s FROM {table}"
+    if shape < 0.92:
+        # top-k under a total order on the unique key
+        key = "n_nationkey" if table == "nation" else "o_orderkey"
+        sql = f"SELECT {key}, {g.str_expr()} AS s FROM {table}"
+        if rng.random() < 0.7:
+            sql += f" WHERE {g.pred()}"
+        sql += f" ORDER BY {key} LIMIT {rng.randint(1, 20)}"
+        return sql
+    if shape < 0.97:
+        # window function over a deterministic (total) partition order
+        key = "n_nationkey" if table == "nation" else "o_orderkey"
+        part = g.col("s")
+        w = f"PARTITION BY {part} ORDER BY {key}"
+        wf = rng.choice(
+            [
+                f"row_number() OVER ({w})",
+                f"rank() OVER (PARTITION BY {part} ORDER BY {g.col('i')}, {key})",
+                f"CAST(sum({g.col('i')}) OVER ({w}) AS BIGINT)",
+                f"CAST(count(*) OVER ({w} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)",
+                f"lag({g.col('i')}, 1) OVER ({w})",
+                f"CAST(min({g.col('i')}) OVER ({w} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING) AS BIGINT)",
+            ]
+        )
+        sql = f"SELECT {key}, {wf} AS w FROM {table}"
+        if rng.random() < 0.5:
+            sql += f" WHERE {g.pred()}"
+        return sql
+    # equi-join nation x orders (customer keys overlap nation keys at
+    # small SF: the join is on key mod 25 buckets)
+    g2 = Gen(rng, NATION_COLS)
+    sql = (
+        "SELECT n.n_name AS nm, CAST(count(*) AS BIGINT) AS cnt, "
+        "CAST(sum(o.o_custkey) AS BIGINT) AS sk "
+        "FROM orders o JOIN nation n ON (o.o_custkey % 25) = n.n_nationkey"
+    )
     if rng.random() < 0.7:
-        sql += f" WHERE {g.pred()}"
-    sql += f" ORDER BY {key} LIMIT {rng.randint(1, 20)}"
+        sql += f" WHERE {Gen(rng, [('o.o_custkey', 'i'), ('o.o_totalprice', 'f'), ('o.o_orderstatus', 's')]).pred()}"
+    sql += " GROUP BY nm"
     return sql
 
 
