@@ -2737,13 +2737,22 @@ def rewrite(
     for _sch in sorted(user_schemas or (), key=len, reverse=True):
         if _sch and re.fullmatch(r"[A-Za-z_]\w*", _sch):
             sch_pat = rf"(?:`{_sch}`|{_sch}\b)"
-            sql = re.sub(
-                rf"(\b(?:FROM|JOIN|INTO|UPDATE|TABLE|EXISTS)\s+){sch_pat}"
+            # relation position, including later items of a
+            # comma-separated FROM list (`FROM rx.a, rx.b`): the
+            # prefix alternation eats `relation [AS alias], ` pairs;
+            # loop to a fixpoint since each pass strips one
+            # occurrence per list
+            _rel_re = re.compile(
+                rf"(\b(?:FROM|JOIN|INTO|UPDATE|TABLE|EXISTS)\s+"
+                rf"(?:[^,()\s][^,()]*?\s*,\s*)*){sch_pat}"
                 rf"\s*\.\s*(?=[A-Za-z_`])",
-                r"\1",
-                sql,
-                flags=re.IGNORECASE,
+                re.IGNORECASE,
             )
+            while True:
+                new_sql = _rel_re.sub(r"\1", sql)
+                if new_sql == sql:
+                    break
+                sql = new_sql
             sql = re.sub(
                 rf"(?<![\w.`\"]){sch_pat}\s*\.\s*"
                 rf"(?=(?:[A-Za-z_]\w*|`[^`]+`)\s*\.\s*[A-Za-z_`])",

@@ -603,13 +603,26 @@ class CrateTable:
             suffix = "." + format
             fd, spool = tempfile.mkstemp(suffix=suffix, prefix="crate_copy_")
             os.close(fd)
-            with urllib.request.urlopen(uri) as resp, open(spool, "wb") as out:  # noqa: S310
-                while True:
-                    chunk = resp.read(1 << 20)
-                    if not chunk:
-                        break
-                    out.write(chunk)
-            uri = spool
+            try:
+                with urllib.request.urlopen(uri, timeout=60) as resp, open(  # noqa: S310
+                    spool, "wb"
+                ) as out:
+                    while True:
+                        chunk = resp.read(1 << 20)
+                        if not chunk:
+                            break
+                        out.write(chunk)
+                # recurse on the local spool (can't re-enter this
+                # branch); the load fully materializes into the table
+                # before returning, so the spool can be deleted after
+                return self.copy_from(
+                    spool, format=format, header=header, delimiter=delimiter
+                )
+            finally:
+                try:
+                    os.unlink(spool)
+                except OSError:
+                    pass
         target_schema = self.spark.createDataFrame([], self.schema_ddl).schema
         if format == "csv":
             raw = (

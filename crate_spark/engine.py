@@ -349,7 +349,9 @@ class CrateSession:
         if not self._udfs:
             return sql
         parts = re.split(r"('(?:[^']|'')*')", sql)  # literals untouched
-        sp = self._search_path()
+        # unquoted identifiers fold to lowercase (reference parser),
+        # and UDF schemas are stored lowercased — compare folded
+        sp = [s.lower() for s in self._search_path()]
 
         def _rank(s: str) -> int:
             return sp.index(s) if s in sp else len(sp)
@@ -361,7 +363,7 @@ class CrateSession:
             # unqualified calls resolve only through search_path
             # (Functions.java resolution order) — a UDF in a schema
             # not on the path must be called schema-qualified
-            if sch not in sp:
+            if sch.lower() not in sp:
                 continue
             if nm not in by_name or _rank(sch) < _rank(by_name[nm]):
                 by_name[nm] = sch
@@ -2459,22 +2461,23 @@ class CrateSession:
             "System column '_score' can only be used within a '>=' "
             "comparison without any surrounded predicate"
         )
-        m = re.search(
-            r"\bWHERE\b(.*?)(?:\bGROUP\s+BY\b|\bORDER\s+BY\b|\bHAVING\b"
-            r"|\bLIMIT\b|\bWINDOW\b|$)",
+        # every WHERE in the statement (incl. subqueries) is validated
+        for m in re.finditer(
+            r"\bWHERE\b(.*?)(?=\bGROUP\s+BY\b|\bORDER\s+BY\b|\bHAVING\b"
+            r"|\bLIMIT\b|\bWINDOW\b|\bWHERE\b|$)",
             stmt,
             re.IGNORECASE | re.DOTALL,
-        )
-        if not m:
-            return
-        where = m.group(1)
-        for occ in re.finditer(r"(?<![\w.'])_score\b", where):
-            if not re.match(
-                r"\s*>=\s*(?:\d+(?:\.\d+)?|\?)", where[occ.end():]
-            ):
-                raise ValueError(err)
-            if re.search(r"\bNOT\s*\(?\s*$", where[: occ.start()], re.IGNORECASE):
-                raise ValueError(err)
+        ):
+            where = m.group(1)
+            for occ in re.finditer(r"(?<![\w.'])_score\b", where):
+                if not re.match(
+                    r"\s*>=\s*(?:\d+(?:\.\d+)?|\.\d+|\?)", where[occ.end():]
+                ):
+                    raise ValueError(err)
+                if re.search(
+                    r"\bNOT\s*\(?\s*$", where[: occ.start()], re.IGNORECASE
+                ):
+                    raise ValueError(err)
 
     def _execute_match_score(self, stmt: str) -> DataFrame:
         """``SELECT ... _score ... FROM t WHERE MATCH(col, 'q') ...
@@ -2655,13 +2658,11 @@ class CrateSession:
                 ),
                 "__js_str": _js_str,
                 "String": _js_str,
-                "Number": (lambda v=0: float(v)),
-                "parseInt": (lambda s, base=10: int(str(s).strip(), base)),
-                "parseFloat": (lambda s: float(str(s).strip())),
-                "isNaN": (
-                    lambda v: not isinstance(v, (int, float))
-                    or (isinstance(v, float) and v != v)
-                ),
+                "Number": _js_number,
+                "parseInt": _js_parse_int,
+                "parseFloat": _js_parse_float,
+                # JS isNaN coerces first: isNaN('123') is false
+                "isNaN": (lambda v: _js_number(v) != _js_number(v)),
             }
             _, body_fn = _js_function(body, env)
             # identity (signature + coercers) comes from the SQL
@@ -3055,6 +3056,14 @@ class _JsObject(dict):
     lang-js extension (JavascriptUserDefinedFunctionTest
     f_dot/f_brackets)."""
 
+    def __getattribute__(self, name):
+        # a stored key wins over dict methods (o.keys on
+        # {"keys": "abc"} reads the member, like GraalVM host access);
+        # dunder lookups stay on the class so dict protocol works
+        if not name.startswith("__") and dict.__contains__(self, name):
+            return dict.get(self, name)
+        return super().__getattribute__(name)
+
     def __getattr__(self, name):
         return self.get(name)
 
@@ -3077,6 +3086,50 @@ def _js_wrap_value(v):
     if isinstance(v, (list, tuple)):
         return [_js_wrap_value(x) for x in v]
     return v
+
+
+def _js_number(v) -> float:
+    """JS ``Number()`` coercion: null/''/false -> 0, true -> 1,
+    numeric strings parse, everything else -> NaN (never raises)."""
+    if v is None:
+        return 0.0
+    if v is True:
+        return 1.0
+    if v is False:
+        return 0.0
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, str):
+        s = v.strip()
+        if not s:
+            return 0.0
+        try:
+            return float(s)
+        except ValueError:
+            return float("nan")
+    return float("nan")
+
+
+def _js_parse_int(s, base=10) -> float:
+    """JS ``parseInt``: parse the leading integer prefix ('12px' ->
+    12), NaN when there is none."""
+    import re as _re
+
+    m = _re.match(r"\s*([+-]?\d+)", str(s))
+    if not m:
+        return float("nan")
+    try:
+        return float(int(m.group(1), base) if base != 10 else int(m.group(1)))
+    except ValueError:
+        return float("nan")
+
+
+def _js_parse_float(s) -> float:
+    """JS ``parseFloat``: leading float prefix, NaN when absent."""
+    import re as _re
+
+    m = _re.match(r"\s*([+-]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?)", str(s))
+    return float(m.group(1)) if m else float("nan")
 
 
 def _js_str(v) -> str:
@@ -3134,17 +3187,19 @@ class _JsDate:
 def _js_ternary_to_python(expr: str) -> str:
     """``cond ? a : b`` -> ``((a) if (cond) else (b))``. Rightmost-?
     first (its branches are then ternary-free), scope delimited by the
-    nearest enclosing paren/bracket/comma — nested ternaries resolve
-    over successive iterations."""
+    nearest enclosing paren/bracket/brace/comma — nested ternaries
+    resolve over successive iterations. Braces are tracked so object
+    literals inside a branch (``cond ? {a: 1} : {b: 2}``) don't steal
+    the ternary's ':'."""
     while "?" in expr:
         q = expr.rindex("?")
         # scope start: nearest unmatched opener or depth-0 comma left of q
         depth, start = 0, 0
         for i in range(q - 1, -1, -1):
             ch = expr[i]
-            if ch in ")]":
+            if ch in ")]}":
                 depth += 1
-            elif ch in "([":
+            elif ch in "([{":
                 if depth == 0:
                     start = i + 1
                     break
@@ -3152,13 +3207,14 @@ def _js_ternary_to_python(expr: str) -> str:
             elif ch == "," and depth == 0:
                 start = i + 1
                 break
-        # the ':' matching this '?' (branches of the rightmost ? hold none)
+        # the ':' matching this '?' (branches of the rightmost ? hold
+        # no ternaries; a ':' inside braces is an object-literal key)
         depth, colon = 0, -1
         for i in range(q + 1, len(expr)):
             ch = expr[i]
-            if ch in "([":
+            if ch in "([{":
                 depth += 1
-            elif ch in ")]":
+            elif ch in ")]}":
                 depth -= 1
             elif ch == ":" and depth == 0:
                 colon = i
@@ -3169,9 +3225,9 @@ def _js_ternary_to_python(expr: str) -> str:
         depth, end = 0, len(expr)
         for i in range(colon + 1, len(expr)):
             ch = expr[i]
-            if ch in "([":
+            if ch in "([{":
                 depth += 1
-            elif ch in ")]":
+            elif ch in ")]}":
                 if depth == 0:
                     end = i
                     break
@@ -3206,9 +3262,10 @@ def _js_expr_to_python(expr: str) -> str:
         r"(*\1)",
         expr,
     )
-    # arr.join(sep) -> helper (JS stringifies elements; default ',')
+    # arr.join(sep) -> helper (JS stringifies elements; default ','):
+    # the receiver may be a member path (obj.tags.join)
     expr = re.sub(
-        r"([\w$]+(?:\[[^\]]*\])*)\s*\.\s*join\(",
+        r"([\w$]+(?:\.[\w$]+|\[[^\]]*\])*)\s*\.\s*join\(",
         r"__js_join(\1, ",
         expr,
     )

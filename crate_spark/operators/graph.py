@@ -191,11 +191,14 @@ def connected_components(
         return ckpt, (got["n"], got["h"])
 
     e = _symmetrize(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
-    # node set: lazy — only the FINAL roots anti-join needs it, so its
-    # distinct rides that job (one extra scan of the caller's edge
-    # input there) instead of paying an eager checkpoint job up front
-    nodes = e.select(F.col("src").alias("node")).distinct()
     e, fp_prev = _checkpoint_with_fingerprint(e)
+    # node set: derived lazily from the CHECKPOINTED symmetric edge
+    # set — only the FINAL roots anti-join needs it, so its distinct
+    # rides that job instead of paying an eager checkpoint up front,
+    # and the checkpointed lineage pins it to the same snapshot the
+    # contraction ran on (a non-deterministic caller input recomputed
+    # at the end could otherwise disagree with the contracted edges)
+    nodes = e.select(F.col("src").alias("node")).distinct()
     for _ in range(max_iterations):
         # convergence in two tiers: a per-round (count, hash-xor)
         # fingerprint observed during the checkpoint job screens each

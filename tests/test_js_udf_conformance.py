@@ -14,7 +14,16 @@ from __future__ import annotations
 
 import pytest
 
-from crate_spark.engine import _js_function, _JsDate, _JsJSON, _JsMath, _js_str
+from crate_spark.engine import (
+    _js_function,
+    _js_number,
+    _js_parse_float,
+    _js_parse_int,
+    _js_str,
+    _JsDate,
+    _JsJSON,
+    _JsMath,
+)
 
 
 def _env():
@@ -37,11 +46,10 @@ def _env():
             "" if e is None else _js_str(e) for e in arr
         ),
         "__js_str": _js_str, "String": _js_str,
-        "Number": lambda v=0: float(v),
-        "parseInt": lambda s, base=10: int(str(s).strip(), base),
-        "parseFloat": lambda s: float(str(s).strip()),
-        "isNaN": lambda v: not isinstance(v, (int, float))
-        or (isinstance(v, float) and v != v),
+        "Number": _js_number,
+        "parseInt": _js_parse_int,
+        "parseFloat": _js_parse_float,
+        "isNaN": lambda v: _js_number(v) != _js_number(v),
     }
 
 
@@ -171,3 +179,36 @@ def test_join_defaults_and_stringification():
     """JS Array.join: default ',' separator, elements stringified,
     null/undefined render empty."""
     assert _run("function f(a) { return a.join(); }", [1, 2.0, None]) == "1,2,"
+
+
+def test_member_path_join():
+    """Array.join on a member path (obj.tags.join) — the receiver may
+    be deeper than a bare name."""
+    assert _run(
+        "function f(o) { return o.tags.join('-'); }",
+        {"tags": ["x", "y"]},
+    ) == "x-y"
+
+
+def test_ternary_with_object_literal_branches():
+    """``cond ? {a:1} : {b:2}`` — object-literal colons must not steal
+    the ternary's ':' (brace-aware scope tracking)."""
+    assert _run("function f(x) { return x > 0 ? {a: 1} : {b: 2}; }", 5) == {"a": 1}
+    assert _run("function f(x) { return x > 0 ? {a: 1} : {b: 2}; }", -5) == {"b": 2}
+
+
+def test_object_field_named_like_dict_method():
+    """A stored key shadows dict methods, like GraalVM member access:
+    o.keys on {"keys": "abc"} reads the member."""
+    assert _run("function f(o) { return o.keys; }", {"keys": "abc"}) == "abc"
+    assert _run("function f(o) { return o.get; }", {"get": 7}) == 7
+
+
+def test_js_numeric_coercion():
+    """JS numeric-coercion semantics: isNaN coerces first, parseInt
+    takes the leading integer prefix, Number(null) is 0."""
+    assert _run("function f() { return isNaN('123'); }") is False
+    assert _run("function f() { return isNaN('12px'); }") is True
+    assert _run("function f() { return parseInt('12px'); }") == 12
+    assert _run("function f() { return Number(null); }") == 0
+    assert _run("function f() { return parseFloat('3.5rem'); }") == 3.5

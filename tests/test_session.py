@@ -1579,3 +1579,35 @@ def test_score_system_column_semantics(session):
     ):
         with _pytest.raises(ValueError, match="'>=' comparison"):
             session.execute(bad).collect()
+
+
+def test_schema_strip_comma_from_list(spark, tmp_path):
+    """Comma-separated FROM lists strip the schema prefix on EVERY
+    item, while aliases equal to schema names keep their qualifier."""
+    from crate_spark.engine import CrateSession
+
+    s = CrateSession(spark, None, storage_dir=str(tmp_path))
+    s.execute("CREATE SCHEMA rx")
+    s.execute("CREATE TABLE rx.a (id int)")
+    s.execute("CREATE TABLE rx.b (id int)")
+    s.execute("INSERT INTO rx.a (id) VALUES (1), (2)")
+    s.execute("INSERT INTO rx.b (id) VALUES (10)")
+    n = s.execute(
+        "SELECT count(*) AS n FROM rx.a, rx.b"
+    ).collect()[0]["n"]
+    assert n == 2  # cross product 2x1
+
+
+def test_udf_search_path_case_insensitive(spark, tmp_path):
+    """Unquoted schema identifiers fold to lowercase: SET search_path
+    = MySchema must still resolve a UDF stored under 'myschema'."""
+    from crate_spark.engine import CrateSession
+
+    s = CrateSession(spark, None, storage_dir=str(tmp_path))
+    s.execute(
+        "CREATE FUNCTION MySchema.inc2(integer) RETURNS integer "
+        "LANGUAGE JAVASCRIPT AS 'function inc2(a) { return a + 2; }'"
+    )
+    s.execute("SET search_path = MySchema, doc")
+    assert s.execute("SELECT inc2(1) AS v").collect()[0][0] == 3
+    s.execute("SET search_path = doc")
