@@ -253,3 +253,76 @@ def test_differential(crate, duck, i, sql):
     a = canonical_rows([c.lower() for c in sdf.columns], srows)
     b = canonical_rows([c.lower() for c in ocols], orows)
     assert a == b, f"values differ for: {sql}"
+
+
+# ---- temporal differential sweep -----------------------------------------
+# Dates/timestamps are the classic shim-divergence area: EXTRACT
+# fields, date_trunc granularity, timestamp comparisons against
+# literals, and CAST-to-date arithmetic all flow through dialect
+# rewrites. Deterministic functions only; results compare as
+# canonical multisets like the main sweep.
+
+def gen_temporal_query(rng: random.Random) -> str:
+    table, col, key = rng.choice(
+        [("orders", "o_orderdate", "o_orderkey"),
+         ("lineitem", "l_shipdate", "l_orderkey")]
+    )
+    shape = rng.random()
+    year = rng.randint(1992, 1998)
+    if shape < 0.3:
+        part = rng.choice(["year", "month", "day", "quarter", "dow"])
+        return (
+            f"SELECT CAST(EXTRACT({part} FROM {col}) AS BIGINT) AS p, "
+            f"count(*) AS n FROM {table} GROUP BY p"
+        )
+    if shape < 0.55:
+        g = rng.choice(["year", "quarter", "month", "week", "day"])
+        return (
+            f"SELECT CAST(date_trunc('{g}', {col}) AS DATE) AS b, "
+            f"count(*) AS n FROM {table} "
+            f"WHERE {col} >= TIMESTAMP '{year}-01-01 00:00:00' GROUP BY b"
+        )
+    if shape < 0.75:
+        mo = rng.randint(1, 12)
+        return (
+            f"SELECT count(*) AS n, CAST(min(EXTRACT(year FROM {col})) AS BIGINT) AS y0, "
+            f"CAST(max(EXTRACT(year FROM {col})) AS BIGINT) AS y1 FROM {table} "
+            f"WHERE {col} BETWEEN TIMESTAMP '{year}-{mo:02d}-01 00:00:00' "
+            f"AND TIMESTAMP '{year + 1}-{mo:02d}-01 00:00:00'"
+        )
+    if shape < 0.9:
+        return (
+            f"SELECT {key}, CAST({col} AS DATE) AS d FROM {table} "
+            f"WHERE EXTRACT(year FROM {col}) = {year} "
+            f"ORDER BY {key} LIMIT {rng.randint(5, 25)}"
+        )
+    return (
+        f"SELECT CAST(EXTRACT(year FROM {col}) AS BIGINT) AS y, "
+        f"CAST(EXTRACT(month FROM {col}) AS BIGINT) AS m, count(*) AS n "
+        f"FROM {table} GROUP BY y, m HAVING count(*) > 2"
+    )
+
+
+N_TEMPORAL = 40
+
+
+def _temporal_queries():
+    rng = random.Random(SEED ^ 0xDA7E)
+    return [gen_temporal_query(rng) for _ in range(N_TEMPORAL)]
+
+
+@pytest.mark.parametrize(
+    "i,sql",
+    list(enumerate(_temporal_queries())),
+    ids=[f"t{i:03d}" for i in range(N_TEMPORAL)],
+)
+def test_temporal_differential(crate, duck, i, sql):
+    sdf = crate.execute(sql)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(sql)
+    ocols = [c[0] for c in cur.description]
+    orows = cur.fetchall()
+    assert len(srows) == len(orows), f"row count differs for: {sql}"
+    a = canonical_rows([c.lower() for c in sdf.columns], srows)
+    b = canonical_rows([c.lower() for c in ocols], orows)
+    assert a == b, f"values differ for: {sql}"
