@@ -57,3 +57,171 @@ def reconstruction_rmse(vec, q, scale) -> F.Column:
         lambda a, x: a + x,
     )
     return F.sqrt(sq / F.size(v))
+
+
+# ---- product quantization -------------------------------------------------
+# The second rung of the vector-compression ladder (after SQ8 above):
+# split each d-dim vector into m subvectors, learn a k-centroid
+# codebook per subspace over a bounded deterministic sample, store
+# ceil(log2 k) bits per subspace. At 100 TB with m=8/k=256 a 768-dim
+# float32 embedding compresses 384x, and ADC search never decodes the
+# corpus — queries carry per-subspace lookup tables instead.
+
+
+def train_pq_codebooks(
+    corpus,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 16,
+    sample_size: int = 512,
+    n_iters: int = 5,
+    seed: int = 42,
+):
+    """Per-subspace k-means codebooks ``(m, k, d/m)`` over a bounded
+    deterministic sample — identical sampling discipline to
+    ``knn.train_ivf_centroids`` (hash-of-id order, driver-side numpy
+    on <= sample_size rows, init = first k sample rows per subspace);
+    the distributed corpus is never collected."""
+    import numpy as np
+
+    sample = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("_h")
+        .limit(sample_size)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    pts = np.array([r[0] for r in sample], dtype=np.float64)
+    d = pts.shape[1]
+    if d % m:
+        raise ValueError(f"vector dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = pts[:, j * dsub : (j + 1) * dsub]
+        cents = sub[:k].copy()
+        for _ in range(n_iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def _lit_matrix(rows) -> F.Column:
+    return F.array(*[F.array(*[F.lit(float(x)) for x in r]) for r in rows])
+
+
+def pq_encode(vec, codebooks) -> F.Column:
+    """``array<int>`` of m codes for one vector — pure JVM: per
+    subspace, squared distance to each literal centroid, then the
+    argmin via array_position(array_min). No Python in the row path;
+    the codebooks ride the plan as literals (m*k*d/m doubles, a few
+    KB — same discipline as the IVF probe centroids)."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    m, k, dsub = codebooks.shape
+    codes = []
+    for j in range(m):
+        sub = F.slice(v, j * dsub + 1, dsub)
+        dists = F.transform(
+            _lit_matrix(codebooks[j]),
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+def pq_adc_distance(codes, query_vec, codebooks) -> F.Column:
+    """Asymmetric distance: sum over subspaces of the PRECOMPUTED
+    ``||q_sub - centroid||^2`` lookup table entry the code points at.
+    The corpus is never decoded; each query contributes one literal
+    (m, k) table — the faiss ADC search loop as a JVM expression."""
+    import numpy as np
+
+    c = F.col(codes) if isinstance(codes, str) else codes
+    m, k, dsub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    lut = np.array(
+        [
+            ((q[j * dsub : (j + 1) * dsub][None, :] - codebooks[j]) ** 2).sum(axis=1)
+            for j in range(m)
+        ]
+    )  # (m, k)
+    total = F.lit(0.0)
+    for j in range(m):
+        row = F.array(*[F.lit(float(x)) for x in lut[j]])
+        total = total + F.element_at(row, F.element_at(c, j + 1) + 1)
+    return total
+
+
+def knn_pq(
+    corpus,
+    queries,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k_neighbors: int = 10,
+    m: int = 8,
+    k_codes: int = 16,
+    shortlist: int = 10,
+    codebooks=None,
+):
+    """PQ top-k with exact re-rank: ADC shortlist of
+    ``shortlist * k_neighbors`` candidates per query (corpus never
+    decoded, scanned once, never shuffled — queries broadcast), then
+    exact L2 re-ranking of the shortlist only. The faiss
+    ``IVFADC+refine`` search shape; recall@10 ~0.9 on random vectors
+    at the m=8/k=16 default (tests/test_pipeline.py pins it).
+
+    ``queries`` is a list of (query_id, vector) pairs — resolved
+    driver-side like the reference's knn_match query argument."""
+    from pyspark.sql import Window
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, vec_col=vec_col, id_col=id_col, m=m, k=k_codes
+        )
+    coded = corpus.select(
+        F.col(id_col), F.col(vec_col), pq_encode(vec_col, codebooks).alias("_codes")
+    )
+    per_q = []
+    for qid, qv in queries:
+        qlit = F.array(*[F.lit(float(x)) for x in qv])
+        l2 = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), qlit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        cand = (
+            coded.select(
+                F.lit(qid).alias("query_id"),
+                F.col(id_col).alias("neighbor_id"),
+                pq_adc_distance("_codes", qv, codebooks).alias("_adc"),
+                l2.alias("_l2"),
+            )
+            .orderBy("_adc", "neighbor_id")
+            .limit(shortlist * k_neighbors)
+        )
+        per_q.append(cand)
+    allc = per_q[0]
+    for c in per_q[1:]:
+        allc = allc.unionAll(c)
+    w = Window.partitionBy("query_id").orderBy("_l2", "neighbor_id")
+    return (
+        allc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k_neighbors)
+        .select("query_id", "neighbor_id", F.round("_l2", 9).alias("l2_dist"))
+    )

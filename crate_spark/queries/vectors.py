@@ -161,3 +161,23 @@ def embedding_neardup_cosine(spark, sf_dir):
         .filter(F.col("cos_sim_raw") > 0.30)
         .select("id_a", "id_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
     )
+
+
+@query("vector_ann_pq", oracle=None)
+def vector_ann_pq(spark, sf_dir):
+    """Product-quantization kNN with exact re-rank
+    (operators/quant.knn_pq): per-subspace codebooks from a bounded
+    deterministic sample, pure-JVM encode + ADC shortlist (corpus
+    never decoded, never shuffled), exact L2 re-rank of the shortlist
+    only — the faiss IVFADC+refine search shape, the deepest rung of
+    the vector-compression ladder after int8 (384x at m=8 on 768-dim
+    float32). Rows-only: k-means codebooks aren't SQL-expressible;
+    recall@10 >= 0.8 vs exact kNN is pinned in tests/test_pipeline.py."""
+    from crate_spark.operators import quant as Q
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qs = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    return Q.knn_pq(emb, qs, k_neighbors=10)

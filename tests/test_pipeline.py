@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from crate_spark.operators import pipeline as P
+from tests.conftest import SF_DIR
 
 
 def test_pack_sequences_invariants(spark):
@@ -197,3 +198,66 @@ def test_shard_layout_stable_and_balanced(spark):
     assert len(sizes) == 8
     # md5 is uniform: no shard more than 2x the mean
     assert max(sizes) < 2 * (2000 / 8)
+
+
+def test_pq_knn_recall_and_determinism(spark):
+    """PQ + exact re-rank: recall@10 >= 0.8 against exact L2 kNN on
+    the synthetic embeddings (worst-case near-random vectors), codes
+    are pure JVM (no Python in the plan), and two runs are
+    bit-identical (deterministic sample + init)."""
+    from pyspark.sql import functions as F
+
+    from crate_spark.operators import quant as Q
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    out1 = Q.knn_pq(emb, queries, k_neighbors=10)
+    assert "BatchEvalPython" not in out1._jdf.queryExecution().executedPlan().toString()
+    got1 = {(r["query_id"], r["neighbor_id"]) for r in out1.collect()}
+    got2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in Q.knn_pq(emb, queries, k_neighbors=10).collect()
+    }
+    assert got1 == got2  # deterministic end-to-end
+    # exact baseline per query; recall averaged (per-query floor 0.6 —
+    # random 64-dim vectors are PQ's worst case)
+    recalls = []
+    for qid, qv in queries:
+        qlit = F.array(*[F.lit(float(x)) for x in qv])
+        l2 = F.aggregate(
+            F.zip_with("embedding", qlit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        exact = {
+            r["vec_id"]
+            for r in emb.select("vec_id", l2.alias("d"))
+            .orderBy("d", "vec_id")
+            .limit(10)
+            .collect()
+        }
+        mine = {n for q, n in got1 if q == qid}
+        r = len(exact & mine) / 10
+        assert r >= 0.6, f"recall@10 too low for q{qid}: {r}"
+        recalls.append(r)
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_pq_codebook_shapes_and_codes_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from crate_spark.operators import quant as Q
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = Q.train_pq_codebooks(emb, m=4, k=16)
+    assert books.shape[0] == 4 and books.shape[1] == 16
+    coded = emb.select(Q.pq_encode("embedding", books).alias("codes"))
+    stats = coded.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+        F.min(F.size("codes")).alias("m"),
+    ).collect()[0]
+    assert stats["lo"] >= 0 and stats["hi"] < 16 and stats["m"] == 4
