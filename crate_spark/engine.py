@@ -3065,10 +3065,10 @@ class _JsObject(dict):
         return super().__getattribute__(name)
 
     def __getattr__(self, name):
-        return self.get(name)
+        return dict.get(self, name)
 
     def __getitem__(self, key):
-        return self.get(key)
+        return dict.get(self, key)
 
 
 def _js_wrap_value(v):

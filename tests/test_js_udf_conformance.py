@@ -212,3 +212,12 @@ def test_js_numeric_coercion():
     assert _run("function f() { return parseInt('12px'); }") == 12
     assert _run("function f() { return Number(null); }") == 0
     assert _run("function f() { return parseFloat('3.5rem'); }") == 3.5
+
+
+def test_subscript_works_with_method_named_keys():
+    """o['x'] must still work when the object also has a key that
+    shadows a dict method (the internal lookup can't route through
+    the shadowed .get)."""
+    assert _run(
+        'function f(o) { return o["x"]; }', {"get": 7, "x": 3}
+    ) == 3
