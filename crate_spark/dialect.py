@@ -2742,9 +2742,15 @@ def rewrite(
             # prefix alternation eats `relation [AS alias], ` pairs;
             # loop to a fixpoint since each pass strips one
             # occurrence per list
+            # each list item is strictly `relation [AS alias],` — a
+            # dotted/backticked name plus at most one alias word — so
+            # the repetition can never walk across ORDER BY/GROUP BY
+            # into expression commas where a schema-named ALIAS
+            # qualifier must survive
             _rel_re = re.compile(
                 rf"(\b(?:FROM|JOIN|INTO|UPDATE|TABLE|EXISTS)\s+"
-                rf"(?:[^,()\s][^,()]*?\s*,\s*)*){sch_pat}"
+                rf"(?:(?:[A-Za-z_][\w.]*|`[^`]+`(?:\s*\.\s*`[^`]+`)*)"
+                rf"(?:\s+(?:AS\s+)?[A-Za-z_]\w*)?\s*,\s*)*){sch_pat}"
                 rf"\s*\.\s*(?=[A-Za-z_`])",
                 re.IGNORECASE,
             )
@@ -2970,7 +2976,17 @@ def rewrite_sys_columns(sql: str) -> str:
 
     Single-relation statements only — ``struct(*)`` expands the whole
     input row, so in a join it would span both sides.
+
+    String literals are masked first so a ``_score`` or ``_id``
+    INSIDE a literal is never rewritten into the data.
     """
+    lits: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"__SYSLIT{len(lits) - 1}__"
+
+    sql = re.sub(r"'(?:[^']|'')*'", _mask, sql)
     out, last = [], 0
     for m in _SYS_COL_RE.finditer(sql):
         expr = _SYS_COL_EXPRS[m.group(1)]
@@ -2983,4 +2999,7 @@ def rewrite_sys_columns(sql: str) -> str:
         out.append(f"{expr} AS {m.group(1)}" if bare_item else expr)
         last = m.end()
     out.append(sql[last:])
-    return "".join(out)
+    res = "".join(out)
+    for i, lit in enumerate(lits):
+        res = res.replace(f"__SYSLIT{i}__", lit)
+    return res

@@ -587,12 +587,13 @@ class CrateTable:
         """COPY FROM with RETURN SUMMARY semantics: load good rows,
         count bad ones (PERMISSIVE + _corrupt_record).
 
-        ``http(s)://`` URIs are fetched to a local spool file first
+        ``http(s)://`` URIs are fetched to a spool file first
         (copy-from.rst "Other schemes": JVM URL protocols, no wildcard
         expansion) — Spark's file sources don't speak http. The spool
-        is driver-local and bounded by one import file, matching the
-        reference where each URI is one stream; bulk lake imports use
-        file:// / s3a:// paths that executors read directly."""
+        lives NEXT TO the table directory, i.e. on the same filesystem
+        executors read the table from, so the pattern survives a real
+        cluster where the driver's /tmp is invisible to executors;
+        bulk lake imports use file:// / s3a:// paths directly."""
         if re.match(r"^https?://", uri, re.IGNORECASE):
             if "*" in uri:
                 raise ValueError(
@@ -600,9 +601,12 @@ class CrateTable:
                 )
             import urllib.request
 
-            suffix = "." + format
-            fd, spool = tempfile.mkstemp(suffix=suffix, prefix="crate_copy_")
-            os.close(fd)
+            spool = os.path.join(
+                os.path.dirname(self.path.rstrip("/")) or tempfile.gettempdir(),
+                # no leading underscore: Hadoop file sources treat
+                # _-prefixed paths as hidden and read zero rows
+                f"copy-spool-{uuid.uuid4().hex}.{format}",
+            )
             try:
                 with urllib.request.urlopen(uri, timeout=60) as resp, open(  # noqa: S310
                     spool, "wb"

@@ -2185,9 +2185,12 @@ class CrateSession:
         routed = self._dml.route(stmt)
         if routed is not None:
             return routed
-        has_score = bool(re.search(r"(?<![\w.'])_score\b", stmt))
+        # detection/validation on a literal-masked copy: '_score'
+        # inside a string literal is data, not a system column
+        _masked = re.sub(r"'(?:[^']|'')*'", "''", stmt)
+        has_score = bool(re.search(r"(?<![\w.'])_score\b", _masked))
         if has_score:
-            self._validate_score_in_where(stmt)
+            self._validate_score_in_where(_masked)
         # MATCH + _score: needs the BM25 join, not a plain rewrite
         if has_score and re.search(r"\bMATCH\s*\(", stmt, re.IGNORECASE):
             return self._execute_match_score(stmt)
@@ -2474,9 +2477,24 @@ class CrateSession:
                     r"\s*>=\s*(?:\d+(?:\.\d+)?|\.\d+|\?)", where[occ.end():]
                 ):
                     raise ValueError(err)
-                if re.search(
-                    r"\bNOT\s*\(?\s*$", where[: occ.start()], re.IGNORECASE
-                ):
+                # any enclosing NOT — adjacent (NOT _score >= x) or a
+                # NOT whose parenthesis is still open at _score
+                # (NOT (a AND _score >= x)) — is rejected, matching
+                # WhereClauseValidator's insideNotPredicate walk
+                prefix = where[: occ.start()]
+                if re.search(r"\bNOT\s*$", prefix, re.IGNORECASE):
+                    raise ValueError(err)
+                open_nots = []
+                for t in re.finditer(r"\bNOT\s*\(|\(|\)", prefix, re.IGNORECASE):
+                    tok = t.group(0)
+                    if tok.upper().startswith("NOT"):
+                        open_nots.append(True)
+                    elif tok == "(":
+                        open_nots.append(False)
+                    else:
+                        if open_nots:
+                            open_nots.pop()
+                if any(open_nots):
                     raise ValueError(err)
 
     def _execute_match_score(self, stmt: str) -> DataFrame:
@@ -2651,6 +2669,7 @@ class CrateSession:
             env = {
                 "__builtins__": safe_builtins, "math": _math,
                 "Math": _JsMath, "Date": _JsDate, "JSON": _JsJSON,
+                "__js_member": _js_member,
                 "__js_join": (
                     lambda arr, sep=",": _js_str(sep).join(
                         "" if e is None else _js_str(e) for e in arr
@@ -3056,19 +3075,28 @@ class _JsObject(dict):
     lang-js extension (JavascriptUserDefinedFunctionTest
     f_dot/f_brackets)."""
 
-    def __getattribute__(self, name):
-        # a stored key wins over dict methods (o.keys on
-        # {"keys": "abc"} reads the member, like GraalVM host access);
-        # dunder lookups stay on the class so dict protocol works
-        if not name.startswith("__") and dict.__contains__(self, name):
-            return dict.get(self, name)
-        return super().__getattribute__(name)
-
     def __getattr__(self, name):
         return dict.get(self, name)
 
     def __getitem__(self, key):
         return dict.get(self, key)
+
+
+def _js_member(obj, name):
+    """Translated ``obj.name`` property access: a stored key wins over
+    any dict method (GraalVM host access reads the member), missing
+    members read as undefined/None — and because the TRANSLATOR routes
+    property access here, real dict protocol (json.dumps, pyspark's
+    StructType.toInternal calling .get/.items) is never shadowed."""
+    if isinstance(obj, dict):
+        if name == "length" and "length" not in obj:
+            return len(obj)
+        return obj.get(name)
+    if obj is None:
+        return None
+    if name == "length" and hasattr(obj, "__len__"):
+        return len(obj)
+    return getattr(obj, name, None)
 
 
 def _js_wrap_value(v):
@@ -3110,18 +3138,27 @@ def _js_number(v) -> float:
     return float("nan")
 
 
-def _js_parse_int(s, base=10) -> float:
-    """JS ``parseInt``: parse the leading integer prefix ('12px' ->
-    12), NaN when there is none."""
+def _js_parse_int(s, base=None) -> float:
+    """JS ``parseInt``: parse the leading valid-digit prefix in the
+    given base ('12px' -> 12, parseInt('ff', 16) -> 255, '0x1A' ->
+    26), NaN when there is none."""
     import re as _re
 
-    m = _re.match(r"\s*([+-]?\d+)", str(s))
+    text = str(s).strip()
+    sign = 1
+    if text[:1] in "+-":
+        if text[0] == "-":
+            sign = -1
+        text = text[1:]
+    if (base in (None, 16)) and text[:2].lower() == "0x":
+        base, text = 16, text[2:]
+    if base is None:
+        base = 10
+    digits = "0123456789abcdefghijklmnopqrstuvwxyz"[:base]
+    m = _re.match(rf"[{digits}]+", text, _re.IGNORECASE)
     if not m:
         return float("nan")
-    try:
-        return float(int(m.group(1), base) if base != 10 else int(m.group(1)))
-    except ValueError:
-        return float("nan")
+    return float(sign * int(m.group(0), base))
 
 
 def _js_parse_float(s) -> float:
@@ -3275,6 +3312,24 @@ def _js_expr_to_python(expr: str) -> str:
     # are masked placeholders — leave those alone)
     expr = re.sub(
         r"([{,]\s*)(?!__JSLIT\d+__)([A-Za-z_$][\w$]*)\s*:", r'\1"\2":', expr
+    )
+    # property access on identifier chains -> __js_member (never on
+    # the Math/Date/JSON/math namespaces, never on a method call's
+    # final segment): obj.l1.l2 nests left-to-right. Routing through
+    # the helper instead of Python attribute access keeps dict
+    # protocol intact for library consumers of the same objects.
+    def _member_sub(m: re.Match) -> str:
+        path = m.group(0).split(".")
+        out = path[0]
+        for p in path[1:]:
+            out = f"__js_member({out}, '{p.strip()}')"
+        return out
+
+    expr = re.sub(
+        r"\b(?!(?:Math|Date|JSON|math|__js\w*)\b)"
+        r"[A-Za-z_$][\w$]*(?:\s*\.\s*[A-Za-z_$][\w$]*)+(?![\w$])(?!\s*\()(?!\s*\.)",
+        _member_sub,
+        expr,
     )
     expr = re.sub(r"&&", " and ", expr)
     expr = re.sub(r"\|\|", " or ", expr)

@@ -96,9 +96,14 @@ def train_pq_codebooks(
         .collect()
     )
     pts = np.array([r[0] for r in sample], dtype=np.float64)
+    if pts.size == 0:
+        raise ValueError("train_pq_codebooks: empty corpus")
     d = pts.shape[1]
     if d % m:
         raise ValueError(f"vector dim {d} not divisible by m={m}")
+    # fewer sample vectors than centroids: shrink k (a codebook can't
+    # have more distinct centroids than training points)
+    k = min(k, pts.shape[0])
     dsub = d // m
     books = np.empty((m, k, dsub), dtype=np.float64)
     for j in range(m):
@@ -192,6 +197,9 @@ def knn_pq(
         codebooks = train_pq_codebooks(
             corpus, vec_col=vec_col, id_col=id_col, m=m, k=k_codes
         )
+    schema = "query_id bigint, neighbor_id bigint, l2_dist double"
+    if not queries:
+        return corpus.sparkSession.createDataFrame([], schema)
     coded = corpus.select(
         F.col(id_col), F.col(vec_col), pq_encode(vec_col, codebooks).alias("_codes")
     )
@@ -205,17 +213,23 @@ def knn_pq(
             F.lit(0.0),
             lambda a, x: a + x,
         )
-        cand = (
+        # shortlist FIRST on the cheap ADC distance (the exact-L2
+        # expression must sit ABOVE the TakeOrdered cut, or Spark
+        # evaluates it for every corpus row and the shortlist saves
+        # nothing), exact re-rank only on the shortlist rows
+        short = (
             coded.select(
                 F.lit(qid).alias("query_id"),
                 F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col),
                 pq_adc_distance("_codes", qv, codebooks).alias("_adc"),
-                l2.alias("_l2"),
             )
             .orderBy("_adc", "neighbor_id")
             .limit(shortlist * k_neighbors)
         )
-        per_q.append(cand)
+        per_q.append(
+            short.select("query_id", "neighbor_id", l2.alias("_l2"))
+        )
     allc = per_q[0]
     for c in per_q[1:]:
         allc = allc.unionAll(c)

@@ -16,6 +16,7 @@ import pytest
 
 from crate_spark.engine import (
     _js_function,
+    _js_member,
     _js_number,
     _js_parse_float,
     _js_parse_int,
@@ -45,6 +46,7 @@ def _env():
         "__js_join": lambda arr, sep=",": _js_str(sep).join(
             "" if e is None else _js_str(e) for e in arr
         ),
+        "__js_member": _js_member,
         "__js_str": _js_str, "String": _js_str,
         "Number": _js_number,
         "parseInt": _js_parse_int,
@@ -221,3 +223,17 @@ def test_subscript_works_with_method_named_keys():
     assert _run(
         'function f(o) { return o["x"]; }', {"get": 7, "x": 3}
     ) == 3
+
+
+def test_object_protocol_not_shadowed_for_libraries():
+    """Property access routes through __js_member in translated code,
+    so dict protocol stays intact for library consumers: JSON.stringify
+    works on objects with method-named keys, and .length reads the
+    container size."""
+    assert (
+        _run("function f(o) { return JSON.stringify(o); }", {"items": [1]})
+        == '{"items": [1]}'
+    )
+    assert _run("function f(o) { return o.items; }", {"items": [1]}) == [1]
+    assert _run("function f(xs) { return xs.length; }", [1, 2, 3]) == 3
+    assert _run("function f(o) { return o.tags.length; }", {"tags": ["a"]}) == 1

@@ -1611,3 +1611,46 @@ def test_udf_search_path_case_insensitive(spark, tmp_path):
     s.execute("SET search_path = MySchema, doc")
     assert s.execute("SELECT inc2(1) AS v").collect()[0][0] == 3
     s.execute("SET search_path = doc")
+
+
+def test_score_in_string_literal_is_data(session):
+    """'_score' INSIDE a string literal is data: no validation error,
+    no rewrite into the literal."""
+    r = session.execute("SELECT 'the _score label' AS t FROM nation LIMIT 1").collect()
+    assert r[0]["t"] == "the _score label"
+    n = session.execute(
+        "SELECT count(*) AS n FROM nation WHERE n_name <> 'my _score is high'"
+    ).collect()[0][0]
+    assert n == 25
+
+
+def test_score_not_wrapped_predicate_rejected(session):
+    """NOT wrapping a larger predicate containing _score >= is still
+    an enclosing NOT (WhereClauseValidator insideNotPredicate)."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="'>=' comparison"):
+        session.execute(
+            "SELECT * FROM nation WHERE NOT (n_nationkey = 1 AND _score >= 0.5)"
+        ).collect()
+
+
+def test_order_by_alias_qualifier_survives_schema_strip(spark, tmp_path):
+    """A table alias equal to a user schema name keeps its qualifier
+    in ORDER BY/GROUP BY expression lists."""
+    from crate_spark.engine import CrateSession
+
+    s = CrateSession(spark, None, storage_dir=str(tmp_path))
+    s.execute("CREATE SCHEMA zx")
+    s.execute("CREATE TABLE zx.t (id int)")
+    s.execute("CREATE TABLE plain (a int, b int)")
+    s.execute("INSERT INTO plain (a, b) VALUES (2, 1), (1, 2)")
+    rows = s.execute(
+        "SELECT zx.a, zx.b FROM plain AS zx, zx.t ORDER BY zx.a, zx.b"
+    ).collect()
+    assert [tuple(r) for r in rows] == []  # zx.t empty -> cross join empty
+    s.execute("INSERT INTO zx.t (id) VALUES (7)")
+    rows = s.execute(
+        "SELECT zx.a, zx.b FROM plain AS zx, zx.t ORDER BY zx.a, zx.b"
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, 2), (2, 1)]
