@@ -326,3 +326,81 @@ def test_temporal_differential(crate, duck, i, sql):
     a = canonical_rows([c.lower() for c in sdf.columns], srows)
     b = canonical_rows([c.lower() for c in ocols], orows)
     assert a == b, f"values differ for: {sql}"
+
+
+# ---- relational-shape sweep: subqueries, set ops, CTEs -------------------
+
+def gen_relational_query(rng: random.Random) -> str:
+    g = Gen(rng, ORDERS_COLS)
+    gn = Gen(rng, NATION_COLS)
+    shape = rng.random()
+    if shape < 0.2:
+        # scalar subquery in SELECT
+        return (
+            f"SELECT o_orderkey, o_custkey, "
+            f"(SELECT CAST(max(n_nationkey) AS BIGINT) FROM nation "
+            f" WHERE n_nationkey = o_custkey % 25) AS nk "
+            f"FROM orders WHERE {g.pred()} ORDER BY o_orderkey LIMIT 20"
+        )
+    if shape < 0.4:
+        # IN (subquery)
+        return (
+            f"SELECT count(*) AS n FROM orders "
+            f"WHERE o_custkey % 25 IN "
+            f"(SELECT n_nationkey FROM nation WHERE {gn.pred()})"
+        )
+    if shape < 0.55:
+        # EXISTS correlated
+        return (
+            f"SELECT n_nationkey, n_name FROM nation n "
+            f"WHERE EXISTS (SELECT 1 FROM orders o "
+            f"WHERE o.o_custkey % 25 = n.n_nationkey AND {g.pred()})"
+        )
+    if shape < 0.7:
+        # UNION ALL / UNION of two filtered branches
+        op = rng.choice(["UNION ALL", "UNION"])
+        return (
+            f"SELECT o_orderkey AS k FROM orders WHERE {g.pred()} "
+            f"{op} SELECT o_orderkey AS k FROM orders WHERE {g.pred()}"
+        )
+    if shape < 0.85:
+        # CTE feeding an aggregate
+        return (
+            f"WITH base AS (SELECT o_custkey % 25 AS b, o_totalprice "
+            f"FROM orders WHERE {g.pred()}) "
+            f"SELECT b, count(*) AS n, "
+            f"round(CAST(sum(o_totalprice) AS DOUBLE) / 100.0, 4) AS s "
+            f"FROM base GROUP BY b"
+        )
+    # nested aggregation: aggregate over a grouped subquery
+    return (
+        "SELECT CAST(max(n) AS BIGINT) AS mx, CAST(min(n) AS BIGINT) AS mn, "
+        "count(*) AS grps FROM ("
+        f"SELECT o_custkey, count(*) AS n FROM orders WHERE {g.pred()} "
+        "GROUP BY o_custkey) t"
+    )
+
+
+N_RELATIONAL = 40
+
+
+def _relational_queries():
+    rng = random.Random(SEED ^ 0x5E7)
+    return [gen_relational_query(rng) for _ in range(N_RELATIONAL)]
+
+
+@pytest.mark.parametrize(
+    "i,sql",
+    list(enumerate(_relational_queries())),
+    ids=[f"r{i:03d}" for i in range(N_RELATIONAL)],
+)
+def test_relational_differential(crate, duck, i, sql):
+    sdf = crate.execute(sql)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(sql)
+    ocols = [c[0] for c in cur.description]
+    orows = cur.fetchall()
+    assert len(srows) == len(orows), f"row count differs for: {sql}"
+    a = canonical_rows([c.lower() for c in sdf.columns], srows)
+    b = canonical_rows([c.lower() for c in ocols], orows)
+    assert a == b, f"values differ for: {sql}"
