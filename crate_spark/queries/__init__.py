@@ -81,8 +81,11 @@ _MODULES = (
 #: keeps them out) + scalar_math_funcs (stale r1 red, fixed r2,
 #: judge-green since — needs a fresh row) + the 8 never-checked
 #: (3 added mid-r5 + 4 sql twins + scalar_blake3) + 35 of the 52
-#: longest-unchecked greens (last row r1/r2). The remaining 17
-#: r1/r2-stale greens roll to the r7 window.
+#: longest-unchecked greens (last row r1/r2). The r7 window should
+#: take: the 17 remaining r1/r2-stale greens (join_self..window_*,
+#: scalar_string_funcs tail — whatever still shows r1/r2 as its last
+#: row) + vector_ann_pq (added r6, never checked, rows-only) + the
+#: longest-unchecked r3 rows.
 _DRIVER_PRIORITY = (
     "ts_sessionize",
     "interval_column_ops",
