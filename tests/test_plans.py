@@ -307,3 +307,14 @@ def test_q16_anti_join_broadcasts_exclusion(spark):
     plan = plan_of(spark, "join_q16_supplier_cnt")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pq_knn_zero_shuffle_takeordered(spark):
+    """PQ kNN (vector_ann_pq): the corpus is scanned per query but
+    NEVER shuffled — each query's ADC shortlist plans as a
+    TakeOrderedAndProject (exact L2 projected only on the taken rows),
+    and no Python touches the row path."""
+    plan = plan_of(spark, "vector_ann_pq")
+    assert "Exchange" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 3  # one per query
+    assert "BatchEvalPython" not in plan
