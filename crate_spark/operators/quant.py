@@ -190,7 +190,14 @@ def knn_pq(
     at the m=8/k=16 default (tests/test_pipeline.py pins it).
 
     ``queries`` is a list of (query_id, vector) pairs — resolved
-    driver-side like the reference's knn_match query argument."""
+    driver-side like the reference's knn_match query argument.
+
+    Each query plans as its own TakeOrderedAndProject over the corpus
+    (per-partition local top-N, driver merge — zero exchanges, pinned
+    in tests/test_plans.py), so the corpus is scanned once PER QUERY:
+    right for interactive batches of a few dozen queries. For large
+    query batches the scan cost dominates — route those through
+    ``knn.knn_ivf`` (one scan, bucket-pruned) instead."""
     from pyspark.sql import Window
 
     if codebooks is None:
