@@ -2750,7 +2750,7 @@ def rewrite(
             _rel_re = re.compile(
                 rf"(\b(?:FROM|JOIN|INTO|UPDATE|TABLE|EXISTS)\s+"
                 rf"(?:(?:[A-Za-z_][\w.]*|`[^`]+`(?:\s*\.\s*`[^`]+`)*)"
-                rf"(?:\s+(?:AS\s+)?[A-Za-z_]\w*)?\s*,\s*)*){sch_pat}"
+                rf"(?:\s+(?:AS\s+)?(?:[A-Za-z_]\w*|`[^`]+`))?\s*,\s*)*){sch_pat}"
                 rf"\s*\.\s*(?=[A-Za-z_`])",
                 re.IGNORECASE,
             )
@@ -2999,7 +2999,8 @@ def rewrite_sys_columns(sql: str) -> str:
         out.append(f"{expr} AS {m.group(1)}" if bare_item else expr)
         last = m.end()
     out.append(sql[last:])
-    res = "".join(out)
-    for i, lit in enumerate(lits):
-        res = res.replace(f"__SYSLIT{i}__", lit)
-    return res
+    # single-pass unmask: replacements are never rescanned, so a
+    # literal whose DATA contains a placeholder-shaped token survives
+    return re.sub(
+        r"__SYSLIT(\d+)__", lambda m: lits[int(m.group(1))], "".join(out)
+    )

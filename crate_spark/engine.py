@@ -3075,11 +3075,54 @@ class _JsObject(dict):
     lang-js extension (JavascriptUserDefinedFunctionTest
     f_dot/f_brackets)."""
 
+    def __getattribute__(self, name):
+        # a stored key wins over dict methods for TRANSLATED-BODY
+        # attribute access (o.rows[0].get reads the member, GraalVM
+        # host-access style). Library consumers (json.dumps, pyspark
+        # StructType.toInternal) never see a _JsObject: stringify and
+        # the UDF return boundary unwrap to plain dicts first.
+        if not name.startswith("__") and dict.__contains__(self, name):
+            return dict.get(self, name)
+        return super().__getattribute__(name)
+
     def __getattr__(self, name):
         return dict.get(self, name)
 
     def __getitem__(self, key):
         return dict.get(self, key)
+
+
+class _JsArray(list):
+    """JS-array view of a list: ``.length`` property plus the common
+    read-only Array methods, so chained access (``o.tags[0].length``)
+    behaves like GraalVM host access."""
+
+    @property
+    def length(self):
+        return len(self)
+
+    def indexOf(self, x):  # noqa: N802 - JS spelling
+        try:
+            return self.index(x)
+        except ValueError:
+            return -1
+
+    def includes(self, x):
+        return x in self
+
+    def join(self, sep=","):
+        return _js_str(sep).join("" if e is None else _js_str(e) for e in self)
+
+
+def _js_unwrap(v):
+    """Recursively convert _JsObject/_JsArray views back to plain
+    dicts/lists at the UDF boundary so downstream dict/list-protocol
+    consumers are safe."""
+    if isinstance(v, dict):
+        return {k: _js_unwrap(x) for k, x in dict.items(v)}
+    if isinstance(v, (list, tuple)):
+        return [_js_unwrap(x) for x in v]
+    return v
 
 
 def _js_member(obj, name):
@@ -3089,13 +3132,13 @@ def _js_member(obj, name):
     property access here, real dict protocol (json.dumps, pyspark's
     StructType.toInternal calling .get/.items) is never shadowed."""
     if isinstance(obj, dict):
-        if name == "length" and "length" not in obj:
-            return len(obj)
-        return obj.get(name)
+        # JS objects have no implicit .length — undefined unless the
+        # key exists; dict.get bypasses any shadowed method
+        return dict.get(obj, name)
     if obj is None:
         return None
     if name == "length" and hasattr(obj, "__len__"):
-        return len(obj)
+        return len(obj)  # arrays and strings
     return getattr(obj, name, None)
 
 
@@ -3112,7 +3155,7 @@ def _js_wrap_value(v):
     if isinstance(v, dict):
         return _JsObject({k: _js_wrap_value(x) for k, x in v.items()})
     if isinstance(v, (list, tuple)):
-        return [_js_wrap_value(x) for x in v]
+        return _JsArray(_js_wrap_value(x) for x in v)
     return v
 
 
@@ -3146,15 +3189,24 @@ def _js_parse_int(s, base=None) -> float:
 
     text = str(s).strip()
     sign = 1
-    if text[:1] in "+-":
+    if text[:1] in ("+", "-"):
         if text[0] == "-":
             sign = -1
         text = text[1:]
+    if base is not None:
+        try:
+            base = int(base)
+        except (TypeError, ValueError):
+            return float("nan")
+        if base == 0:
+            base = None  # JS radix 0 == unspecified (auto-detect)
+        elif not 2 <= base <= 36:
+            return float("nan")
     if (base in (None, 16)) and text[:2].lower() == "0x":
         base, text = 16, text[2:]
     if base is None:
         base = 10
-    digits = "0123456789abcdefghijklmnopqrstuvwxyz"[:base]
+    digits = _re.escape("0123456789abcdefghijklmnopqrstuvwxyz"[:base])
     m = _re.match(rf"[{digits}]+", text, _re.IGNORECASE)
     if not m:
         return float("nan")
@@ -3198,7 +3250,7 @@ class _JsJSON:
     def stringify(v, *_):
         import json as _json
 
-        return _json.dumps(v)
+        return _json.dumps(_js_unwrap(v))
 
 
 class _JsDate:
@@ -3552,7 +3604,10 @@ def _js_function(body: str, env: dict) -> tuple[list[str], object]:
 
     def _wrapped(*vals, _fn=fn):
         # object/Row args become attr-accessible (obj.y), like
-        # GraalVM's host access in the reference's lang-js extension
-        return _fn(*[_js_wrap_value(v) for v in vals])
+        # GraalVM's host access in the reference's lang-js extension;
+        # the RESULT unwraps to plain dicts so pyspark's return-type
+        # coercion (StructType.toInternal calls .get) is never handed
+        # a key-shadowed view
+        return _js_unwrap(_fn(*[_js_wrap_value(v) for v in vals]))
 
     return params, _wrapped

@@ -200,13 +200,13 @@ def knn_pq(
     ``knn.knn_ivf`` (one scan, bucket-pruned) instead."""
     from pyspark.sql import Window
 
+    schema = "query_id bigint, neighbor_id bigint, l2_dist double"
+    if not queries:  # before codebook training — no sample job to waste
+        return corpus.sparkSession.createDataFrame([], schema)
     if codebooks is None:
         codebooks = train_pq_codebooks(
             corpus, vec_col=vec_col, id_col=id_col, m=m, k=k_codes
         )
-    schema = "query_id bigint, neighbor_id bigint, l2_dist double"
-    if not queries:
-        return corpus.sparkSession.createDataFrame([], schema)
     coded = corpus.select(
         F.col(id_col), F.col(vec_col), pq_encode(vec_col, codebooks).alias("_codes")
     )

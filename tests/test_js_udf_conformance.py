@@ -237,3 +237,28 @@ def test_object_protocol_not_shadowed_for_libraries():
     assert _run("function f(o) { return o.items; }", {"items": [1]}) == [1]
     assert _run("function f(xs) { return xs.length; }", [1, 2, 3]) == 3
     assert _run("function f(o) { return o.tags.length; }", {"tags": ["a"]}) == 1
+
+
+def test_member_access_after_subscript_and_boundary_unwrap():
+    """Deep chains work (o.rows[0].get reads the stored key, GraalVM
+    host-access style) AND the UDF boundary returns plain dicts so
+    pyspark/json dict protocol is never shadowed."""
+    assert _run(
+        "function f(o) { return o.rows[0].get; }", {"rows": [{"get": 7}]}
+    ) == 7
+    out = _run("function f(o) { return o; }", {"items": [1], "get": 2})
+    assert type(out) is dict and sorted(out.items()) == [("get", 2), ("items", [1])]
+    # plain-object .length is undefined in JS, not the key count
+    assert _run("function f(o) { return o.len2; }", {"a": 1}) is None
+    assert _run(
+        "function f(o) { return o.tags[0].length; }", {"tags": [["a", "b"]]}
+    ) == 2
+
+
+def test_parse_int_edge_cases():
+    """JS parseInt edge semantics: empty/invalid input and radix 0
+    return NaN-or-auto instead of raising."""
+    nan = float("nan")
+    assert _run("function f() { return isNaN(parseInt('')); }") is True
+    assert _run("function f() { return parseInt('12', 0); }") == 12
+    assert _run("function f() { return isNaN(parseInt('z', 37)); }") is True
