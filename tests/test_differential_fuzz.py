@@ -291,10 +291,13 @@ def gen_temporal_query(rng: random.Random) -> str:
             f"AND TIMESTAMP '{year + 1}-{mo:02d}-01 00:00:00'"
         )
     if shape < 0.9:
+        # ORDER BY covers BOTH selected columns: the key alone is not
+        # unique in lineitem, and a tied LIMIT cut is only
+        # deterministic up to full-row identity
         return (
             f"SELECT {key}, CAST({col} AS DATE) AS d FROM {table} "
             f"WHERE EXTRACT(year FROM {col}) = {year} "
-            f"ORDER BY {key} LIMIT {rng.randint(5, 25)}"
+            f"ORDER BY {key}, d LIMIT {rng.randint(5, 25)}"
         )
     return (
         f"SELECT CAST(EXTRACT(year FROM {col}) AS BIGINT) AS y, "
