@@ -75,68 +75,68 @@ _MODULES = (
 #: bounded number of rounds. History: r1-r2 checked
 #: core/joins/windows/scalars[:4]; r3-r4 checked sqlsurface..fulltext;
 #: r5 checked geo/aggregates/scalars-rest/graphs/pipeline/sqlfns.
-#: The r6 window = the 6 r5 driver-reds (all one defect: oracle
-#: output columns DuckDB typed HUGEINT/DECIMAL, now cast to
-#: BIGINT/DOUBLE — see tests/test_oracle_types.py for the lint that
-#: keeps them out) + scalar_math_funcs (stale r1 red, fixed r2,
-#: judge-green since — needs a fresh row) + the 8 never-checked
-#: (3 added mid-r5 + 4 sql twins + scalar_blake3) + 35 of the 52
-#: longest-unchecked greens (last row r1/r2). The r7 window should
-#: take: the 17 remaining r1/r2-stale greens (join_self..window_*,
-#: scalar_string_funcs tail — whatever still shows r1/r2 as its last
-#: row) + vector_ann_pq (added r6, never checked, rows-only) + the
-#: longest-unchecked r3 rows.
+#: The r7 window = scalar_math_funcs (the r6 red, now fixed: the
+#: ceil/floor/sign type-FAMILY alignment — see the cross-engine family
+#: lint in tests/test_oracle_types.py that closes this defect class
+#: for good) + vector_ann_pq (added r6, never driver-checked,
+#: rows-only by design) + the 17 r2-stale greens (joins/windows tail)
+#: + 31 of the 49 longest-unchecked r4 rows. After r7 every query's
+#: newest driver row is ≤3 rounds old except the 18 r4 remainders
+#: (mm_*, dml/ddl, tf_*, match_*) and the 44 r5 rows — those are the
+#: r8 window.
 _DRIVER_PRIORITY = (
-    "ts_sessionize",
-    "interval_column_ops",
-    "pipeline_train_split",
-    "pipeline_quantize_int8",
-    "pipeline_shard_layout",
-    "sql_window_filter",
     "scalar_math_funcs",
-    "join_q18_large_orders",
-    "join_q16_supplier_cnt",
-    "scalar_blake3",
-    "sql_ident_surface",
-    "sql_tvf_series",
-    "sql_tvf_series_ts",
-    "sql_tvf_regexp_docs",
-    "streaming_sessionize_events",
-    "scalar_string_funcs",
-    "scalar_string_funcs2",
-    "scalar_array_funcs2",
-    "scalar_regexp_funcs",
-    "scalar_datetime_funcs",
-    "scalar_date_bin",
-    "q1_pricing_summary",
-    "scan_filter_project",
-    "point_lookup",
-    "count_star",
-    "distinct_flags",
-    "topk_orders",
-    "limit_offset",
-    "order_nulls_last",
-    "agg_global",
-    "agg_group_having",
-    "agg_stats",
-    "agg_string_agg",
-    "agg_array_agg",
-    "agg_geometric_mean",
-    "agg_percentile",
-    "agg_minmax_by",
-    "conditional_agg",
-    "union_all",
-    "union_distinct",
-    "except_intersect",
-    "subquery_scalar",
-    "subquery_correlated",
-    "cte_query",
-    "join_inner_multiway",
-    "join_q5_regional_revenue",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_cross",
+    "vector_ann_pq",
+    # 17 r2-stale greens
+    "join_semi",
+    "join_anti",
+    "join_non_equi",
+    "join_lookup",
+    "join_in_subquery_negated",
+    "join_self",
+    "join_q10_returned_items",
+    "window_ranking",
+    "window_topk_per_group",
+    "window_lag_lead",
+    "window_value_fns",
+    "window_running_sum",
+    "window_moving_avg",
+    "window_range_frame",
+    "window_global_share",
+    "window_surplus_distribution",
+    "window_agg_as_window",
+    # 31 longest-unchecked r4 rows
+    "sql_object_subscript",
+    "sql_sys_columns",
+    "sql_match_score",
+    "pred_any_subquery",
+    "vector_knn_exact",
+    "vector_similarity_score",
+    "vector_ann_lsh",
+    "vector_ann_ivf",
+    "embedding_neardup_cosine",
+    "text_stats",
+    "text_langid",
+    "text_quality",
+    "text_fingerprint",
+    "text_dedup_exact",
+    "text_ngram_jaccard",
+    "text_minhash_lsh",
+    "text_simhash",
+    "ts_gap_detection",
+    "ts_zero_filled_series",
+    "ts_topk_event_values",
+    "ts_ndv_users",
+    "ts_lttb_downsample",
+    "pred_three_valued_logic",
+    "pred_is_distinct_from",
+    "pred_any_all_array",
+    "pred_any_like_range",
+    "pred_like_ilike_regex",
+    "pred_between_in",
+    "pred_cidr_containment",
+    "mm_decode_features",
+    "mm_resize_plan",
 )
 
 

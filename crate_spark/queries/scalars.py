@@ -305,7 +305,7 @@ def scalar_date_bin(spark, sf_dir):
            ROUND(LN(l_quantity + 1), 6) AS lg,
            ROUND(LOG(10, l_quantity + 1), 6) AS l10,
            MOD(CAST(l_quantity AS BIGINT), 7) AS m7,
-           SIGN(l_discount - 0.05) AS sg,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS sg,
            ROUND(SIN(l_quantity), 6) AS sn,
            ROUND(COS(l_quantity), 6) AS cs,
            ROUND(ATAN2(l_quantity, 10.0), 6) AS at2,
@@ -328,8 +328,11 @@ def scalar_math_funcs(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
         F.abs(-q).alias("a"),
-        F.ceil(dsc * 100).alias("c"),
-        F.floor(tax * 100).alias("f"),
+        # Spark ceil/floor -> BIGINT but DuckDB CEIL/FLOOR over DOUBLE
+        # -> DOUBLE; the driver hash stringifies ("2" vs "2.0"), so both
+        # engines must land in the float family (VERDICT r6 #1).
+        F.ceil(dsc * 100).cast("double").alias("c"),
+        F.floor(tax * 100).cast("double").alias("f"),
         F.round(px / 1000, 2).alias("r"),
         # numeric trunc(x) = cast-to-bigint (truncates toward zero, as PG)
         (px / 1000).cast("bigint").cast("double").alias("tr"),

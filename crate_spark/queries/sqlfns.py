@@ -212,7 +212,7 @@ def sql_geo_surface(spark, sf_dir):
            CASE WHEN doc_id % 3 = 0 THEN false ELSE doc_id % 3 = 1 END AS i3vl,
            array_to_string(json_keys('{"k' || (doc_id % 3)::VARCHAR || '":1,"z":2}'), ',') AS objkeys,
            source || '.example.com' AS host,
-           '8080' AS port,
+           8080 AS port,
            '/d/' || doc_id::VARCHAR AS upath,
            'q=1' AS uq,
            'top' AS ufrag,

