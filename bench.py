@@ -73,7 +73,11 @@ def main() -> None:
     # from scheduler jitter (VERDICT r5 #7): give them extra medians.
     # A query whose first run finishes under SUBSEC_CUTOFF gets
     # SUBSEC_ITERS total iterations; heavier queries keep ITERS.
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+    # Heavy queries get >=5 iterations too (VERDICT r6 #4): the two
+    # heaviest produced the only r6 "regressions", one on untouched
+    # code — 3-iteration medians of multi-second multi-job queries are
+    # not stable enough for round-over-round deltas.
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
     subsec_iters = int(os.environ.get("SPARK_GRAFT_BENCH_SUBSEC_ITERS", "7"))
     subsec_cutoff = float(os.environ.get("SPARK_GRAFT_BENCH_SUBSEC_CUTOFF", "1.0"))
     timings: dict[str, float] = {}

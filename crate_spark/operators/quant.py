@@ -170,6 +170,109 @@ def pq_adc_distance(codes, query_vec, codebooks) -> F.Column:
     return total
 
 
+def pq_adc_distance_expr(codes, qvec, codebooks) -> F.Column:
+    """ADC distance with the query vector AS A COLUMN — the batched
+    form of ``pq_adc_distance``: per subspace, element_at the code's
+    centroid out of the literal codebook and accumulate
+    ``||q_sub - centroid||^2``. Costlier per row than the per-query
+    literal LUT (dsub multiply-adds instead of one table lookup) but
+    still pure JVM, and it lets an entire query BATCH ride one corpus
+    scan instead of one scan per query."""
+    c = F.col(codes) if isinstance(codes, str) else codes
+    q = F.col(qvec) if isinstance(qvec, str) else qvec
+    m, _k, dsub = codebooks.shape
+    total = F.lit(0.0)
+    for j in range(m):
+        cent = F.element_at(_lit_matrix(codebooks[j]), F.element_at(c, j + 1) + 1)
+        qsub = F.slice(q, j * dsub + 1, dsub)
+        total = total + F.aggregate(
+            F.zip_with(
+                qsub, cent, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    return total
+
+
+def _knn_pq_ivf_routed(
+    corpus,
+    queries,
+    *,
+    vec_col: str,
+    id_col: str,
+    k_neighbors: int,
+    m: int,
+    k_codes: int,
+    shortlist: int,
+    codebooks,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+):
+    """Large-batch PQ search: ONE corpus scan for the whole batch.
+
+    IVFADC+refine proper — the corpus is cell-assigned (IVF coarse
+    quantizer) and PQ-encoded in a single projection; the query batch
+    rides a broadcast (exploded to its ``nprobe`` probe cells); the ADC
+    shortlist and the exact-L2 re-rank are per-query windows over the
+    candidate set only. Per-query recall is bounded by the probed
+    cells (the usual IVF trade), vs the full-scan recall of the
+    per-query path."""
+    from pyspark.sql import Window
+
+    from crate_spark.operators import knn
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, vec_col=vec_col, id_col=id_col, m=m, k=k_codes
+        )
+    centroids = knn.train_ivf_centroids(
+        corpus, vec_col=vec_col, id_col=id_col, n_centroids=n_centroids
+    )
+    coded = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cvec"),
+        pq_encode(vec_col, codebooks).alias("_codes"),
+        knn._nearest_cells(F.col(vec_col), centroids, 1)[0].alias("_cell"),
+    )
+    qdf = corpus.sparkSession.createDataFrame(
+        [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
+        "query_id bigint, _qvec array<double>",
+    )
+    probes = qdf.select(
+        "query_id",
+        "_qvec",
+        F.explode(knn._nearest_cells(F.col("_qvec"), centroids, nprobe)).alias("_cell"),
+    )
+    w_short = Window.partitionBy("query_id").orderBy("_adc", id_col)
+    short = (
+        coded.join(F.broadcast(probes), "_cell")
+        .withColumn("_adc", pq_adc_distance_expr("_codes", "_qvec", codebooks))
+        .withColumn("_srn", F.row_number().over(w_short))
+        .filter(F.col("_srn") <= shortlist * k_neighbors)
+    )
+    # exact L2 sits ABOVE the shortlist cut (same evaluation-order trap
+    # as the per-query path): it runs on shortlist rows only
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("_cvec"), F.col("_qvec"), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("_l2", id_col)
+    return (
+        short.withColumn("_l2", l2)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k_neighbors)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round("_l2", 9).alias("l2_dist"),
+        )
+    )
+
+
 def knn_pq(
     corpus,
     queries,
@@ -196,13 +299,31 @@ def knn_pq(
     (per-partition local top-N, driver merge — zero exchanges, pinned
     in tests/test_plans.py), so the corpus is scanned once PER QUERY:
     right for interactive batches of a few dozen queries. For large
-    query batches the scan cost dominates — route those through
-    ``knn.knn_ivf`` (one scan, bucket-pruned) instead."""
+    query batches the scan cost dominates, so batches above
+    ``crate_spark.vector.pq_route_threshold`` (session setting,
+    default 64: `SET`/`SHOW` round-trips) route automatically through
+    the IVF-celled single-scan path (``_knn_pq_ivf_routed``) — one
+    corpus scan for the whole batch, pinned in tests/test_plans.py."""
     from pyspark.sql import Window
 
     schema = "query_id bigint, neighbor_id bigint, l2_dist double"
     if not queries:  # before codebook training — no sample job to waste
         return corpus.sparkSession.createDataFrame([], schema)
+    route_threshold = int(
+        corpus.sparkSession.conf.get("crate_spark.vector.pq_route_threshold", "64")
+    )
+    if len(queries) > route_threshold:
+        return _knn_pq_ivf_routed(
+            corpus,
+            queries,
+            vec_col=vec_col,
+            id_col=id_col,
+            k_neighbors=k_neighbors,
+            m=m,
+            k_codes=k_codes,
+            shortlist=shortlist,
+            codebooks=codebooks,
+        )
     if codebooks is None:
         codebooks = train_pq_codebooks(
             corpus, vec_col=vec_col, id_col=id_col, m=m, k=k_codes
@@ -226,7 +347,8 @@ def knn_pq(
         # nothing), exact re-rank only on the shortlist rows
         short = (
             coded.select(
-                F.lit(qid).alias("query_id"),
+                # bigint to match the routed-path and empty-case schema
+                F.lit(qid).cast("bigint").alias("query_id"),
                 F.col(id_col).alias("neighbor_id"),
                 F.col(vec_col),
                 pq_adc_distance("_codes", qv, codebooks).alias("_adc"),

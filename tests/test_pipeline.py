@@ -246,6 +246,35 @@ def test_pq_knn_recall_and_determinism(spark):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_pq_routed_batch_semantics(spark):
+    """The IVF-routed large-batch PQ path returns k rows per query,
+    ranks each query's own vector first (distance 0 — a corpus row's
+    assigned cell is its nearest cell, which the identical query always
+    probes), and is deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from crate_spark.operators import quant as Q
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 80).collect()
+    ]
+    assert len(queries) == 80  # > default threshold 64 -> routed
+    out = Q.knn_pq(emb, queries, k_neighbors=5)
+    rows = out.collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {qid for qid, _ in queries}
+    for qid, rs in per_q.items():
+        assert len(rs) == 5
+        best = min(rs, key=lambda r: (r["l2_dist"], r["neighbor_id"]))
+        assert best["neighbor_id"] == qid and best["l2_dist"] == 0.0
+    again = {(r["query_id"], r["neighbor_id"]) for r in Q.knn_pq(emb, queries, k_neighbors=5).collect()}
+    assert again == {(r["query_id"], r["neighbor_id"]) for r in rows}
+
+
 def test_pq_codebook_shapes_and_codes_bounded(spark):
     from pyspark.sql import functions as F
 

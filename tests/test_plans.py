@@ -318,3 +318,39 @@ def test_pq_knn_zero_shuffle_takeordered(spark):
     assert "Exchange" not in plan
     assert plan.count("TakeOrderedAndProject") >= 3  # one per query
     assert "BatchEvalPython" not in plan
+
+
+def test_pq_large_batch_routes_to_one_scan(spark):
+    """A PQ query batch above ``crate_spark.vector.pq_route_threshold``
+    (default 64) routes to the IVF-celled single-scan path: a 200-query
+    batch plans ONE corpus parquet scan — not 200 — with the query
+    batch broadcast and no Python in the row path. Below the threshold
+    the per-query TakeOrdered path is kept (one scan per query)."""
+    from pyspark.sql import functions as F
+
+    from crate_spark.operators import quant as Q
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 200).collect()
+    ]
+    assert len(queries) == 200
+    routed = Q.knn_pq(emb, queries, k_neighbors=5)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
+    # small batch: per-query TakeOrdered plan, one scan per query
+    small = Q.knn_pq(emb, queries[:3], k_neighbors=5)
+    splan = small._jdf.queryExecution().executedPlan().toString()
+    assert splan.count("Scan parquet") == 3
+    # the threshold is a session setting: lowering it reroutes the
+    # same small batch through the single-scan path
+    spark.conf.set("crate_spark.vector.pq_route_threshold", "2")
+    try:
+        forced = Q.knn_pq(emb, queries[:3], k_neighbors=5)
+        fplan = forced._jdf.queryExecution().executedPlan().toString()
+        assert fplan.count("Scan parquet") == 1
+    finally:
+        spark.conf.unset("crate_spark.vector.pq_route_threshold")
