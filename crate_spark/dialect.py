@@ -2759,6 +2759,21 @@ def rewrite(
                 if new_sql == sql:
                     break
                 sql = new_sql
+            # an alias that EQUALS the schema name shadows it (PG
+            # resolution order), and alias.struct.field IS three-part
+            # (`FROM t AS rx ... rx.obj.field` — ADVICE r6): when the
+            # statement declares the name as an alias, skip the
+            # three-part strip so the qualifier keeps resolving to the
+            # alias. Relation positions were already stripped above.
+            alias_decl = re.search(
+                rf"\bAS\s+{sch_pat}(?![\w.(])"
+                rf"|(?:\b(?:FROM|JOIN)\s+(?:[A-Za-z_][\w.]*|`[^`]+`)|\))"
+                rf"\s+{sch_pat}(?![\w.(])",
+                sql,
+                re.IGNORECASE,
+            )
+            if alias_decl:
+                continue
             sql = re.sub(
                 rf"(?<![\w.`\"]){sch_pat}\s*\.\s*"
                 rf"(?=(?:[A-Za-z_]\w*|`[^`]+`)\s*\.\s*[A-Za-z_`])",

@@ -2455,15 +2455,22 @@ class CrateSession:
         return self._MATCH_CALL_RE.sub(_sub, stmt)
 
     def _validate_score_in_where(self, stmt: str) -> None:
-        """The reference allows ``_score`` in WHERE only as a bare
-        ``_score >= <literal>`` comparison — any other operator, or a
-        surrounding NOT, is rejected at analysis time
-        (analyze/where/WhereClauseValidator.java:59-70,
-        SCORE_ALLOWED_COMPARISONS = {gte})."""
+        """The reference allows ``_score`` in WHERE only within a ``>=``
+        comparison against a value symbol — bare, or wrapped in a cast
+        whose parent IS the ``>=`` (``_score::REAL >= 0.5`` /
+        ``CAST(_score AS REAL) >= 0.5``); any other operator, a
+        non-literal RHS, or a surrounding NOT is rejected at analysis
+        time (analyze/where/WhereClauseValidator.java:59-70
+        SCORE_ALLOWED_COMPARISONS = {gte}, :111-127
+        insideCastComparedWithLiteral, :141-157 value-symbol RHS)."""
         err = (
             "System column '_score' can only be used within a '>=' "
             "comparison without any surrounded predicate"
         )
+        # value symbol or parameter: signed numeric incl. scientific
+        # notation, or '?' (the reference accepts any Literal RHS)
+        rhs = r"\s*>=\s*(?:[-+]?\s*(?:\d+(?:\.\d+)?|\.\d+)(?:[eE][-+]?\d+)?|\?)"
+        _type = r"\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
         # every WHERE in the statement (incl. subqueries) is validated
         for m in re.finditer(
             r"\bWHERE\b(.*?)(?=\bGROUP\s+BY\b|\bORDER\s+BY\b|\bHAVING\b"
@@ -2473,9 +2480,15 @@ class CrateSession:
         ):
             where = m.group(1)
             for occ in re.finditer(r"(?<![\w.'])_score\b", where):
-                if not re.match(
-                    r"\s*>=\s*(?:\d+(?:\.\d+)?|\.\d+|\?)", where[occ.end():]
-                ):
+                after = where[occ.end():]
+                ok = re.match(
+                    rf"\s*(?:::\s*{_type})?{rhs}", after
+                ) or (
+                    # CAST(_score AS t) >= lit — cast's parent is the gte
+                    re.search(r"\bCAST\s*\(\s*$", where[: occ.start()], re.IGNORECASE)
+                    and re.match(rf"\s*AS\s+{_type}\s*\){rhs}", after, re.IGNORECASE)
+                )
+                if not ok:
                     raise ValueError(err)
                 # any enclosing NOT — adjacent (NOT _score >= x) or a
                 # NOT whose parenthesis is still open at _score

@@ -1572,10 +1572,23 @@ def test_score_system_column_semantics(session):
         "ORDER BY _score DESC LIMIT 3"
     ).collect()
     assert len(scored) == 3 and all(r["_score"] >= 0.1 for r in scored)
+    # insideCastComparedWithLiteral (WhereClauseValidator.java:111-127):
+    # a cast around _score is fine when its parent IS the >=, and the
+    # RHS may be any value symbol (sign, scientific notation)
+    for good in (
+        "SELECT count(*) AS n FROM nation WHERE _score::REAL >= 0.5",
+        "SELECT count(*) AS n FROM nation WHERE CAST(_score AS REAL) >= 0.5",
+        "SELECT count(*) AS n FROM nation WHERE _score >= -0.5",
+        "SELECT count(*) AS n FROM nation WHERE _score >= 5e-1",
+    ):
+        assert session.execute(good).collect()[0][0] == 25
     for bad in (
         "SELECT * FROM nation WHERE _score > 0.5",
         "SELECT * FROM nation WHERE _score = 1.0",
         "SELECT * FROM documents WHERE MATCH(text,'x') AND NOT (_score >= 0.5)",
+        "SELECT * FROM nation WHERE CAST(_score AS REAL) = 0.5",
+        "SELECT * FROM nation WHERE _score::REAL > 0.5",
+        "SELECT * FROM nation WHERE _score >= n_regionkey",
     ):
         with _pytest.raises(ValueError, match="'>=' comparison"):
             session.execute(bad).collect()
@@ -1596,6 +1609,36 @@ def test_schema_strip_comma_from_list(spark, tmp_path):
         "SELECT count(*) AS n FROM rx.a, rx.b"
     ).collect()[0]["n"]
     assert n == 2  # cross product 2x1
+
+
+def test_schema_named_alias_keeps_struct_qualifier(spark, tmp_path):
+    """An alias equal to a user schema name shadows the schema (PG
+    resolution order): `FROM t AS rx ... rx.obj.field` is
+    alias.column.field — three-part, but its qualifier must survive
+    the three-part schema-prefix strip (ADVICE r6)."""
+    from crate_spark.dialect import rewrite
+    from crate_spark.engine import CrateSession
+
+    # rewrite-level: alias declared -> three-part qualifier survives
+    out = rewrite(
+        "SELECT rx.obj.field FROM t AS rx", user_schemas={"rx"}
+    )
+    assert "rx.obj.field" in out
+    out = rewrite("SELECT rx.obj.field FROM t rx", user_schemas={"rx"})
+    assert "rx.obj.field" in out
+    # no alias declared -> schema.table.column strips as before
+    out = rewrite("SELECT rx.t.id FROM rx.t", user_schemas={"rx"})
+    assert "rx." not in out
+    # end-to-end: the two-part alias exemption and schema strip still
+    # resolve through a live session
+    s = CrateSession(spark, None, storage_dir=str(tmp_path))
+    s.execute("CREATE SCHEMA rx")
+    s.execute("CREATE TABLE rx.t (id int)")
+    s.execute("INSERT INTO rx.t (id) VALUES (1)")
+    assert s.execute("SELECT rx.t.id FROM rx.t").collect()[0][0] == 1
+    assert s.execute(
+        "SELECT rx.id FROM rx.t AS rx"
+    ).collect()[0][0] == 1
 
 
 def test_udf_search_path_case_insensitive(spark, tmp_path):
