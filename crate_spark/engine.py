@@ -2696,6 +2696,21 @@ class CrateSession:
                 # JS isNaN coerces first: isNaN('123') is false
                 "isNaN": (lambda v: _js_number(v) != _js_number(v)),
             }
+            # the reference validates at CREATE that the JS function
+            # name equals the SQL signature name (JavaScriptLanguage
+            # via JavascriptUserDefinedFunctionTest
+            # .testFunctionWrongNameInFunctionBody) — same error text
+            _decl = re.match(
+                r"\s*(?:(?:var|let|const)\s+([\w$]+)\s*=|function\s+([\w$]+))",
+                body,
+            )
+            _js_name = _decl and (_decl.group(1) or _decl.group(2))
+            if _js_name is not None and _js_name != name:
+                raise ValueError(
+                    f"The name of the function signature '{name}' "
+                    f"doesn't match the function name in the function "
+                    f"definition"
+                )
             _, body_fn = _js_function(body, env)
             # identity (signature + coercers) comes from the SQL
             # argument list — the JS function may declare surplus
@@ -3578,6 +3593,24 @@ def _js_function(body: str, env: dict) -> tuple[list[str], object]:
     (extensions/lang-js JavaScriptLanguage.java:28); this covers the
     documented UDF subset. Params default to None — JS treats missing
     arguments as undefined."""
+    # arrow-function assignment is valid GraalVM input
+    # (JavascriptUserDefinedFunctionTest.testValidateCatchesAssertionError:
+    # `var f = (a) => a * a;` validates null on JDK>=9): normalize both
+    # the expression-body and block-body forms to the function form
+    body = re.sub(
+        r"^\s*(?:var|let|const)\s+([\w$]+)\s*=\s*\(([^)]*)\)\s*=>\s*"
+        r"\{(.*)\}\s*;?\s*$",
+        r"function \1(\2) {\3}",
+        body,
+        flags=re.DOTALL,
+    )
+    body = re.sub(
+        r"^\s*(?:var|let|const)\s+([\w$]+)\s*=\s*\(([^)]*)\)\s*=>\s*"
+        r"([^;{].*?)\s*;?\s*$",
+        r"function \1(\2) { return \3; }",
+        body,
+        flags=re.DOTALL,
+    )
     m = re.match(
         r"\s*function\s+[\w$]+\s*\(([^)]*)\)\s*\{(.*)\}\s*;?\s*$",
         body,

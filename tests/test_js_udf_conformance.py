@@ -83,9 +83,17 @@ CASES = [
     ("geo_array", "function f() { return [1, 1]; }", (), [1, 1]),
     # testOverloadingUserDefinedFunctions
     ("identity", "function f(x) { return x; }", (42,), 42),
-    # testFunctionWrongNameInFunctionBody: name mismatch is fine —
-    # identity is the SQL signature (reference resolves the same way)
-    ("name_mismatch", "function test() { return 1; }", (), 1),
+    # testValidateCatchesAssertionError: `var f = (a) => a * a;`
+    # validates NULL on modern GraalVM (JDK>=9) — arrow-function
+    # assignment is valid input, both expression- and block-body
+    ("arrow_expr", "var f = (a) => a * a;", (3,), 9),
+    ("arrow_block", "const f = (a, b) => { return a + b; };", (2, 5), 7),
+    # testGeoTypeReturnTypeWithWKT
+    ("geo_wkt", 'function f() { return "POINT (1.0 2.0)"; }',
+     (), "POINT (1.0 2.0)"),
+    # testNormalizeOnObjectInput / testNormalizeOnStringInputs
+    ("obj_identity", "function f(x) { return x; }", ({},), {}),
+    ("str_identity", "function f(x) { return x; }", ("bar",), "bar"),
     # testNormalizeOnArrayObjects
     ("array_subscript_1", "function f(x) { return x[1]; }", ([10, 20],), 20),
     # testEvaluateBytesRefConvertedToString
@@ -134,21 +142,66 @@ def test_reference_js_expression(name, body, args, expected):
 
 # Constructs the translator rejects must fail at CREATE time (the
 # reference raises at script-compile time too: "Invalid javascript",
-# "Java is not defined").
+# "Java is not defined"). The declared divergences from full GraalVM
+# — closures over mutable state, prototype mutation, JS regex
+# literals (README "declared divergences") — are enumerated here with
+# their exact CREATE-time error, so the subset boundary is pinned by
+# test rather than prose (VERDICT r6 #6).
 REJECTED = [
     # testValidateCatchesScriptException: syntactically invalid
-    ("invalid_syntax", "function f(a) { return a[0]1*#?; }"),
+    ("invalid_syntax", "function f(a) { return a[0]1*#?; }",
+     "JavaScript"),
     # not a single function definition
-    ("not_a_function", "var x = 1;"),
+    ("not_a_function", "var x = 1;", "single"),
     # throw is outside the subset
-    ("throw_stmt", "function f(a) { throw new Error(a); }"),
+    ("throw_stmt", "function f(a) { throw new Error(a); }",
+     "unsupported JavaScript construct"),
+    # declared divergence: nested functions / closures over mutables
+    ("closure",
+     "function f(x) { var c = 0; function inc() { c = c + 1; return c; } "
+     "return inc() + x; }",
+     "unsupported JavaScript construct"),
+    # declared divergence: prototype mutation
+    ("prototype", "function f() { String.prototype.z = 1; return 1; }",
+     "unsupported JavaScript construct"),
+    # declared divergence: JS regex literals
+    ("regex_literal", "function f(s) { return /ab+/.test(s); }",
+     "unsupported JavaScript construct"),
 ]
 
 
-@pytest.mark.parametrize("name,body", REJECTED, ids=[c[0] for c in REJECTED])
-def test_unsupported_js_rejected_at_create(name, body):
-    with pytest.raises(ValueError):
+@pytest.mark.parametrize(
+    "name,body,msg", REJECTED, ids=[c[0] for c in REJECTED]
+)
+def test_unsupported_js_rejected_at_create(name, body, msg):
+    with pytest.raises(ValueError, match=msg):
         _run(body, 1)
+
+
+def test_wrong_name_in_body_rejected_at_create(spark, tmp_path):
+    """testFunctionWrongNameInFunctionBody: the reference validates at
+    CREATE that the JS function name equals the SQL signature name —
+    same error text."""
+    from crate_spark.engine import CrateSession
+
+    s = CrateSession(spark, None, storage_dir=str(tmp_path))
+    with pytest.raises(ValueError, match="doesn't match the function name"):
+        s.execute(
+            "CREATE FUNCTION f(double) RETURNS double LANGUAGE JAVASCRIPT "
+            "AS 'function test() { return 1; }'"
+        )
+    # arrow-function names are validated too
+    with pytest.raises(ValueError, match="doesn't match the function name"):
+        s.execute(
+            "CREATE FUNCTION f(double) RETURNS double LANGUAGE JAVASCRIPT "
+            "AS 'var g = (a) => a * a;'"
+        )
+    # and a matching arrow definition CREATEs and evaluates
+    s.execute(
+        "CREATE FUNCTION sq(double) RETURNS double LANGUAGE JAVASCRIPT "
+        "AS 'var sq = (a) => a * a;'"
+    )
+    assert s.execute("SELECT sq(3.0) AS v").collect()[0][0] == 9.0
 
 
 def test_unresolved_global_raises_at_call_not_create():
