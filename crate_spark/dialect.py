@@ -64,10 +64,18 @@ _KW = (
 #: the leading lookbehind stops a match from starting mid-identifier
 #: (without it, the keyword guard on ``SELECT (...)`` just shifts the
 #: match to ``ELECT (...)``)
+def _nested_parens(levels: int) -> str:
+    """Regex for a balanced paren group up to ``levels`` deep."""
+    pat = r"\([^()]*\)"
+    for _ in range(levels - 1):
+        pat = rf"\((?:[^()]|{pat})*\)"
+    return pat
+
+
 _OPERAND = (
     rf"(?<![A-Za-z0-9_.])(?:'[^']*'|\d+(?:\.\d+)?D?|(?!{_KW}\s*\()"
-    rf"{_IDENT}\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)"
-    rf"|{_IDENT}|\((?:[^()]|\([^()]*\))*\))"
+    rf"{_IDENT}\s*{_nested_parens(4)}"
+    rf"|{_IDENT}|{_nested_parens(5)})"
 )
 
 _CAST_RE = re.compile(
@@ -110,6 +118,9 @@ _CAST_TYPE_MAP = {
     "doubleprecision": "DOUBLE", "charactervarying": "STRING",
     "regtype": "STRING", "timetz": "STRING", "geo_shape": "STRING",
     "geo_point": "ARRAY<DOUBLE>",
+    # bare varchar = text in the reference (data-types.rst: "varchar
+    # without a length limit"); Spark's VARCHAR demands a length
+    "varchar": "STRING",
 }
 
 
@@ -2414,7 +2425,10 @@ def rewrite(
     while prev_arr != sql:
         prev_arr = sql
         sql = re.sub(r"\bARRAY\s*\[([^\[\]]*)\]", r"array(\1)", sql, flags=re.IGNORECASE)
-        sql = re.sub(r"(?<![\w\]\)])\[([^\[\]]*)\]", r"array(\1)", sql)
+        # the lookbehind also excludes '}': an object LITERAL's
+        # subscript ({v=1}['v']) must stay a subscript for the
+        # struct-literal pass below, not become array('v')
+        sql = re.sub(r"(?<![\w\]\)\}])\[([^\[\]]*)\]", r"array(\1)", sql)
         sql = _OBJ_LIT_RE.sub(_obj_lit_sub, sql)
     sql = _finalize_obj_structs(sql)
     # a directly-subscripted object literal reads through the struct,
@@ -2617,6 +2631,21 @@ def rewrite(
     while prev != sql:
         prev = sql
         sql = _CAST_RE.sub(_cast_sub, sql)
+    # explicit CAST(x AS <type>) spellings go through the same type
+    # map as `::` (the reference accepts bare varchar/text/int8/...;
+    # Spark's VARCHAR demands a length). The type word must directly
+    # precede ')' — parameterized types (varchar(5)) stay native, and
+    # a non-type identifier maps to itself.
+    sql = re.sub(
+        r"(\bAS\s+)"
+        r"((?:timestamp\s+with(?:out)?\s+time\s+zone"
+        r"|time\s+with(?:out)?\s+time\s+zone"
+        r"|double\s+precision|character\s+varying"
+        r"|[A-Za-z_][A-Za-z0-9_]*))(\s*\))",
+        lambda m: m.group(1) + _cast_type(m.group(2)) + m.group(3),
+        sql,
+        flags=re.IGNORECASE,
+    )
     # explicit CAST targets in crate's array(inner) spelling
     sql = re.sub(
         r"\bAS\s+ARRAY\s*\(\s*([\w ]+)\s*\)",
