@@ -1396,6 +1396,49 @@ def _struct_literal_subscripts(sql: str, literals: list[str]) -> str:
     return "".join(out)
 
 
+def _map_cast_as_types(sql: str) -> str:
+    """Map the trailing ``AS <type>`` of each ``[TRY_]CAST(...)`` span
+    through ``_cast_type`` (bare varchar -> STRING, int8 -> BIGINT,
+    double precision -> DOUBLE, ...). Anchored to CAST spans so an
+    alias that happens to be named like a type is never rewritten;
+    parameterized types (varchar(5), numeric(10,2)) come back from
+    ``_cast_type`` unchanged and stay native."""
+    pos = 0
+    while True:
+        m = re.search(r"\b(?:TRY_)?CAST\s*\(", sql[pos:], re.IGNORECASE)
+        if not m:
+            return sql
+        open_idx = pos + m.end() - 1
+        close = _find_close(sql, open_idx)
+        if close < 0:
+            return sql
+        inner = sql[open_idx + 1 : close]
+        # last top-level ` AS ` separates operand from target type
+        depth, as_idx = 0, -1
+        for i in range(len(inner)):
+            ch = inner[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and inner[i : i + 4].upper() == " AS " :
+                as_idx = i
+        if as_idx >= 0:
+            t = inner[as_idx + 4 :].strip()
+            mapped = _cast_type(t)
+            if mapped != t:
+                sql = (
+                    sql[: open_idx + 1]
+                    + inner[: as_idx]
+                    + " AS "
+                    + mapped
+                    + sql[close:]
+                )
+        # continue INSIDE the span so nested CASTs are visited too
+        pos = open_idx + 1
+    return sql
+
+
 def _find_close(s: str, open_idx: int) -> int:
     """Index of the ')' matching s[open_idx] == '('; -1 if unbalanced."""
     depth = 0
@@ -2633,19 +2676,9 @@ def rewrite(
         sql = _CAST_RE.sub(_cast_sub, sql)
     # explicit CAST(x AS <type>) spellings go through the same type
     # map as `::` (the reference accepts bare varchar/text/int8/...;
-    # Spark's VARCHAR demands a length). The type word must directly
-    # precede ')' — parameterized types (varchar(5)) stay native, and
-    # a non-type identifier maps to itself.
-    sql = re.sub(
-        r"(\bAS\s+)"
-        r"((?:timestamp\s+with(?:out)?\s+time\s+zone"
-        r"|time\s+with(?:out)?\s+time\s+zone"
-        r"|double\s+precision|character\s+varying"
-        r"|[A-Za-z_][A-Za-z0-9_]*))(\s*\))",
-        lambda m: m.group(1) + _cast_type(m.group(2)) + m.group(3),
-        sql,
-        flags=re.IGNORECASE,
-    )
+    # Spark's VARCHAR demands a length). Anchored to real CAST spans —
+    # an unrelated alias named like a type (`1 AS text`) is untouched.
+    sql = _map_cast_as_types(sql)
     # explicit CAST targets in crate's array(inner) spelling
     sql = re.sub(
         r"\bAS\s+ARRAY\s*\(\s*([\w ]+)\s*\)",
@@ -2791,13 +2824,20 @@ def rewrite(
             # an alias that EQUALS the schema name shadows it (PG
             # resolution order), and alias.struct.field IS three-part
             # (`FROM t AS rx ... rx.obj.field` — ADVICE r6): when the
-            # statement declares the name as an alias, skip the
+            # statement declares the name as a RELATION alias, skip the
             # three-part strip so the qualifier keeps resolving to the
-            # alias. Relation positions were already stripped above.
+            # alias. Only relation-alias positions count — a COLUMN
+            # alias (`expr AS rx,`) must not disable the strip, so the
+            # match is anchored to `FROM|JOIN <relation> [AS] rx` or a
+            # subquery's `) [AS] rx` followed by a clause keyword/end.
+            # Relation positions were already stripped above.
             alias_decl = re.search(
-                rf"\bAS\s+{sch_pat}(?![\w.(])"
-                rf"|(?:\b(?:FROM|JOIN)\s+(?:[A-Za-z_][\w.]*|`[^`]+`)|\))"
-                rf"\s+{sch_pat}(?![\w.(])",
+                rf"\b(?:FROM|JOIN)\s+(?:[A-Za-z_][\w.]*|`[^`]+`)"
+                rf"\s+(?:AS\s+)?{sch_pat}(?![\w.(])"
+                rf"|\)\s*(?:AS\s+)?{sch_pat}"
+                rf"(?=\s*(?:$|\bWHERE\b|\bGROUP\b|\bORDER\b|\bON\b"
+                rf"|\bJOIN\b|\bLEFT\b|\bRIGHT\b|\bFULL\b|\bINNER\b"
+                rf"|\bCROSS\b|\bLIMIT\b|\bHAVING\b|\bUNION\b))",
                 sql,
                 re.IGNORECASE,
             )

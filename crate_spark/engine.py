@@ -2470,7 +2470,12 @@ class CrateSession:
         # value symbol or parameter: signed numeric incl. scientific
         # notation, or '?' (the reference accepts any Literal RHS)
         rhs = r"\s*>=\s*(?:[-+]?\s*(?:\d+(?:\.\d+)?|\.\d+)(?:[eE][-+]?\d+)?|\?)"
-        _type = r"\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
+        # cast target incl. the multi-word reference spellings
+        _type = (
+            r"(?:double\s+precision|character\s+varying"
+            r"|time(?:stamp)?\s+with(?:out)?\s+time\s+zone"
+            r"|\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+        )
         # every WHERE in the statement (incl. subqueries) is validated
         for m in re.finditer(
             r"\bWHERE\b(.*?)(?=\bGROUP\s+BY\b|\bORDER\s+BY\b|\bHAVING\b"
@@ -2481,20 +2486,29 @@ class CrateSession:
             where = m.group(1)
             for occ in re.finditer(r"(?<![\w.'])_score\b", where):
                 after = where[occ.end():]
+                prefix = where[: occ.start()]
+                cast_m = re.search(
+                    r"\bCAST\s*\(\s*$", prefix, re.IGNORECASE
+                )
                 ok = re.match(
                     rf"\s*(?:::\s*{_type})?{rhs}", after
                 ) or (
                     # CAST(_score AS t) >= lit — cast's parent is the gte
-                    re.search(r"\bCAST\s*\(\s*$", where[: occ.start()], re.IGNORECASE)
+                    cast_m
                     and re.match(rf"\s*AS\s+{_type}\s*\){rhs}", after, re.IGNORECASE)
                 )
                 if not ok:
                     raise ValueError(err)
-                # any enclosing NOT — adjacent (NOT _score >= x) or a
-                # NOT whose parenthesis is still open at _score
+                # any enclosing NOT — adjacent (NOT _score >= x /
+                # NOT CAST(_score AS t) >= x) or a NOT whose
+                # parenthesis is still open at _score
                 # (NOT (a AND _score >= x)) — is rejected, matching
-                # WhereClauseValidator's insideNotPredicate walk
-                prefix = where[: occ.start()]
+                # WhereClauseValidator's insideNotPredicate walk.
+                # For the cast form the NOT checks run on the text
+                # BEFORE the CAST, which also keeps the CAST's own
+                # '(' out of the open-paren walk.
+                if cast_m:
+                    prefix = prefix[: cast_m.start()]
                 if re.search(r"\bNOT\s*$", prefix, re.IGNORECASE):
                     raise ValueError(err)
                 open_nots = []
@@ -2705,7 +2719,11 @@ class CrateSession:
                 body,
             )
             _js_name = _decl and (_decl.group(1) or _decl.group(2))
-            if _js_name is not None and _js_name != name:
+            # unquoted SQL identifiers fold to lowercase before the
+            # compare (the registry stores name.lower(); the reference
+            # folds at parse time), so `CREATE FUNCTION SQ ...
+            # 'function sq...'` is accepted
+            if _js_name is not None and _js_name != name.strip('"').lower():
                 raise ValueError(
                     f"The name of the function signature '{name}' "
                     f"doesn't match the function name in the function "

@@ -178,20 +178,15 @@ def pq_adc_distance_expr(codes, qvec, codebooks) -> F.Column:
     literal LUT (dsub multiply-adds instead of one table lookup) but
     still pure JVM, and it lets an entire query BATCH ride one corpus
     scan instead of one scan per query."""
+    from crate_spark.functions.vector import l2_squared
+
     c = F.col(codes) if isinstance(codes, str) else codes
     q = F.col(qvec) if isinstance(qvec, str) else qvec
     m, _k, dsub = codebooks.shape
     total = F.lit(0.0)
     for j in range(m):
         cent = F.element_at(_lit_matrix(codebooks[j]), F.element_at(c, j + 1) + 1)
-        qsub = F.slice(q, j * dsub + 1, dsub)
-        total = total + F.aggregate(
-            F.zip_with(
-                qsub, cent, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
+        total = total + l2_squared(F.slice(q, j * dsub + 1, dsub), cent)
     return total
 
 
@@ -208,6 +203,8 @@ def _knn_pq_ivf_routed(
     codebooks,
     n_centroids: int = 16,
     nprobe: int = 4,
+    centroids=None,
+    seed: int = 42,
 ):
     """Large-batch PQ search: ONE corpus scan for the whole batch.
 
@@ -220,15 +217,20 @@ def _knn_pq_ivf_routed(
     per-query path."""
     from pyspark.sql import Window
 
+    from crate_spark.functions.vector import l2_squared
     from crate_spark.operators import knn
 
     if codebooks is None:
         codebooks = train_pq_codebooks(
-            corpus, vec_col=vec_col, id_col=id_col, m=m, k=k_codes
+            corpus, vec_col=vec_col, id_col=id_col, m=m, k=k_codes, seed=seed
         )
-    centroids = knn.train_ivf_centroids(
-        corpus, vec_col=vec_col, id_col=id_col, n_centroids=n_centroids
-    )
+    if centroids is None:
+        # like knn.knn_ivf, callers with repeated batches against the
+        # same corpus pass centroids= to amortize the training job
+        centroids = knn.train_ivf_centroids(
+            corpus, vec_col=vec_col, id_col=id_col,
+            n_centroids=n_centroids, seed=seed,
+        )
     coded = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("_cvec"),
@@ -253,13 +255,7 @@ def _knn_pq_ivf_routed(
     )
     # exact L2 sits ABOVE the shortlist cut (same evaluation-order trap
     # as the per-query path): it runs on shortlist rows only
-    l2 = F.aggregate(
-        F.zip_with(
-            F.col("_cvec"), F.col("_qvec"), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
+    l2 = l2_squared("_cvec", "_qvec")
     w = Window.partitionBy("query_id").orderBy("_l2", id_col)
     return (
         short.withColumn("_l2", l2)
@@ -284,6 +280,10 @@ def knn_pq(
     k_codes: int = 16,
     shortlist: int = 10,
     codebooks=None,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids=None,
+    seed: int = 42,
 ):
     """PQ top-k with exact re-rank: ADC shortlist of
     ``shortlist * k_neighbors`` candidates per query (corpus never
@@ -323,10 +323,14 @@ def knn_pq(
             k_codes=k_codes,
             shortlist=shortlist,
             codebooks=codebooks,
+            n_centroids=n_centroids,
+            nprobe=nprobe,
+            centroids=centroids,
+            seed=seed,
         )
     if codebooks is None:
         codebooks = train_pq_codebooks(
-            corpus, vec_col=vec_col, id_col=id_col, m=m, k=k_codes
+            corpus, vec_col=vec_col, id_col=id_col, m=m, k=k_codes, seed=seed
         )
     coded = corpus.select(
         F.col(id_col), F.col(vec_col), pq_encode(vec_col, codebooks).alias("_codes")

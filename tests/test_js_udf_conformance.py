@@ -202,6 +202,13 @@ def test_wrong_name_in_body_rejected_at_create(spark, tmp_path):
         "AS 'var sq = (a) => a * a;'"
     )
     assert s.execute("SELECT sq(3.0) AS v").collect()[0][0] == 9.0
+    # unquoted SQL identifiers fold to lowercase before the compare:
+    # CREATE FUNCTION SQ2 with `function sq2` is accepted
+    s.execute(
+        "CREATE FUNCTION SQ2(double) RETURNS double LANGUAGE JAVASCRIPT "
+        "AS 'function sq2(a) { return a + 1; }'"
+    )
+    assert s.execute("SELECT sq2(3.0) AS v").collect()[0][0] == 4.0
 
 
 def test_unresolved_global_raises_at_call_not_create():

@@ -1578,6 +1578,8 @@ def test_score_system_column_semantics(session):
     for good in (
         "SELECT count(*) AS n FROM nation WHERE _score::REAL >= 0.5",
         "SELECT count(*) AS n FROM nation WHERE CAST(_score AS REAL) >= 0.5",
+        "SELECT count(*) AS n FROM nation "
+        "WHERE CAST(_score AS DOUBLE PRECISION) >= 0.5",
         "SELECT count(*) AS n FROM nation WHERE _score >= -0.5",
         "SELECT count(*) AS n FROM nation WHERE _score >= 5e-1",
     ):
@@ -1587,6 +1589,8 @@ def test_score_system_column_semantics(session):
         "SELECT * FROM nation WHERE _score = 1.0",
         "SELECT * FROM documents WHERE MATCH(text,'x') AND NOT (_score >= 0.5)",
         "SELECT * FROM nation WHERE CAST(_score AS REAL) = 0.5",
+        "SELECT * FROM nation WHERE NOT CAST(_score AS REAL) >= 0.5",
+        "SELECT * FROM nation WHERE NOT (TRUE AND CAST(_score AS REAL) >= 0.5)",
         "SELECT * FROM nation WHERE _score::REAL > 0.5",
         "SELECT * FROM nation WHERE _score >= n_regionkey",
     ):
@@ -1629,6 +1633,16 @@ def test_schema_named_alias_keeps_struct_qualifier(spark, tmp_path):
     # no alias declared -> schema.table.column strips as before
     out = rewrite("SELECT rx.t.id FROM rx.t", user_schemas={"rx"})
     assert "rx." not in out
+    # a COLUMN alias named like the schema must NOT disable the strip
+    out = rewrite(
+        "SELECT n_name AS rx, rx.t.id FROM rx.t", user_schemas={"rx"}
+    )
+    assert "rx.t.id" not in out and "FROM t" in out
+    # and an alias named like a TYPE survives the CAST-target mapping
+    out = rewrite("SELECT * FROM (SELECT 1 AS text) t")
+    assert "AS text" in out
+    out = rewrite("SELECT CAST(n_nationkey AS text) AS v FROM nation")
+    assert "AS STRING" in out
     # end-to-end: the two-part alias exemption and schema strip still
     # resolve through a live session
     s = CrateSession(spark, None, storage_dir=str(tmp_path))
