@@ -75,6 +75,27 @@ def main() -> int:
             except Exception as e:  # noqa: BLE001
                 bad += 1
                 print(f"ERROR (seed {seed}): {sql}\n  {e}")
+        # crate-dialect spelling pairs: both sides through the engine
+        for _ in range(15):
+            child = random.Random(rng.getrandbits(64))
+            a_sql, b_sql = fz.gen_dialect_pair(child)
+            total += 1
+            try:
+                da, db = crate.execute(a_sql), crate.execute(b_sql)
+                a = canonical_rows(
+                    [c.lower() for c in da.columns],
+                    [tuple(r) for r in da.collect()],
+                )
+                b = canonical_rows(
+                    [c.lower() for c in db.columns],
+                    [tuple(r) for r in db.collect()],
+                )
+                if a != b:
+                    bad += 1
+                    print(f"PAIR MISMATCH (seed {seed}): {a_sql} | {b_sql}")
+            except Exception as e:  # noqa: BLE001
+                bad += 1
+                print(f"PAIR ERROR (seed {seed}): {a_sql} | {b_sql}\n  {e}")
     print(f"{total - bad}/{total} agree across {len(seeds)} seeds")
     spark.stop()
     return 1 if bad else 0
