@@ -2707,6 +2707,7 @@ class CrateSession:
                 "Number": _js_number,
                 "parseInt": _js_parse_int,
                 "parseFloat": _js_parse_float,
+                "__js_regex": _js_regex,
                 # JS isNaN coerces first: isNaN('123') is false
                 "isNaN": (lambda v: _js_number(v) != _js_number(v)),
             }
@@ -3319,6 +3320,78 @@ class _JsDate:
         return base.timestamp() * 1000.0
 
 
+class _JsRegex:
+    """JS regex literal (``/pat/flags``) — the RegExp surface the
+    translated subset supports: ``.test``, ``.exec``, ``.source``,
+    ``.flags``. Stateless (no lastIndex), so ``g`` only affects flag
+    echo; ``u``/``y`` are accepted and ignored. JS named groups
+    ``(?<n>...)`` translate to Python's ``(?P<n>...)``."""
+
+    def __init__(self, pattern: str, flags: str = ""):
+        f = 0
+        if "i" in flags:
+            f |= re.IGNORECASE
+        if "m" in flags:
+            f |= re.MULTILINE
+        if "s" in flags:
+            f |= re.DOTALL
+        self.source, self.flags = pattern, flags
+        py_pat = re.sub(r"\(\?<(?![=!])", "(?P<", pattern)
+        self._re = re.compile(py_pat, f)
+
+    def test(self, s) -> bool:
+        return s is not None and self._re.search(_js_str(s)) is not None
+
+    def exec(self, s):  # noqa: A003 - JS method name
+        m = None if s is None else self._re.search(_js_str(s))
+        if m is None:
+            return None
+        return [m.group(0), *m.groups()]
+
+
+def _js_regex(pattern: str, flags: str = "") -> _JsRegex:
+    return _JsRegex(pattern, flags)
+
+
+def _js_mask_regexes(expr: str, lits: list[str]) -> str:
+    """Mask JS regex literals as placeholders holding the translated
+    ``__js_regex(...)`` call. A ``/`` starts a regex only in operand
+    position (expression start or after an operator/opening bracket) —
+    after an identifier, number, ')' or ']' it is division. String
+    literals are already masked when this runs."""
+    out: list[str] = []
+    i, last_sig = 0, ""
+    while i < len(expr):
+        ch = expr[i]
+        if ch == "/" and (last_sig == "" or last_sig in "([{,=!&|+-*%?:;<>"):
+            j, closed = i + 1, False
+            while j < len(expr):
+                if expr[j] == "\\":
+                    j += 2
+                    continue
+                if expr[j] == "/":
+                    closed = True
+                    break
+                if expr[j] == "\n":
+                    break
+                j += 1
+            if closed and j > i + 1:
+                k = j + 1
+                while k < len(expr) and expr[k] in "gimsuy":
+                    k += 1
+                pat, flags = expr[i + 1 : j], expr[j + 1 : k]
+                lits.append(f"__js_regex({pat!r}, {flags!r})")
+                out.append(f"__JSLIT{len(lits) - 1}__")
+                i = k
+                last_sig = ")"  # a regex object is value-like
+                continue
+        out.append(ch)
+        if not ch.isspace():
+            last_sig = ch
+        i += 1
+    return "".join(out)
+
+
 def _js_ternary_to_python(expr: str) -> str:
     """``cond ? a : b`` -> ``((a) if (cond) else (b))``. Rightmost-?
     first (its branches are then ternary-free), scope delimited by the
@@ -3389,6 +3462,10 @@ def _js_expr_to_python(expr: str) -> str:
     expr = re.sub(
         r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'', _mask, expr.strip()
     )
+    # regex literals next (strings already opaque): /pat/flags ->
+    # masked __js_regex(...) call; .test/.exec then bind as ordinary
+    # Python method calls on the _JsRegex object
+    expr = _js_mask_regexes(expr, lits)
     expr = expr.replace("!==", "!=").replace("===", "==")
     # fn.apply(null, xs) -> fn(*xs) (Math.max.apply in the reference's
     # arr_max integration test)

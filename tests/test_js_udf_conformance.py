@@ -20,6 +20,7 @@ from crate_spark.engine import (
     _js_number,
     _js_parse_float,
     _js_parse_int,
+    _js_regex,
     _js_str,
     _JsDate,
     _JsJSON,
@@ -51,6 +52,7 @@ def _env():
         "Number": _js_number,
         "parseInt": _js_parse_int,
         "parseFloat": _js_parse_float,
+        "__js_regex": _js_regex,
         "isNaN": lambda v: _js_number(v) != _js_number(v),
     }
 
@@ -164,9 +166,6 @@ REJECTED = [
     # declared divergence: prototype mutation
     ("prototype", "function f() { String.prototype.z = 1; return 1; }",
      "unsupported JavaScript construct"),
-    # declared divergence: JS regex literals
-    ("regex_literal", "function f(s) { return /ab+/.test(s); }",
-     "unsupported JavaScript construct"),
 ]
 
 
@@ -176,6 +175,29 @@ REJECTED = [
 def test_unsupported_js_rejected_at_create(name, body, msg):
     with pytest.raises(ValueError, match=msg):
         _run(body, 1)
+
+
+def test_regex_literals():
+    """JS regex literals (/pat/flags) with .test/.exec — previously a
+    declared divergence, now translated: operand-position '/' starts a
+    regex, division stays division, flags i/m/s map, named groups
+    translate, null input tests false."""
+    assert _run("function f(s) { return /ab+/.test(s); }", "xabby") is True
+    assert _run("function f(s) { return /ab+/.test(s); }", "xay") is False
+    assert _run("function f(s) { return /AB/i.test(s); }", "xaby") is True
+    assert _run("function f(s) { return /a.b/s.test(s); }", "a\nb") is True
+    assert _run("function f(s) { return /x/.test(s); }", None) is False
+    # exec: [full match, group1, ...]; no match -> null
+    assert _run(
+        "function f(s) { return /(\\d+)-(\\d+)/.exec(s); }", "a 12-34 b"
+    ) == ["12-34", "12", "34"]
+    assert _run("function f(s) { return /zz/.exec(s); }", "abc") is None
+    # division is still division even near a regex-looking slash
+    assert _run("function f(a, b) { return a / b / 2; }", 8, 2) == 2
+    assert _run(
+        "function f(s, a, b) { return /q/.test(s) ? a / b : 0; }",
+        "pq", 9, 3,
+    ) == 3
 
 
 def test_wrong_name_in_body_rejected_at_create(spark, tmp_path):
