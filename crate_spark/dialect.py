@@ -1375,15 +1375,26 @@ def _struct_literal_subscripts(sql: str, literals: list[str]) -> str:
             i = close + 1
             continue
         expr = sql[j + len("to_json(") : close]
-        pos, ok, chain = k, True, ""
+        pos, ok, acc = k, True, expr
         while pos < len(sql) and sql[pos] == "[":
             end = sql.find("]", pos)
-            lm = re.fullmatch(r"__LIT_(\d+)__", sql[pos + 1 : end].strip())
-            key = literals[int(lm.group(1))][1:-1] if lm else ""
-            if end < 0 or not re.fullmatch(r"\w+", key):
+            if end < 0:
                 ok = False
                 break
-            chain += f".{key}"
+            sub = sql[pos + 1 : end].strip()
+            lm = re.fullmatch(r"__LIT_(\d+)__", sub)
+            if lm:
+                key = literals[int(lm.group(1))][1:-1]
+                if not re.fullmatch(r"\w+", key):
+                    ok = False
+                    break
+                acc = f"{acc}.{key}"
+            elif sub.isdigit():
+                # 1-based array index on a struct field's array value
+                acc = f"element_at({acc}, {int(sub)})"
+            else:
+                ok = False
+                break
             pos = end + 1
         if not ok:
             out.append(sql[i : close + 1])
@@ -1391,7 +1402,7 @@ def _struct_literal_subscripts(sql: str, literals: list[str]) -> str:
             continue
         start = paren_open if paren_open >= 0 else j
         out.append(sql[i:start])
-        out.append(f"{expr}{chain}")
+        out.append(acc)
         i = pos
     return "".join(out)
 
