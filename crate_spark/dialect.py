@@ -89,11 +89,12 @@ _CAST_RE = re.compile(
     re.IGNORECASE,
 )
 #: subscript base: function call (keyword-guarded, like _OPERAND),
-#: identifier, or parenthesized expression
+#: identifier, or parenthesized expression — same 4/5-level paren
+#: nesting as _OPERAND (the fuzz found 2-level nesting too shallow
+#: for generated compound operands)
 _SUB_BASE = (
-    rf"(?<![A-Za-z0-9_.])(?:(?!{_KW}\s*\(){_IDENT}\s*"
-    rf"\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)"
-    rf"|{_IDENT}|\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))"
+    rf"(?<![A-Za-z0-9_.])(?:(?!{_KW}\s*\(){_IDENT}\s*{_nested_parens(4)}"
+    rf"|{_IDENT}|{_nested_parens(5)})"
 )
 _SUBSCRIPT_RE = re.compile(rf"({_SUB_BASE})\s*\[\s*(\d+)\s*\]")
 #: 1-based inclusive slice subscript arr[from:to] with optional open
