@@ -14,7 +14,7 @@ import sys
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "PLANS_r03.md"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "PLANS_latest.md"
     sf_dir = (
         sys.argv[2]
         if len(sys.argv) > 2
