@@ -93,18 +93,27 @@ class Gen:
 
     def misc_expr(self):
         r = self.rng.random()
-        if r < 0.25:
+        if r < 0.18:
             return f"length({self.str_expr()})"
-        if r < 0.45:
+        if r < 0.34:
             return f"trim(replace({self.str_expr()}, 'A', ' '))"
-        if r < 0.65:
+        if r < 0.48:
             return (
                 f"coalesce(nullif({self.col('s')}, "
                 f"'{self.rng.choice('AEK')}'), 'dflt')"
             )
-        if r < 0.85:
+        if r < 0.6:
             return f"CASE WHEN {self.col('s')} IN ('A', 'B', 'UNITED STATES') THEN 1 ELSE 0 END"
-        return f"greatest({self.int_expr()}, {self.int_expr()})"
+        if r < 0.7:
+            return f"greatest({self.int_expr()}, {self.int_expr()})"
+        if r < 0.78:
+            return f"split_part({self.col('s')}, 'A', {self.rng.randint(1, 3)})"
+        if r < 0.86:
+            side = self.rng.choice(["left", "right"])
+            return f"{side}({self.col('s')}, {self.rng.randint(1, 5)})"
+        if r < 0.93:
+            return f"reverse(lpad({self.col('s')}, {self.rng.randint(3, 12)}, '.'))"
+        return f"ascii(substr({self.col('s')}, {self.rng.randint(1, 4)}, 1))"
 
     def pred(self, depth=0):
         r = self.rng.random()
