@@ -3651,6 +3651,43 @@ def _js_block_to_python(src: str, depth: int, lines: list[str]) -> None:
             lines.append(f"{pad}break")
             i += m.end()
             continue
+        m = re.match(r"function\s+([\w$]+)\s*\(([^)]*)\)\s*", rest)
+        if m:
+            # nested function declaration -> Python def; writes to
+            # names from the ENCLOSING scope become `nonlocal`, so
+            # closures over mutable state work like GraalVM's. Names
+            # declared var/let/const (or as params) inside stay local.
+            block, j = _js_brace_block(rest, m.end())
+            fname = m.group(1)
+            params = [p.strip() for p in m.group(2).split(",") if p.strip()]
+            declared = set(
+                re.findall(r"\b(?:var|let|const)\s+([\w$]+)", block)
+            ) | set(params) | {fname}
+            declared |= {
+                nm
+                for inner_fn in re.findall(
+                    r"function\s+[\w$]+\s*\(([^)]*)\)", block
+                )
+                for nm in re.split(r"\s*,\s*", inner_fn)
+                if nm
+            }
+            assigned = set(
+                re.findall(
+                    r"(?<![\w$.])([\w$]+)\s*"
+                    r"(?:=(?!=)|\+=|-=|\*=|/=|%=|\+\+|--)",
+                    block,
+                )
+            )
+            sig = ", ".join(f"{p}=None" for p in params)
+            lines.append(f"{pad}def {fname}({sig}):")
+            for nl in sorted(assigned - declared):
+                lines.append(f"{pad}    nonlocal {nl}")
+            before = len(lines)
+            _js_block_to_python(block, depth + 1, lines)
+            if len(lines) == before:
+                lines.append(f"{pad}    return None")
+            i += j
+            continue
         m = re.match(r"([\w$]+)\s*\+\+\s*(?:;|$)", rest)
         if m:
             lines.append(f"{pad}{m.group(1)} += 1")
@@ -3673,10 +3710,20 @@ def _js_block_to_python(src: str, depth: int, lines: list[str]) -> None:
             )
             i += m.end()
             continue
+        # bare call statement (side-effecting helper invocation)
+        m = re.match(
+            r"([\w$]+(?:\s*\.\s*[\w$]+)*\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))"
+            r"\s*(?:;|$)",
+            rest,
+        )
+        if m:
+            lines.append(f"{pad}{_js_expr_to_python(m.group(1))}")
+            i += m.end()
+            continue
         raise ValueError(
             "unsupported JavaScript construct in UDF body near: "
             f"{rest[:60]!r} (supported: declarations, assignments, "
-            "if/else, while, C-style for, return)"
+            "if/else, while, C-style for, nested functions, return)"
         )
 
 

@@ -158,11 +158,6 @@ REJECTED = [
     # throw is outside the subset
     ("throw_stmt", "function f(a) { throw new Error(a); }",
      "unsupported JavaScript construct"),
-    # declared divergence: nested functions / closures over mutables
-    ("closure",
-     "function f(x) { var c = 0; function inc() { c = c + 1; return c; } "
-     "return inc() + x; }",
-     "unsupported JavaScript construct"),
     # declared divergence: prototype mutation
     ("prototype", "function f() { String.prototype.z = 1; return 1; }",
      "unsupported JavaScript construct"),
@@ -175,6 +170,38 @@ REJECTED = [
 def test_unsupported_js_rejected_at_create(name, body, msg):
     with pytest.raises(ValueError, match=msg):
         _run(body, 1)
+
+
+def test_nested_functions_and_closures():
+    """Nested function declarations — previously a declared
+    divergence, now translated to Python defs with automatic
+    ``nonlocal`` for writes to enclosing-scope names, so closures over
+    mutable state behave like GraalVM's."""
+    assert _run(
+        "function f(x) { var c = 0; "
+        "function inc() { c = c + 1; return c; } "
+        "inc(); return inc() + x; }",
+        5,
+    ) == 7
+    assert _run(
+        "function f(x) { function sq(a) { return a * a; } "
+        "return sq(x) + sq(2); }",
+        3,
+    ) == 13
+    # read-only closure over an outer local
+    assert _run(
+        "function f(x) { var base = 10; "
+        "function add(a) { return a + base; } return add(x); }",
+        5,
+    ) == 15
+    # side-effecting helper called as a bare statement inside a loop
+    assert _run(
+        "function f(xs) { var total = 0; "
+        "function bump(v) { total += v; } "
+        "for (var i = 0; i < xs.length; i++) { bump(xs[i]); } "
+        "return total; }",
+        [1, 2, 3],
+    ) == 6
 
 
 def test_regex_literals():
