@@ -1364,10 +1364,19 @@ def _struct_literal_subscripts(sql: str, literals: list[str]) -> str:
         k = close + 1
         while k < len(sql) and sql[k].isspace():
             k += 1
-        # the literal may sit inside one pair of user parens
+        # the literal may sit inside one pair of user parens — but a
+        # '(' directly preceded by an identifier char is a function
+        # call's paren (coalesce({a=1})['a']), not a wrapper: splicing
+        # it out would weld the call name onto named_struct
         paren_open = -1
-        if k < len(sql) and sql[k] == ")" and sql[:j].rstrip().endswith("("):
-            paren_open = len(sql[:j].rstrip()) - 1
+        lead = sql[:j].rstrip()
+        if (
+            k < len(sql)
+            and sql[k] == ")"
+            and lead.endswith("(")
+            and not (len(lead) >= 2 and (lead[-2].isalnum() or lead[-2] == "_"))
+        ):
+            paren_open = len(lead) - 1
             k += 1
             while k < len(sql) and sql[k].isspace():
                 k += 1

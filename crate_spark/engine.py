@@ -3349,47 +3349,110 @@ class _JsRegex:
         return [m.group(0), *m.groups()]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
 def _js_regex(pattern: str, flags: str = "") -> _JsRegex:
+    # cached: the inline __js_regex(...) expression in translated code
+    # then costs a dict lookup per row, not a re.compile
     return _JsRegex(pattern, flags)
 
 
-def _js_mask_regexes(expr: str, lits: list[str]) -> str:
-    """Mask JS regex literals as placeholders holding the translated
-    ``__js_regex(...)`` call. A ``/`` starts a regex only in operand
-    position (expression start or after an operator/opening bracket) —
-    after an identifier, number, ')' or ']' it is division. String
-    literals are already masked when this runs."""
+#: after these keywords a '/' starts a regex literal even though the
+#: preceding character is alphanumeric
+_JS_REGEX_KEYWORDS = {
+    "return", "typeof", "case", "in", "of", "new", "void", "delete",
+    "do", "else", "instanceof",
+}
+
+
+def _js_mask_literals(body: str) -> tuple[str, list[str]]:
+    """One lexer pass masking BOTH string literals and regex literals
+    of a JS function body as ``__JSBODY{n}__`` placeholders, BEFORE any
+    statement parsing — so a ``;``/``,``/paren/quote INSIDE a literal
+    can never confuse the statement splitters (review r7).
+
+    Strings are stored verbatim (JS quoting is Python-compatible for
+    the supported escapes); regex literals are stored as their
+    translated ``__js_regex(...)`` call. A ``/`` starts a regex only
+    in operand position: after an operator/opening bracket, at the
+    start, or after a keyword like ``return`` — after an identifier,
+    number, ')' or ']' it is division. Inside a regex, ``[...]``
+    character classes may contain an unescaped ``/``. Patterns are
+    compiled HERE so an unsupported pattern fails at CREATE time."""
+    lits: list[str] = []
     out: list[str] = []
-    i, last_sig = 0, ""
-    while i < len(expr):
-        ch = expr[i]
-        if ch == "/" and (last_sig == "" or last_sig in "([{,=!&|+-*%?:;<>"):
-            j, closed = i + 1, False
-            while j < len(expr):
-                if expr[j] == "\\":
+    i, n = 0, len(body)
+    last_sig, last_word = "", ""
+    while i < n:
+        ch = body[i]
+        if ch in "'\"":
+            j = i + 1
+            while j < n:
+                if body[j] == "\\":
                     j += 2
                     continue
-                if expr[j] == "/":
+                if body[j] == ch:
+                    break
+                j += 1
+            lits.append(body[i : j + 1])
+            out.append(f"__JSBODY{len(lits) - 1}__")
+            i = j + 1
+            last_sig, last_word = ")", ""  # a string is value-like
+            continue
+        if ch == "/" and (
+            last_sig == ""
+            or last_sig in "([{,=!&|+-*%?:;<>"
+            or last_word in _JS_REGEX_KEYWORDS
+        ):
+            j, in_class, closed = i + 1, False, False
+            while j < n:
+                c = body[j]
+                if c == "\\":
+                    j += 2
+                    continue
+                if c == "[":
+                    in_class = True
+                elif c == "]":
+                    in_class = False
+                elif c == "/" and not in_class:
                     closed = True
                     break
-                if expr[j] == "\n":
+                elif c == "\n":
                     break
                 j += 1
             if closed and j > i + 1:
                 k = j + 1
-                while k < len(expr) and expr[k] in "gimsuy":
+                while k < n and body[k] in "gimsuy":
                     k += 1
-                pat, flags = expr[i + 1 : j], expr[j + 1 : k]
+                pat, flags = body[i + 1 : j], body[j + 1 : k]
+                try:
+                    _js_regex(pat, flags)
+                except re.error as e:
+                    raise ValueError(
+                        f"unsupported JavaScript regex literal "
+                        f"/{pat}/{flags}: {e}"
+                    ) from None
                 lits.append(f"__js_regex({pat!r}, {flags!r})")
-                out.append(f"__JSLIT{len(lits) - 1}__")
+                out.append(f"__JSBODY{len(lits) - 1}__")
                 i = k
-                last_sig = ")"  # a regex object is value-like
+                last_sig, last_word = ")", ""
                 continue
         out.append(ch)
         if not ch.isspace():
             last_sig = ch
+            last_word = (
+                last_word + ch if (ch.isalnum() or ch in "_$") else ""
+            )
         i += 1
-    return "".join(out)
+    return "".join(out), lits
+
+
+def _js_unmask_literals(text: str, lits: list[str]) -> str:
+    for i in range(len(lits) - 1, -1, -1):
+        text = text.replace(f"__JSBODY{i}__", lits[i])
+    return text
 
 
 def _js_ternary_to_python(expr: str) -> str:
@@ -3450,9 +3513,11 @@ def _js_ternary_to_python(expr: str) -> str:
     return expr
 
 
-def _js_expr_to_python(expr: str) -> str:
-    """Translate one JS expression to Python. String literals are
-    masked first so operators inside them survive untouched."""
+def _js_expr_to_python(expr: str, body_lits: list[str] | None = None) -> str:
+    """Translate one JS expression to Python. String/regex literals
+    are masked (``body_lits`` carries the function-body-level masking
+    from ``_js_mask_literals``; the local pass covers strings in
+    expressions arriving from other entry points)."""
     lits: list[str] = []
 
     def _mask(m: re.Match) -> str:
@@ -3462,10 +3527,6 @@ def _js_expr_to_python(expr: str) -> str:
     expr = re.sub(
         r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'', _mask, expr.strip()
     )
-    # regex literals next (strings already opaque): /pat/flags ->
-    # masked __js_regex(...) call; .test/.exec then bind as ordinary
-    # Python method calls on the _JsRegex object
-    expr = _js_mask_regexes(expr, lits)
     expr = expr.replace("!==", "!=").replace("===", "==")
     # fn.apply(null, xs) -> fn(*xs) (Math.max.apply in the reference's
     # arr_max integration test)
@@ -3486,7 +3547,9 @@ def _js_expr_to_python(expr: str) -> str:
     # literal, not a Python set/annotation error (already-quoted keys
     # are masked placeholders — leave those alone)
     expr = re.sub(
-        r"([{,]\s*)(?!__JSLIT\d+__)([A-Za-z_$][\w$]*)\s*:", r'\1"\2":', expr
+        r"([{,]\s*)(?!__JS(?:LIT|BODY)\d+__)([A-Za-z_$][\w$]*)\s*:",
+        r'\1"\2":',
+        expr,
     )
     # property access on identifier chains -> __js_member (never on
     # the Math/Date/JSON/math namespaces, never on a method call's
@@ -3517,6 +3580,8 @@ def _js_expr_to_python(expr: str) -> str:
     expr = _js_ternary_to_python(expr)
     for i, lit in enumerate(lits):
         expr = expr.replace(f"__JSLIT{i}__", lit)
+    if body_lits:
+        expr = _js_unmask_literals(expr, body_lits)
     return expr
 
 
@@ -3555,21 +3620,49 @@ def _js_brace_block(s: str, start: int) -> tuple[str, int]:
     return s[j:k + 1], k + 1
 
 
-def _js_block_to_python(src: str, depth: int, lines: list[str]) -> None:
+def _js_declared_names(block: str) -> set[str]:
+    """Names bound locally inside a (literal-masked) JS block:
+    var/let/const declarations incl. comma lists, and the params/names
+    of further-nested function declarations."""
+    from crate_spark.sql_dml import _split_top
+
+    out: set[str] = set()
+    for dm in re.finditer(r"\b(?:var|let|const)\b([^;]*)", block):
+        for d in _split_top(dm.group(1)):
+            nm = re.match(r"\s*([\w$]+)", d)
+            if nm:
+                out.add(nm.group(1))
+    for fm in re.finditer(r"\bfunction\s+([\w$]+)\s*\(([^)]*)\)", block):
+        out.add(fm.group(1))
+        out |= {p.strip() for p in fm.group(2).split(",") if p.strip()}
+    return out
+
+
+def _js_block_to_python(
+    src: str, depth: int, lines: list[str], lits: list[str] | None = None
+) -> None:
     """Translate a JS statement block to indented Python lines.
     Covers the reference-doc UDF subset: var/let/const declarations
     (incl. comma lists), assignments (`=`, `+=`, ..., `++`/`--`),
-    if / else if / else, while, C-style for, break, and return.
-    Anything else raises — at CREATE FUNCTION time, not first call."""
+    if / else if / else, while, C-style for, break, nested function
+    declarations (hoisted, like JS; closure writes become nonlocal),
+    bare helper calls, and return. ``src`` must have string/regex
+    literals masked (``_js_mask_literals``) so statement splitting
+    never reads into a literal. Anything else raises — at CREATE
+    FUNCTION time, not first call."""
     from crate_spark.sql_dml import _split_top
 
     pad = "    " * depth
+    # function declarations hoist to the top of their block (JS
+    # semantics: callable before their textual position)
+    fn_lines: list[str] = []
+    body_lines: list[str] = []
     i, n = 0, len(src)
     while i < n:
         while i < n and src[i] in " \t\r\n;":
             i += 1
         if i >= n:
-            return
+            break
         rest = src[i:]
         m = re.match(r"(?:var|let|const)\b(.*?);", rest, re.DOTALL)
         if m:
@@ -3582,37 +3675,41 @@ def _js_block_to_python(src: str, depth: int, lines: list[str]) -> None:
                         f"unsupported JavaScript declaration: {decl[:60]!r}"
                     )
                 val = (
-                    _js_expr_to_python(dm.group(2)) if dm.group(2) else "None"
+                    _js_expr_to_python(dm.group(2), lits)
+                    if dm.group(2)
+                    else "None"
                 )
-                lines.append(f"{pad}{dm.group(1)} = {val}")
+                body_lines.append(f"{pad}{dm.group(1)} = {val}")
             i += m.end()
             continue
         m = re.match(r"return\b\s*(.*?)\s*(?:;|$)", rest, re.DOTALL)
         if m:
-            val = _js_expr_to_python(m.group(1)) if m.group(1) else "None"
-            lines.append(f"{pad}return {val}")
+            val = _js_expr_to_python(m.group(1), lits) if m.group(1) else "None"
+            body_lines.append(f"{pad}return {val}")
             i += m.end()
             continue
         m = re.match(r"if\s*\(", rest)
         if m:
             cond, j = _js_balanced(rest, m.end() - 1)
             block, j = _js_brace_block(rest, j)
-            lines.append(f"{pad}if {_js_expr_to_python(cond)}:")
-            _js_block_to_python(block, depth + 1, lines)
+            body_lines.append(f"{pad}if {_js_expr_to_python(cond, lits)}:")
+            _js_block_to_python(block, depth + 1, body_lines, lits)
             while True:
                 em = re.match(r"\s*else\s+if\s*\(", rest[j:])
                 if em:
                     cond, k = _js_balanced(rest[j:], em.end() - 1)
                     block, k = _js_brace_block(rest[j:], k)
-                    lines.append(f"{pad}elif {_js_expr_to_python(cond)}:")
-                    _js_block_to_python(block, depth + 1, lines)
+                    body_lines.append(
+                        f"{pad}elif {_js_expr_to_python(cond, lits)}:"
+                    )
+                    _js_block_to_python(block, depth + 1, body_lines, lits)
                     j += k
                     continue
                 em = re.match(r"\s*else\b", rest[j:])
                 if em:
                     block, k = _js_brace_block(rest[j:], em.end())
-                    lines.append(f"{pad}else:")
-                    _js_block_to_python(block, depth + 1, lines)
+                    body_lines.append(f"{pad}else:")
+                    _js_block_to_python(block, depth + 1, body_lines, lits)
                     j += k
                 break
             i += j
@@ -3621,8 +3718,8 @@ def _js_block_to_python(src: str, depth: int, lines: list[str]) -> None:
         if m:
             cond, j = _js_balanced(rest, m.end() - 1)
             block, j = _js_brace_block(rest, j)
-            lines.append(f"{pad}while {_js_expr_to_python(cond)}:")
-            _js_block_to_python(block, depth + 1, lines)
+            body_lines.append(f"{pad}while {_js_expr_to_python(cond, lits)}:")
+            _js_block_to_python(block, depth + 1, body_lines, lits)
             i += j
             continue
         m = re.match(r"for\s*\(", rest)
@@ -3637,18 +3734,19 @@ def _js_block_to_python(src: str, depth: int, lines: list[str]) -> None:
             init, cond, step = (p.strip() for p in parts)
             block, j = _js_brace_block(rest, j)
             if init:
-                _js_block_to_python(init + ";", depth, lines)
-            lines.append(
-                f"{pad}while {_js_expr_to_python(cond) if cond else 'True'}:"
+                _js_block_to_python(init + ";", depth, body_lines, lits)
+            body_lines.append(
+                f"{pad}while "
+                f"{_js_expr_to_python(cond, lits) if cond else 'True'}:"
             )
-            _js_block_to_python(block, depth + 1, lines)
+            _js_block_to_python(block, depth + 1, body_lines, lits)
             if step:
-                _js_block_to_python(step + ";", depth + 1, lines)
+                _js_block_to_python(step + ";", depth + 1, body_lines, lits)
             i += j
             continue
         m = re.match(r"break\s*(?:;|$)", rest)
         if m:
-            lines.append(f"{pad}break")
+            body_lines.append(f"{pad}break")
             i += m.end()
             continue
         m = re.match(r"function\s+([\w$]+)\s*\(([^)]*)\)\s*", rest)
@@ -3660,17 +3758,7 @@ def _js_block_to_python(src: str, depth: int, lines: list[str]) -> None:
             block, j = _js_brace_block(rest, m.end())
             fname = m.group(1)
             params = [p.strip() for p in m.group(2).split(",") if p.strip()]
-            declared = set(
-                re.findall(r"\b(?:var|let|const)\s+([\w$]+)", block)
-            ) | set(params) | {fname}
-            declared |= {
-                nm
-                for inner_fn in re.findall(
-                    r"function\s+[\w$]+\s*\(([^)]*)\)", block
-                )
-                for nm in re.split(r"\s*,\s*", inner_fn)
-                if nm
-            }
+            declared = _js_declared_names(block) | set(params) | {fname}
             assigned = set(
                 re.findall(
                     r"(?<![\w$.])([\w$]+)\s*"
@@ -3679,23 +3767,23 @@ def _js_block_to_python(src: str, depth: int, lines: list[str]) -> None:
                 )
             )
             sig = ", ".join(f"{p}=None" for p in params)
-            lines.append(f"{pad}def {fname}({sig}):")
+            fn_lines.append(f"{pad}def {fname}({sig}):")
             for nl in sorted(assigned - declared):
-                lines.append(f"{pad}    nonlocal {nl}")
-            before = len(lines)
-            _js_block_to_python(block, depth + 1, lines)
-            if len(lines) == before:
-                lines.append(f"{pad}    return None")
+                fn_lines.append(f"{pad}    nonlocal {nl}")
+            before = len(fn_lines)
+            _js_block_to_python(block, depth + 1, fn_lines, lits)
+            if len(fn_lines) == before:
+                fn_lines.append(f"{pad}    return None")
             i += j
             continue
         m = re.match(r"([\w$]+)\s*\+\+\s*(?:;|$)", rest)
         if m:
-            lines.append(f"{pad}{m.group(1)} += 1")
+            body_lines.append(f"{pad}{m.group(1)} += 1")
             i += m.end()
             continue
         m = re.match(r"([\w$]+)\s*--\s*(?:;|$)", rest)
         if m:
-            lines.append(f"{pad}{m.group(1)} -= 1")
+            body_lines.append(f"{pad}{m.group(1)} -= 1")
             i += m.end()
             continue
         m = re.match(
@@ -3704,27 +3792,34 @@ def _js_block_to_python(src: str, depth: int, lines: list[str]) -> None:
             re.DOTALL,
         )
         if m:
-            lines.append(
+            body_lines.append(
                 f"{pad}{m.group(1)} {m.group(2)} "
-                f"{_js_expr_to_python(m.group(3))}"
+                f"{_js_expr_to_python(m.group(3), lits)}"
             )
             i += m.end()
             continue
-        # bare call statement (side-effecting helper invocation)
+        # bare call statement — a BARE-NAME call only (a user-declared
+        # helper): member calls like arr.push(x) stay rejected at
+        # CREATE, preserving the fail-loudly-up-front contract (the
+        # runtime has no JS mutation methods to dispatch to)
         m = re.match(
-            r"([\w$]+(?:\s*\.\s*[\w$]+)*\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))"
+            r"(?!(?:if|while|for|return|function)\b)"
+            r"([\w$]+\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))"
             r"\s*(?:;|$)",
             rest,
         )
         if m:
-            lines.append(f"{pad}{_js_expr_to_python(m.group(1))}")
+            body_lines.append(f"{pad}{_js_expr_to_python(m.group(1), lits)}")
             i += m.end()
             continue
         raise ValueError(
             "unsupported JavaScript construct in UDF body near: "
-            f"{rest[:60]!r} (supported: declarations, assignments, "
-            "if/else, while, C-style for, nested functions, return)"
+            f"{_js_unmask_literals(rest[:60], lits or [])!r} "
+            "(supported: declarations, assignments, if/else, while, "
+            "C-style for, nested functions, return)"
         )
+    lines.extend(fn_lines)
+    lines.extend(body_lines)
 
 
 def _js_function(body: str, env: dict) -> tuple[list[str], object]:
@@ -3767,7 +3862,11 @@ def _js_function(body: str, env: dict) -> tuple[list[str], object]:
     lines = [
         "def __js_udf({}):".format(", ".join(f"{p}=None" for p in params))
     ]
-    _js_block_to_python(m.group(2), 1, lines)
+    # mask string + regex literals ONCE over the whole body, before
+    # any statement parsing (a ';', ',' or paren inside a literal must
+    # never split a statement)
+    masked, body_lits = _js_mask_literals(m.group(2))
+    _js_block_to_python(masked, 1, lines, body_lits)
     if len(lines) == 1:
         lines.append("    return None")
     src = "\n".join(lines)

@@ -204,6 +204,45 @@ def test_nested_functions_and_closures():
     ) == 6
 
 
+def test_literal_masking_and_scoping_edges():
+    """Review-r7 repros: statement splitting never reads into string
+    or regex literals; nested-function scoping handles comma
+    declarations and ignores literal text; function declarations
+    hoist; invalid patterns and member mutation calls reject at
+    CREATE."""
+    # comma declaration inside nested fn: inner `b` stays local
+    assert _run(
+        "function f() { var b = 100; "
+        "function g() { var a = 1, b = 2; return a; } g(); return b; }"
+    ) == 100
+    # 'ident=' inside a string is not an assignment
+    assert _run(
+        'function f(x) { function q() { return "a=b"; } return q() + x; }',
+        "!",
+    ) == "a=b!"
+    # regex quantifier comma / escaped paren / class slash survive
+    # declaration- and condition-splitting
+    assert _run(
+        "function f(s) { var r = /a{2,3}/.test(s); return r; }", "xaaay"
+    ) is True
+    assert _run(
+        "function f(s) { if (/\\(/.test(s)) { return 1; } return 0; }", "a(b"
+    ) == 1
+    assert _run("function f(s) { return /[/]/.test(s); }", "a/b") is True
+    # ';' inside a string no longer truncates the statement
+    assert _run("function f() { var s = 'a;b'; return s; }") == "a;b"
+    # function declarations hoist (JS call-before-declaration)
+    assert _run(
+        "function f(x) { return g(x); function g(a) { return a + 1; } }", 4
+    ) == 5
+    # member mutation calls reject at CREATE, not first row
+    with pytest.raises(ValueError, match="unsupported JavaScript"):
+        _run("function f(x) { var out = []; out.push(x); return out; }", 1)
+    # a Python-incompatible regex escape rejects at CREATE
+    with pytest.raises(ValueError, match="regex literal"):
+        _run("function f(s) { return /\\cJ/.test(s); }", "x")
+
+
 def test_regex_literals():
     """JS regex literals (/pat/flags) with .test/.exec — previously a
     declared divergence, now translated: operand-position '/' starts a
