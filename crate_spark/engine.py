@@ -2708,6 +2708,7 @@ class CrateSession:
                 "parseInt": _js_parse_int,
                 "parseFloat": _js_parse_float,
                 "__js_regex": _js_regex,
+                "__js_throw": _js_throw,
                 # JS isNaN coerces first: isNaN('123') is false
                 "isNaN": (lambda v: _js_number(v) != _js_number(v)),
             }
@@ -3620,6 +3621,18 @@ def _js_brace_block(s: str, start: int) -> tuple[str, int]:
     return s[j:k + 1], k + 1
 
 
+class _JsThrown(Exception):
+    """A value thrown by a translated JS UDF body — surfaces at
+    EVALUATE time (the reference compiles `throw` fine at CREATE and
+    GraalVM raises io.crate.exceptions.ScriptException on the first
+    evaluation, message "Error: <msg>")."""
+
+
+def _js_throw(kind: str, *args):
+    msg = _js_str(args[0]) if args else ""
+    raise _JsThrown(f"{kind}: {msg}" if msg else kind)
+
+
 def _js_declared_names(block: str) -> set[str]:
     """Names bound locally inside a (literal-masked) JS block:
     var/let/const declarations incl. comma lists, and the params/names
@@ -3747,6 +3760,33 @@ def _js_block_to_python(
         m = re.match(r"break\s*(?:;|$)", rest)
         if m:
             body_lines.append(f"{pad}break")
+            i += m.end()
+            continue
+        # throw: compiles at CREATE, raises at evaluate (GraalVM
+        # semantics — the reference's ScriptException carries
+        # "Error: <msg>"). `new <Kind>(arg)` and bare-value forms.
+        m = re.match(
+            r"throw\s+(?:new\s+([A-Za-z_$][\w$]*)\s*"
+            r"\(((?:[^()]|\([^()]*\))*)\)|(.+?))\s*(?:;|$)",
+            rest,
+            re.DOTALL,
+        )
+        if m:
+            if m.group(1) is not None:
+                arg = (
+                    _js_expr_to_python(m.group(2), lits)
+                    if m.group(2).strip()
+                    else ""
+                )
+                body_lines.append(
+                    f"{pad}__js_throw('{m.group(1)}'"
+                    + (f", {arg})" if arg else ")")
+                )
+            else:
+                body_lines.append(
+                    f"{pad}__js_throw('Error', "
+                    f"{_js_expr_to_python(m.group(3), lits)})"
+                )
             i += m.end()
             continue
         m = re.match(r"function\s+([\w$]+)\s*\(([^)]*)\)\s*", rest)

@@ -22,6 +22,8 @@ from crate_spark.engine import (
     _js_parse_int,
     _js_regex,
     _js_str,
+    _js_throw,
+    _JsThrown,
     _JsDate,
     _JsJSON,
     _JsMath,
@@ -53,6 +55,7 @@ def _env():
         "parseInt": _js_parse_int,
         "parseFloat": _js_parse_float,
         "__js_regex": _js_regex,
+        "__js_throw": _js_throw,
         "isNaN": lambda v: _js_number(v) != _js_number(v),
     }
 
@@ -155,9 +158,6 @@ REJECTED = [
      "JavaScript"),
     # not a single function definition
     ("not_a_function", "var x = 1;", "single"),
-    # throw is outside the subset
-    ("throw_stmt", "function f(a) { throw new Error(a); }",
-     "unsupported JavaScript construct"),
     # declared divergence: prototype mutation
     ("prototype", "function f() { String.prototype.z = 1; return 1; }",
      "unsupported JavaScript construct"),
@@ -170,6 +170,29 @@ REJECTED = [
 def test_unsupported_js_rejected_at_create(name, body, msg):
     with pytest.raises(ValueError, match=msg):
         _run(body, 1)
+
+
+def test_throw_compiles_at_create_raises_at_evaluate():
+    """GraalVM semantics: `throw` validates fine at CREATE; the FIRST
+    evaluation raises (the reference's ScriptException message shape
+    is 'Error: <msg>')."""
+    _, fn = _js_function(
+        "function f(a) { if (a < 0) { throw new Error('negative'); } "
+        "return a; }",
+        _env(),
+    )
+    assert fn(5) == 5
+    with pytest.raises(_JsThrown, match="Error: negative"):
+        fn(-1)
+    # bare-value throw and argument interpolation
+    _, g = _js_function(
+        "function g(a) { throw new TypeError(a); }", _env()
+    )
+    with pytest.raises(_JsThrown, match="TypeError: bad"):
+        g("bad")
+    _, h = _js_function("function h() { throw 'boom'; }", _env())
+    with pytest.raises(_JsThrown, match="Error: boom"):
+        h()
 
 
 def test_nested_functions_and_closures():

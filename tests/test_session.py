@@ -1220,10 +1220,20 @@ def test_create_function_javascript(spark, tmp_path):
     )
     assert s.execute("SELECT looped(4) AS col").collect()[0][0] == 10
     s.execute("DROP FUNCTION looped(integer)")
+    # throw compiles at CREATE and raises at EVALUATE (GraalVM
+    # semantics; the reference's ScriptException fires on evaluate)
+    s.execute(
+        "CREATE FUNCTION thrower(integer) RETURNS integer LANGUAGE JAVASCRIPT "
+        "AS 'function thrower(a) { throw new Error(a); }'"
+    )
+    with _pytest.raises(Exception, match="Error"):
+        s.execute("SELECT thrower(1) AS v").collect()
+    s.execute("DROP FUNCTION thrower(integer)")
+    # constructs genuinely outside the subset still reject at CREATE
     with _pytest.raises(ValueError, match="unsupported JavaScript"):
         s.execute(
-            "CREATE FUNCTION thrower(integer) RETURNS integer LANGUAGE JAVASCRIPT "
-            "AS 'function thrower(a) { throw new Error(a); }'"
+            "CREATE FUNCTION protomut(integer) RETURNS integer LANGUAGE JAVASCRIPT "
+            "AS 'function protomut(a) { String.prototype.z = 1; return a; }'"
         )
     # overloads: same name, different arity, schema-scoped; unqualified
     # lookup is builtin-first (log10 above resolved to Spark's builtin)
