@@ -1365,16 +1365,24 @@ def _struct_literal_subscripts(sql: str, literals: list[str]) -> str:
         while k < len(sql) and sql[k].isspace():
             k += 1
         # the literal may sit inside one pair of user parens — but a
-        # '(' directly preceded by an identifier char is a function
+        # '(' directly preceded by an identifier is usually a function
         # call's paren (coalesce({a=1})['a']), not a wrapper: splicing
-        # it out would weld the call name onto named_struct
+        # it out would weld the call name onto named_struct. SQL
+        # KEYWORDS before '(' (WHEN(, NOT(, AND(...) ARE wrappers.
         paren_open = -1
         lead = sql[:j].rstrip()
+        lead_word = re.search(r"([A-Za-z_]\w*)\s*\($", lead)
+        is_call = bool(lead_word) and lead_word.group(1).lower() not in {
+            "when", "then", "else", "and", "or", "not", "in", "on",
+            "where", "select", "having", "case", "by", "values",
+            "from", "as", "set", "returning", "union", "all",
+            "distinct", "if", "elseif", "end",
+        }
         if (
             k < len(sql)
             and sql[k] == ")"
             and lead.endswith("(")
-            and not (len(lead) >= 2 and (lead[-2].isalnum() or lead[-2] == "_"))
+            and not is_call
         ):
             paren_open = len(lead) - 1
             k += 1
@@ -1412,6 +1420,10 @@ def _struct_literal_subscripts(sql: str, literals: list[str]) -> str:
             continue
         start = paren_open if paren_open >= 0 else j
         out.append(sql[i:start])
+        if paren_open >= 0:
+            # the spliced-out '(' may have glued a keyword to the
+            # struct expression (WHEN( -> WHEN named_struct...)
+            out.append(" ")
         out.append(acc)
         i = pos
     return "".join(out)

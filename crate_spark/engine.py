@@ -3516,18 +3516,11 @@ def _js_ternary_to_python(expr: str) -> str:
 
 def _js_expr_to_python(expr: str, body_lits: list[str] | None = None) -> str:
     """Translate one JS expression to Python. String/regex literals
-    are masked (``body_lits`` carries the function-body-level masking
-    from ``_js_mask_literals``; the local pass covers strings in
-    expressions arriving from other entry points)."""
-    lits: list[str] = []
-
-    def _mask(m: re.Match) -> str:
-        lits.append(m.group(0))
-        return f"__JSLIT{len(lits) - 1}__"
-
-    expr = re.sub(
-        r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'', _mask, expr.strip()
-    )
+    arrive MASKED as ``__JSBODY{n}__`` placeholders (``body_lits``
+    from ``_js_mask_literals``) — every caller is a statement handler
+    in ``_js_block_to_python`` — so operator rewrites below can never
+    touch text inside a literal."""
+    expr = expr.strip()
     expr = expr.replace("!==", "!=").replace("===", "==")
     # fn.apply(null, xs) -> fn(*xs) (Math.max.apply in the reference's
     # arr_max integration test)
@@ -3548,7 +3541,7 @@ def _js_expr_to_python(expr: str, body_lits: list[str] | None = None) -> str:
     # literal, not a Python set/annotation error (already-quoted keys
     # are masked placeholders — leave those alone)
     expr = re.sub(
-        r"([{,]\s*)(?!__JS(?:LIT|BODY)\d+__)([A-Za-z_$][\w$]*)\s*:",
+        r"([{,]\s*)(?!__JSBODY\d+__)([A-Za-z_$][\w$]*)\s*:",
         r'\1"\2":',
         expr,
     )
@@ -3579,8 +3572,6 @@ def _js_expr_to_python(expr: str, body_lits: list[str] | None = None) -> str:
     expr = re.sub(r"\bfalse\b", "False", expr)
     expr = re.sub(r"\b([\w$]+)\s*\.\s*length\b", r"len(\1)", expr)
     expr = _js_ternary_to_python(expr)
-    for i, lit in enumerate(lits):
-        expr = expr.replace(f"__JSLIT{i}__", lit)
     if body_lits:
         expr = _js_unmask_literals(expr, body_lits)
     return expr
@@ -3633,26 +3624,69 @@ def _js_throw(kind: str, *args):
     raise _JsThrown(f"{kind}: {msg}" if msg else kind)
 
 
-def _js_declared_names(block: str) -> set[str]:
-    """Names bound locally inside a (literal-masked) JS block:
-    var/let/const declarations incl. comma lists, and the params/names
-    of further-nested function declarations."""
-    from crate_spark.sql_dml import _split_top
+def _js_split_decls(s: str) -> list[str]:
+    """Split a declaration list on TOP-LEVEL commas, tracking (), []
+    and {} so commas inside object/array literals never split
+    (``var o = {a: 1, b: 2}, n = 3``)."""
+    parts, buf, depth = [], [], 0
+    for ch in s:
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
 
+
+def _js_strip_fn_bodies(block: str) -> str:
+    """Replace the BODIES of directly- and deeper-nested function
+    declarations with ``{}`` so scope scans over ``block`` see only
+    this function's own declarations and writes — a grand-nested
+    function's locals must not shadow or trigger this scope's
+    nonlocal analysis."""
+    out, i = [], 0
+    while True:
+        m = re.search(r"\bfunction\s+[\w$]+\s*\([^)]*\)\s*", block[i:])
+        if not m:
+            out.append(block[i:])
+            return "".join(out)
+        start = i + m.end()
+        if start >= len(block) or block[start] != "{":
+            out.append(block[i : start])
+            i = start
+            continue
+        _body, after = _js_brace_block(block[i:], m.end())
+        out.append(block[i : start] + "{}")
+        i += after
+    return "".join(out)
+
+
+def _js_declared_names(block: str) -> set[str]:
+    """Names bound in THIS function scope of a (literal-masked,
+    fn-body-stripped) JS block: var/let/const declarations incl. comma
+    lists, and the NAMES of directly-nested function declarations."""
     out: set[str] = set()
     for dm in re.finditer(r"\b(?:var|let|const)\b([^;]*)", block):
-        for d in _split_top(dm.group(1)):
+        for d in _js_split_decls(dm.group(1)):
             nm = re.match(r"\s*([\w$]+)", d)
             if nm:
                 out.add(nm.group(1))
-    for fm in re.finditer(r"\bfunction\s+([\w$]+)\s*\(([^)]*)\)", block):
+    for fm in re.finditer(r"\bfunction\s+([\w$]+)\s*\(", block):
         out.add(fm.group(1))
-        out |= {p.strip() for p in fm.group(2).split(",") if p.strip()}
     return out
 
 
 def _js_block_to_python(
-    src: str, depth: int, lines: list[str], lits: list[str] | None = None
+    src: str,
+    depth: int,
+    lines: list[str],
+    lits: list[str] | None = None,
+    scope_names: set[str] | None = None,
 ) -> None:
     """Translate a JS statement block to indented Python lines.
     Covers the reference-doc UDF subset: var/let/const declarations
@@ -3663,8 +3697,6 @@ def _js_block_to_python(
     literals masked (``_js_mask_literals``) so statement splitting
     never reads into a literal. Anything else raises — at CREATE
     FUNCTION time, not first call."""
-    from crate_spark.sql_dml import _split_top
-
     pad = "    " * depth
     # function declarations hoist to the top of their block (JS
     # semantics: callable before their textual position)
@@ -3679,7 +3711,7 @@ def _js_block_to_python(
         rest = src[i:]
         m = re.match(r"(?:var|let|const)\b(.*?);", rest, re.DOTALL)
         if m:
-            for decl in _split_top(m.group(1)):
+            for decl in _js_split_decls(m.group(1)):
                 dm = re.match(
                     r"\s*([\w$]+)\s*(?:=\s*(.*))?$", decl, re.DOTALL
                 )
@@ -3706,7 +3738,7 @@ def _js_block_to_python(
             cond, j = _js_balanced(rest, m.end() - 1)
             block, j = _js_brace_block(rest, j)
             body_lines.append(f"{pad}if {_js_expr_to_python(cond, lits)}:")
-            _js_block_to_python(block, depth + 1, body_lines, lits)
+            _js_block_to_python(block, depth + 1, body_lines, lits, scope_names)
             while True:
                 em = re.match(r"\s*else\s+if\s*\(", rest[j:])
                 if em:
@@ -3715,14 +3747,14 @@ def _js_block_to_python(
                     body_lines.append(
                         f"{pad}elif {_js_expr_to_python(cond, lits)}:"
                     )
-                    _js_block_to_python(block, depth + 1, body_lines, lits)
+                    _js_block_to_python(block, depth + 1, body_lines, lits, scope_names)
                     j += k
                     continue
                 em = re.match(r"\s*else\b", rest[j:])
                 if em:
                     block, k = _js_brace_block(rest[j:], em.end())
                     body_lines.append(f"{pad}else:")
-                    _js_block_to_python(block, depth + 1, body_lines, lits)
+                    _js_block_to_python(block, depth + 1, body_lines, lits, scope_names)
                     j += k
                 break
             i += j
@@ -3732,7 +3764,7 @@ def _js_block_to_python(
             cond, j = _js_balanced(rest, m.end() - 1)
             block, j = _js_brace_block(rest, j)
             body_lines.append(f"{pad}while {_js_expr_to_python(cond, lits)}:")
-            _js_block_to_python(block, depth + 1, body_lines, lits)
+            _js_block_to_python(block, depth + 1, body_lines, lits, scope_names)
             i += j
             continue
         m = re.match(r"for\s*\(", rest)
@@ -3747,14 +3779,14 @@ def _js_block_to_python(
             init, cond, step = (p.strip() for p in parts)
             block, j = _js_brace_block(rest, j)
             if init:
-                _js_block_to_python(init + ";", depth, body_lines, lits)
+                _js_block_to_python(init + ";", depth, body_lines, lits, scope_names)
             body_lines.append(
                 f"{pad}while "
                 f"{_js_expr_to_python(cond, lits) if cond else 'True'}:"
             )
-            _js_block_to_python(block, depth + 1, body_lines, lits)
+            _js_block_to_python(block, depth + 1, body_lines, lits, scope_names)
             if step:
-                _js_block_to_python(step + ";", depth + 1, body_lines, lits)
+                _js_block_to_python(step + ";", depth + 1, body_lines, lits, scope_names)
             i += j
             continue
         m = re.match(r"break\s*(?:;|$)", rest)
@@ -3764,28 +3796,29 @@ def _js_block_to_python(
             continue
         # throw: compiles at CREATE, raises at evaluate (GraalVM
         # semantics — the reference's ScriptException carries
-        # "Error: <msg>"). `new <Kind>(arg)` and bare-value forms.
-        m = re.match(
-            r"throw\s+(?:new\s+([A-Za-z_$][\w$]*)\s*"
-            r"\(((?:[^()]|\([^()]*\))*)\)|(.+?))\s*(?:;|$)",
-            rest,
-            re.DOTALL,
-        )
+        # "Error: <msg>"). `new <Kind>(arg)` (any nesting depth, via
+        # balanced-paren extraction), `throw(expr)` and bare-value
+        # forms all translate.
+        m = re.match(r"throw\b\s*(.+?)\s*(?:;|$)", rest, re.DOTALL)
         if m:
-            if m.group(1) is not None:
-                arg = (
-                    _js_expr_to_python(m.group(2), lits)
-                    if m.group(2).strip()
-                    else ""
-                )
+            val = m.group(1).strip()
+            # strip redundant wrapping parens: throw(new Error(x));
+            while (
+                val.startswith("(")
+                and _js_balanced(val, 0)[1] == len(val)
+            ):
+                val = val[1:-1].strip()
+            nm = re.match(r"new\s+([A-Za-z_$][\w$]*)\s*\(", val)
+            if nm and _js_balanced(val, nm.end() - 1)[1] == len(val):
+                arg = _js_balanced(val, nm.end() - 1)[0].strip()
                 body_lines.append(
-                    f"{pad}__js_throw('{m.group(1)}'"
-                    + (f", {arg})" if arg else ")")
+                    f"{pad}__js_throw('{nm.group(1)}'"
+                    + (f", {_js_expr_to_python(arg, lits)})" if arg else ")")
                 )
             else:
                 body_lines.append(
                     f"{pad}__js_throw('Error', "
-                    f"{_js_expr_to_python(m.group(3), lits)})"
+                    f"{_js_expr_to_python(val, lits)})"
                 )
             i += m.end()
             continue
@@ -3798,20 +3831,32 @@ def _js_block_to_python(
             block, j = _js_brace_block(rest, m.end())
             fname = m.group(1)
             params = [p.strip() for p in m.group(2).split(",") if p.strip()]
-            declared = _js_declared_names(block) | set(params) | {fname}
+            # scope scans run on the block with deeper-nested fn
+            # BODIES stripped, so a grand-nested function's locals
+            # neither shadow this scope's names nor register as its
+            # writes (each nesting level re-analyzes its own block)
+            stripped = _js_strip_fn_bodies(block)
+            declared = _js_declared_names(stripped) | set(params) | {fname}
             assigned = set(
                 re.findall(
                     r"(?<![\w$.])([\w$]+)\s*"
                     r"(?:=(?!=)|\+=|-=|\*=|/=|%=|\+\+|--)",
-                    block,
+                    stripped,
                 )
             )
             sig = ", ".join(f"{p}=None" for p in params)
             fn_lines.append(f"{pad}def {fname}({sig}):")
-            for nl in sorted(assigned - declared):
+            # nonlocal ONLY for names actually bound in an enclosing
+            # translated scope — a JS implicit-global write stays a
+            # plain local (GraalVM accepts such bodies; an unbindable
+            # nonlocal would reject them at CREATE)
+            for nl in sorted((assigned - declared) & (scope_names or set())):
                 fn_lines.append(f"{pad}    nonlocal {nl}")
             before = len(fn_lines)
-            _js_block_to_python(block, depth + 1, fn_lines, lits)
+            _js_block_to_python(
+                block, depth + 1, fn_lines, lits,
+                (scope_names or set()) | declared,
+            )
             if len(fn_lines) == before:
                 fn_lines.append(f"{pad}    return None")
             i += j
@@ -3843,7 +3888,7 @@ def _js_block_to_python(
         # CREATE, preserving the fail-loudly-up-front contract (the
         # runtime has no JS mutation methods to dispatch to)
         m = re.match(
-            r"(?!(?:if|while|for|return|function)\b)"
+            r"(?!(?:if|while|for|return|function|throw)\b)"
             r"([\w$]+\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))"
             r"\s*(?:;|$)",
             rest,
@@ -3906,7 +3951,10 @@ def _js_function(body: str, env: dict) -> tuple[list[str], object]:
     # any statement parsing (a ';', ',' or paren inside a literal must
     # never split a statement)
     masked, body_lits = _js_mask_literals(m.group(2))
-    _js_block_to_python(masked, 1, lines, body_lits)
+    # the top scope's bound names (params + this body's declarations,
+    # nested fn bodies excluded) seed the closure nonlocal analysis
+    top_scope = set(params) | _js_declared_names(_js_strip_fn_bodies(masked))
+    _js_block_to_python(masked, 1, lines, body_lits, top_scope)
     if len(lines) == 1:
         lines.append("    return None")
     src = "\n".join(lines)
