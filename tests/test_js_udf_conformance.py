@@ -266,6 +266,41 @@ def test_literal_masking_and_scoping_edges():
         _run("function f(s) { return /\\cJ/.test(s); }", "x")
 
 
+def test_scope_analysis_edges():
+    """Review-r7 follow-up repros: scope scans are depth-correct
+    (grand-nested shadowing), implicit-global writes stay local
+    instead of failing CREATE, comma declarations may hold
+    object/array literals, and throw covers the paren and deep-nested
+    new forms."""
+    # h's param c must not suppress g's nonlocal on the outer c
+    assert _run(
+        "function f(x) { var c = 0; "
+        "function g() { c = 5; function h(c) { return c; } return h(1); } "
+        "g(); return c; }"
+    ) == 5
+    # implicit-global write: GraalVM accepts; stays a local here
+    assert _run(
+        "function f(x) { function g() { z = 1; return z; } return g() + x; }",
+        1,
+    ) == 2
+    # object/array literals inside comma declaration lists
+    assert _run(
+        "function f() { var o = {a: 1, b: 2}, n = 3; return o.a + n; }"
+    ) == 4
+    # throw(expr) paren form and arbitrarily nested new-call args
+    _, fn = _js_function(
+        "function f(a) { if (a < 0) { throw(a); } return a; }", _env()
+    )
+    assert fn(3) == 3
+    with pytest.raises(_JsThrown, match="Error: -2"):
+        fn(-2)
+    _, g = _js_function(
+        "function g(a) { throw new Error(String(Math.abs(a))); }", _env()
+    )
+    with pytest.raises(_JsThrown, match="Error: 7"):
+        g(-7)
+
+
 def test_regex_literals():
     """JS regex literals (/pat/flags) with .test/.exec — previously a
     declared divergence, now translated: operand-position '/' starts a
