@@ -75,68 +75,67 @@ _MODULES = (
 #: bounded number of rounds. History: r1-r2 checked
 #: core/joins/windows/scalars[:4]; r3-r4 checked sqlsurface..fulltext;
 #: r5 checked geo/aggregates/scalars-rest/graphs/pipeline/sqlfns.
-#: The r7 window = scalar_math_funcs (the r6 red, now fixed: the
-#: ceil/floor/sign type-FAMILY alignment — see the cross-engine family
-#: lint in tests/test_oracle_types.py that closes this defect class
-#: for good) + vector_ann_pq (added r6, never driver-checked,
-#: rows-only by design) + the 17 r2-stale greens (joins/windows tail)
-#: + 31 of the 49 longest-unchecked r4 rows. After r7 every query's
-#: newest driver row is ≤3 rounds old except the 18 r4 remainders
-#: (mm_*, dml/ddl, tf_*, match_*) and the 44 r5 rows — those are the
-#: r8 window.
+#: The r7 window = scalar_math_funcs + vector_ann_pq + the 17
+#: r2-stale greens + 31 r4 rows (all 50 came back green — the first
+#: fully-green driver scoreboard). The r8 window = the 18 remaining
+#: r4 rows (mm_*, dml/ddl lifecycles, tf_*, match_*) + the 32 oldest
+#: r5 rows (geo, agg tail, scalar tail, graphs, pipeline head). After
+#: r8 the only rows older than r6 are the 12 r5 remainders
+#: (pipeline_decontaminate/repetition, sql_*_surface family,
+#: streaming_rollup_events) — those are the r9 window.
 _DRIVER_PRIORITY = (
-    "scalar_math_funcs",
-    "vector_ann_pq",
-    # 17 r2-stale greens
-    "join_semi",
-    "join_anti",
-    "join_non_equi",
-    "join_lookup",
-    "join_in_subquery_negated",
-    "join_self",
-    "join_q10_returned_items",
-    "window_ranking",
-    "window_topk_per_group",
-    "window_lag_lead",
-    "window_value_fns",
-    "window_running_sum",
-    "window_moving_avg",
-    "window_range_frame",
-    "window_global_share",
-    "window_surplus_distribution",
-    "window_agg_as_window",
-    # 31 longest-unchecked r4 rows
-    "sql_object_subscript",
-    "sql_sys_columns",
-    "sql_match_score",
-    "pred_any_subquery",
-    "vector_knn_exact",
-    "vector_similarity_score",
-    "vector_ann_lsh",
-    "vector_ann_ivf",
-    "embedding_neardup_cosine",
-    "text_stats",
-    "text_langid",
-    "text_quality",
-    "text_fingerprint",
-    "text_dedup_exact",
-    "text_ngram_jaccard",
-    "text_minhash_lsh",
-    "text_simhash",
-    "ts_gap_detection",
-    "ts_zero_filled_series",
-    "ts_topk_event_values",
-    "ts_ndv_users",
-    "ts_lttb_downsample",
-    "pred_three_valued_logic",
-    "pred_is_distinct_from",
-    "pred_any_all_array",
-    "pred_any_like_range",
-    "pred_like_ilike_regex",
-    "pred_between_in",
-    "pred_cidr_containment",
-    "mm_decode_features",
-    "mm_resize_plan",
+    # 18 r4-stale rows
+    "mm_frame_sample",
+    "mm_mime_filter_pushdown",
+    "mm_decode_real_image",
+    "dml_lifecycle",
+    "ddl_sql_lifecycle",
+    "tf_unnest",
+    "tf_unnest_multi",
+    "tf_generate_series",
+    "tf_generate_series_ts",
+    "tf_generate_subscripts",
+    "tf_regexp_matches",
+    "tf_pg_expandarray",
+    "tf_pg_get_keywords",
+    "tf_empty_row",
+    "tf_values_relation",
+    "tf_srf_in_select",
+    "match_boolean_modes",
+    "match_score_topk",
+    # 32 oldest r5 rows
+    "match_filter_then_query",
+    "geo_distance_topk",
+    "geo_within_bbox",
+    "geo_geohash",
+    "geo_intersects",
+    "geo_area",
+    "geo_within_polygon",
+    "agg_any_value",
+    "agg_collect_set",
+    "agg_bool_and_or",
+    "agg_median_corr",
+    "agg_distinct_sums",
+    "scalar_datetime_funcs2",
+    "scalar_misc_funcs",
+    "scalar_conditional",
+    "scalar_casts",
+    "scalar_array_funcs",
+    "scalar_array_numeric",
+    "scalar_json_funcs",
+    "scalar_bitwise_hash",
+    "scalar_object_funcs",
+    "scalar_to_char",
+    "graph_connected_components",
+    "graph_component_stats",
+    "graph_dedup_canonical",
+    "graph_neardup_clusters",
+    "pipeline_stratified_sample",
+    "pipeline_domain_mix",
+    "pipeline_pii_redact",
+    "pipeline_quality_gate",
+    "pipeline_pack_sequences",
+    "pipeline_knn_quantized",
 )
 
 
