@@ -41,8 +41,18 @@ Deliberately NOT handled here: ON CONFLICT (DML layer), MATCH
 
 from __future__ import annotations
 
+import itertools
 import re
 import time
+
+try:  # recursive patterns (unbounded paren nesting in operands);
+    # public PyPI `regex` — fall back to bounded `re` patterns if absent
+    import regex as _rx
+
+    _RE = _rx
+except ImportError:  # pragma: no cover - regex is present in the env
+    _rx = None
+    _RE = re
 
 #: process-start wall time — pg_postmaster_start_time's analog (the
 #: "postmaster" here is this Spark driver process)
@@ -59,28 +69,70 @@ _KW = (
     r"|RETURNING|SET|AS)"
 )
 #: operand for :: and [] rewrites: quoted literal, function call
-#: (one nesting level, name must not be a reserved keyword),
-#: identifier, or (expr)
+#: (name must not be a reserved keyword), identifier, or (expr)
 #: the leading lookbehind stops a match from starting mid-identifier
 #: (without it, the keyword guard on ``SELECT (...)`` just shifts the
 #: match to ``ELECT (...)``)
 def _nested_parens(levels: int) -> str:
-    """Regex for a balanced paren group up to ``levels`` deep."""
+    """`re`-compatible regex for a balanced paren group up to
+    ``levels`` deep — the fallback when the `regex` module is absent."""
     pat = r"\([^()]*\)"
     for _ in range(levels - 1):
         pat = rf"\((?:[^()]|{pat})*\)"
     return pat
 
 
-_OPERAND = (
-    rf"(?<![A-Za-z0-9_.])(?:'[^']*'|\d+(?:\.\d+)?D?|(?!{_KW}\s*\()"
-    rf"{_IDENT}\s*{_nested_parens(4)}"
-    rf"|{_IDENT}|{_nested_parens(5)})"
-)
+_PAREN_IDS = itertools.count()
 
-_CAST_RE = re.compile(
-    rf"({_OPERAND})\s*::\s*"
-    r"((?:timestamp\s+with(?:out)?\s+time\s+zone"
+
+def _paren() -> str:
+    """Balanced paren group at ANY nesting depth.
+
+    With the `regex` module: a recursive pattern under a fresh group
+    name (fresh so one compiled pattern can embed several operands
+    without name collisions); possessive quantifiers keep failure on
+    unbalanced input linear. Without it: bounded to 6 levels — the
+    pre-r8 behavior, one level deeper (r7 fuzz found the 2-level
+    cliff; the tokenizer-grade fix is the recursive form).
+    """
+    if _rx is None:  # pragma: no cover - regex is present in the env
+        return _nested_parens(6)
+    name = f"_p{next(_PAREN_IDS)}"
+    return rf"(?P<{name}>\((?:[^()]++|(?&{name}))*+\))"
+
+
+def _operand() -> str:
+    """One :: / [] / binary-operator operand (fresh pattern instance).
+
+    Embedded patterns capture with NAMED groups only — `_paren()`
+    introduces anonymous-numbered inner groups, so callers must not
+    rely on numbered captures after an operand.
+    """
+    return (
+        rf"(?<![A-Za-z0-9_.])(?:'[^']*'|\d+(?:\.\d+)?D?|(?!{_KW}\s*\()"
+        rf"{_IDENT}\s*{_paren()}"
+        rf"|{_IDENT}|{_paren()})"
+    )
+
+
+def _sub_base() -> str:
+    """Subscript base: function call (keyword-guarded, like
+    ``_operand``), identifier, or parenthesized expression."""
+    return (
+        rf"(?<![A-Za-z0-9_.])(?:(?!{_KW}\s*\(){_IDENT}\s*{_paren()}"
+        rf"|{_IDENT}|{_paren()})"
+    )
+
+
+#: balanced body inside a wrapping call's parens: any text whose
+#: paren groups are balanced (never eats the wrapper's closing paren)
+def _body() -> str:
+    return rf"(?:[^()]|{_paren()})"
+
+
+_CAST_RE = _RE.compile(
+    rf"(?P<expr>{_operand()})\s*::\s*"
+    r"(?P<ty>(?:timestamp\s+with(?:out)?\s+time\s+zone"
     r"|time\s+with(?:out)?\s+time\s+zone"
     r"|double\s+precision"
     r"|character\s+varying"
@@ -88,18 +140,12 @@ _CAST_RE = re.compile(
     r"(?:\s*\[\s*\])?)",
     re.IGNORECASE,
 )
-#: subscript base: function call (keyword-guarded, like _OPERAND),
-#: identifier, or parenthesized expression — same 4/5-level paren
-#: nesting as _OPERAND (the fuzz found 2-level nesting too shallow
-#: for generated compound operands)
-_SUB_BASE = (
-    rf"(?<![A-Za-z0-9_.])(?:(?!{_KW}\s*\(){_IDENT}\s*{_nested_parens(4)}"
-    rf"|{_IDENT}|{_nested_parens(5)})"
-)
-_SUBSCRIPT_RE = re.compile(rf"({_SUB_BASE})\s*\[\s*(\d+)\s*\]")
+_SUBSCRIPT_RE = _RE.compile(rf"(?P<base>{_sub_base()})\s*\[\s*(?P<idx>\d+)\s*\]")
 #: 1-based inclusive slice subscript arr[from:to] with optional open
 #: ends (AstBuilder subscript grammar -> ArraySliceFunction)
-_SUBSCRIPT_SLICE_RE = re.compile(rf"({_SUB_BASE})\s*\[\s*(\d*)\s*:\s*(\d*)\s*\]")
+_SUBSCRIPT_SLICE_RE = _RE.compile(
+    rf"(?P<base>{_sub_base()})\s*\[\s*(?P<frm>\d*)\s*:\s*(?P<to>\d*)\s*\]"
+)
 
 
 #: reference cast-type spellings (data-types.rst, pg-compat aliases)
@@ -147,7 +193,7 @@ def _cast_type(t: str) -> str:
 
 
 def _subscript_slice_sub(m: re.Match) -> str:
-    base, frm, to = m.groups()
+    base, frm, to = m.group("base"), m.group("frm"), m.group("to")
     if not frm and not to:
         return base
     if not frm:
@@ -162,27 +208,32 @@ _OBJ_SUBSCRIPT_RE = re.compile(
     rf"(?:\s*\[\s*(?:__LIT_\d+__|\d+)\s*\])*|(?:\s*\[\s*\d+\s*\])+\s*\[\s*__LIT_\d+__\s*\]"
     rf"(?:\s*\[\s*(?:__LIT_\d+__|\d+)\s*\])*)"
 )
-_REGEX_CI_RE = re.compile(rf"({_OPERAND})\s*~\*\s*({_OPERAND})")
-_REGEX_NOT_RE = re.compile(rf"({_OPERAND})\s*!~\s*({_OPERAND})")
-_REGEX_RE = re.compile(rf"({_OPERAND})\s*~\s*({_OPERAND})")
-_ANY_EQ_RE = re.compile(
-    rf"({_OPERAND})\s*=\s*ANY\s*\(\s*((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\s*\)",
+_REGEX_CI_RE = _RE.compile(rf"(?P<lhs>{_operand()})\s*~\*\s*(?P<rhs>{_operand()})")
+_REGEX_NOT_RE = _RE.compile(rf"(?P<lhs>{_operand()})\s*!~\s*(?P<rhs>{_operand()})")
+_REGEX_RE = _RE.compile(rf"(?P<lhs>{_operand()})\s*~\s*(?P<rhs>{_operand()})")
+_ANY_EQ_RE = _RE.compile(
+    rf"(?P<lhs>{_operand()})\s*=\s*ANY\s*\(\s*(?P<inner>{_body()}+)\s*\)",
     re.IGNORECASE,
 )
 #: LIKE/ILIKE [NOT] ANY/ALL over an array expression
 #: (``expression/operator/any/AnyLikeOperator.java``, ``all/AllOperator``)
-_ANY_ALL_LIKE_RE = re.compile(
-    rf"({_OPERAND})\s+(NOT\s+)?(I?LIKE)\s+(ANY|ALL)\s*"
-    rf"\(\s*((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\s*\)",
+_ANY_ALL_LIKE_RE = _RE.compile(
+    rf"(?P<lhs>{_operand()})\s+(?P<neg>NOT\s+)?(?P<likeop>I?LIKE)\s+"
+    rf"(?P<quant>ANY|ALL)\s*\(\s*(?P<inner>{_body()}+)\s*\)",
     re.IGNORECASE,
 )
 #: comparison ANY/ALL (``any/AnyRangeOperator``, ``AnyNeqOperator``;
 #: = ANY is handled separately above with the array_contains fast path)
-_ANY_ALL_CMP_RE = re.compile(
-    rf"({_OPERAND})\s*(<>|!=|<=|>=|<|>|=)\s*(ANY|ALL)\s*"
-    rf"\(\s*((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\s*\)",
+_ANY_ALL_CMP_RE = _RE.compile(
+    rf"(?P<lhs>{_operand()})\s*(?P<op><>|!=|<=|>=|<|>|=)\s*"
+    rf"(?P<quant>ANY|ALL)\s*\(\s*(?P<inner>{_body()}+)\s*\)",
     re.IGNORECASE,
 )
+#: the binary-operator rewrites (`||` concat, `^` power, `#` xor) —
+#: module-level so the recursive operand compiles once
+_CONCAT_OP_RE = _RE.compile(rf"(?P<lhs>{_operand()})\s*\|\|\s*(?P<rhs>{_operand()})")
+_POW_OP_RE = _RE.compile(rf"(?P<lhs>{_operand()})\s*\^\s*(?P<rhs>{_operand()})")
+_XOR_OP_RE = _RE.compile(rf"(?P<lhs>{_operand()})\s*#\s*(?P<rhs>{_operand()})")
 _SCHEMA_RE = re.compile(
     r"\b(information_schema|sys|pg_catalog|blob)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)"
 )
@@ -1446,24 +1497,22 @@ def _map_cast_as_types(sql: str) -> str:
         if close < 0:
             return sql
         inner = sql[open_idx + 1 : close]
-        # last top-level ` AS ` separates operand from target type
-        depth, as_idx = 0, -1
-        for i in range(len(inner)):
-            ch = inner[i]
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif depth == 0 and inner[i : i + 4].upper() == " AS " :
-                as_idx = i
+        # last top-level `AS` keyword (any whitespace around it —
+        # ADVICE r7: a newline/tab-separated `CAST(x AS\n varchar)`
+        # must map too) separates operand from target type
+        depth, as_idx, as_end = 0, -1, -1
+        for am in re.finditer(r"(?<=\s)AS(?=\s)", inner, re.IGNORECASE):
+            depth = inner.count("(", 0, am.start()) - inner.count(")", 0, am.start())
+            if depth == 0:
+                as_idx, as_end = am.start(), am.end()
         if as_idx >= 0:
-            t = inner[as_idx + 4 :].strip()
+            t = inner[as_end:].strip()
             mapped = _cast_type(t)
             if mapped != t:
                 sql = (
                     sql[: open_idx + 1]
                     + inner[: as_idx]
-                    + " AS "
+                    + "AS "
                     + mapped
                     + sql[close:]
                 )
@@ -2584,7 +2633,7 @@ def rewrite(
     # Column-typed operands keep Spark's native || (string/array
     # concat). Literal shapes only — a text shim can't see types.
     def _concat_op_sub(m: re.Match) -> str:
-        lhs, rhs = m.group(1), m.group(2)
+        lhs, rhs = m.group("lhs"), m.group("rhs")
         # a chain's left side may already be a merged concat(...) call
         l_obj = lhs.lstrip().startswith(("to_json(named_struct", "concat(to_json("))
         r_obj = rhs.lstrip().startswith("to_json(named_struct")
@@ -2603,9 +2652,7 @@ def rewrite(
     prev_cat = None
     while prev_cat != sql:
         prev_cat = sql
-        sql = re.sub(
-            rf"({_OPERAND})\s*\|\|\s*({_OPERAND})", _concat_op_sub, sql
-        )
+        sql = _CONCAT_OP_RE.sub(_concat_op_sub, sql)
 
     # crate-only scalar function names (ArraySliceFunction,
     # StringToArrayFunction, ArrayDifferenceFunction, ...) -> Spark
@@ -2638,7 +2685,7 @@ def rewrite(
         # a parenthesized operand right after OVER is a window spec,
         # not a castable expression (`... OVER (w)::t` casts the whole
         # window result — not expressible textually; leave to Spark)
-        if m.group(1).startswith("(") and re.search(
+        if m.group("expr").startswith("(") and re.search(
             r"(?i)\bOVER\s*$", m.string[: m.start()]
         ):
             return m.group(0)
@@ -2646,18 +2693,18 @@ def rewrite(
         # (data-types.rst: 'Alice Smith'::VARCHAR(5) -> 'Alice')
         lm = re.fullmatch(
             r"(?:varchar|charactervarying|char|character)\((\d+)\)",
-            re.sub(r"\s+", "", m.group(2).lower()),
+            re.sub(r"\s+", "", m.group("ty").lower()),
         )
         if lm:
             return (
-                f"substring(CAST({m.group(1)} AS STRING), 1, {lm.group(1)})"
+                f"substring(CAST({m.group('expr')} AS STRING), 1, {lm.group(1)})"
             )
         # TIME [WITH TIME ZONE] literals render as [micros_since_
         # midnight, offset_seconds] (data-types.rst TIMETZ examples)
         if re.fullmatch(
-            r"(?i)timetz|time\s+with\s+time\s+zone", m.group(2).strip()
+            r"(?i)timetz|time\s+with\s+time\s+zone", m.group("ty").strip()
         ):
-            lm2 = re.fullmatch(r"__LIT_(\d+)__", m.group(1).strip())
+            lm2 = re.fullmatch(r"__LIT_(\d+)__", m.group("expr").strip())
             if lm2:
                 tv = literals[int(lm2.group(1))][1:-1]
                 tm = re.fullmatch(
@@ -2675,12 +2722,12 @@ def rewrite(
                         if tm.group(4) == "-":
                             off = -off
                     return f"array(CAST({us} AS BIGINT), CAST({off} AS BIGINT))"
-        target = _cast_type(m.group(2))
+        target = _cast_type(m.group("ty"))
         # string-literal -> timestamp casts: the reference's parser is
         # laxer than Spark's ('1852-05-04T00:00Z' — minutes precision
         # with zone); normalize via fromisoformat at rewrite time
         if target.upper().startswith("TIMESTAMP"):
-            lm3 = re.fullmatch(r"__LIT_(\d+)__", m.group(1).strip())
+            lm3 = re.fullmatch(r"__LIT_(\d+)__", m.group("expr").strip())
             if lm3:
                 raw = literals[int(lm3.group(1))][1:-1]
                 try:
@@ -2695,13 +2742,13 @@ def rewrite(
         # numeric -> timestamp casts read epoch MILLIS (crate storage;
         # data-types.rst 1000::TIMESTAMP = 1970-01-01T00:00:01)
         if target.upper().startswith("TIMESTAMP") and re.fullmatch(
-            r"-?\d+", m.group(1).strip()
+            r"-?\d+", m.group("expr").strip()
         ):
-            inner = f"timestamp_millis({m.group(1)})"
+            inner = f"timestamp_millis({m.group('expr')})"
             if target.upper() == "TIMESTAMP":
                 return inner
             return f"CAST({inner} AS {target})"
-        return f"CAST({m.group(1)} AS {target})"
+        return f"CAST({m.group('expr')} AS {target})"
 
     prev = None
     while prev != sql:
@@ -2720,7 +2767,7 @@ def rewrite(
         flags=re.IGNORECASE,
     )
     sql = _SUBSCRIPT_SLICE_RE.sub(_subscript_slice_sub, sql)
-    sql = _SUBSCRIPT_RE.sub(r"element_at(\1, \2)", sql)
+    sql = _SUBSCRIPT_RE.sub(r"element_at(\g<base>, \g<idx>)", sql)
     # `^` is EXPONENTIATION in the reference (arithmetic.rst operator
     # precedence: parens > exponentiation > mul/div; PG semantics),
     # where Spark's `^` is bitwise XOR. Rewrite operand pairs to
@@ -2729,17 +2776,17 @@ def rewrite(
     prev_pow = None
     while prev_pow != sql:
         prev_pow = sql
-        sql = re.sub(rf"({_OPERAND})\s*\^\s*({_OPERAND})", r"power(\1, \2)", sql)
+        sql = _POW_OP_RE.sub(r"power(\g<lhs>, \g<rhs>)", sql)
     # PG/crate bitwise XOR spelling `#` -> Spark's `^` (bit-operators.rst)
-    sql = re.sub(rf"({_OPERAND})\s*#\s*({_OPERAND})", r"\1 ^ \2", sql)
+    sql = _XOR_OP_RE.sub(r"\g<lhs> ^ \g<rhs>", sql)
     # the reference's regexp operators match the WHOLE string
     # (RegexpMatchOperator.java:82 String.matches / Lucene automaton
     # run over the full byte range), unlike PG's partial ~ — anchor
-    sql = _REGEX_CI_RE.sub(r"\1 RLIKE concat('^(?i)(?:', \2, ')$')", sql)
-    sql = _REGEX_NOT_RE.sub(r"NOT (\1 RLIKE concat('^(?:', \2, ')$'))", sql)
-    sql = _REGEX_RE.sub(r"\1 RLIKE concat('^(?:', \2, ')$')", sql)
+    sql = _REGEX_CI_RE.sub(r"\g<lhs> RLIKE concat('^(?i)(?:', \g<rhs>, ')$')", sql)
+    sql = _REGEX_NOT_RE.sub(r"NOT (\g<lhs> RLIKE concat('^(?:', \g<rhs>, ')$'))", sql)
+    sql = _REGEX_RE.sub(r"\g<lhs> RLIKE concat('^(?:', \g<rhs>, ')$')", sql)
     def _any_eq_sub(m: re.Match) -> str:
-        lhs, inner = m.group(1), m.group(2)
+        lhs, inner = m.group("lhs"), m.group("inner")
         # subquery form `x = ANY(SELECT ...)` is IN-equivalent
         # (AnyEqOperator over a relation); array_contains would be
         # unparseable there
@@ -2764,7 +2811,10 @@ def rewrite(
     sql = _ANY_EQ_RE.sub(_any_eq_sub, sql)
 
     def _any_all_like_sub(m: re.Match) -> str:
-        operand, neg, likeop, quant, inner = m.groups()
+        operand, neg, likeop, quant, inner = (
+            m.group("lhs"), m.group("neg"), m.group("likeop"),
+            m.group("quant"), m.group("inner"),
+        )
         if re.match(r"(?i)\s*(SELECT|VALUES)\b", inner):
             return m.group(0)  # subquery quantifiers: leave to Spark
         hof = "exists" if quant.upper() == "ANY" else "forall"
@@ -2778,7 +2828,9 @@ def rewrite(
     sql = _ANY_ALL_LIKE_RE.sub(_any_all_like_sub, sql)
 
     def _any_all_cmp_sub(m: re.Match) -> str:
-        operand, op, quant, inner = m.groups()
+        operand, op, quant, inner = (
+            m.group("lhs"), m.group("op"), m.group("quant"), m.group("inner"),
+        )
         quant = quant.upper()
         if re.match(r"(?i)\s*(SELECT|VALUES)\b", inner):
             # Quantified subquery comparisons (reference
@@ -2861,19 +2913,29 @@ def rewrite(
             # three-part strip so the qualifier keeps resolving to the
             # alias. Only relation-alias positions count — a COLUMN
             # alias (`expr AS rx,`) must not disable the strip, so the
-            # match is anchored to `FROM|JOIN <relation> [AS] rx` or a
-            # subquery's `) [AS] rx` followed by a clause keyword/end.
+            # match is anchored to `FROM|JOIN <relation> [AS] rx`, or —
+            # for a subquery's `) [AS] rx` — to the closing paren of a
+            # paren group that itself OPENS at FROM/JOIN (scan via
+            # _find_close; ADVICE r7: a trailing-context guess misses
+            # the comma-join position and a bare `,` lookahead would
+            # re-admit SELECT-list column aliases).
             # Relation positions were already stripped above.
             alias_decl = re.search(
                 rf"\b(?:FROM|JOIN)\s+(?:[A-Za-z_][\w.]*|`[^`]+`)"
-                rf"\s+(?:AS\s+)?{sch_pat}(?![\w.(])"
-                rf"|\)\s*(?:AS\s+)?{sch_pat}"
-                rf"(?=\s*(?:$|\bWHERE\b|\bGROUP\b|\bORDER\b|\bON\b"
-                rf"|\bJOIN\b|\bLEFT\b|\bRIGHT\b|\bFULL\b|\bINNER\b"
-                rf"|\bCROSS\b|\bLIMIT\b|\bHAVING\b|\bUNION\b))",
+                rf"\s+(?:AS\s+)?{sch_pat}(?![\w.(])",
                 sql,
                 re.IGNORECASE,
             )
+            if not alias_decl:
+                for fm in re.finditer(r"\b(?:FROM|JOIN)\s*\(", sql, re.IGNORECASE):
+                    close = _find_close(sql, fm.end() - 1)
+                    if close >= 0 and re.match(
+                        rf"\s*(?:AS\s+)?{sch_pat}(?![\w.(])",
+                        sql[close + 1 :],
+                        re.IGNORECASE,
+                    ):
+                        alias_decl = True
+                        break
             if alias_decl:
                 continue
             sql = re.sub(

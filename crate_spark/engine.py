@@ -369,16 +369,21 @@ class CrateSession:
                 by_name[nm] = sch
         for i in range(0, len(parts), 2):
             seg = parts[i]
+            # call sites may quote the name (`"Camel"(x)` — quoted
+            # identifiers keep case in the reference; the registry is
+            # lowercase-keyed, so resolution here is case-insensitive
+            # either way) — consume the quotes/backticks with the name
             for sch, nm in self._udfs:
                 seg = re.sub(
-                    rf'(?<![\w.]){re.escape(sch)}\s*\.\s*"?{re.escape(nm)}"?\s*\(',
+                    rf'(?<![\w.])"?{re.escape(sch)}"?\s*\.\s*'
+                    rf'[`"]?{re.escape(nm)}[`"]?\s*\(',
                     self._udf_spark_name(sch, nm) + "(",
                     seg,
                     flags=re.IGNORECASE,
                 )
             for nm, sch in by_name.items():
                 seg = re.sub(
-                    rf"(?<![\w.]){re.escape(nm)}\s*\(",
+                    rf'(?<![\w.`"])[`"]?{re.escape(nm)}[`"]?\s*\(',
                     self._udf_spark_name(sch, nm) + "(",
                     seg,
                     flags=re.IGNORECASE,
@@ -1879,7 +1884,8 @@ class CrateSession:
             return self.spark.createDataFrame([(m.group(1),)], "setting string")
 
         m = re.match(
-            r"CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+((?:[\w]+\.)?[\w]+)\s*"
+            r"CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+"
+            r"((?:(?:[\w]+|\"[^\"]+\")\.)?(?:[\w]+|\"[^\"]+\"))\s*"
             r"\(((?:[^()]|\([^()]*\))*)\)\s*"
             r"RETURNS\s+([\w()\s]+?)\s+LANGUAGE\s+(PYTHON|PANDAS|JAVASCRIPT)\s+"
             r"AS\s+'(.*)'\s*$",
@@ -1888,6 +1894,7 @@ class CrateSession:
         )
         if m:
             schema, _, fname = m.group(2).rpartition(".")
+            schema = schema.strip('"')
             return self._create_function(
                 fname, m.group(3), m.group(4).strip(),
                 m.group(6).replace("''", "'"), language=m.group(5).upper(),
@@ -2722,10 +2729,16 @@ class CrateSession:
             )
             _js_name = _decl and (_decl.group(1) or _decl.group(2))
             # unquoted SQL identifiers fold to lowercase before the
-            # compare (the registry stores name.lower(); the reference
-            # folds at parse time), so `CREATE FUNCTION SQ ...
-            # 'function sq...'` is accepted
-            if _js_name is not None and _js_name != name.strip('"').lower():
+            # compare (the reference folds at parse time), so `CREATE
+            # FUNCTION SQ ... 'function sq...'` is accepted; QUOTED
+            # identifiers keep their case and bind by exact name
+            # (PolyglotLanguage.getFunctionValue — ADVICE r7), so
+            # `CREATE FUNCTION "Camel" ... 'function Camel...'` must
+            # compare case-sensitively
+            _sql_name = (
+                name.strip('`"') if name[:1] in ('`', '"') else name.lower()
+            )
+            if _js_name is not None and _js_name != _sql_name:
                 raise ValueError(
                     f"The name of the function signature '{name}' "
                     f"doesn't match the function name in the function "
@@ -2817,7 +2830,7 @@ class CrateSession:
                     )
                 return r
 
-        key = (schema, name.lower())
+        key = (schema, name.strip('`"').lower())
         overloads = self._udfs.setdefault(key, {})
         if sig in overloads and not or_replace:
             raise ValueError(
@@ -2829,7 +2842,7 @@ class CrateSession:
             "fn": entry_fn, "ret": ret_type, "kind": kind,
             "seq": self._udf_seq,
         }
-        self._register_udf_dispatch(schema, name.lower())
+        self._register_udf_dispatch(schema, name.strip('`"').lower())
         self._register_system_views()
         return self.spark.createDataFrame(
             [(f"{schema}.{name}", ret_type)], "function string, returns string"
@@ -2899,7 +2912,7 @@ class CrateSession:
 
         schema, _, name = qname.rpartition(".")
         schema = (schema or self._search_path()[0]).lower()
-        key = (schema, name.lower())
+        key = (schema, name.strip('`"').lower())
         empty = self.spark.createDataFrame([], "dropped string")
         overloads = self._udfs.get(key)
         if overloads is None:
@@ -2922,7 +2935,7 @@ class CrateSession:
         else:
             overloads.clear()
         if overloads:
-            self._register_udf_dispatch(schema, name.lower())
+            self._register_udf_dispatch(schema, name.strip('`"').lower())
         else:
             del self._udfs[key]
             jvm = self.spark._jvm

@@ -214,7 +214,13 @@ def _knn_pq_ivf_routed(
     shortlist and the exact-L2 re-rank are per-query windows over the
     candidate set only. Per-query recall is bounded by the probed
     cells (the usual IVF trade), vs the full-scan recall of the
-    per-query path."""
+    per-query path — and when a query's ``nprobe`` probed cells
+    jointly hold fewer than ``k_neighbors`` corpus rows (sparse or
+    skewed cell occupancy), that query returns FEWER than k rows
+    (faiss IVF behaves the same). Callers needing a hard k guarantee
+    on sparse corpora should raise ``nprobe`` (or lower
+    ``n_centroids``); tests/test_pipeline.py pins the under-fill
+    behavior on a deliberately sparse-celled corpus."""
     from pyspark.sql import Window
 
     from crate_spark.functions.vector import l2_squared
@@ -303,7 +309,17 @@ def knn_pq(
     ``crate_spark.vector.pq_route_threshold`` (session setting,
     default 64: `SET`/`SHOW` round-trips) route automatically through
     the IVF-celled single-scan path (``_knn_pq_ivf_routed``) — one
-    corpus scan for the whole batch, pinned in tests/test_plans.py."""
+    corpus scan for the whole batch, pinned in tests/test_plans.py.
+
+    Routing trade (documented divergence between the two regimes): the
+    routed path probes ``nprobe`` IVF cells per query, so its recall is
+    cell-bounded and a query whose probed cells hold fewer than
+    ``k_neighbors`` rows returns FEWER than k rows — the same query can
+    therefore return different (or fewer) neighbors just above the
+    threshold than just below it. Set
+    ``crate_spark.vector.pq_route_threshold`` high to force the
+    full-scan path, or raise ``nprobe``, when that matters more than
+    batch throughput."""
     from pyspark.sql import Window
 
     schema = "query_id bigint, neighbor_id bigint, l2_dist double"

@@ -85,3 +85,75 @@ def test_literals_roundtrip_through_spark(spark, s):
     soup it contains, the VALUE comes back unchanged."""
     df = spark.sql(rewrite(f"SELECT {_sql_quote(s)} AS v"))
     assert df.collect()[0][0] == s
+
+
+# ---------------------------------------------------------------------------
+# r8: unbounded operand nesting (VERDICT r7 #3 — the 4/5-level paren
+# bound is gone; recursive-pattern operands via the `regex` module)
+# ---------------------------------------------------------------------------
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from(["cast", "subscript", "slice", "power", "regexop", "any_eq", "any_cmp", "concat_arr"]),
+)
+def test_operand_nesting_depth_unbounded(depth, form):
+    """An operand nested to ANY paren depth participates in the
+    ::-cast / subscript / binary-operator rewrites — the r7 fuzz found
+    a 2-level cliff, r7 raised the bound to 4-5, r8 removes the class
+    (dialect._paren recursive pattern)."""
+    wrapped = "(" * depth + "a + b" + ")" * depth
+    if form == "cast":
+        out = rewrite(f"SELECT {wrapped}::bigint AS v FROM t")
+        assert "CAST" in out and "::" not in out, out
+    elif form == "subscript":
+        out = rewrite(f"SELECT {wrapped}[2] AS v FROM t")
+        assert "element_at" in out and "[2]" not in out, out
+    elif form == "slice":
+        out = rewrite(f"SELECT {wrapped}[1:3] AS v FROM t")
+        assert "slice(" in out, out
+    elif form == "power":
+        out = rewrite(f"SELECT {wrapped} ^ 2 AS v FROM t")
+        assert "power(" in out and "^" not in out, out
+    elif form == "regexop":
+        out = rewrite(f"SELECT x FROM t WHERE {wrapped} ~ 'p.*'")
+        assert "RLIKE" in out and "~" not in out, out
+    elif form == "any_eq":
+        out = rewrite(f"SELECT x FROM t WHERE {wrapped} = ANY(tags)")
+        assert "array_contains" in out, out
+    elif form == "any_cmp":
+        out = rewrite(f"SELECT x FROM t WHERE {wrapped} > ANY(vals)")
+        assert "exists(" in out, out
+    else:
+        out = rewrite(f"SELECT array(1,2) || {wrapped} AS v FROM t")
+        assert "array_append" in out, out
+
+
+def test_deep_function_call_operand_cast():
+    """A function-call operand whose ARGUMENTS nest arbitrarily deep
+    still casts (the keyword-guarded call form of the operand)."""
+    out = rewrite("SELECT f(g(h(i(j(k(x + (y)))))))::int AS v FROM t")
+    assert out == "SELECT CAST(f(g(h(i(j(k(x + (y))))))) AS int) AS v FROM t", out
+
+
+def test_cast_as_separator_whitespace_tolerant():
+    """ADVICE r7: CAST(x AS\\n varchar) — any whitespace around the AS
+    keyword — maps the target type like the single-space spelling."""
+    assert "AS STRING" in rewrite("SELECT CAST(x AS\n varchar) AS v FROM t")
+    assert "AS BIGINT" in rewrite("SELECT CAST(x\tAS\tint8) AS v FROM t")
+    out = rewrite("SELECT CAST(CAST(y AS\nint8) AS text) AS v FROM t")
+    assert "AS BIGINT" in out and "AS STRING" in out, out
+    # an alias merely NAMED like a type is still untouched
+    assert rewrite("SELECT 1 AS text FROM t") == "SELECT 1 AS text FROM t"
+
+
+def test_schema_alias_shadowing_comma_join():
+    """ADVICE r7: a subquery alias that equals a user schema name keeps
+    its qualifier in a COMMA join (`FROM (SELECT 1) rx, t2`), while a
+    COLUMN alias of the same name still lets the three-part strip run."""
+    out = rewrite(
+        "SELECT rx.obj.field FROM (SELECT 1) rx, t2 WHERE 1=1",
+        user_schemas={"rx"},
+    )
+    assert "rx.obj.field" in out, out
+    out = rewrite("SELECT (a+b) rx, rx.t.c FROM rx.t", user_schemas={"rx"})
+    assert "rx.t.c" not in out and "t.c" in out, out

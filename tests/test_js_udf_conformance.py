@@ -468,3 +468,33 @@ def test_parse_int_edge_cases():
     assert _run("function f() { return isNaN(parseInt('')); }") is True
     assert _run("function f() { return parseInt('12', 0); }") == 12
     assert _run("function f() { return isNaN(parseInt('z', 37)); }") is True
+
+
+def test_quoted_mixed_case_signature_name(spark, tmp_path):
+    """ADVICE r7: quoted identifiers keep their case and bind by the
+    exact name (the reference preserves quoted-identifier case;
+    PolyglotLanguage.getFunctionValue looks the binding up verbatim) —
+    `CREATE FUNCTION "Camel" ... 'function Camel...'` must be accepted,
+    and a quoted CASE MISMATCH must still be rejected."""
+    from crate_spark.engine import CrateSession
+
+    s = CrateSession(spark, None, storage_dir=str(tmp_path))
+    s.execute(
+        'CREATE FUNCTION "Camel"(double) RETURNS double LANGUAGE '
+        "JAVASCRIPT AS 'function Camel(a) { return a * 2; }'"
+    )
+    assert s.execute('SELECT "Camel"(3.0) AS v').collect()[0][0] == 6.0
+    # unquoted call resolves too (function resolution is
+    # case-insensitive over the lowercase-keyed registry)
+    assert s.execute("SELECT camel(4.0) AS v").collect()[0][0] == 8.0
+    with pytest.raises(ValueError, match="doesn't match the function name"):
+        s.execute(
+            'CREATE FUNCTION "CaseX"(double) RETURNS double LANGUAGE '
+            "JAVASCRIPT AS 'function casex(a) { return a; }'"
+        )
+    # schema-qualified quoted name round-trips
+    s.execute(
+        'CREATE FUNCTION myschema."Mixed"(int) RETURNS int LANGUAGE '
+        "JAVASCRIPT AS 'function Mixed(x) { return x - 1; }'"
+    )
+    assert s.execute('SELECT myschema."Mixed"(5) AS v').collect()[0][0] == 4

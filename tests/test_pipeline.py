@@ -275,6 +275,41 @@ def test_pq_routed_batch_semantics(spark):
     assert again == {(r["query_id"], r["neighbor_id"]) for r in rows}
 
 
+def test_pq_routed_sparse_cell_underfill(spark):
+    """ADVICE r7: the routed path's probed cells bound what a query can
+    see — when a query's nprobe cells jointly hold fewer than
+    k_neighbors corpus rows, that query returns FEWER than k rows
+    (documented in knn_pq/_knn_pq_ivf_routed; faiss IVF does the same).
+    Pin it on a deliberately sparse cell: two far-apart clusters, the
+    probed one holding only 2 rows."""
+    from crate_spark.operators import quant as Q
+
+    dim = 8
+    dense = [(i, [0.0 + 0.01 * ((i * 7 + j) % 5) for j in range(dim)]) for i in range(50)]
+    sparse = [(100 + i, [100.0 + 0.01 * j + i for j in range(dim)]) for i in range(2)]
+    corpus = spark.createDataFrame(
+        dense + sparse, "vec_id bigint, embedding array<double>"
+    )
+    # 10 probe queries sitting on the sparse cluster; threshold lowered
+    # so the batch routes through the IVF single-scan path
+    queries = [(1000 + i, [100.0 + 0.01 * j for j in range(dim)]) for i in range(10)]
+    spark.conf.set("crate_spark.vector.pq_route_threshold", "8")
+    try:
+        out = Q.knn_pq(
+            corpus, queries, k_neighbors=5,
+            m=4, k_codes=8, n_centroids=2, nprobe=1,
+        ).collect()
+    finally:
+        spark.conf.unset("crate_spark.vector.pq_route_threshold")
+    per_q: dict[int, set] = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(per_q) == {qid for qid, _ in queries}
+    for qid, neigh in per_q.items():
+        # the sparse cell holds exactly the 2 far rows: under-filled
+        assert neigh == {100, 101}, (qid, neigh)
+
+
 def test_pq_codebook_shapes_and_codes_bounded(spark):
     from pyspark.sql import functions as F
 
