@@ -19,6 +19,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -110,6 +112,94 @@ def _lsh_buckets(vec: Column, dim: int, n_planes: int, n_tables: int, seed: int)
     )
 
 
+# ---- training-job amortization ---------------------------------------------
+# IVF centroids and PQ codebooks are pure functions of (the corpus
+# plan, the column names, the training hyperparameters): repeated ANN
+# calls against the same corpus — e.g. consecutive routed knn_pq
+# batches, or a knn_ivf probe followed by a routed knn_pq over the
+# same table — would otherwise each launch an identical bounded-sample
+# collect job. A small LRU keyed on the DataFrame's semanticHash()
+# (Catalyst's canonicalized-plan hash, so `spark.read.parquet(p)`
+# built twice hits the same entry) plus every training parameter
+# amortizes that to one job. The cached values are tiny driver-side
+# numpy arrays (<= sample_size * dim doubles), never distributed
+# state. Staleness window: if the files UNDER an identical plan are
+# rewritten mid-session the cache returns the previous centroids —
+# which only shifts ANN recall, never correctness of the distances —
+# and `SET crate_spark.vector.centroid_cache = false` (or
+# `clear_training_cache()`) opts out.
+
+_TRAINING_CACHE: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+_TRAINING_CACHE_MAX = 64
+
+
+def clear_training_cache() -> None:
+    """Drop all cached IVF centroids / PQ codebooks."""
+    _TRAINING_CACHE.clear()
+
+
+def _training_cache_enabled(df: DataFrame) -> bool:
+    return (
+        df.sparkSession.conf.get("crate_spark.vector.centroid_cache", "true").lower()
+        != "false"
+    )
+
+
+def _training_cache_key(kind: str, df: DataFrame, *params):
+    try:
+        plan_hash = df.semanticHash()
+    except Exception:  # plan not canonicalizable (e.g. local relation quirk)
+        return None
+    return (kind, plan_hash, *params)
+
+
+def _training_cached(kind: str, df: DataFrame, params: tuple, train):
+    """Return ``train()``, memoized on (kind, corpus plan, params)."""
+    if not _training_cache_enabled(df):
+        return train()
+    key = _training_cache_key(kind, df, *params)
+    if key is None:
+        return train()
+    hit = _TRAINING_CACHE.get(key)
+    if hit is not None:
+        _TRAINING_CACHE.move_to_end(key)
+        return hit
+    out = train()
+    _TRAINING_CACHE[key] = out
+    while len(_TRAINING_CACHE) > _TRAINING_CACHE_MAX:
+        _TRAINING_CACHE.popitem(last=False)
+    return out
+
+
+def ivf_centroids_cached(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    sample_size: int = 512,
+    n_iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """``train_ivf_centroids`` behind the session training cache —
+    consecutive ANN calls over the same corpus plan launch ONE
+    centroid-training job (pinned in tests/test_pipeline.py)."""
+    return _training_cached(
+        "ivf",
+        corpus,
+        (vec_col, id_col, n_centroids, sample_size, n_iters, seed),
+        lambda: train_ivf_centroids(
+            corpus,
+            vec_col=vec_col,
+            id_col=id_col,
+            n_centroids=n_centroids,
+            sample_size=sample_size,
+            n_iters=n_iters,
+            seed=seed,
+        ),
+    )
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     *,
@@ -193,7 +283,7 @@ def knn_ivf(
     files (partition pruning), not just rows.
     """
     if centroids is None:
-        centroids = train_ivf_centroids(
+        centroids = ivf_centroids_cached(
             corpus,
             vec_col=vec_col,
             id_col=corpus_id,

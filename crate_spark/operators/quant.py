@@ -120,6 +120,41 @@ def train_pq_codebooks(
     return books
 
 
+def pq_codebooks_cached(
+    corpus,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 16,
+    sample_size: int = 512,
+    n_iters: int = 5,
+    seed: int = 42,
+):
+    """``train_pq_codebooks`` behind the same session training cache as
+    ``knn.ivf_centroids_cached`` — consecutive PQ searches over the
+    same corpus plan train their codebooks once (key: canonicalized
+    corpus plan hash + every hyperparameter; opt out via
+    ``SET crate_spark.vector.centroid_cache = false``)."""
+    from crate_spark.operators import knn
+
+    return knn._training_cached(
+        "pq",
+        corpus,
+        (vec_col, id_col, m, k, sample_size, n_iters, seed),
+        lambda: train_pq_codebooks(
+            corpus,
+            vec_col=vec_col,
+            id_col=id_col,
+            m=m,
+            k=k,
+            sample_size=sample_size,
+            n_iters=n_iters,
+            seed=seed,
+        ),
+    )
+
+
 def _lit_matrix(rows) -> F.Column:
     return F.array(*[F.array(*[F.lit(float(x)) for x in r]) for r in rows])
 
@@ -227,13 +262,13 @@ def _knn_pq_ivf_routed(
     from crate_spark.operators import knn
 
     if codebooks is None:
-        codebooks = train_pq_codebooks(
+        codebooks = pq_codebooks_cached(
             corpus, vec_col=vec_col, id_col=id_col, m=m, k=k_codes, seed=seed
         )
     if centroids is None:
-        # like knn.knn_ivf, callers with repeated batches against the
-        # same corpus pass centroids= to amortize the training job
-        centroids = knn.train_ivf_centroids(
+        # session training cache: repeated batches against the same
+        # corpus — and knn_ivf calls over it — share ONE training job
+        centroids = knn.ivf_centroids_cached(
             corpus, vec_col=vec_col, id_col=id_col,
             n_centroids=n_centroids, seed=seed,
         )
@@ -319,7 +354,14 @@ def knn_pq(
     threshold than just below it. Set
     ``crate_spark.vector.pq_route_threshold`` high to force the
     full-scan path, or raise ``nprobe``, when that matters more than
-    batch throughput."""
+    batch throughput.
+
+    Training amortization: codebooks and IVF centroids are memoized on
+    (corpus plan semanticHash, hyperparameters) via the session
+    training cache (``knn._training_cached``), so consecutive batches
+    against the same corpus train once; pass ``codebooks=`` /
+    ``centroids=`` for explicit reuse across distinct plans, or ``SET
+    crate_spark.vector.centroid_cache = false`` to opt out."""
     from pyspark.sql import Window
 
     schema = "query_id bigint, neighbor_id bigint, l2_dist double"
@@ -345,7 +387,7 @@ def knn_pq(
             seed=seed,
         )
     if codebooks is None:
-        codebooks = train_pq_codebooks(
+        codebooks = pq_codebooks_cached(
             corpus, vec_col=vec_col, id_col=id_col, m=m, k=k_codes, seed=seed
         )
     coded = corpus.select(

@@ -325,3 +325,69 @@ def test_pq_codebook_shapes_and_codes_bounded(spark):
         F.min(F.size("codes")).alias("m"),
     ).collect()[0]
     assert stats["lo"] >= 0 and stats["hi"] < 16 and stats["m"] == 4
+
+
+def test_training_cache_amortizes_jobs(spark, monkeypatch):
+    """VERDICT r7 #6: consecutive routed knn_pq batches — and a knn_ivf
+    call over the same corpus — launch ONE IVF-centroid training job
+    and ONE PQ-codebook training job. The cache keys on the corpus
+    plan's semanticHash + every training hyperparameter, so a fresh
+    ``spark.read.parquet`` of the same path also hits; ``SET
+    crate_spark.vector.centroid_cache = false`` opts out."""
+    from crate_spark.operators import knn as K
+    from crate_spark.operators import quant as Q
+
+    K.clear_training_cache()
+    calls = {"ivf": 0, "pq": 0}
+    real_ivf, real_pq = K.train_ivf_centroids, Q.train_pq_codebooks
+
+    def count_ivf(*a, **kw):
+        calls["ivf"] += 1
+        return real_ivf(*a, **kw)
+
+    def count_pq(*a, **kw):
+        calls["pq"] += 1
+        return real_pq(*a, **kw)
+
+    monkeypatch.setattr(K, "train_ivf_centroids", count_ivf)
+    monkeypatch.setattr(Q, "train_pq_codebooks", count_pq)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 20).collect()
+    ]
+    spark.conf.set("crate_spark.vector.pq_route_threshold", "8")
+    try:
+        first = Q.knn_pq(emb, queries, k_neighbors=3).collect()
+        again = Q.knn_pq(emb, queries, k_neighbors=3).collect()
+        assert calls == {"ivf": 1, "pq": 1}, calls
+        assert {(r["query_id"], r["neighbor_id"]) for r in first} == {
+            (r["query_id"], r["neighbor_id"]) for r in again
+        }
+
+        # cross-function: knn_ivf with the same (corpus, params) reuses
+        # the routed path's centroids — still one IVF training job
+        qdf = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        K.knn_ivf(emb, qdf, 3).collect()
+        assert calls["ivf"] == 1, calls
+
+        # a semantically fresh read of the same path hits too
+        emb2 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        Q.knn_pq(emb2, queries, k_neighbors=3).collect()
+        assert calls == {"ivf": 1, "pq": 1}, calls
+
+        # different hyperparameters = different key = new training
+        Q.knn_pq(emb, queries, k_neighbors=3, n_centroids=8).collect()
+        assert calls["ivf"] == 2, calls
+
+        # opt-out setting bypasses the cache entirely
+        spark.conf.set("crate_spark.vector.centroid_cache", "false")
+        Q.knn_pq(emb, queries, k_neighbors=3).collect()
+        assert calls == {"ivf": 3, "pq": 2}, calls
+    finally:
+        spark.conf.unset("crate_spark.vector.pq_route_threshold")
+        spark.conf.unset("crate_spark.vector.centroid_cache")
+        K.clear_training_cache()
