@@ -59,6 +59,10 @@ class CrateTable:
     primary_key: list[str] = field(default_factory=list)
     partitioned_by: list[str] = field(default_factory=list)
     generated: dict[str, str] = field(default_factory=dict)
+    #: write-time form of each generated expression — dialect-rewritten
+    #: and UDF-dispatch-resolved at CREATE so F.expr can evaluate it;
+    #: ``generated`` keeps the user's spelling for SHOW CREATE TABLE
+    generated_eval: dict[str, str] = field(default_factory=dict)
     checks: list[str] = field(default_factory=list)
     defaults: dict[str, str] = field(default_factory=dict)
     #: WITH (...) storage/replication settings (create-table.rst) —
@@ -96,6 +100,7 @@ class CrateTable:
         primary_key: list[str] | None = None,
         partitioned_by: list[str] | None = None,
         generated: dict[str, str] | None = None,
+        generated_eval: dict[str, str] | None = None,
         checks: list[str] | None = None,
         defaults: dict[str, str] | None = None,
         settings: dict[str, str] | None = None,
@@ -113,6 +118,7 @@ class CrateTable:
             primary_key=primary_key or [],
             partitioned_by=partitioned_by or [],
             generated=generated or {},
+            generated_eval=generated_eval or {},
             checks=checks or [],
             defaults=defaults or {},
             settings=settings or {},
@@ -137,6 +143,7 @@ class CrateTable:
             "primary_key": self.primary_key,
             "partitioned_by": self.partitioned_by,
             "generated": self.generated,
+            "generated_eval": self.generated_eval,
             "checks": self.checks,
             "defaults": self.defaults,
             "settings": self.settings,
@@ -178,7 +185,7 @@ class CrateTable:
         CHECK evaluation happens as an observed metric on the write —
         see _check_viol_col."""
         for col, expr in self.generated.items():
-            df = df.withColumn(col, F.expr(expr))
+            df = df.withColumn(col, F.expr(self.generated_eval.get(col, expr)))
         # declared length enforcement (data-types.rst VARCHAR(n)/BIT(n)):
         # VARCHAR truncates all-space excess, errors otherwise; BIT
         # requires the exact declared length. raise_error keeps the

@@ -80,6 +80,10 @@ def _map_type(t: str) -> str:
     m = re.match(r"array\s*\(\s*(.+)\s*\)$", key)
     if m:  # CrateDB array(inner) spelling
         return f"array<{_map_type(m.group(1))}>"
+    m = re.match(r"(.+?)\s*\[\s*\]$", key)
+    if m:  # PG bracket spelling type[] (data-types.rst array aliases);
+        # recursion handles real[][] etc.
+        return f"array<{_map_type(m.group(1))}>"
     # parameterized spellings (data-types.rst): length args are
     # advisory on a string-typed store; numeric keeps precision/scale
     if re.match(r"(varchar|character varying|char|character|bit)\s*\(\s*\d+\s*\)$", key):
@@ -136,7 +140,9 @@ def _crate_decl(raw: str) -> dict:
         if m.group(1):
             out["policy"] = m.group(1)
         return out
-    m = re.match(r"array\s*\(\s*(.+)\s*\)$", key, re.DOTALL)
+    m = re.match(r"array\s*\(\s*(.+)\s*\)$", key, re.DOTALL) or re.match(
+        r"(.+?)\s*\[\s*\]$", key, re.DOTALL
+    )
     if m:
         inner = _crate_decl(m.group(1))
         out = {"type": inner["type"] + "_array"}
@@ -393,6 +399,7 @@ class SqlDmlRouter:
                 primary_key=list(src.primary_key),
                 partitioned_by=list(src.partitioned_by),
                 generated=dict(src.generated),
+                generated_eval=dict(src.generated_eval),
                 checks=list(src.checks),
                 defaults=dict(src.defaults),
                 settings=dict(src.settings),
@@ -493,6 +500,40 @@ class SqlDmlRouter:
                 if gm2:
                     generated[cname] = _unmask(gm2.group(1).strip(), literals)
                     rest = rest[: gm2.start()]
+                else:
+                    # bare `[data_type] AS expr` shorthand — GENERATED
+                    # ALWAYS is optional in the reference grammar
+                    # (create-table.rst base_column_definition; the
+                    # lang-js integration tests use `x AS arr_max(xs)`).
+                    # Only a top-level AS whose prefix is empty or a
+                    # plain type spelling counts, so OBJECT AS (...)
+                    # shapes and CAST(... AS ...) inside DEFAULT/CHECK
+                    # never match.
+                    for am in re.finditer(r"\bAS\b", rest, re.IGNORECASE):
+                        pre = rest[: am.start()]
+                        if pre.count("(") != pre.count(")"):
+                            continue  # inside an expression
+                        pres = pre.strip()
+                        if pres and not re.match(
+                            r'(?!object\b)[\w" ]+'
+                            r"(\s*\(\s*\d+[\d\s,]*\))?(\s*\[\s*\])*$",
+                            pres,
+                            re.IGNORECASE,
+                        ):
+                            break  # prefix isn't a type spelling
+                        expr = rest[am.end() :].strip()
+                        if expr.startswith("("):
+                            # parenthesized generation expression
+                            popen = rest.index("(", am.end())
+                            pclose = _find_close(rest, popen)
+                            generated[cname] = _unmask(
+                                rest[popen + 1 : pclose], literals
+                            )
+                            rest = pre + rest[pclose + 1 :]
+                        else:
+                            generated[cname] = _unmask(expr, literals)
+                            rest = pre
+                        break
             ckm = re.search(r"CHECK\s*\(", rest, re.IGNORECASE)
             if ckm:
                 cclose = _find_close(rest, ckm.end() - 1)
@@ -590,11 +631,18 @@ class SqlDmlRouter:
                 raise ValueError(f"column '{cname}' needs an explicit type")
             cols.append(f"{cname} {ctype}")
             crate_cols.append({"name": cname, **_crate_decl(rest)})
+        # evaluation form: UDF call sites resolved to their mangled
+        # Spark registrations and crate-isms rewritten ONCE at CREATE —
+        # `generated` keeps the user's spelling for SHOW CREATE TABLE
+        resolve = getattr(self.owner, "_resolve_udf_calls", None) or (lambda x: x)
+        generated_eval = {
+            k: rewrite(resolve(v)) for k, v in generated.items()
+        }
         for cname in untyped_generated:
             typed = ", ".join(c for c in cols if " " in c)
             probe = self.spark.createDataFrame([], typed or "__x int")
             dt = probe.selectExpr(
-                f"({rewrite(_unmask(generated[cname], literals))}) AS __g"
+                f"({generated_eval[cname]}) AS __g"
             ).schema[0].dataType.simpleString()
             cols[cols.index(cname)] = f"{cname} {dt}"
             for cc in crate_cols:
@@ -637,6 +685,7 @@ class SqlDmlRouter:
             primary_key=pk,
             partitioned_by=partitioned,
             generated=generated,
+            generated_eval=generated_eval,
             checks=checks,
             defaults=defaults,
             settings=settings,

@@ -8,6 +8,65 @@ translates a documented subset to Python at CREATE FUNCTION time
 test expressions — JavascriptUserDefinedFunctionTest.java,
 JavaScriptUDFIntegrationTest.java, PolyglotValuesTest.java — with the
 reference's expected value.
+
+Complete method inventory (VERDICT r7 #4 — every reference lang-js
+test method accounted for; "case <id>" = a CASES row below, named
+tests are functions in this file):
+
+JavascriptUserDefinedFunctionTest.java (24 methods):
+  testObjectReturnType                 case object_return
+  testValidateCatchesScriptException   REJECTED invalid_syntax
+  testValidateCatchesAssertionError    cases arrow_expr / arrow_block
+  testValidJavascript                  case array_subscript (same body)
+  testArrayReturnType                  case array_return
+  testTimestampReturnType              case string_ts
+  testIpReturnType                     case string_ip
+  testPrimitiveReturnType              case int_return
+  testObjectReturnTypeAndInputArguments    case add_args
+  testPrimitiveReturnTypeAndInputArguments case add_args (same body)
+  testGeoTypeReturnTypeWithDoubleArray case geo_array
+  testGeoTypeReturnTypeWithWKT         case geo_wkt
+  testOverloadingUserDefinedFunctions  case identity
+  testFunctionWrongNameInFunctionBody  test_wrong_name_in_body_rejected_at_create
+  testNormalizeOnObjectInput           case obj_identity
+  testNormalizeOnArrayInput            case array_subscript_1
+  testNormalizeOnStringInputs          case str_identity
+  testAccessJavaClasses                test_unresolved_global_raises_at_call_not_create
+  testEvaluateBytesRefConvertedToString case string_concat
+  testJavaScriptFunctionReturnsUndefined case empty_body
+  testJavaScriptFunctionReturnsNull    case null_return
+  testStringArrayTypeArgument          case array_join
+  test_access_object_type_argument_properties_in_function_body
+                                       cases obj_dot / obj_brackets
+  test_access_geo_shape_type_argument_properties_in_function_body
+                                       case shape_type
+
+JavaScriptUDFIntegrationTest.java (6 methods):
+  testJavascriptFunction               case subtract_longs +
+                                       test_udf_integration_shapes (SQL e2e)
+  testBuiltinFunctionOverloadWithOrderBy   test_udf_integration_shapes
+  test_udf_that_requires_array_arg_can_be_used_as_generated_column
+                                       case math_apply +
+                                       test_udf_integration_shapes (SQL e2e)
+  test_udf_nested_object_accesses      case nested_obj
+  test_udf_can_return_geoshape_and_use_in_match_predicate
+                                       cases obj_literal / polyglot_geo_shape
+                                       (expression level; geo MATCH ...
+                                       USING WITHIN is outside the MATCH
+                                       surface — declared divergence,
+                                       fulltext MATCH only)
+  test_subscript_on_udf_returns_correct_type_or_error
+                                       case bare_key_literal
+
+PolyglotValuesTest.java (7 methods):
+  test_polyglot_value_conversion_boolean      case polyglot_bool
+  test_polyglot_value_conversion_string       case string_value
+  test_polyglot_value_conversion_numbers      cases number_int /
+                                              number_float / bigdecimal_string
+  test_polyglot_value_conversion_object       case polyglot_nested_object
+  test_polyglot_value_conversion_geo_shape    case polyglot_geo_shape
+  test_polyglot_value_conversion_float_vector case polyglot_float_vector
+  test_polyglot_value_conversion_bitstring    case polyglot_bitstring
 """
 
 from __future__ import annotations
@@ -71,7 +130,7 @@ CASES = [
     # JavascriptUserDefinedFunctionTest.testObjectReturnType
     ("object_return", "function f() { return JSON.parse('{\"foo\": \"bar\"}'); }",
      (), {"foo": "bar"}),
-    # testValidateFunctions / array arg subscript
+    # testValidJavascript / array arg subscript
     ("array_subscript", "function f(a) { return a[0]; }", ([3.5, 2.0],), 3.5),
     # testArrayReturnType
     ("array_return", "function f() { return [1, 2]; }", (), [1, 2]),
@@ -82,9 +141,10 @@ CASES = [
     ("string_ip", 'function f() { return "127.0.0.1"; }', (), "127.0.0.1"),
     # testPrimitiveReturnType
     ("int_return", "function f() { return 10; }", (), 10),
-    # testObjectReturnTypeAndInputArguments (x + y over numerics)
+    # testObjectReturnTypeAndInputArguments /
+    # testPrimitiveReturnTypeAndInputArguments (x + y over numerics)
     ("add_args", "function f(x, y) { return x + y; }", (5.5, 2), 7.5),
-    # testGeoPointReturnType
+    # testGeoTypeReturnTypeWithDoubleArray
     ("geo_array", "function f() { return [1, 1]; }", (), [1, 1]),
     # testOverloadingUserDefinedFunctions
     ("identity", "function f(x) { return x; }", (42,), 42),
@@ -99,7 +159,7 @@ CASES = [
     # testNormalizeOnObjectInput / testNormalizeOnStringInputs
     ("obj_identity", "function f(x) { return x; }", ({},), {}),
     ("str_identity", "function f(x) { return x; }", ("bar",), "bar"),
-    # testNormalizeOnArrayObjects
+    # testNormalizeOnArrayInput
     ("array_subscript_1", "function f(x) { return x[1]; }", ([10, 20],), 20),
     # testEvaluateBytesRefConvertedToString
     ("string_concat", "function f(name) { return 'foo' + name; }",
@@ -136,6 +196,39 @@ CASES = [
     ("number_int", "function getValue() { return 42; }", (), 42),
     ("number_float", "function getValue() { return 3.14; }", (), 3.14),
     ("string_value", 'function getValue() { return "Hoschi"; }', (), "Hoschi"),
+    # test_polyglot_value_conversion_boolean
+    ("polyglot_bool", "function getValue() { return true; }", (), True),
+    # test_polyglot_value_conversion_numbers: the NumericType(18,9)
+    # case returns the decimal as a STRING from JS; the SQL layer's
+    # RETURNS numeric(18,9) cast makes it a BigDecimal
+    ("bigdecimal_string",
+     'function getValue() { return "123456789.123456789"; }',
+     (), "123456789.123456789"),
+    # test_polyglot_value_conversion_object (nested bare-key literals)
+    ("polyglot_nested_object",
+     'function getValue() { return { x: 10, y: 20, obj: { a: "a", '
+     'obj2: { b: "b" } } }; }',
+     (), {"x": 10, "y": 20, "obj": {"a": "a", "obj2": {"b": "b"}}}),
+    # test_polyglot_value_conversion_geo_shape /
+    # test_udf_can_return_geoshape_and_use_in_match_predicate body
+    ("polyglot_geo_shape",
+     "function getValue() { return { coordinates: [[[2.0, 2.0], "
+     "[2.0, 3.0], [1.0, 3.0], [1.0, 2.0], [2.0, 2.0]]], "
+     'type: "Polygon" }; }',
+     (), {"coordinates": [[[2.0, 2.0], [2.0, 3.0], [1.0, 3.0],
+                           [1.0, 2.0], [2.0, 2.0]]],
+          "type": "Polygon"}),
+    # test_polyglot_value_conversion_float_vector
+    ("polyglot_float_vector",
+     "function getValue() { return [0.4, 0.5, 0.6, 0.2]; }",
+     (), [0.4, 0.5, 0.6, 0.2]),
+    # test_polyglot_value_conversion_bitstring (B'0100' renders as its
+    # bit text at this engine's boundary)
+    ("polyglot_bitstring",
+     'function getValue() { return "0100"; }', (), "0100"),
+    # JavaScriptUDFIntegrationTest.testJavascriptFunction
+    ("subtract_longs",
+     "function subtract_js(x, y) { return x-y; }", (5, 3), 2),
 ]
 
 
@@ -498,3 +591,68 @@ def test_quoted_mixed_case_signature_name(spark, tmp_path):
         "JAVASCRIPT AS 'function Mixed(x) { return x - 1; }'"
     )
     assert s.execute('SELECT myschema."Mixed"(5) AS v').collect()[0][0] == 4
+
+
+def test_udf_integration_shapes(spark, tmp_path):
+    """JavaScriptUDFIntegrationTest end-to-end SQL shapes, with the
+    reference's expected rows:
+
+    - testJavascriptFunction: CREATE FUNCTION subtract_js(LONG, LONG),
+      called UPPERCASE over a table with ORDER BY -> rows 2, 3.
+    - testBuiltinFunctionOverloadWithOrderBy: schema-qualified
+      test.subtract called qualified with ORDER BY 1 -> 0, 1, 2.
+    - test_udf_that_requires_array_arg_can_be_used_as_generated_column:
+      arr_max over real[] as the bare `x AS arr_max(xs)` generated
+      column (GENERATED ALWAYS optional per create-table.rst) -> 27.4.
+    """
+    from crate_spark.engine import CrateSession
+
+    s = CrateSession(spark, None, storage_dir=str(tmp_path))
+
+    s.execute("create table jstest (a long, b long)")
+    s.execute("insert into jstest (a, b) values (5, 3), (10, 7)")
+    s.execute(
+        "CREATE FUNCTION subtract_js(LONG, LONG) RETURNS LONG LANGUAGE "
+        "JAVASCRIPT AS 'function subtract_js(x, y) { return x-y; }'"
+    )
+    assert [
+        r[0]
+        for r in s.execute(
+            "SELECT SUBTRACT_JS(a, b) AS d FROM jstest ORDER BY a ASC"
+        ).collect()
+    ] == [2, 3]
+
+    s.execute("CREATE TABLE test.t (a INTEGER, b INTEGER)")
+    s.execute("INSERT INTO test.t (a, b) VALUES (1, 1), (2, 1), (3, 1)")
+    s.execute(
+        "CREATE FUNCTION test.subtract(integer, integer) RETURNS INTEGER "
+        "LANGUAGE javascript AS 'function subtract(x, y){ return x-y; }'"
+    )
+    assert [
+        r[0]
+        for r in s.execute(
+            "SELECT test.subtract(a, b) AS d FROM test.t ORDER BY 1"
+        ).collect()
+    ] == [0, 1, 2]
+
+    s.execute(
+        "CREATE OR REPLACE FUNCTION arr_max(xs array(real)) RETURNS real "
+        "LANGUAGE JAVASCRIPT AS "
+        "'function arr_max(xs) { return Math.max.apply(null, xs); }'"
+    )
+    s.execute("create table tbl (xs real[], x as arr_max(xs))")
+    s.execute("insert into tbl (xs) values ([10.5, 27.4])")
+    got = s.execute("select x from tbl").collect()
+    assert len(got) == 1 and abs(got[0][0] - 27.4) < 1e-5
+    # the generated column's inferred type is the UDF's RETURNS type
+    cols = {
+        r[0]: r[1]
+        for r in s.execute(
+            "select column_name, data_type from information_schema.columns "
+            "where table_name = 'tbl'"
+        ).collect()
+    }
+    assert cols == {"xs": "real_array", "x": "real"}
+    # SHOW CREATE prints the user's spelling, not the resolved form
+    ddl = s.execute("show create table tbl").collect()[0][0]
+    assert "GENERATED ALWAYS AS (arr_max(xs))" in ddl
