@@ -46,6 +46,11 @@ HEADLINE = [
     # iterative star-contraction CC and the Arrow sequence-packing path
     "graph_connected_components",
     "pipeline_pack_sequences",
+    # r8 additions (VERDICT r7 #7; the r1-comparable subset stays the
+    # first 12): fulltext BM25 top-k and the sf-scaled COPY TO/FROM
+    # write-path roundtrip
+    "sql_match_score",
+    "dml_copy_roundtrip",
 ]
 
 

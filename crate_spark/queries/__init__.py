@@ -84,6 +84,9 @@ _MODULES = (
 #: (pipeline_decontaminate/repetition, sql_*_surface family,
 #: streaming_rollup_events) — those are the r9 window.
 _DRIVER_PRIORITY = (
+    # new in r8 (needs its first driver row); displaces
+    # pipeline_knn_quantized (r5) to the r9 window
+    "dml_copy_roundtrip",
     # 18 r4-stale rows
     "mm_frame_sample",
     "mm_mime_filter_pushdown",
@@ -135,7 +138,7 @@ _DRIVER_PRIORITY = (
     "pipeline_pii_redact",
     "pipeline_quality_gate",
     "pipeline_pack_sequences",
-    "pipeline_knn_quantized",
+    # "pipeline_knn_quantized" displaced to r9 by dml_copy_roundtrip
 )
 
 

@@ -96,3 +96,46 @@ def ddl_sql_lifecycle(spark, sf_dir):
     s.execute("DELETE FROM lc WHERE k = 30")
     s.execute("ALTER TABLE lc RENAME COLUMN amt TO amount")
     return s.execute("SELECT k, tag, amount FROM lc ORDER BY k")
+
+
+@query(
+    "dml_copy_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           COUNT(DISTINCT o_custkey) AS n_custs
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def dml_copy_roundtrip(spark, sf_dir):
+    """sf-scaled COPY TO -> COPY FROM roundtrip (VERDICT r7 #7: the
+    write path's throughput benchmark): bulk INSERT the orders table
+    into a CrateTable, COPY TO parquet with a WHERE (filtered parallel
+    export, ``CopyToPlan.java``), COPY FROM into a fresh table
+    (``CopyFromPlan.java``), and aggregate the reloaded rows. The
+    oracle is the same aggregate over the source table, so a hash
+    match proves the roundtrip byte-preserved every surviving row.
+    Decimal sum keeps the total order-independent."""
+    from crate_spark.dml import CrateTable
+
+    src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+    )
+    base = os.path.join(tempfile.gettempdir(), f"crate_copyrt_{uuid.uuid4().hex}")
+    t1 = CrateTable.create(spark, os.path.join(base, "t1"), ddl)
+    t1.insert(src)
+    export = os.path.join(base, "export")
+    t1.copy_to(export, format="parquet", where="o_orderstatus = 'O'")
+    t2 = CrateTable.create(spark, os.path.join(base, "t2"), ddl)
+    t2.copy_from(export, format="parquet")
+    return t2.read().agg(
+        F.count("*").alias("n_rows"),
+        # decimal accumulation (order-independent), double at the
+        # boundary (registry outputs are decimal-free; the exact
+        # decimal->double cast is identical in both engines)
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
