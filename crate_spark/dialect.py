@@ -1480,6 +1480,68 @@ def _struct_literal_subscripts(sql: str, literals: list[str]) -> str:
     return "".join(out)
 
 
+def _struct_array_literal_subscripts(sql: str, literals: list[str]) -> str:
+    """``[{k=v}, {k=w}][i]['k']`` — an ARRAY of object literals
+    subscripted then key-accessed (SubscriptFunction on
+    array(object)). By this point each element is
+    ``to_json(named_struct(...))`` (a JSON string), so a ['k'] on the
+    element_at result would fail in Spark; strip the JSON encoding
+    from EVERY element and use typed struct access:
+    ``element_at(array(named_struct(...), ...), i).k``. Only fires
+    when a string-key subscript follows the index — a bare ``[i]``
+    correctly returns the object's JSON encoding."""
+    out, i = [], 0
+    while True:
+        j = sql.find("array(", i)
+        if j < 0:
+            out.append(sql[i:])
+            return "".join(out)
+        close = _find_close(sql, j + len("array"))
+        if close < 0:
+            out.append(sql[i:])
+            return "".join(out)
+        args = _split_args(sql[j + len("array(") : close])
+        entries = [_named_struct_entries(x) for x in args]
+        k = close + 1
+        while k < len(sql) and sql[k].isspace():
+            k += 1
+        if any(e is None for e in entries) or k >= len(sql) or sql[k] != "[":
+            out.append(sql[i : j + len("array(")])
+            i = j + len("array(")
+            continue
+        stripped = ", ".join(x.strip()[len("to_json(") : -1] for x in args)
+        # subscript chain: index first, then at least one word key
+        pos, ok, acc, saw_key = k, True, f"array({stripped})", False
+        while pos < len(sql) and sql[pos] == "[":
+            end = sql.find("]", pos)
+            if end < 0:
+                ok = False
+                break
+            sub = sql[pos + 1 : end].strip()
+            lm = re.fullmatch(r"__LIT_(\d+)__", sub)
+            if lm:
+                key = literals[int(lm.group(1))][1:-1]
+                if not re.fullmatch(r"\w+", key):
+                    ok = False
+                    break
+                acc = f"{acc}.{key}"
+                saw_key = True
+            elif sub.isdigit():
+                acc = f"element_at({acc}, {int(sub)})"
+            else:
+                ok = False
+                break
+            pos = end + 1
+        if not ok or not saw_key:
+            out.append(sql[i : j + len("array(")])
+            i = j + len("array(")
+            continue
+        out.append(sql[i:j])
+        out.append(acc)
+        i = pos
+    return "".join(out)
+
+
 def _map_cast_as_types(sql: str) -> str:
     """Map the trailing ``AS <type>`` of each ``[TRY_]CAST(...)`` span
     through ``_cast_type`` (bare varchar -> STRING, int8 -> BIGINT,
@@ -2560,6 +2622,9 @@ def rewrite(
     # not the JSON encoding: to_json(named_struct(...))['k'] (and the
     # parenthesized form) -> named_struct(...).k — typed field access
     sql = _struct_literal_subscripts(sql, literals)
+    # ...and through an array-of-object-literals element
+    # ([{k=v},{k=w}][i]['k'] -> element_at(array(named_struct..), i).k)
+    sql = _struct_array_literal_subscripts(sql, literals)
 
     # EXTRACT(EPOCH FROM x): PG epoch seconds with fraction
     # (ExtractFunctions epoch case; Spark has no EPOCH extract field)
@@ -2759,6 +2824,22 @@ def rewrite(
     # Spark's VARCHAR demands a length). Anchored to real CAST spans —
     # an unrelated alias named like a type (`1 AS text`) is untouched.
     sql = _map_cast_as_types(sql)
+    # residual ``::type`` whose OPERAND shape the _CAST_RE grammar
+    # doesn't cover (e.g. `named_struct(...).k::varchar` emitted by
+    # the struct-literal subscript pass — fuzz family o0xx): Spark 4
+    # parses `expr::type` natively, so only the crate TYPE spelling
+    # needs mapping (bare varchar is rejected, int8/float4 mistyped).
+    # Single-word unparameterized types only — varchar(n) keeps the
+    # dedicated truncating rewrite, interval maps identically and is
+    # left to its dedicated handling.
+    sql = re.sub(
+        r"::\s*([A-Za-z_]\w*)\b(?!\s*\()",
+        lambda m: m.group(0)
+        if _cast_type(m.group(1)) == m.group(1)
+        or not re.fullmatch(r"[A-Za-z_][\w<>,()]*", _cast_type(m.group(1)))
+        else f"::{_cast_type(m.group(1))}",
+        sql,
+    )
     # explicit CAST targets in crate's array(inner) spelling
     sql = re.sub(
         r"\bAS\s+ARRAY\s*\(\s*([\w ]+)\s*\)",

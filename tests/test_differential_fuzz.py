@@ -541,3 +541,201 @@ def test_dialect_spelling_differential(crate, i, pair):
     a = canonical_rows([c.lower() for c in sdf_a.columns], ra)
     b = canonical_rows([c.lower() for c in sdf_b.columns], rb)
     assert a == b, f"values differ: {crate_sql} vs {ansi_sql}"
+
+
+# ---- object-literal subscript family (VERDICT r7 #8) -----------------------
+# The mixed dialect sweep above holds ONE shallow object-literal shape
+# ({k = e}['k']); crate's object literals nest, hold mixed value
+# types, ride arrays, and chain subscripts with casts. 100 seeded
+# pairs sweep those shapes against plain-expression spellings.
+
+def gen_object_pair(rng: random.Random) -> tuple[str, str]:
+    table = rng.choice(["nation", "orders"])
+    cols = NATION_COLS if table == "nation" else ORDERS_COLS
+    g = Gen(rng, cols)
+    key = "n_nationkey" if table == "nation" else "o_orderkey"
+    kname = rng.choice(["v", "val", "x", "k9"])
+    fam = rng.randrange(6)
+    if fam == 0:
+        # nested literal, two-key path
+        inner, outer = rng.choice([("b", "a"), ("y", "x")])
+        e = g.int_expr()
+        p = g.pred()
+        return (
+            f"SELECT {key}, {{{outer} = {{{inner} = {e}}}}}"
+            f"['{outer}']['{inner}'] AS v FROM {table} WHERE {p}",
+            f"SELECT {key}, {e} AS v FROM {table} WHERE {p}",
+        )
+    if fam == 1:
+        # multi-key literal, subscript picks one (order shuffled)
+        e1, e2 = g.int_expr(), g.str_expr()
+        pick = rng.choice([1, 2])
+        body = f"k1 = {e1}, k2 = {e2}" if rng.random() < 0.5 else f"k2 = {e2}, k1 = {e1}"
+        direct = e1 if pick == 1 else e2
+        return (
+            f"SELECT {key}, {{{body}}}['k{pick}'] AS v FROM {table}",
+            f"SELECT {key}, {direct} AS v FROM {table}",
+        )
+    if fam == 2:
+        # array of object literals -> index -> key
+        e1, e2 = g.int_expr(), g.int_expr()
+        idx = rng.choice([1, 2])
+        direct = e1 if idx == 1 else e2
+        return (
+            f"SELECT {key}, [{{{kname} = {e1}}}, {{{kname} = {e2}}}][{idx}]"
+            f"['{kname}'] AS v FROM {table}",
+            f"SELECT {key}, {direct} AS v FROM {table}",
+        )
+    if fam == 3:
+        # subscript then :: cast chain
+        e = g.int_expr()
+        t = rng.choice(["BIGINT", "DOUBLE", "VARCHAR"])
+        return (
+            f"SELECT {key}, {{{kname} = {e}}}['{kname}']::{t} AS v FROM {table}",
+            f"SELECT {key}, CAST({e} AS {t}) AS v FROM {table}",
+        )
+    if fam == 4:
+        # object subscript inside WHERE
+        e = g.int_expr()
+        n = rng.randint(0, 30)
+        op = rng.choice([">", "<", ">=", "<="])
+        return (
+            f"SELECT count(*) AS n FROM {table} "
+            f"WHERE {{{kname} = {e}}}['{kname}'] {op} {n}",
+            f"SELECT count(*) AS n FROM {table} WHERE ({e}) {op} {n}",
+        )
+    # key holding an array value, element subscript after the key
+    e1, e2 = g.int_expr(), g.int_expr()
+    idx = rng.choice([1, 2])
+    direct = e1 if idx == 1 else e2
+    return (
+        f"SELECT {key}, {{{kname} = [{e1}, {e2}]}}['{kname}'][{idx}] AS v "
+        f"FROM {table}",
+        f"SELECT {key}, {direct} AS v FROM {table}",
+    )
+
+
+N_OBJECT = 100
+
+
+def _object_pairs():
+    rng = random.Random(SEED ^ 0x0B1EC7)
+    pairs = []
+    while len(pairs) < N_OBJECT:
+        child = random.Random(rng.getrandbits(64))
+        pairs.append(gen_object_pair(child))
+    return pairs
+
+
+@pytest.mark.parametrize(
+    "i,pair",
+    list(enumerate(_object_pairs())),
+    ids=[f"o{i:03d}" for i in range(N_OBJECT)],
+)
+def test_object_literal_differential(crate, i, pair):
+    crate_sql, ansi_sql = pair
+    sdf_a = crate.execute(crate_sql)
+    sdf_b = crate.execute(ansi_sql)
+    ra = [tuple(r) for r in sdf_a.collect()]
+    rb = [tuple(r) for r in sdf_b.collect()]
+    assert len(ra) == len(rb), f"row count differs: {crate_sql} vs {ansi_sql}"
+    a = canonical_rows([c.lower() for c in sdf_a.columns], ra)
+    b = canonical_rows([c.lower() for c in sdf_b.columns], rb)
+    assert a == b, f"values differ: {crate_sql} vs {ansi_sql}"
+
+
+# ---- interval-arithmetic family (VERDICT r7 #8) ----------------------------
+# The mixed sweep pins one interval shape (ts + '<n> <unit>'::interval
+# vs the INTERVAL literal). Crate interval arithmetic also chains
+# +/- terms, multiplies by integers, adds intervals to intervals,
+# compares shifted timestamps in WHERE, and spells multi-unit
+# literals. 100 seeded pairs.
+
+_IV_UNITS = ["days", "hours", "minutes", "seconds", "weeks"]
+
+
+def gen_interval_pair(rng: random.Random) -> tuple[str, str]:
+    key, dcol, table = "o_orderkey", "o_orderdate", "orders"
+    ts = f"CAST({dcol} AS TIMESTAMP)"
+    fam = rng.randrange(5)
+    if fam == 0:
+        # chained +/- of two cast-spelled intervals vs INTERVAL literals
+        n1, n2 = rng.randint(1, 30), rng.randint(1, 23)
+        u1, u2 = rng.sample(_IV_UNITS, 2)
+        op = rng.choice(["+", "-"])
+        return (
+            f"SELECT {key}, {ts} + '{n1} {u1}'::interval {op} "
+            f"'{n2} {u2}'::interval AS t FROM {table} WHERE {key} < 300",
+            f"SELECT {key}, {ts} + INTERVAL '{n1} {u1}' {op} "
+            f"INTERVAL '{n2} {u2}' AS t FROM {table} WHERE {key} < 300",
+        )
+    if fam == 1:
+        # interval * integer vs the multiplied-out literal
+        n, k = rng.randint(1, 9), rng.randint(2, 4)
+        u = rng.choice(["days", "hours", "minutes"])
+        return (
+            f"SELECT {key}, {ts} + ('{n} {u}'::interval) * {k} AS t "
+            f"FROM {table} WHERE {key} < 300",
+            f"SELECT {key}, {ts} + INTERVAL '{n * k} {u}' AS t "
+            f"FROM {table} WHERE {key} < 300",
+        )
+    if fam == 2:
+        # interval + interval, multi-unit literal equivalent
+        nd, nh = rng.randint(1, 20), rng.randint(1, 23)
+        return (
+            f"SELECT {key}, {ts} + ('{nd} days'::interval + "
+            f"'{nh} hours'::interval) AS t FROM {table} WHERE {key} < 300",
+            f"SELECT {key}, {ts} + INTERVAL '{nd} days {nh} hours' AS t "
+            f"FROM {table} WHERE {key} < 300",
+        )
+    if fam == 3:
+        # shifted-timestamp comparison in WHERE
+        n = rng.randint(1, 400)
+        cmp_ts = rng.choice(
+            ["1995-06-01 00:00:00", "1996-01-01 00:00:00", "1997-03-15 12:00:00"]
+        )
+        op = rng.choice(["<", ">="])
+        return (
+            f"SELECT count(*) AS n FROM {table} "
+            f"WHERE {ts} + '{n} days'::interval {op} TIMESTAMP '{cmp_ts}'",
+            f"SELECT count(*) AS n FROM {table} "
+            f"WHERE {ts} {op} TIMESTAMP '{cmp_ts}' - INTERVAL '{n} days'",
+        )
+    # subtraction both spellings
+    n = rng.randint(1, 48)
+    u = rng.choice(["hours", "days"])
+    return (
+        f"SELECT {key}, {ts} - '{n} {u}'::interval AS t "
+        f"FROM {table} WHERE {key} < 300",
+        f"SELECT {key}, {ts} - INTERVAL '{n} {u}' AS t "
+        f"FROM {table} WHERE {key} < 300",
+    )
+
+
+N_INTERVAL = 100
+
+
+def _interval_pairs():
+    rng = random.Random(SEED ^ 0x17E4A1)
+    pairs = []
+    while len(pairs) < N_INTERVAL:
+        child = random.Random(rng.getrandbits(64))
+        pairs.append(gen_interval_pair(child))
+    return pairs
+
+
+@pytest.mark.parametrize(
+    "i,pair",
+    list(enumerate(_interval_pairs())),
+    ids=[f"iv{i:03d}" for i in range(N_INTERVAL)],
+)
+def test_interval_arithmetic_differential(crate, i, pair):
+    crate_sql, ansi_sql = pair
+    sdf_a = crate.execute(crate_sql)
+    sdf_b = crate.execute(ansi_sql)
+    ra = [tuple(r) for r in sdf_a.collect()]
+    rb = [tuple(r) for r in sdf_b.collect()]
+    assert len(ra) == len(rb), f"row count differs: {crate_sql} vs {ansi_sql}"
+    a = canonical_rows([c.lower() for c in sdf_a.columns], ra)
+    b = canonical_rows([c.lower() for c in sdf_b.columns], rb)
+    assert a == b, f"values differ: {crate_sql} vs {ansi_sql}"
