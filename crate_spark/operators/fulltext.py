@@ -72,34 +72,54 @@ def bm25_scores(
     """Per-document BM25 score for ``query`` (docs with no matching
     term are absent). Output: (id_col, _score).
 
-    All corpus statistics stay distributed: doc lengths are a groupBy,
-    (N, avgdl) a broadcast 1-row aggregate, document frequencies a
-    broadcast per-term count. One shuffle of (doc, term in query).
+    Zero wide shuffles: term frequencies and document length are
+    ROW-LOCAL array expressions (``size(filter(tokens, = term))`` per
+    query term — queries have a handful of terms, so this unrolls to
+    a few JVM HOFs, never an explode), and ALL corpus statistics
+    (N, avgdl, per-term document frequencies) ride ONE broadcast
+    1-row aggregate. The only exchange in the plan is that
+    aggregate's partial->final step; the scoring pass itself is a
+    pure map over the corpus scan. (The previous form exploded every
+    token twice and shuffled three times — fulltext was the one
+    headline subsystem whose plan didn't meet the repo's own
+    shuffle-minimal bar once sql_match_score joined the bench.)
     """
-    terms = [t for t in query.lower().split() if t]
-    toks = docs.select(F.col(id_col), F.explode(tokenize(text_col)).alias("_tok"))
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("_dl"))
-    stats = dl.agg(
-        F.count("*").alias("_n_docs"), F.avg("_dl").alias("_avgdl")
+    # dedupe, preserving order: a repeated query term contributes once
+    # (the reference sums per UNIQUE term too)
+    terms = list(dict.fromkeys(t for t in query.lower().split() if t))
+    toked = docs.select(
+        F.col(id_col), tokenize(text_col).alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+    tf_cols = [
+        F.size(F.filter("_toks", lambda x: x == F.lit(t))).alias(f"_tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    scored_input = toked.select(F.col(id_col), F.col("_dl"), *tf_cols)
+    stats = scored_input.agg(
+        F.count("*").alias("_n_docs"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
     )
-    tf = (
-        toks.filter(F.col("_tok").isin(terms))
-        .groupBy(id_col, "_tok")
-        .agg(F.count("*").alias("_tf"))
-    )
-    df_t = tf.groupBy("_tok").agg(F.count("*").alias("_df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
-    )
-    tf_part = (F.col("_tf") * (k1 + 1)) / (
-        F.col("_tf") + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
-    )
+    any_match = F.lit(False)
+    for i in range(len(terms)):
+        any_match = any_match | (F.col(f"_tf{i}") > 0)
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf_i = F.col(f"_tf{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n_docs") - F.col(f"_df{i}") + 0.5)
+            / (F.col(f"_df{i}") + 0.5)
+        )
+        tf_part = (tf_i * (k1 + 1)) / (
+            tf_i + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+        )
+        score = score + F.when(tf_i > 0, idf * tf_part).otherwise(F.lit(0.0))
     return (
-        tf.join(F.broadcast(df_t), "_tok")
-        .join(dl, id_col)
+        scored_input.filter(any_match)
         .crossJoin(F.broadcast(stats))
-        .withColumn("_term_score", idf * tf_part)
-        .groupBy(id_col)
-        .agg(F.sum("_term_score").alias("_score"))
+        .select(F.col(id_col), score.alias("_score"))
     )
