@@ -2716,6 +2716,9 @@ class CrateSession:
                 "parseFloat": _js_parse_float,
                 "__js_regex": _js_regex,
                 "__js_throw": _js_throw,
+                "__js_method": _js_method,
+                "__js_forin": _js_forin,
+                "Object": _JsObjectNS,
                 # JS isNaN coerces first: isNaN('123') is false
                 "isNaN": (lambda v: _js_number(v) != _js_number(v)),
             }
@@ -3296,6 +3299,248 @@ def _js_str(v) -> str:
     return str(v)
 
 
+# ---- JS method dispatch -----------------------------------------------------
+# The translator routes every `receiver.method(...)` call through
+# __js_method, which dispatches JS-named methods on strings, arrays
+# and numbers to these shims (GraalVM evaluates them natively;
+# Python's str/list surface differs — str.replace replaces ALL
+# occurrences where JS replaces the FIRST, lists have no push, etc.).
+# Anything not shimmed falls back to real attribute access (so
+# _JsRegex.test/.exec, Math.*, JSON.* and stored callable object keys
+# keep working), and a missing method raises the JS-shaped
+# "TypeError: <name> is not a function" at EVALUATE time, matching
+# GraalVM's deferred resolution.
+
+
+def _js_idx(v, default=0) -> int:
+    """JS index coercion: undefined -> default, NaN -> 0, floats
+    truncate toward zero."""
+    n = _js_number(default if v is None else v)
+    return 0 if n != n else int(n)
+
+
+def _call_cb(fn, *args):
+    """Invoke a JS callback with as many of (value, index, container)
+    as its translated lambda declares."""
+    import inspect
+
+    try:
+        want = len(inspect.signature(fn).parameters)
+    except (TypeError, ValueError):
+        want = 1
+    return fn(*args[: max(1, want)])
+
+
+def _js_substring(s, a=None, b=None):
+    i, j = max(0, _js_idx(a)), len(s) if b is None else max(0, _js_idx(b))
+    i, j = min(i, len(s)), min(j, len(s))
+    if i > j:
+        i, j = j, i
+    return s[i:j]
+
+
+def _js_slice_str(s, a=None, b=None):
+    return s[slice(_js_idx(a) if a is not None else None,
+                   _js_idx(b) if b is not None else None)]
+
+
+def _js_replace(s, pat, repl, count):
+    if isinstance(pat, _JsRegex):
+        n = 0 if "g" in pat.flags or count == 0 else 1
+        # JS $1..$9 group refs -> Python \1..\9
+        py_repl = re.sub(r"\$(\d)", r"\\\1", _js_str(repl))
+        return pat._re.sub(py_repl, _js_str(s), count=n)
+    return s.replace(_js_str(pat), _js_str(repl), count if count else -1)
+
+
+def _js_split(s, sep=None, limit=None):
+    if sep is None:
+        out = [s]
+    elif isinstance(sep, _JsRegex):
+        out = sep._re.split(s)
+    elif sep == "":
+        out = list(s)
+    else:
+        out = s.split(_js_str(sep))
+    if limit is not None:
+        out = out[: _js_idx(limit)]
+    return _JsArray(out)
+
+
+_JS_STR_METHODS = {
+    "toUpperCase": lambda s: s.upper(),
+    "toLowerCase": lambda s: s.lower(),
+    "trim": lambda s: s.strip(),
+    "trimStart": lambda s: s.lstrip(),
+    "trimEnd": lambda s: s.rstrip(),
+    "substring": _js_substring,
+    "substr": lambda s, a=None, ln=None: (
+        lambda start: s[start:] if ln is None
+        else s[start : start + max(0, _js_idx(ln))]
+    )(max(0, len(s) + _js_idx(a)) if _js_idx(a) < 0 else _js_idx(a)),
+    "slice": _js_slice_str,
+    "charAt": lambda s, i=0: s[_js_idx(i)] if 0 <= _js_idx(i) < len(s) else "",
+    "charCodeAt": lambda s, i=0: (
+        float(ord(s[_js_idx(i)])) if 0 <= _js_idx(i) < len(s) else float("nan")
+    ),
+    "indexOf": lambda s, sub="", frm=0: s.find(_js_str(sub), _js_idx(frm)),
+    "lastIndexOf": lambda s, sub="": s.rfind(_js_str(sub)),
+    "includes": lambda s, sub="", frm=0: s.find(_js_str(sub), _js_idx(frm)) >= 0,
+    "startsWith": lambda s, p="", frm=0: s.startswith(_js_str(p), _js_idx(frm)),
+    "endsWith": lambda s, p="", end=None: s.endswith(
+        _js_str(p), 0, len(s) if end is None else _js_idx(end)
+    ),
+    # JS replace: FIRST occurrence for string patterns (regex honors g)
+    "replace": lambda s, pat, repl="": _js_replace(s, pat, repl, 1),
+    "replaceAll": lambda s, pat, repl="": _js_replace(s, pat, repl, 0),
+    "split": _js_split,
+    "repeat": lambda s, n=0: s * max(0, _js_idx(n)),
+    "padStart": lambda s, n=0, p=" ": s if len(s) >= _js_idx(n) or not p
+    else (_js_str(p) * _js_idx(n))[: _js_idx(n) - len(s)] + s,
+    "padEnd": lambda s, n=0, p=" ": s if len(s) >= _js_idx(n) or not p
+    else s + (_js_str(p) * _js_idx(n))[: _js_idx(n) - len(s)],
+    "concat": lambda s, *xs: s + "".join(_js_str(x) for x in xs),
+    "toString": lambda s: s,
+}
+
+
+def _js_arr_reduce(arr, fn, *init):
+    it = list(arr)
+    if init:
+        acc = init[0]
+    else:
+        if not it:
+            raise _JsThrown("TypeError: Reduce of empty array with no initial value")
+        acc, it = it[0], it[1:]
+    # continue original indexing when the first element seeds the fold
+    offset = 0 if init else 1
+    for i, x in enumerate(it):
+        acc = _call_cb(fn, acc, x, i + offset, arr)
+    return acc
+
+
+def _js_arr_sort(arr, cmp=None):
+    import functools as _ft
+
+    if cmp is None:
+        arr.sort(key=_js_str)  # JS default sort compares as strings
+    else:
+        arr.sort(key=_ft.cmp_to_key(
+            lambda a, b: (-1 if _js_number(cmp(a, b)) < 0
+                          else (1 if _js_number(cmp(a, b)) > 0 else 0))
+        ))
+    return arr
+
+
+def _js_find_index(arr, fn):
+    for i, x in enumerate(arr):
+        if _call_cb(fn, x, i, arr):
+            return i
+    return -1
+
+
+_JS_ARR_METHODS = {
+    "push": lambda a, *xs: (a.extend(xs), len(a))[1],
+    "pop": lambda a: a.pop() if a else None,
+    "shift": lambda a: a.pop(0) if a else None,
+    "unshift": lambda a, *xs: (a.__setitem__(slice(0, 0), list(xs)), len(a))[1],
+    "indexOf": lambda a, x, frm=0: (
+        a.index(x, _js_idx(frm)) if x in a[_js_idx(frm):] else -1
+    ),
+    "lastIndexOf": lambda a, x: (
+        len(a) - 1 - a[::-1].index(x) if x in a else -1
+    ),
+    "includes": lambda a, x: x in a,
+    "join": lambda a, sep=",": _js_str(sep).join(
+        "" if e is None else _js_str(e) for e in a
+    ),
+    "slice": lambda a, i=None, j=None: _JsArray(
+        a[slice(_js_idx(i) if i is not None else None,
+                _js_idx(j) if j is not None else None)]
+    ),
+    "concat": lambda a, *xs: _JsArray(
+        list(a) + [y for x in xs for y in (x if isinstance(x, list) else [x])]
+    ),
+    "map": lambda a, fn: _JsArray(_call_cb(fn, x, i, a) for i, x in enumerate(a)),
+    "filter": lambda a, fn: _JsArray(
+        x for i, x in enumerate(a) if _call_cb(fn, x, i, a)
+    ),
+    "reduce": _js_arr_reduce,
+    "forEach": lambda a, fn: ([_call_cb(fn, x, i, a) for i, x in enumerate(a)], None)[1],
+    "some": lambda a, fn: any(_call_cb(fn, x, i, a) for i, x in enumerate(a)),
+    "every": lambda a, fn: all(_call_cb(fn, x, i, a) for i, x in enumerate(a)),
+    "find": lambda a, fn: next(
+        (x for i, x in enumerate(a) if _call_cb(fn, x, i, a)), None
+    ),
+    "findIndex": _js_find_index,
+    "reverse": lambda a: (a.reverse(), a)[1],
+    "sort": _js_arr_sort,
+    "flat": lambda a, d=1: _JsArray(
+        y for x in a for y in (x if isinstance(x, list) and _js_idx(d, 1) > 0 else [x])
+    ),
+    "toString": lambda a: ",".join("" if e is None else _js_str(e) for e in a),
+}
+
+_JS_NUM_METHODS = {
+    "toFixed": lambda v, n=0: f"{float(v):.{_js_idx(n)}f}",
+    "toString": lambda v: _js_str(v),
+}
+
+
+def _js_method(obj, name):
+    """Resolve ``obj.name`` for a CALL site. JS-named shims first
+    (keyed by receiver type), stored callable keys on objects, then
+    real attributes; a miss raises the GraalVM-shaped TypeError at
+    evaluate time."""
+    table = None
+    if isinstance(obj, str):
+        table = _JS_STR_METHODS
+    elif isinstance(obj, list):
+        table = _JS_ARR_METHODS
+    elif isinstance(obj, (int, float)) and not isinstance(obj, bool):
+        table = _JS_NUM_METHODS
+    if table is not None:
+        fn = table.get(name)
+        if fn is not None:
+            return lambda *a: fn(obj, *a)
+    if isinstance(obj, dict):
+        v = dict.get(obj, name)
+        if callable(v):
+            return v
+    meth = getattr(obj, name, None)
+    if meth is None or not callable(meth):
+        raise _JsThrown(f"TypeError: {name} is not a function")
+    return meth
+
+
+def _js_forin(obj):
+    """``for (k in obj)`` enumeration: object keys, array/string
+    index STRINGS (GraalVM/ECMA for-in semantics)."""
+    if isinstance(obj, dict):
+        return list(dict.keys(obj))
+    if isinstance(obj, (list, str)):
+        return [str(i) for i in range(len(obj))]
+    return []
+
+
+class _JsObjectNS:
+    """The global ``Object`` namespace surface the subset supports."""
+
+    @staticmethod
+    def keys(o):
+        return _JsArray(dict.keys(o)) if isinstance(o, dict) else _JsArray()
+
+    @staticmethod
+    def values(o):
+        return _JsArray(dict.values(o)) if isinstance(o, dict) else _JsArray()
+
+    @staticmethod
+    def entries(o):
+        if not isinstance(o, dict):
+            return _JsArray()
+        return _JsArray(_JsArray([k, v]) for k, v in dict.items(o))
+
+
 class _JsJSON:
     """``JSON.parse`` / ``JSON.stringify`` for translated JS UDF
     bodies (JavascriptUserDefinedFunctionTest
@@ -3415,6 +3660,33 @@ def _js_mask_literals(body: str) -> tuple[str, list[str]]:
             i = j + 1
             last_sig, last_word = ")", ""  # a string is value-like
             continue
+        if ch == "`":
+            # template literal: scan to the closing backtick, skipping
+            # escapes and balanced ${...} spans; store the TRANSLATED
+            # Python concatenation so errors (and unsupported inner
+            # constructs) surface at CREATE time like regex literals
+            j, depth = i + 1, 0
+            while j < n:
+                c = body[j]
+                if c == "\\":
+                    j += 2
+                    continue
+                if body.startswith("${", j):
+                    depth += 1
+                    j += 2
+                    continue
+                if c == "}" and depth:
+                    depth -= 1
+                elif c == "`" and not depth:
+                    break
+                j += 1
+            if j >= n:
+                raise ValueError("unterminated template literal in UDF body")
+            lits.append(_js_template_to_python(body[i + 1 : j]))
+            out.append(f"__JSBODY{len(lits) - 1}__")
+            i = j + 1
+            last_sig, last_word = ")", ""
+            continue
         if ch == "/" and (
             last_sig == ""
             or last_sig in "([{,=!&|+-*%?:;<>"
@@ -3461,6 +3733,53 @@ def _js_mask_literals(body: str) -> tuple[str, list[str]]:
             )
         i += 1
     return "".join(out), lits
+
+
+def _js_template_to_python(tpl: str) -> str:
+    """Inner text of a ```...``` template literal -> a Python string
+    concatenation ``('a' + __js_str(expr) + 'b')``. Each ``${...}``
+    span is masked and translated like a standalone expression, so
+    nested string literals and operators inside it behave exactly as
+    they would elsewhere in the body."""
+    parts: list[str] = []
+    buf: list[str] = []
+    esc = {"n": "\n", "t": "\t", "r": "\r"}
+
+    def flush():
+        if buf:
+            parts.append(repr("".join(buf)))
+            buf.clear()
+
+    i, n = 0, len(tpl)
+    while i < n:
+        c = tpl[i]
+        if c == "\\" and i + 1 < n:
+            nxt = tpl[i + 1]
+            buf.append(esc.get(nxt, nxt))
+            i += 2
+            continue
+        if tpl.startswith("${", i):
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if tpl[j] == "{":
+                    depth += 1
+                elif tpl[j] == "}":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise ValueError("unterminated ${...} in template literal")
+            inner = tpl[i + 2 : j - 1]
+            masked, inner_lits = _js_mask_literals(inner)
+            flush()
+            parts.append(f"__js_str({_js_expr_to_python(masked, inner_lits)})")
+            i = j
+            continue
+        buf.append(c)
+        i += 1
+    flush()
+    if not parts:
+        return "''"
+    return "(" + " + ".join(parts) + ")"
 
 
 def _js_unmask_literals(text: str, lits: list[str]) -> str:
@@ -3520,11 +3839,103 @@ def _js_ternary_to_python(expr: str) -> str:
             elif ch == "," and depth == 0:
                 end = i
                 break
+        # a lambda header inside the scope (arrow-function body holding
+        # the ternary) stays OUTSIDE the rewritten region: its ':' is
+        # the lambda's, and its params must keep binding the condition
+        lam = None
+        for lam in re.finditer(r"lambda[\w\s,$]*:", expr[start:q]):
+            pass
+        if lam is not None:
+            start = start + lam.end()
         cond = expr[start:q].strip()
         a = expr[q + 1:colon].strip()
         b = expr[colon + 1:end].strip()
         expr = expr[:start] + f"(({a}) if ({cond}) else ({b}))" + expr[end:]
     return expr
+
+
+#: identifier property chain (no trailing call) — shared by the member
+#: pass in _js_expr_to_python and the method-call base translation
+_JS_MEMBER_CHAIN_RE = re.compile(
+    r"\b(?!(?:Math|Date|JSON|math|Object|__js\w*)\b)"
+    r"[A-Za-z_$][\w$]*(?:\s*\.\s*[A-Za-z_$][\w$]*)+(?![\w$])(?!\s*\()(?!\s*\.)"
+)
+
+#: namespaces whose method calls stay plain Python attribute access
+_JS_CALL_NAMESPACES = {"Math", "Date", "JSON", "math", "Object", "String", "Number"}
+
+
+def _js_member_chain_sub(m: re.Match) -> str:
+    path = m.group(0).split(".")
+    out = path[0]
+    for p in path[1:]:
+        out = f"__js_member({out}, '{p.strip()}')"
+    return out
+
+
+def _js_route_method_calls(expr: str) -> str:
+    """Rewrite ``receiver.meth(`` to ``__js_method(<receiver>, 'meth')(``.
+    The receiver may be an identifier chain (with subscripts) or a
+    call/subscript RESULT (walks back over balanced ()/[] spans), so
+    chains like ``s.trim().toUpperCase()`` dispatch at every link.
+    Namespace receivers (Math., JSON., ...) keep plain attribute
+    access. Dotted receiver segments go through __js_member like any
+    other property read."""
+    i = 0
+    while True:
+        m = re.compile(r"\.\s*([\w$]+)\s*\(").search(expr, i)
+        if not m:
+            return expr
+        meth = m.group(1)
+        # walk back from the '.' over the receiver span
+        k = m.start() - 1
+        while k >= 0 and expr[k].isspace():
+            k -= 1
+        p, is_value = k, False
+        while p >= 0:
+            c = expr[p]
+            if c in ")]":
+                is_value = is_value or c == ")"
+                depth = 0
+                while p >= 0:
+                    if expr[p] in ")]":
+                        depth += 1
+                    elif expr[p] in "([":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    p -= 1
+                if depth:  # unbalanced: bail on this call site
+                    p = k
+                    break
+                p -= 1
+                continue
+            if c.isalnum() or c in "_$":
+                while p >= 0 and (expr[p].isalnum() or expr[p] in "_$"):
+                    p -= 1
+                if p >= 0 and expr[p] == ".":
+                    p -= 1
+                    continue
+                break
+            break
+        start = p + 1
+        base = expr[start : k + 1].strip()
+        if not base:
+            i = m.end()
+            continue
+        head = re.match(r"[\w$]+", base)
+        if (
+            not is_value
+            and head
+            and (head.group(0) in _JS_CALL_NAMESPACES
+                 or head.group(0).startswith("__js_"))
+        ):
+            i = m.end()
+            continue
+        tbase = _JS_MEMBER_CHAIN_RE.sub(_js_member_chain_sub, base)
+        repl = f"__js_method({tbase}, '{meth}')("
+        expr = expr[:start] + repl + expr[m.end():]
+        i = start + len(repl)
 
 
 def _js_expr_to_python(expr: str, body_lits: list[str] | None = None) -> str:
@@ -3550,32 +3961,44 @@ def _js_expr_to_python(expr: str, body_lits: list[str] | None = None) -> str:
         expr,
     )
     expr = re.sub(r", \)", ")", expr)  # join() with no separator
+    # expression-body arrow functions -> Python lambdas (JS callbacks:
+    # xs.map(x => x * 2), sort((a, b) => a - b)); block bodies in
+    # expression position stay unsupported and fail at the CREATE-time
+    # compile like any other untranslatable construct
+    expr = re.sub(
+        r"\(\s*([\w$]*(?:\s*,\s*[\w$]+)*)\s*\)\s*=>\s*(?!\{)",
+        r"lambda \1: ",
+        expr,
+    )
+    expr = re.sub(r"(?<![\w$])([\w$]+)\s*=>\s*(?!\{)", r"lambda \1: ", expr)
+    # method calls route through __js_method (JS-semantics shims for
+    # string/array/number receivers; attribute fallback for the rest)
+    expr = _js_route_method_calls(expr)
     # object literals: quote bare keys so {x: 1} becomes a dict
     # literal, not a Python set/annotation error (already-quoted keys
-    # are masked placeholders — leave those alone)
+    # are masked placeholders — leave those alone). Lambda headers
+    # from the arrow rewrite are masked first: `lambda a, b:` would
+    # otherwise read as `, b:` -> a bare key.
+    lam_spans: list[str] = []
+
+    def _protect_lambda(m: re.Match) -> str:
+        lam_spans.append(m.group(0))
+        return f"__JSLAM{len(lam_spans) - 1}__"
+
+    expr = re.sub(r"\blambda[\w\s,$]*:", _protect_lambda, expr)
     expr = re.sub(
         r"([{,]\s*)(?!__JSBODY\d+__)([A-Za-z_$][\w$]*)\s*:",
         r'\1"\2":',
         expr,
     )
+    for _i, _s in enumerate(lam_spans):
+        expr = expr.replace(f"__JSLAM{_i}__", _s)
     # property access on identifier chains -> __js_member (never on
     # the Math/Date/JSON/math namespaces, never on a method call's
     # final segment): obj.l1.l2 nests left-to-right. Routing through
     # the helper instead of Python attribute access keeps dict
     # protocol intact for library consumers of the same objects.
-    def _member_sub(m: re.Match) -> str:
-        path = m.group(0).split(".")
-        out = path[0]
-        for p in path[1:]:
-            out = f"__js_member({out}, '{p.strip()}')"
-        return out
-
-    expr = re.sub(
-        r"\b(?!(?:Math|Date|JSON|math|__js\w*)\b)"
-        r"[A-Za-z_$][\w$]*(?:\s*\.\s*[A-Za-z_$][\w$]*)+(?![\w$])(?!\s*\()(?!\s*\.)",
-        _member_sub,
-        expr,
-    )
+    expr = _JS_MEMBER_CHAIN_RE.sub(_js_member_chain_sub, expr)
     expr = re.sub(r"&&", " and ", expr)
     expr = re.sub(r"\|\|", " or ", expr)
     expr = re.sub(r"!(?![=])", " not ", expr)
@@ -3783,11 +4206,30 @@ def _js_block_to_python(
         m = re.match(r"for\s*\(", rest)
         if m:
             head, j = _js_balanced(rest, m.end() - 1)
+            # for...of / for...in (ES6 iteration; for-in enumerates
+            # keys / index strings via __js_forin, ECMA semantics)
+            fm = re.match(
+                r"\s*(?:var\s+|let\s+|const\s+)?([\w$]+)\s+(of|in)\s+(.+)$",
+                head,
+                re.DOTALL,
+            )
+            if fm:
+                block, j = _js_brace_block(rest, j)
+                it = _js_expr_to_python(fm.group(3), lits)
+                if fm.group(2) == "in":
+                    it = f"__js_forin({it})"
+                body_lines.append(f"{pad}for {fm.group(1)} in {it}:")
+                _js_block_to_python(block, depth + 1, body_lines, lits, scope_names)
+                if not block.strip():
+                    body_lines.append(f"{pad}    pass")
+                i += j
+                continue
             parts = head.split(";")
             if len(parts) != 3:
                 raise ValueError(
-                    "only C-style `for (init; cond; step)` loops are "
-                    "supported in JavaScript UDF bodies"
+                    "only C-style `for (init; cond; step)` and "
+                    "`for (x of/in expr)` loops are supported in "
+                    "JavaScript UDF bodies"
                 )
             init, cond, step = (p.strip() for p in parts)
             block, j = _js_brace_block(rest, j)
@@ -3896,13 +4338,15 @@ def _js_block_to_python(
             )
             i += m.end()
             continue
-        # bare call statement — a BARE-NAME call only (a user-declared
-        # helper): member calls like arr.push(x) stay rejected at
-        # CREATE, preserving the fail-loudly-up-front contract (the
-        # runtime has no JS mutation methods to dispatch to)
+        # bare call statement — a user-declared helper OR a member
+        # call (arr.push(x), out.sort(...)): method calls dispatch
+        # through __js_method, whose string/array shims carry JS
+        # mutation semantics (push returns the new length, reverse
+        # mutates in place)
         m = re.match(
             r"(?!(?:if|while|for|return|function|throw)\b)"
-            r"([\w$]+\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))"
+            r"([\w$]+(?:\s*\.\s*[\w$]+|\[[^\]]*\])*"
+            r"\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))"
             r"\s*(?:;|$)",
             rest,
         )

@@ -74,14 +74,17 @@ from __future__ import annotations
 import pytest
 
 from crate_spark.engine import (
+    _js_forin,
     _js_function,
     _js_member,
+    _js_method,
     _js_number,
     _js_parse_float,
     _js_parse_int,
     _js_regex,
     _js_str,
     _js_throw,
+    _JsObjectNS,
     _JsThrown,
     _JsDate,
     _JsJSON,
@@ -115,6 +118,9 @@ def _env():
         "parseFloat": _js_parse_float,
         "__js_regex": _js_regex,
         "__js_throw": _js_throw,
+        "__js_method": _js_method,
+        "__js_forin": _js_forin,
+        "Object": _JsObjectNS,
         "isNaN": lambda v: _js_number(v) != _js_number(v),
     }
 
@@ -351,9 +357,11 @@ def test_literal_masking_and_scoping_edges():
     assert _run(
         "function f(x) { return g(x); function g(a) { return a + 1; } }", 4
     ) == 5
-    # member mutation calls reject at CREATE, not first row
-    with pytest.raises(ValueError, match="unsupported JavaScript"):
-        _run("function f(x) { var out = []; out.push(x); return out; }", 1)
+    # member mutation calls dispatch through __js_method (r8: push
+    # returns the new length and mutates, JS semantics)
+    assert _run(
+        "function f(x) { var out = []; out.push(x); return out; }", 1
+    ) == [1]
     # a Python-incompatible regex escape rejects at CREATE
     with pytest.raises(ValueError, match="regex literal"):
         _run("function f(s) { return /\\cJ/.test(s); }", "x")
@@ -656,3 +664,133 @@ def test_udf_integration_shapes(spark, tmp_path):
     # SHOW CREATE prints the user's spelling, not the resolved form
     ddl = s.execute("show create table tbl").collect()[0][0]
     assert "GENERATED ALWAYS AS (arr_max(xs))" in ddl
+
+
+# ---- r8 method-dispatch / iteration surface --------------------------------
+# GraalVM evaluates all of this natively; the translated subset now
+# dispatches method calls through __js_method with JS-semantics shims
+# for string/array/number receivers. Expected values are ECMA
+# semantics (verified against node where they differ from Python).
+
+METHOD_CASES = [
+    # string methods — JS replace is FIRST-occurrence (Python's is all)
+    ("replace_first", "function f(s) { return s.replace('a', 'b'); }",
+     ("aa",), "ba"),
+    ("replace_all", "function f(s) { return s.replaceAll('a', 'b'); }",
+     ("aa",), "bb"),
+    ("replace_regex_g", "function f(s) { return s.replace(/a/g, 'b'); }",
+     ("aa",), "bb"),
+    ("replace_regex_groups",
+     "function f(s) { return s.replace(/(\\d+)-(\\d+)/, '$2:$1'); }",
+     ("a 12-34 b",), "a 34:12 b"),
+    ("upper_lower", "function f(s) { return s.toUpperCase() + s.toLowerCase(); }",
+     ("aB",), "ABab"),
+    ("trim_chain", "function f(s) { return s.trim().toUpperCase(); }",
+     (" ab ",), "AB"),
+    ("substring_swap_clamp", "function f(s) { return s.substring(9, 1); }",
+     ("abcd",), "bcd"),
+    ("slice_negative", "function f(s) { return s.slice(-2); }", ("abcd",), "cd"),
+    ("char_at_oob", "function f(s) { return s.charAt(9); }", ("ab",), ""),
+    ("starts_ends", "function f(s) { return s.startsWith('ab') && s.endsWith('cd'); }",
+     ("abcd",), True),
+    ("split_chars", "function f(s) { return s.split(''); }", ("ab",), ["a", "b"]),
+    ("split_limit", "function f(s) { return s.split(',', 2); }",
+     ("a,b,c",), ["a", "b"]),
+    ("pad_repeat", "function f(s) { return s.padStart(4, '0') + '-' + s.repeat(2); }",
+     ("7",), "0007-77"),
+    # array methods
+    ("push_returns_length",
+     "function f(x) { var out = []; var n = out.push(x, x + 1); return [n, out[1]]; }",
+     (1,), [2, 2]),
+    ("pop_shift",
+     "function f(xs) { var a = xs.slice(); return [a.pop(), a.shift(), a.length]; }",
+     ([1, 2, 3],), [3, 1, 1]),
+    ("map_arrow", "function f(xs) { return xs.map(x => x * 2); }",
+     ([1, 2],), [2, 4]),
+    ("map_with_index", "function f(xs) { return xs.map((x, i) => x + i); }",
+     ([10, 20],), [10, 21]),
+    ("filter_arrow", "function f(xs) { return xs.filter(x => x > 1); }",
+     ([1, 2, 3],), [2, 3]),
+    ("reduce_with_init", "function f(xs) { return xs.reduce((a, b) => a + b, 100); }",
+     ([1, 2, 3],), 106),
+    ("reduce_no_init", "function f(xs) { return xs.reduce((a, b) => a + b); }",
+     ([1, 2, 3],), 6),
+    ("sort_default_is_string",  # ECMA: default comparator is string order
+     "function f(xs) { return xs.sort(); }", ([10, 9, 1],), [1, 10, 9]),
+    ("sort_comparator", "function f(xs) { return xs.sort((a, b) => a - b); }",
+     ([10, 9, 1],), [1, 9, 10]),
+    ("some_every",
+     "function f(xs) { return xs.some(x => x > 2) && xs.every(x => x > 0); }",
+     ([1, 2, 3],), True),
+    ("find_first_even", "function f(xs) { return xs.find(x => x % 2 == 0); }",
+     ([1, 3, 4],), 4),
+    ("find_index_miss", "function f(xs) { return xs.findIndex(x => x > 9); }",
+     ([1, 2],), -1),
+    ("concat_reverse",
+     "function f(xs) { return xs.concat([9]).reverse(); }",
+     ([1, 2],), [9, 2, 1]),
+    ("chained_method_calls",
+     "function f(xs) { return xs.filter(x => x > 1).map(x => x * 10).join('-'); }",
+     ([1, 2, 3],), "20-30"),
+    # number methods
+    ("to_fixed", "function f(v) { return v.toFixed(2); }", (3.14159,), "3.14"),
+    # Object namespace
+    ("object_keys", "function f(o) { return Object.keys(o).join(','); }",
+     ({"a": 1, "b": 2},), "a,b"),
+    ("object_values", "function f(o) { return Object.values(o); }",
+     ({"a": 1, "b": 2},), [1, 2]),
+    # template literals
+    ("template_basic", "function f(a) { return `v=${a + 1}!`; }", (2,), "v=3!"),
+    ("template_multi", "function f(a) { return `${a}|${a * 2}`; }", (3,), "3|6"),
+    ("template_inner_string", "function f(a) { return `${'id-'}${a}`; }",
+     (7,), "id-7"),
+    # iteration statements
+    ("for_of",
+     "function f(xs) { var s = 0; for (const x of xs) { s += x; } return s; }",
+     ([1, 2, 3],), 6),
+    ("for_in_object_keys",
+     "function f(o) { var ks = []; for (var k in o) { ks.push(k); } "
+     "return ks.join(','); }",
+     ({"a": 1, "b": 2},), "a,b"),
+    ("for_in_array_index_strings",
+     "function f(xs) { var ks = []; for (var k in xs) { ks.push(k); } "
+     "return ks; }",
+     ([7, 8],), ["0", "1"]),
+    # ternary inside an arrow body (lambda ':' must not steal the
+    # ternary's scope)
+    ("ternary_in_arrow", "function f(xs) { return xs.map(x => x > 1 ? x : 0); }",
+     ([1, 2],), [0, 2]),
+    # method call inside WHERE-style predicate position
+    ("method_in_condition",
+     "function f(s) { if (s.trim().startsWith('a')) { return 1; } return 0; }",
+     (" abc",), 1),
+]
+
+
+@pytest.mark.parametrize("name,body,args,expected", METHOD_CASES,
+                         ids=[c[0] for c in METHOD_CASES])
+def test_js_method_dispatch_case(name, body, args, expected):
+    assert _run(body, *args) == expected
+
+
+def test_js_method_dispatch_misses_throw_at_evaluate():
+    """A method that exists nowhere raises the GraalVM-shaped
+    TypeError at EVALUATE time (deferred resolution), not CREATE."""
+    _, fn = _js_function("function f(s) { return s.nosuch(); }", _env())
+    with pytest.raises(_JsThrown, match="nosuch is not a function"):
+        fn("x")
+
+
+def test_js_still_rejected_constructs():
+    """The remaining declared divergences stay CREATE-time rejections:
+    destructuring, spread, switch, block-body arrows in expression
+    position (the compile catches them), assignment-body callbacks."""
+    for body in (
+        "function f(o) { const {a} = o; return a; }",
+        "function f(xs) { return [...xs, 9]; }",
+        "function f(x) { switch (x) { case 1: return 'a'; } }",
+        "function f(xs) { return xs.map(x => { return x * 2; }); }",
+        "function f(xs) { var s = 0; xs.forEach(x => s += x); return s; }",
+    ):
+        with pytest.raises(ValueError):
+            _run(body, [1])
