@@ -354,3 +354,21 @@ def test_pq_large_batch_routes_to_one_scan(spark):
         assert fplan.count("Scan parquet") == 1
     finally:
         spark.conf.unset("crate_spark.vector.pq_route_threshold")
+
+
+def test_bm25_scoring_is_map_only(spark):
+    """r8 BM25 contract: NO token explode (Generate) and no wide
+    shuffle — per-term tf/dl are row-local array HOFs and every corpus
+    statistic rides one broadcast 1-row aggregate. The only exchanges
+    allowed are that aggregate's partial->final single-partition step
+    (plus the final top-k sort in the full query)."""
+    plan = plan_of(spark, "match_score_topk")
+    assert "Generate" not in plan, plan  # no explode anywhere
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
+    # the corpus is never hash-partitioned by doc or term; the only
+    # non-broadcast exchange is the stats aggregate's single-partition
+    # collapse
+    low = plan.lower()
+    assert low.count("hashpartitioning") == 0, plan
+    assert low.count("singlepartition") <= 1, plan
