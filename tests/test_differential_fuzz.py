@@ -739,3 +739,104 @@ def test_interval_arithmetic_differential(crate, i, pair):
     a = canonical_rows([c.lower() for c in sdf_a.columns], ra)
     b = canonical_rows([c.lower() for c in sdf_b.columns], rb)
     assert a == b, f"values differ: {crate_sql} vs {ansi_sql}"
+
+
+# ---- concat / array-slice family (r8 #3) -----------------------------------
+# `||` is string concat AND array concat in the reference
+# (ConcatOperator dispatches on type); slices spell [from:to] with
+# either bound optional. 100 seeded pairs sweep both against their
+# function-call spellings.
+
+def gen_concat_pair(rng: random.Random) -> tuple[str, str]:
+    table = rng.choice(["nation", "orders"])
+    cols = NATION_COLS if table == "nation" else ORDERS_COLS
+    g = Gen(rng, cols)
+    key = "n_nationkey" if table == "nation" else "o_orderkey"
+    fam = rng.randrange(7)
+    e1, e2, e3 = g.int_expr(), g.int_expr(), str(rng.randint(0, 9))
+    if fam == 0:
+        # string || chain vs nested concat (non-null operands)
+        c = g.col("s")
+        lit = rng.choice(["'_x'", "'-'", "'#'"])
+        return (
+            f"SELECT {key}, {c} || {lit} || {e1} AS v FROM {table}",
+            f"SELECT {key}, concat({c}, concat({lit}, {e1})) AS v FROM {table}",
+        )
+    if fam == 1:
+        # array || array vs array_cat
+        return (
+            f"SELECT {key}, [{e1}] || [{e2}, {e3}] AS v FROM {table}",
+            f"SELECT {key}, array_cat([{e1}], [{e2}, {e3}]) AS v FROM {table}",
+        )
+    if fam == 2:
+        # append / prepend through ||
+        if rng.random() < 0.5:
+            return (
+                f"SELECT {key}, [{e1}, {e2}] || [{e3}] AS v FROM {table}",
+                f"SELECT {key}, array_cat([{e1}, {e2}], [{e3}]) AS v FROM {table}",
+            )
+        return (
+            f"SELECT {key}, [{e3}] || [{e1}, {e2}] AS v FROM {table}",
+            f"SELECT {key}, array_cat([{e3}], [{e1}, {e2}]) AS v FROM {table}",
+        )
+    if fam == 3:
+        # closed slice vs array_slice
+        i = rng.randint(1, 2)
+        j = rng.randint(i, 3)
+        return (
+            f"SELECT {key}, [{e1}, {e2}, {e3}][{i}:{j}] AS v FROM {table}",
+            f"SELECT {key}, array_slice([{e1}, {e2}, {e3}], {i}, {j}) AS v "
+            f"FROM {table}",
+        )
+    if fam == 4:
+        # open-ended slice [i:]
+        i = rng.randint(1, 3)
+        return (
+            f"SELECT {key}, [{e1}, {e2}, {e3}][{i}:] AS v FROM {table}",
+            f"SELECT {key}, array_slice([{e1}, {e2}, {e3}], {i}, 3) AS v "
+            f"FROM {table}",
+        )
+    if fam == 5:
+        # from-start slice [:j]
+        j = rng.randint(1, 3)
+        return (
+            f"SELECT {key}, [{e1}, {e2}, {e3}][:{j}] AS v FROM {table}",
+            f"SELECT {key}, array_slice([{e1}, {e2}, {e3}], 1, {j}) AS v "
+            f"FROM {table}",
+        )
+    # subscript on a || result vs CASE over positions
+    k = rng.randint(1, 3)
+    return (
+        f"SELECT {key}, ([{e1}] || [{e2}, {e3}])[{k}] AS v FROM {table}",
+        f"SELECT {key}, CASE {k} WHEN 1 THEN {e1} WHEN 2 THEN {e2} "
+        f"ELSE {e3} END AS v FROM {table}",
+    )
+
+
+N_CONCAT = 100
+
+
+def _concat_pairs():
+    rng = random.Random(SEED ^ 0xCC47)
+    pairs = []
+    while len(pairs) < N_CONCAT:
+        child = random.Random(rng.getrandbits(64))
+        pairs.append(gen_concat_pair(child))
+    return pairs
+
+
+@pytest.mark.parametrize(
+    "i,pair",
+    list(enumerate(_concat_pairs())),
+    ids=[f"cc{i:03d}" for i in range(N_CONCAT)],
+)
+def test_concat_slice_differential(crate, i, pair):
+    crate_sql, ansi_sql = pair
+    sdf_a = crate.execute(crate_sql)
+    sdf_b = crate.execute(ansi_sql)
+    ra = [tuple(r) for r in sdf_a.collect()]
+    rb = [tuple(r) for r in sdf_b.collect()]
+    assert len(ra) == len(rb), f"row count differs: {crate_sql} vs {ansi_sql}"
+    a = canonical_rows([c.lower() for c in sdf_a.columns], ra)
+    b = canonical_rows([c.lower() for c in sdf_b.columns], rb)
+    assert a == b, f"values differ: {crate_sql} vs {ansi_sql}"
