@@ -2687,6 +2687,15 @@ def rewrite(
     sql = re.sub(
         r"(__LIT_\d+__)\s*::\s*interval\b", r"INTERVAL \1", sql, flags=re.IGNORECASE
     )
+    # parenthesized literal form ('2 days')::interval — same rewrite
+    # (fuzz probe r8: the bare-literal pattern missed it and the cast
+    # fell through to CAST(x AS interval), which Spark can't collect)
+    sql = re.sub(
+        r"\(\s*(__LIT_\d+__)\s*\)\s*::\s*interval\b",
+        r"INTERVAL \1",
+        sql,
+        flags=re.IGNORECASE,
+    )
     sql = _rewrite_series_tvf(sql, literals)
     sql = _rewrite_select_srfs(sql, literals)
     sql = _rewrite_array_subquery(sql)

@@ -701,11 +701,16 @@ def gen_interval_pair(rng: random.Random) -> tuple[str, str]:
             f"SELECT count(*) AS n FROM {table} "
             f"WHERE {ts} {op} TIMESTAMP '{cmp_ts}' - INTERVAL '{n} days'",
         )
-    # subtraction both spellings
+    # subtraction both spellings; parenthesized-literal cast form on
+    # the crate side half the time (('n u')::interval — r8 fix)
     n = rng.randint(1, 48)
     u = rng.choice(["hours", "days"])
+    lhs_iv = (
+        f"('{n} {u}')::interval" if rng.random() < 0.5
+        else f"'{n} {u}'::interval"
+    )
     return (
-        f"SELECT {key}, {ts} - '{n} {u}'::interval AS t "
+        f"SELECT {key}, {ts} - {lhs_iv} AS t "
         f"FROM {table} WHERE {key} < 300",
         f"SELECT {key}, {ts} - INTERVAL '{n} {u}' AS t "
         f"FROM {table} WHERE {key} < 300",
