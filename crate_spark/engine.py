@@ -4249,6 +4249,114 @@ def _js_block_to_python(
             body_lines.append(f"{pad}break")
             i += m.end()
             continue
+        m = re.match(r"switch\s*\(", rest)
+        if m:
+            # switch with break/return/throw-terminated cases -> an
+            # if/elif chain on strict equality. JS fallthrough (a case
+            # whose statements don't end the case) is NOT translatable
+            # to if/elif and rejects at CREATE; consecutive bare
+            # `case a: case b:` labels (shared body) are supported.
+            subject, j = _js_balanced(rest, m.end() - 1)
+            block, j = _js_brace_block(rest, j)
+            body_lines.append(
+                f"{pad}__switch{depth} = "
+                f"{_js_expr_to_python(subject, lits)}"
+            )
+            arms = []  # (values | None for default, stmts-text)
+            pos, blen = 0, len(block)
+            while pos < blen:
+                while pos < blen and block[pos] in " \t\r\n;":
+                    pos += 1
+                if pos >= blen:
+                    break
+                cm = re.match(
+                    r"(?:case\s+(.+?)|default)\s*:", block[pos:], re.DOTALL
+                )
+                if not cm:
+                    raise ValueError(
+                        "unsupported statement inside switch near: "
+                        f"{block[pos:pos + 40]!r}"
+                    )
+                labels = []
+                while cm:
+                    labels.append(cm.group(1))  # None for default
+                    pos += cm.end()
+                    while pos < blen and block[pos] in " \t\r\n":
+                        pos += 1
+                    cm = re.match(
+                        r"(?:case\s+(.+?)|default)\s*:", block[pos:], re.DOTALL
+                    )
+                # statements run to the next case/default label at
+                # this brace depth, or the block end
+                stmt_start, d = pos, 0
+                while pos < blen:
+                    ch2 = block[pos]
+                    if ch2 in "{(":
+                        d += 1
+                    elif ch2 in "})":
+                        d -= 1
+                    elif d == 0 and re.match(
+                        r"(?:case\s|default\s*:)", block[pos:]
+                    ):
+                        break
+                    pos += 1
+                stmts = block[stmt_start:pos]
+                arms.append((labels, stmts))
+            def _arm_terminated(stmts: str) -> bool:
+                frags = [f.strip() for f in stmts.split(";") if f.strip()]
+                return bool(frags) and re.match(
+                    r"(break|return|throw)\b", frags[-1]
+                ) is not None
+
+            for idx, (labels, stmts) in enumerate(arms):
+                # fallthrough check: every non-final arm must END the
+                # case with break/return/throw (JS fallthrough has no
+                # if/elif equivalent — reject at CREATE, fail loudly)
+                if idx < len(arms) - 1 and not _arm_terminated(stmts):
+                    raise ValueError(
+                        "unsupported JavaScript construct: switch case "
+                        "falls through (end each case with break/"
+                        "return/throw)"
+                    )
+            # JS evaluates every case before default regardless of
+            # the default's textual position: emit case arms in order,
+            # the default arm last as `else`
+            default_arm = next(
+                (a for a in arms if any(v is None for v in a[0])), None
+            )
+            first = True
+            for labels, stmts in arms:
+                if any(v is None for v in labels):
+                    continue
+                conds = " or ".join(
+                    f"__switch{depth} == ({_js_expr_to_python(v, lits)})"
+                    for v in labels
+                )
+                body_lines.append(
+                    f"{pad}{'if' if first else 'elif'} {conds}:"
+                )
+                first = False
+                # strip the terminal break (Python if/elif needs none)
+                inner = re.sub(r"break\s*;?\s*$", "", stmts)
+                before_len = len(body_lines)
+                _js_block_to_python(
+                    inner, depth + 1, body_lines, lits, scope_names
+                )
+                if len(body_lines) == before_len:
+                    body_lines.append(f"{pad}    pass")
+            if default_arm is not None:
+                body_lines.append(
+                    f"{pad}else:" if not first else f"{pad}if True:"
+                )
+                inner = re.sub(r"break\s*;?\s*$", "", default_arm[1])
+                before_len = len(body_lines)
+                _js_block_to_python(
+                    inner, depth + 1, body_lines, lits, scope_names
+                )
+                if len(body_lines) == before_len:
+                    body_lines.append(f"{pad}    pass")
+            i += j
+            continue
         # throw: compiles at CREATE, raises at evaluate (GraalVM
         # semantics — the reference's ScriptException carries
         # "Error: <msg>"). `new <Kind>(arg)` (any nesting depth, via

@@ -781,14 +781,43 @@ def test_js_method_dispatch_misses_throw_at_evaluate():
         fn("x")
 
 
+def test_js_switch_statement():
+    """switch with break/return/throw-terminated cases translates to
+    an if/elif chain; shared `case a: case b:` labels and a default
+    in ANY textual position (JS checks all cases before default)
+    work; fallthrough rejects at CREATE."""
+    body = (
+        "function f(x) { switch (x) { case 1: return 'a'; "
+        "case 2: case 3: return 'bc'; default: return 'z'; } }"
+    )
+    assert [_run(body, v) for v in (1, 2, 3, 9)] == ["a", "bc", "bc", "z"]
+    assert _run(
+        "function f(x) { var r = ''; switch (x) { case 1: r = 'one'; "
+        "break; default: r = 'other'; } return r; }",
+        1,
+    ) == "one"
+    # default-first still evaluates the cases first
+    assert _run(
+        "function f(x) { switch (x) { default: return 'z'; "
+        "case 1: return 'a'; } }",
+        1,
+    ) == "a"
+    # no default, no match: execution continues after the switch
+    assert _run(
+        "function f(x) { switch (x) { case 1: return 'a'; } return 'none'; }",
+        5,
+    ) == "none"
+    with pytest.raises(ValueError, match="falls through"):
+        _run("function f(x) { switch (x) { case 1: x = 2; case 2: return x; } }", 1)
+
+
 def test_js_still_rejected_constructs():
     """The remaining declared divergences stay CREATE-time rejections:
-    destructuring, spread, switch, block-body arrows in expression
-    position (the compile catches them), assignment-body callbacks."""
+    destructuring, spread, block-body arrows in expression position
+    (the compile catches them), assignment-body callbacks."""
     for body in (
         "function f(o) { const {a} = o; return a; }",
         "function f(xs) { return [...xs, 9]; }",
-        "function f(x) { switch (x) { case 1: return 'a'; } }",
         "function f(xs) { return xs.map(x => { return x * 2; }); }",
         "function f(xs) { var s = 0; xs.forEach(x => s += x); return s; }",
     ):
