@@ -2634,18 +2634,34 @@ def rewrite(
         sql,
         flags=re.IGNORECASE,
     )
-    # PG day-of-week numbering (ExtractFunctions): DOW is 0-6 with
-    # Sunday=0 (Spark's EXTRACT(DOW) is dayofweek's 1-7 Sunday=1);
-    # ISODOW is 1-7 with Monday=1 (Spark's weekday is Monday=0)
+    # Day-of-week numbering: the reference's DOW is an ALIAS of
+    # DAY_OF_WEEK = ISO Monday=1..Sunday=7 (ExtractFunctions.java:178
+    # `case DOW: return NAME_PREFIX + DAY_OF_WEEK`, docs "DOW same as
+    # day_of_week") — NOT PostgreSQL's 0-6 Sunday=0. ISODOW (a PG
+    # spelling the reference doesn't parse — surplus here) is the
+    # same ISO numbering. Spark's weekday() is Monday=0.
     sql = re.sub(
-        r"\bEXTRACT\s*\(\s*ISODOW\s+FROM\s+((?:[^()]|\([^()]*\))+)\)",
+        r"\bEXTRACT\s*\(\s*(?:ISODOW|DOW)\s+FROM\s+((?:[^()]|\([^()]*\))+)\)",
         r"(weekday(CAST(\1 AS TIMESTAMP)) + 1)",
         sql,
         flags=re.IGNORECASE,
     )
+    # CENTURY: Joda centuryOfEra — a straight year/100 split (docs:
+    # "Year 2000 century 20 and year 2001 is also century 20"), not
+    # PG's ceil-based century. Spark has no CENTURY extract field.
     sql = re.sub(
-        r"\bEXTRACT\s*\(\s*DOW\s+FROM\s+((?:[^()]|\([^()]*\))+)\)",
-        r"(dayofweek(CAST(\1 AS TIMESTAMP)) - 1)",
+        r"\bEXTRACT\s*\(\s*CENTURY\s+FROM\s+((?:[^()]|\([^()]*\))+)\)",
+        r"CAST(floor(year(CAST(\1 AS TIMESTAMP)) / 100) AS INT)",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # SECOND: the reference returns INTEGER secondOfMinute (fraction
+    # dropped; ExtractFunctions fieldsMapWithIntReturn) where Spark's
+    # EXTRACT(SECOND) is a decimal with the fraction. Wrap the native
+    # extract so interval sources keep working.
+    sql = re.sub(
+        r"\bEXTRACT\s*\(\s*SECOND\s+FROM\s+((?:[^()]|\([^()]*\))+)\)",
+        r"CAST(floor(EXTRACT(SECOND FROM \1)) AS INT)",
         sql,
         flags=re.IGNORECASE,
     )

@@ -496,7 +496,7 @@ def sql_tvf_series(spark, sf_dir):
     "sql_tvf_series_ts",
     oracle="""
     SELECT CAST(gs.generate_series AS TIMESTAMP) AS day,
-           CAST(strftime(gs.generate_series, '%w') AS BIGINT) AS dow
+           CAST(isodow(gs.generate_series) AS BIGINT) AS dow
     FROM generate_series(TIMESTAMP '2026-01-01', TIMESTAMP '2026-01-31',
                          INTERVAL 1 DAY) gs
     ORDER BY day

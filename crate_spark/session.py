@@ -144,7 +144,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: (session, dir) is safe; registration is tracked separately so a
 #: register=False first call doesn't suppress later view creation.
 _TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
-_REGISTERED: set[tuple[int, str]] = set()
+#: session id -> sf_dir whose views are CURRENTLY registered. View
+#: names are shared across scale factors, so registration must track
+#: which sf_dir won last — a per-(session, sf_dir) "already registered"
+#: set let a later load at another sf leave stale views behind (the
+#: r8 full-suite order dependence: sf0.01 golden runs overwrote the
+#: sf0.001 views and the next sf0.001 load skipped re-registering).
+_REGISTERED: dict[int, str] = {}
 
 
 def clear_table_cache() -> None:
@@ -169,9 +175,8 @@ def load_tables(
         apply_runtime_confs(spark)
         out = {name: load_table(spark, sf_dir, name) for name in TABLES}
         _TABLE_CACHE[key] = out
-        _REGISTERED.discard(key)
-    if register and key not in _REGISTERED:
+    if register and _REGISTERED.get(id(spark)) != key[1]:
         for name, df in out.items():
             df.createOrReplaceTempView(name)
-        _REGISTERED.add(key)
+        _REGISTERED[id(spark)] = key[1]
     return out

@@ -157,3 +157,34 @@ def test_schema_alias_shadowing_comma_join():
     assert "rx.obj.field" in out, out
     out = rewrite("SELECT (a+b) rx, rx.t.c FROM rx.t", user_schemas={"rx"})
     assert "rx.t.c" not in out and "t.c" in out, out
+
+
+def test_extract_fields_reference_semantics(spark):
+    """EXTRACT follows the REFERENCE's ExtractFunctions, not PG:
+    DOW is an alias of DAY_OF_WEEK (ISO Monday=1..Sunday=7,
+    ExtractFunctions.java:178), CENTURY is Joda centuryOfEra — a
+    straight year/100 split (2000 and 2001 are both century 20),
+    and SECOND returns INTEGER secondOfMinute (fraction dropped).
+    2001-02-18 is a Sunday."""
+    from crate_spark.engine import CrateSession
+
+    s = CrateSession(spark)
+    ts = "TIMESTAMP '2001-02-18 21:05:09.5'"
+
+    def one(expr):
+        return s.execute(f"SELECT {expr} AS v").collect()[0][0]
+
+    assert one(f"EXTRACT(DOW FROM {ts})") == 7
+    assert one(f"EXTRACT(DAY_OF_WEEK FROM {ts})") == 7
+    assert one("EXTRACT(DOW FROM TIMESTAMP '2001-02-19 00:00:00')") == 1
+    assert one(f"EXTRACT(CENTURY FROM {ts})") == 20
+    assert one("EXTRACT(CENTURY FROM TIMESTAMP '2000-06-01 00:00:00')") == 20
+    assert one("EXTRACT(CENTURY FROM TIMESTAMP '1999-06-01 00:00:00')") == 19
+    assert one(f"EXTRACT(SECOND FROM {ts})") == 9
+    # the doc's interval examples: hour field, second stays integral
+    assert one(
+        "extract(hour from INTERVAL '5 days 12 hours 45 minutes')"
+    ) == 12
+    assert one("extract(second from INTERVAL '90 seconds')") == 30
+    # epoch keeps its double-with-fraction contract
+    assert one(f"EXTRACT(EPOCH FROM {ts})") == 982530309.5

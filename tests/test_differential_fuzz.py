@@ -279,7 +279,11 @@ def gen_temporal_query(rng: random.Random) -> str:
     shape = rng.random()
     year = rng.randint(1992, 1998)
     if shape < 0.3:
-        part = rng.choice(["year", "month", "day", "quarter", "dow"])
+        # isodow, not dow: DuckDB's dow is PG 0-6/Sunday=0 while the
+        # engine follows the REFERENCE's dow (= day_of_week, ISO
+        # Monday=1..Sunday=7, ExtractFunctions.java:178); isodow spells
+        # the same ISO numbering in both engines
+        part = rng.choice(["year", "month", "day", "quarter", "isodow"])
         return (
             f"SELECT CAST(EXTRACT({part} FROM {col}) AS BIGINT) AS p, "
             f"count(*) AS n FROM {table} GROUP BY p"
