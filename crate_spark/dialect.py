@@ -3246,9 +3246,15 @@ _SYS_COL_EXPRS = {
     # (SysColumns.java `_score`, REAL; the scoring paths intercept
     # BEFORE this rewrite in engine.execute)
     "_score": "CAST(1.0 AS FLOAT)",
+    # _docid: the internal Lucene segment doc id (system-columns.rst:
+    # "unique within a segment ... can change when segments merge") —
+    # the Spark analog is the partition-encoded monotonic row id,
+    # which carries the same caveats (unique per output, unstable
+    # across rewrites)
+    "_docid": "monotonically_increasing_id()",
 }
 _SYS_COL_RE = re.compile(
-    r"(?<![\w.'])(_id|_doc|_raw|_version|_seq_no|_primary_term|_score)\b"
+    r"(?<![\w.'])(_id|_docid|_doc|_raw|_version|_seq_no|_primary_term|_score)\b"
 )
 
 

@@ -2208,7 +2208,8 @@ class CrateSession:
         # system doc columns (_id/_doc/_raw — SysColumns.java:49-63;
         # _score with no scoring predicate reads 1.0 on every row)
         if re.search(
-            r"(?<![\w.'])_(id|doc|raw|version|seq_no|primary_term|score)\b", stmt
+            r"(?<![\w.'])_(id|docid|doc|raw|version|seq_no|primary_term|score)\b",
+            stmt,
         ):
             stmt = rewrite_sys_columns(stmt)
         return self._sql(stmt)

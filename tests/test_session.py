@@ -676,6 +676,14 @@ def test_sys_columns_sql(session):
     import hashlib
 
     assert r["_id"] == hashlib.md5(r["_raw"].encode()).hexdigest()
+    # _docid (system-columns.rst:94): the internal per-segment row id —
+    # row-unique within one result, no stability promised across
+    # rewrites (the reference documents the same caveat for merges)
+    ids = [
+        x["_docid"]
+        for x in session.execute("SELECT _docid FROM nation").collect()
+    ]
+    assert len(ids) == len(set(ids)) == 25
 
 
 def test_match_order_by_score(session):
