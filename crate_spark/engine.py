@@ -4124,6 +4124,7 @@ def _js_block_to_python(
     lines: list[str],
     lits: list[str] | None = None,
     scope_names: set[str] | None = None,
+    loop: tuple | None = None,
 ) -> None:
     """Translate a JS statement block to indented Python lines.
     Covers the reference-doc UDF subset: var/let/const declarations
@@ -4175,7 +4176,7 @@ def _js_block_to_python(
             cond, j = _js_balanced(rest, m.end() - 1)
             block, j = _js_brace_block(rest, j)
             body_lines.append(f"{pad}if {_js_expr_to_python(cond, lits)}:")
-            _js_block_to_python(block, depth + 1, body_lines, lits, scope_names)
+            _js_block_to_python(block, depth + 1, body_lines, lits, scope_names, loop)
             while True:
                 em = re.match(r"\s*else\s+if\s*\(", rest[j:])
                 if em:
@@ -4184,14 +4185,14 @@ def _js_block_to_python(
                     body_lines.append(
                         f"{pad}elif {_js_expr_to_python(cond, lits)}:"
                     )
-                    _js_block_to_python(block, depth + 1, body_lines, lits, scope_names)
+                    _js_block_to_python(block, depth + 1, body_lines, lits, scope_names, loop)
                     j += k
                     continue
                 em = re.match(r"\s*else\b", rest[j:])
                 if em:
                     block, k = _js_brace_block(rest[j:], em.end())
                     body_lines.append(f"{pad}else:")
-                    _js_block_to_python(block, depth + 1, body_lines, lits, scope_names)
+                    _js_block_to_python(block, depth + 1, body_lines, lits, scope_names, loop)
                     j += k
                 break
             i += j
@@ -4201,7 +4202,9 @@ def _js_block_to_python(
             cond, j = _js_balanced(rest, m.end() - 1)
             block, j = _js_brace_block(rest, j)
             body_lines.append(f"{pad}while {_js_expr_to_python(cond, lits)}:")
-            _js_block_to_python(block, depth + 1, body_lines, lits, scope_names)
+            _js_block_to_python(
+                block, depth + 1, body_lines, lits, scope_names, ("while",)
+            )
             i += j
             continue
         m = re.match(r"for\s*\(", rest)
@@ -4220,7 +4223,9 @@ def _js_block_to_python(
                 if fm.group(2) == "in":
                     it = f"__js_forin({it})"
                 body_lines.append(f"{pad}for {fm.group(1)} in {it}:")
-                _js_block_to_python(block, depth + 1, body_lines, lits, scope_names)
+                _js_block_to_python(
+                    block, depth + 1, body_lines, lits, scope_names, ("while",)
+                )
                 if not block.strip():
                     body_lines.append(f"{pad}    pass")
                 i += j
@@ -4240,7 +4245,9 @@ def _js_block_to_python(
                 f"{pad}while "
                 f"{_js_expr_to_python(cond, lits) if cond else 'True'}:"
             )
-            _js_block_to_python(block, depth + 1, body_lines, lits, scope_names)
+            _js_block_to_python(
+                block, depth + 1, body_lines, lits, scope_names, ("cfor", step)
+            )
             if step:
                 _js_block_to_python(step + ";", depth + 1, body_lines, lits, scope_names)
             i += j
@@ -4248,6 +4255,23 @@ def _js_block_to_python(
         m = re.match(r"break\s*(?:;|$)", rest)
         if m:
             body_lines.append(f"{pad}break")
+            i += m.end()
+            continue
+        m = re.match(r"continue\s*(?:;|$)", rest)
+        if m:
+            # JS continue still runs a C-style for's STEP; the loop is
+            # translated to `while`, so emit the step before Python's
+            # continue (loop context threads through if/else blocks;
+            # nested functions reset it)
+            if loop is None:
+                raise ValueError(
+                    "continue outside of a loop in JavaScript UDF body"
+                )
+            if loop[0] == "cfor" and loop[1]:
+                _js_block_to_python(
+                    loop[1] + ";", depth, body_lines, lits, scope_names
+                )
+            body_lines.append(f"{pad}continue")
             i += m.end()
             continue
         m = re.match(r"switch\s*\(", rest)
@@ -4341,7 +4365,7 @@ def _js_block_to_python(
                 inner = re.sub(r"break\s*;?\s*$", "", stmts)
                 before_len = len(body_lines)
                 _js_block_to_python(
-                    inner, depth + 1, body_lines, lits, scope_names
+                    inner, depth + 1, body_lines, lits, scope_names, loop
                 )
                 if len(body_lines) == before_len:
                     body_lines.append(f"{pad}    pass")
@@ -4352,7 +4376,7 @@ def _js_block_to_python(
                 inner = re.sub(r"break\s*;?\s*$", "", default_arm[1])
                 before_len = len(body_lines)
                 _js_block_to_python(
-                    inner, depth + 1, body_lines, lits, scope_names
+                    inner, depth + 1, body_lines, lits, scope_names, loop
                 )
                 if len(body_lines) == before_len:
                     body_lines.append(f"{pad}    pass")

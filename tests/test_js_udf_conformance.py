@@ -823,3 +823,35 @@ def test_js_still_rejected_constructs():
     ):
         with pytest.raises(ValueError):
             _run(body, [1])
+
+
+def test_js_continue_statement():
+    """continue in while / for-of / C-style for — a C-style loop is
+    translated to `while`, so continue must still run the STEP (JS
+    semantics); binds to the nearest loop; outside a loop it rejects
+    at CREATE."""
+    assert _run(
+        "function f(n) { var s = 0; var i = 0; while (i < n) { i++; "
+        "if (i % 2 == 0) { continue; } s += i; } return s; }",
+        5,
+    ) == 9
+    # without the step-before-continue this would loop forever
+    assert _run(
+        "function f(n) { var s = 0; for (var i = 0; i < n; i++) { "
+        "if (i % 2 == 0) { continue; } s += i; } return s; }",
+        6,
+    ) == 9
+    assert _run(
+        "function f(xs) { var s = 0; for (const x of xs) { "
+        "if (x < 0) { continue; } s += x; } return s; }",
+        [1, -2, 3],
+    ) == 4
+    # nearest-loop binding in nested loops
+    assert _run(
+        "function f(n) { var s = 0; for (var i = 0; i < n; i++) { "
+        "for (var j = 0; j < 3; j++) { if (j == 1) { continue; } "
+        "s += 1; } } return s; }",
+        2,
+    ) == 4
+    with pytest.raises(ValueError, match="continue outside"):
+        _run("function f(x) { continue; }", 1)
