@@ -3278,6 +3278,16 @@ def rewrite_sys_columns(sql: str) -> str:
         return f"__SYSLIT{len(lits) - 1}__"
 
     sql = re.sub(r"'(?:[^']|'')*'", _mask, sql)
+    # qualified references (t._score, nation._id) read the same system
+    # column — the reference resolves alias-qualified sys columns like
+    # any column; storage is single-relation here so the qualifier
+    # carries no information. Strip it so the expansion below fires.
+    sql = re.sub(
+        r"\b\w+\s*\.\s*"
+        r"(_id|_docid|_doc|_raw|_version|_seq_no|_primary_term|_score)\b",
+        r"\1",
+        sql,
+    )
     out, last = [], 0
     for m in _SYS_COL_RE.finditer(sql):
         expr = _SYS_COL_EXPRS[m.group(1)]

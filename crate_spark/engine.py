@@ -2195,7 +2195,11 @@ class CrateSession:
         # detection/validation on a literal-masked copy: '_score'
         # inside a string literal is data, not a system column
         _masked = re.sub(r"'(?:[^']|'')*'", "''", stmt)
-        has_score = bool(re.search(r"(?<![\w.'])_score\b", _masked))
+        # bare OR alias-qualified (t._score) — qualified sys columns
+        # resolve like any column in the reference
+        has_score = bool(
+            re.search(r"(?:(?<![\w.'])|\b\w+\s*\.\s*)_score\b", _masked)
+        )
         if has_score:
             self._validate_score_in_where(_masked)
         # MATCH + _score: needs the BM25 join, not a plain rewrite
@@ -2208,7 +2212,8 @@ class CrateSession:
         # system doc columns (_id/_doc/_raw — SysColumns.java:49-63;
         # _score with no scoring predicate reads 1.0 on every row)
         if re.search(
-            r"(?<![\w.'])_(id|docid|doc|raw|version|seq_no|primary_term|score)\b",
+            r"(?:(?<![\w.'])|\b\w+\s*\.\s*)"
+            r"_(id|docid|doc|raw|version|seq_no|primary_term|score)\b",
             stmt,
         ):
             stmt = rewrite_sys_columns(stmt)
@@ -2568,9 +2573,19 @@ class CrateSession:
         view = f"__match_{table}"
         docs.join(scores, id_col).createOrReplaceTempView(view)
         new_stmt = stmt[: m.start()] + "TRUE" + stmt[m.end() :]
+        # keep table-name-qualified references (nation._score,
+        # nation.n_name) resolvable: when the FROM has no alias of its
+        # own, alias the match view back to the original name
+        after = stmt[tbl_m.end():]
+        am = re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", after)
+        has_alias = bool(am) and am.group(1).upper() not in {
+            "WHERE", "ORDER", "GROUP", "LIMIT", "OFFSET", "HAVING",
+            "UNION", "INTERSECT", "EXCEPT", "FETCH", "WINDOW",
+        }
+        target = f"FROM {view}" if has_alias else f"FROM {view} AS {table}"
         new_stmt = re.sub(
             rf"\bFROM\s+{re.escape(tbl_m.group(1))}",
-            f"FROM {view}",
+            target,
             new_stmt,
             count=1,
             flags=re.IGNORECASE,

@@ -684,6 +684,21 @@ def test_sys_columns_sql(session):
         for x in session.execute("SELECT _docid FROM nation").collect()
     ]
     assert len(ids) == len(set(ids)) == 25
+    # qualified sys columns resolve like any column (table- and
+    # alias-qualified forms; the reference resolves alias.sys_col)
+    assert session.execute(
+        "SELECT n._id IS NOT NULL AS v FROM nation n LIMIT 1"
+    ).collect()[0][0] is True
+    r2 = session.execute(
+        "SELECT nation._score AS sc FROM nation "
+        "WHERE MATCH(n_name, 'NATION') LIMIT 1"
+    ).collect()
+    assert len(r2) == 1 and r2[0][0] > 0
+    r3 = session.execute(
+        "SELECT d.doc_id, round(d._score, 6) AS sc FROM documents d "
+        "WHERE MATCH(text, 'spark vector') ORDER BY d._score DESC LIMIT 2"
+    ).collect()
+    assert len(r3) == 2 and r3[0]["sc"] >= r3[1]["sc"]
 
 
 def test_match_order_by_score(session):
