@@ -1480,6 +1480,82 @@ def _struct_literal_subscripts(sql: str, literals: list[str]) -> str:
     return "".join(out)
 
 
+#: interval literal unit spellings -> canonical slot (PG/crate parser:
+#: sql-parser IntervalLiteral; millennium/century/decade omitted like
+#: the reference's Period mapping)
+_IV_UNITS = {
+    "y": "years", "yr": "years", "yrs": "years", "year": "years",
+    "years": "years",
+    "mon": "months", "mons": "months", "month": "months",
+    "months": "months",
+    "w": "weeks", "week": "weeks", "weeks": "weeks",
+    "d": "days", "day": "days", "days": "days",
+    "h": "hours", "hr": "hours", "hrs": "hours", "hour": "hours",
+    "hours": "hours",
+    "m": "minutes", "min": "minutes", "mins": "minutes",
+    "minute": "minutes", "minutes": "minutes",
+    "s": "seconds", "sec": "seconds", "secs": "seconds",
+    "second": "seconds", "seconds": "seconds",
+    "ms": "millis", "millisecond": "millis", "milliseconds": "millis",
+}
+
+
+def _parse_interval_literal(text: str):
+    """PG-style interval text -> (years, months, days, hours, minutes,
+    seconds-float) or None when the text isn't a plain unit list.
+    Supports ``N unit`` repeats, an ``HH:MM[:SS[.fff]]`` day-time tail,
+    and the SQL-standard ``Y-M`` year-month shorthand."""
+    vals = {"years": 0, "months": 0, "weeks": 0, "days": 0,
+            "hours": 0, "minutes": 0, "seconds": 0.0, "millis": 0.0}
+    t = text.strip().lower()
+    if not t:
+        return None
+    ym = re.match(r"^([+-]?\d+)-(\d+)\b", t)
+    if ym:
+        vals["years"] = int(ym.group(1))
+        vals["months"] = int(ym.group(2))
+        t = t[ym.end():].strip()
+    while t:
+        m = re.match(r"^([+-]?\d+(?:\.\d+)?)\s*([a-z]+)\b", t)
+        if m:
+            unit = _IV_UNITS.get(m.group(2))
+            if unit is None:
+                return None
+            vals[unit] += float(m.group(1))
+            t = t[m.end():].strip()
+            continue
+        m = re.match(r"^([+-]?\d+):(\d+)(?::(\d+(?:\.\d+)?))?$", t)
+        if m:
+            vals["hours"] += int(m.group(1))
+            vals["minutes"] += int(m.group(2))
+            if m.group(3):
+                vals["seconds"] += float(m.group(3))
+            t = ""
+            continue
+        return None
+    secs = vals["seconds"] + vals["millis"] / 1000.0
+    return (
+        int(vals["years"]), int(vals["months"]),
+        int(vals["days"] + 7 * vals["weeks"]),
+        int(vals["hours"]), int(vals["minutes"]), secs,
+    )
+
+
+def _normalize_interval_up_to_days(parts):
+    """The reference's parse-time Period normalization "up to days"
+    (scalar-functions.rst extract-from-interval NOTE): seconds carry
+    into minutes, minutes into hours, hours into days; months and
+    years stay as written."""
+    y, mo, d, h, mi, s = parts
+    extra_mi, s = divmod(s, 60)
+    mi += int(extra_mi)
+    extra_h, mi = divmod(mi, 60)
+    h += extra_h
+    extra_d, h = divmod(h, 24)
+    d += extra_d
+    return y, mo, d, h, mi, s
+
+
 def _struct_array_literal_subscripts(sql: str, literals: list[str]) -> str:
     """``[{k=v}, {k=w}][i]['k']`` — an ARRAY of object literals
     subscripted then key-accessed (SubscriptFunction on
@@ -2179,6 +2255,102 @@ def _fold_interval_literals(sql: str, literals: list[str]) -> str:
     )
 
 
+def _fold_extract_over_interval_literal(sql: str, literals: list[str]) -> str:
+    """``EXTRACT(field FROM INTERVAL '<literal>')`` constant-folds at
+    rewrite time with the reference's parse normalization ("up to
+    days": seconds->minutes->hours->days carry; months/years stay —
+    scalar-functions.rst extract-from-interval NOTE: 14 years /
+    1250 days / 49 hours -> day = 1252). Spark can neither parse a
+    mixed-unit interval literal nor extract from one."""
+
+    def repl(m: re.Match) -> str:
+        parts = _parse_interval_literal(literals[int(m.group(2))][1:-1])
+        if parts is None:
+            return m.group(0)
+        y, mo, d, h, mi, s = _normalize_interval_up_to_days(parts)
+        field = m.group(1).upper()
+        vals = {
+            "YEAR": y, "MONTH": mo, "DAY": d, "HOUR": h,
+            "MINUTE": mi, "SECOND": int(s),
+            # reference quirk: QUARTER on intervals is months/4
+            # (ExtractFunctions.java intervalFieldsMapWithIntReturn)
+            "QUARTER": mo // 4,
+        }
+        if field == "EPOCH":
+            # ExtractFunctions.toMillis: 365d + 6h per year, 30d per
+            # month, then the day-time seconds
+            total = (
+                y * (365 * 86400 + 6 * 3600)
+                + mo * 30 * 86400
+                + d * 86400.0
+                + h * 3600
+                + mi * 60
+                + s
+            )
+            return f"CAST({total!r} AS DOUBLE)"
+        if field not in vals:
+            return m.group(0)
+        return f"{vals[field]}"
+
+    return re.sub(
+        r"\bEXTRACT\s*\(\s*(\w+)\s+FROM\s+INTERVAL\s+__LIT_(\d+)__\s*\)",
+        repl,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
+def _mixed_interval_arith(sql: str, literals: list[str]) -> str:
+    """Mixed year-month + day-time interval literals ADJACENT to a
+    ``+``/``-`` (timestamp or interval arithmetic) become
+    ``make_interval(...)`` — a CalendarInterval Spark composes in
+    arithmetic but cannot collect standalone. Non-adjacent mixed
+    literals are left for the text-render fold (the reference's
+    console prints the Period text, pinned in tests)."""
+    out, i = [], 0
+    pat = re.compile(r"\bINTERVAL\s+__LIT_(\d+)__", re.IGNORECASE)
+    while True:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            return "".join(out)
+        before = sql[: m.start()].rstrip()
+        after = sql[m.end():].lstrip()
+        adjacent = (before.endswith(("+", "-"))
+                    or after.startswith(("+", "-")))
+        raw = literals[int(m.group(1))][1:-1]
+        parts = _parse_interval_literal(raw)
+        replaced = False
+        if adjacent and parts is not None:
+            y, mo, d, h, mi, s = parts
+            if (y or mo) and (d or h or mi or s):
+                out.append(sql[i : m.start()])
+                out.append(
+                    f"make_interval({y}, {mo}, 0, {d}, {h}, {mi}, "
+                    f"CAST({s!r} AS DECIMAL(18,6)))"
+                )
+                replaced = True
+            elif re.match(r"\s*[+-]?\d+-\d+", raw):
+                # pure-ym SQL-standard shorthand in arithmetic: the
+                # native qualified literal composes and collects
+                out.append(sql[i : m.start()])
+                out.append(f"INTERVAL '{y}-{mo}' YEAR TO MONTH")
+                replaced = True
+        if not replaced:
+            out.append(sql[i : m.end()])
+        i = m.end()
+
+
+def _interval_literal_passes(sql: str, literals: list[str]) -> str:
+    """The three interval-literal rewrites, in dependency order:
+    EXTRACT constant-fold first (needs the raw literal), then
+    arithmetic-adjacent mixed literals to make_interval, then the
+    text-render fold for whatever Spark still can't parse."""
+    sql = _fold_extract_over_interval_literal(sql, literals)
+    sql = _mixed_interval_arith(sql, literals)
+    return _fold_interval_literals(sql, literals)
+
+
 def _pg_array_literal_to_sql(body: str) -> str:
     """'{a, b, "c d", null}' -> array('a', 'b', 'c d', NULL) (PG array
     input syntax; quoted "null" stays a string, bare null is NULL)."""
@@ -2400,10 +2572,12 @@ def rewrite(
         flags=re.IGNORECASE,
     )
 
-    # interval literals Spark can't evaluate (sql-standard shorthand,
-    # mixed ym+dt, <u> TO <u> truncation, n * INTERVAL) fold to the
-    # reference's text render at plan time
-    sql = _fold_interval_literals(sql, literals)
+    # interval literals Spark can't evaluate: EXTRACT over them
+    # constant-folds, arithmetic-adjacent mixed literals become
+    # make_interval, the rest (sql-standard shorthand, standalone
+    # mixed, <u> TO <u>, n * INTERVAL) fold to the reference's text
+    # render at plan time
+    sql = _interval_literal_passes(sql, literals)
 
     # schema-qualified table-function spellings resolve to the bare
     # registered names (lexical-structure.rst pg_catalog.pg_get_keywords)
@@ -2712,6 +2886,10 @@ def rewrite(
         sql,
         flags=re.IGNORECASE,
     )
+    # interval literal handling for the `'...'::interval` spellings
+    # that only now became INTERVAL __LIT__ (the direct INTERVAL '...'
+    # spellings went through the same passes earlier in the cascade)
+    sql = _interval_literal_passes(sql, literals)
     sql = _rewrite_series_tvf(sql, literals)
     sql = _rewrite_select_srfs(sql, literals)
     sql = _rewrite_array_subquery(sql)

@@ -56,6 +56,11 @@ RUNTIME_CONFS = {
     "spark.sql.cbo.joinReorder.enabled": "true",
     # Arrow for any pandas-UDF path (vector ops fall back to JVM exprs).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Spark substitutes ${var} even INSIDE string literals; the
+    # reference has no variable substitution, so a data value like
+    # '${0}' must reach the row byte-exact (hypothesis literal
+    # roundtrip found the mangling).
+    "spark.sql.variable.substitute": "false",
 }
 
 

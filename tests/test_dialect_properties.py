@@ -188,3 +188,57 @@ def test_extract_fields_reference_semantics(spark):
     assert one("extract(second from INTERVAL '90 seconds')") == 30
     # epoch keeps its double-with-fraction contract
     assert one(f"EXTRACT(EPOCH FROM {ts})") == 982530309.5
+
+
+def test_mixed_interval_literals(spark):
+    """Mixed year-month + day-time interval literals — Spark's ANSI
+    interval split can't hold them in one literal, the reference's
+    Joda Period can. Arithmetic-adjacent literals ride
+    make_interval(...); EXTRACT over interval literals constant-folds
+    with the reference's up-to-days normalization (the doc's
+    14 years / 1250 days / 49 hours example); standalone mixed
+    literals keep the reference's text render (pinned elsewhere)."""
+    import datetime
+
+    from crate_spark.engine import CrateSession
+    from crate_spark.session import load_tables
+
+    s = CrateSession(spark)
+    load_tables(spark, "/root/testdata/sf0.001")
+
+    def one(q):
+        return s.execute(q).collect()[0][0]
+
+    base = "CAST(TIMESTAMP '1997-01-15 00:00:00' AS TIMESTAMP)"
+    assert one(f"SELECT {base} + INTERVAL '1 year 2 days' AS t") == (
+        datetime.datetime(1998, 1, 17)
+    )
+    assert one(f"SELECT {base} + '1 year 2 days'::interval AS t") == (
+        datetime.datetime(1998, 1, 17)
+    )
+    assert one(f"SELECT {base} - INTERVAL '2 years 3 hours' AS t") == (
+        datetime.datetime(1995, 1, 14, 21)
+    )
+    # SQL-standard Y-M shorthand in arithmetic
+    assert one(f"SELECT {base} + '1-2'::interval AS t") == (
+        datetime.datetime(1998, 3, 15)
+    )
+    # the doc NOTE's normalization example and friends
+    assert one(
+        "SELECT extract(day from INTERVAL '14 years 1250 days 49 hours') AS v"
+    ) == 1252
+    assert one(
+        "SELECT extract(hour from INTERVAL '5 days 12 hours 45 minutes') AS v"
+    ) == 12
+    assert one("SELECT extract(second from INTERVAL '90 seconds') AS v") == 30
+    assert one("SELECT extract(epoch from INTERVAL '2 days') AS v") == 172800.0
+
+
+def test_dollar_brace_literal_reaches_row(spark):
+    """Spark's ${var} substitution is disabled — a data value spelled
+    '${0}' must reach the row byte-exact (the reference has no
+    variable substitution; hypothesis literal-roundtrip regression)."""
+    from crate_spark.engine import CrateSession
+
+    s = CrateSession(spark)
+    assert s.execute("SELECT '${0}' AS v").collect()[0][0] == "${0}"
