@@ -77,12 +77,14 @@ _MODULES = (
 #: r5 checked geo/aggregates/scalars-rest/graphs/pipeline/sqlfns.
 #: The r7 window = scalar_math_funcs + vector_ann_pq + the 17
 #: r2-stale greens + 31 r4 rows (all 50 came back green — the first
-#: fully-green driver scoreboard). The r8 window = the 18 remaining
-#: r4 rows (mm_*, dml/ddl lifecycles, tf_*, match_*) + the 32 oldest
-#: r5 rows (geo, agg tail, scalar tail, graphs, pipeline head). After
-#: r8 the only rows older than r6 are the 12 r5 remainders
+#: fully-green driver scoreboard). The r8 window = the new
+#: dml_copy_roundtrip (first driver row) + the 18 remaining r4 rows
+#: (mm_*, dml/ddl lifecycles, tf_*, match_*) + 31 of the 32 oldest r5
+#: rows; pipeline_knn_quantized was displaced to r9 to make room.
+#: After r8 the only rows older than r6 are the 12 r5 remainders
 #: (pipeline_decontaminate/repetition, sql_*_surface family,
-#: streaming_rollup_events) — those are the r9 window.
+#: streaming_rollup_events) + pipeline_knn_quantized — those are the
+#: r9 window.
 _DRIVER_PRIORITY = (
     # new in r8 (needs its first driver row); displaces
     # pipeline_knn_quantized (r5) to the r9 window
