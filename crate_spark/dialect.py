@@ -1482,8 +1482,9 @@ def _struct_literal_subscripts(sql: str, literals: list[str]) -> str:
 
 #: interval literal unit spellings -> canonical slot (PG/crate parser:
 #: sql-parser IntervalLiteral; millennium/century/decade omitted like
-#: the reference's Period mapping)
-_IV_UNITS = {
+#: the reference's Period mapping). Distinct from the _IV_UNITS
+#: micros table used by _interval_literal_micros.
+_IV_UNIT_SLOTS = {
     "y": "years", "yr": "years", "yrs": "years", "year": "years",
     "years": "years",
     "mon": "months", "mons": "months", "month": "months",
@@ -1518,7 +1519,7 @@ def _parse_interval_literal(text: str):
     while t:
         m = re.match(r"^([+-]?\d+(?:\.\d+)?)\s*([a-z]+)\b", t)
         if m:
-            unit = _IV_UNITS.get(m.group(2))
+            unit = _IV_UNIT_SLOTS.get(m.group(2))
             if unit is None:
                 return None
             vals[unit] += float(m.group(1))
