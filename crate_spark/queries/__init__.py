@@ -81,66 +81,65 @@ _MODULES = (
 #: dml_copy_roundtrip (first driver row) + the 18 remaining r4 rows
 #: (mm_*, dml/ddl lifecycles, tf_*, match_*) + 31 of the 32 oldest r5
 #: rows; pipeline_knn_quantized was displaced to r9 to make room.
-#: After r8 the only rows older than r6 are the 12 r5 remainders
-#: (pipeline_decontaminate/repetition, sql_*_surface family,
-#: streaming_rollup_events) + pipeline_knn_quantized — those are the
-#: r9 window.
+#: The r9 window (below) = the 13 r5 remainders + 37 of the 49 r6
+#: rows; the 12 r6 rows left over (sql_window_filter,
+#: join_q18/q16, scalar_blake3, sql_ident_surface, the three
+#: sql_tvf_* rows, streaming_sessionize_events, pipeline_train_split/
+#: quantize_int8/shard_layout) are the r10 window. After r9 no query's
+#: newest driver row is older than r6.
 _DRIVER_PRIORITY = (
-    # new in r8 (needs its first driver row); displaces
-    # pipeline_knn_quantized (r5) to the r9 window
-    "dml_copy_roundtrip",
-    # 18 r4-stale rows
-    "mm_frame_sample",
-    "mm_mime_filter_pushdown",
-    "mm_decode_real_image",
-    "dml_lifecycle",
-    "ddl_sql_lifecycle",
-    "tf_unnest",
-    "tf_unnest_multi",
-    "tf_generate_series",
-    "tf_generate_series_ts",
-    "tf_generate_subscripts",
-    "tf_regexp_matches",
-    "tf_pg_expandarray",
-    "tf_pg_get_keywords",
-    "tf_empty_row",
-    "tf_values_relation",
-    "tf_srf_in_select",
-    "match_boolean_modes",
-    "match_score_topk",
-    # 32 oldest r5 rows
-    "match_filter_then_query",
-    "geo_distance_topk",
-    "geo_within_bbox",
-    "geo_geohash",
-    "geo_intersects",
-    "geo_area",
-    "geo_within_polygon",
-    "agg_any_value",
-    "agg_collect_set",
-    "agg_bool_and_or",
-    "agg_median_corr",
-    "agg_distinct_sums",
-    "scalar_datetime_funcs2",
-    "scalar_misc_funcs",
-    "scalar_conditional",
-    "scalar_casts",
-    "scalar_array_funcs",
-    "scalar_array_numeric",
-    "scalar_json_funcs",
-    "scalar_bitwise_hash",
-    "scalar_object_funcs",
-    "scalar_to_char",
-    "graph_connected_components",
-    "graph_component_stats",
-    "graph_dedup_canonical",
-    "graph_neardup_clusters",
-    "pipeline_stratified_sample",
-    "pipeline_domain_mix",
-    "pipeline_pii_redact",
-    "pipeline_quality_gate",
-    "pipeline_pack_sequences",
-    # "pipeline_knn_quantized" displaced to r9 by dml_copy_roundtrip
+    # 13 r5-stale rows — the final freshness backlog
+    "pipeline_knn_quantized",
+    "pipeline_decontaminate",
+    "pipeline_repetition_metrics",
+    "sql_array_fn_surface",
+    "sql_array_numeric_fns",
+    "sql_datetime_compat",
+    "sql_geo_surface",
+    "sql_string_fn_surface",
+    "sql_datetime_fn_surface",
+    "sql_regexp_surface",
+    "sql_array_subquery",
+    "sql_agg_surface",
+    "streaming_rollup_events",
+    # 37 oldest r6 rows
+    "q1_pricing_summary",
+    "scan_filter_project",
+    "point_lookup",
+    "count_star",
+    "distinct_flags",
+    "topk_orders",
+    "limit_offset",
+    "order_nulls_last",
+    "agg_global",
+    "agg_group_having",
+    "agg_stats",
+    "agg_string_agg",
+    "agg_array_agg",
+    "agg_geometric_mean",
+    "agg_percentile",
+    "agg_minmax_by",
+    "conditional_agg",
+    "union_all",
+    "union_distinct",
+    "except_intersect",
+    "subquery_scalar",
+    "subquery_correlated",
+    "cte_query",
+    "join_inner_multiway",
+    "join_q5_regional_revenue",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_cross",
+    "scalar_string_funcs",
+    "scalar_regexp_funcs",
+    "scalar_datetime_funcs",
+    "scalar_date_bin",
+    "scalar_string_funcs2",
+    "scalar_array_funcs2",
+    "ts_sessionize",
+    "interval_column_ops",
 )
 
 
