@@ -496,6 +496,7 @@ _FN_TEMPLATES: dict = {
     "regexp_matches": lambda a, lits: _regexp_matches_sql(a, lits),
     "regexp_replace": lambda a, lits: _regexp_replace_sql(a, lits),
     "regexp_count": lambda a, lits: _regexp_count_sql(a, lits),
+    "regexp_instr": lambda a, lits: _regexp_instr_sql(a, lits),
     # crate-only aggregates (aggregation.rst) as SQL text
     "arbitrary": lambda a, lits: (
         f"any_value({a[0]}, true)" if len(a) == 1 else None
@@ -723,6 +724,71 @@ def _regexp_replace_sql(a: list[str], literals: list[str]) -> str | None:
     )
 
 
+def _regexp_instr_sql(a: list[str], literals: list[str]) -> str | None:
+    """RegexpPositionFunction.java (regexp_instr(string, pattern
+    [, start [, N [, endoption [, flags [, subexpr]]]]]) — up to 7
+    args, where Spark's builtin stops at (string, pattern) with a
+    GROUP third arg). Composed from built-ins at rewrite time for
+    literal option args: k-th match position = the length of the
+    split() prefix + earlier match lengths (both JVM array HOFs, no
+    UDF). Group (subexpr) positions locate the group's text inside
+    the match via instr — exact whenever the group's first occurrence
+    in the match IS the group (all reference test shapes); a group
+    whose text repeats earlier in its match may diverge."""
+    if len(a) < 2 or len(a) > 7:
+        return None
+    if len(a) == 2:
+        return None  # Spark's builtin already matches the reference
+    pat = _lit_value(a[1], literals)
+    if pat is None:
+        return None
+
+    def _int_arg(i: int, default: int) -> int | None:
+        if len(a) <= i:
+            return default
+        v = a[i].strip()
+        return int(v) if re.fullmatch(r"[+-]?\d+", v) else None
+
+    start = _int_arg(2, 1)
+    n = _int_arg(3, 1)
+    endopt = _int_arg(4, 0)
+    flags = _lit_value(a[5], literals) if len(a) >= 6 else ""
+    subexpr = _int_arg(6, 0)
+    if None in (start, n, endopt, subexpr) or flags is None:
+        return None
+    if start < 1 or n < 1 or endopt not in (0, 1) or subexpr < 0:
+        return None
+    inline = "".join(c for c in flags if c in "imsxu")
+    if inline:
+        pat = f"(?{inline}){pat}"
+    # reference: subexpr beyond the pattern's group count -> 0
+    n_groups = len(re.findall(r"(?<!\\)\((?!\?)", pat))
+    if subexpr > n_groups:
+        return "0"
+    p = _mklit(literals, "'" + pat.replace("'", "''") + "'")
+    sub = f"substring({a[0]}, {start})" if start > 1 else a[0]
+    ms = f"regexp_extract_all({sub}, {p}, 0)"
+    parts = f"split({sub}, {p}, -1)"
+    prefix = (
+        f"(length(concat_ws('', slice({parts}, 1, {n}))) "
+        f"+ length(concat_ws('', slice({ms}, 1, {n - 1}))))"
+    )
+    match = f"element_at({ms}, {n})"
+    abs_start = f"({prefix} + {start})"
+    if subexpr == 0:
+        res = f"({abs_start} + length({match}))" if endopt else abs_start
+    else:
+        grp = f"regexp_extract({match}, {p}, {subexpr})"
+        res = f"({abs_start} + instr({match}, {grp}) - 1"
+        if endopt:
+            res += f" + length({grp})"
+        res += ")"
+    return (
+        f"(CASE WHEN size({ms}) >= {n} THEN CAST({res} AS INT) "
+        f"ELSE 0 END)"
+    )
+
+
 def _regexp_count_sql(a: list[str], literals: list[str]) -> str | None:
     """CountFunction (regexp_count(source, pattern[, start[, flags]])):
     start offset via substr; flags inline."""
@@ -817,12 +883,27 @@ def _date_bin_sql(a: list[str], literals: list[str]) -> str | None:
     stride_us = _interval_literal_micros(literals[int(m.group(1))][1:-1])
     if not stride_us:
         return None
-    ts = f"unix_micros(CAST({a[1]} AS TIMESTAMP))"
-    origin = f"unix_micros(CAST({a[2]} AS TIMESTAMP))"
-    return (
-        f"timestamp_micros(CAST(floor(({ts} - {origin}) / {stride_us}) "
-        f"* {stride_us} + {origin} AS BIGINT))"
+    # DateBinFunction ignores the interval's sign ('-3 days' bins
+    # exactly like '3 days')
+    stride_us = abs(stride_us)
+
+    def _us_operand(arg: str) -> tuple[str, bool]:
+        # NUMERIC timestamps are epoch MILLIS in the reference (its
+        # storage type) and stay numeric in the result (the bigint
+        # signature); anything else coerces to a real timestamp
+        if re.fullmatch(r"[-+*/()\d\s]+", arg.strip()):
+            return f"(CAST({arg} AS BIGINT) * 1000)", True
+        return f"unix_micros({_ts_coerce(arg)})", False
+
+    ts, ts_numeric = _us_operand(a[1])
+    origin, _ = _us_operand(a[2])
+    binned = (
+        f"CAST(floor(({ts} - {origin}) / {stride_us}) "
+        f"* {stride_us} + {origin} AS BIGINT)"
     )
+    if ts_numeric:
+        return f"CAST({binned} / 1000 AS BIGINT)"
+    return f"timestamp_micros({binned})"
 
 
 def _date_format_sql(a: list[str], literals: list[str]) -> str | None:
@@ -884,18 +965,51 @@ def _ordinal_day_sql(expr: str) -> str:
 
 
 def _to_char_fn_sql(a: list[str], literals: list[str]) -> str | None:
-    """ToCharFunction: PG templates (YYYY/MM/DD/HH24/MI/SS/...) over
-    any timestamp expression — balanced-paren args, unlike the narrow
-    identifier-only regex this replaces."""
-    from crate_spark.functions.scalar import _pg_template_to_java
+    """ToCharFunction.java: the full PG template inventory
+    (PGDateTimeTemplates.java — case-sensitive token spellings,
+    padding rules, th/TH ordinal suffixes, quoted literals) compiled
+    at rewrite time. Timestamp operands become one concat() of Spark
+    built-ins (functions/pgformat.compile_to_sql — codegen, no UDF);
+    interval-LITERAL operands constant-fold entirely (the reference
+    formats ``0000-01-01T00:00 + period``, a year Spark timestamps
+    cannot hold)."""
+    from crate_spark.functions.pgformat import compile_to_sql, format_interval
 
     if len(a) != 2:
         return None
     fmt = _lit_value(a[1], literals)
     if fmt is None:
         return None
-    java = _pg_template_to_java(fmt).replace("'", "\\'")
-    return f"date_format(CAST({a[0]} AS TIMESTAMP), '{java}')"
+    # interval-literal first arg: INTERVAL __LIT__, __LIT__::interval,
+    # or CAST(__LIT__ AS interval)
+    im = re.fullmatch(
+        r"(?:INTERVAL\s+__LIT_(\d+)__"
+        r"|__LIT_(\d+)__\s*::\s*interval"
+        r"|CAST\s*\(\s*__LIT_(\d+)__\s+AS\s+interval\s*\))",
+        a[0].strip(),
+        re.IGNORECASE,
+    )
+    if im:
+        idx = int(next(g for g in im.groups() if g is not None))
+        parsed = _parse_interval_literal(literals[idx][1:-1])
+        if parsed is None:
+            return None
+        text = format_interval(_normalize_interval_fields(parsed), fmt)
+        if text is None:
+            return None
+        return _mklit(literals, "'" + text.replace("'", "''") + "'")
+    raw = _lit_value(a[0], literals)
+    if raw is not None and re.search(r"[a-z:]", raw, re.IGNORECASE):
+        # a MIXED interval literal was already text-folded to a plain
+        # string by the earlier interval passes; the crate render
+        # re-parses as an interval, while date/timestamp strings never
+        # do (the [a-z:] guard keeps bare epoch numbers timestamp-typed)
+        parsed = _parse_interval_literal(raw)
+        if parsed is not None:
+            text = format_interval(_normalize_interval_fields(parsed), fmt)
+            if text is not None:
+                return _mklit(literals, "'" + text.replace("'", "''") + "'")
+    return compile_to_sql(_ts_coerce(a[0]), fmt)
 
 
 def _parse_uri_sql(
@@ -1497,64 +1611,185 @@ _IV_UNIT_SLOTS = {
     "minute": "minutes", "minutes": "minutes",
     "s": "seconds", "sec": "seconds", "secs": "seconds",
     "second": "seconds", "seconds": "seconds",
-    "ms": "millis", "millisecond": "millis", "milliseconds": "millis",
+    "ms": "millis", "msec": "millis", "msecs": "millis",
+    "millisecond": "millis", "milliseconds": "millis",
 }
 
 
-def _parse_interval_literal(text: str):
-    """PG-style interval text -> (years, months, days, hours, minutes,
-    seconds-float) or None when the text isn't a plain unit list.
-    Supports ``N unit`` repeats, an ``HH:MM[:SS[.fff]]`` day-time tail,
-    and the SQL-standard ``Y-M`` year-month shorthand."""
-    vals = {"years": 0, "months": 0, "weeks": 0, "days": 0,
-            "hours": 0, "minutes": 0, "seconds": 0.0, "millis": 0.0}
+def _trunc_divmod(a: int, b: int) -> tuple[int, int]:
+    """divmod with truncation toward zero (Java/Joda field-split
+    semantics): the remainder carries the dividend's sign, so
+    -90 s -> (-1 min, -30 s), not Python's floor (-2 min, +30 s)."""
+    q = int(a / b) if b else 0
+    return q, a - q * b
+
+
+def _sec_ms_parts(txt: str) -> tuple[int, int]:
+    """'-3.30' -> (-3, -300): integer seconds plus milliseconds
+    truncated at ms precision, exact decimal-string math like the
+    reference's BigDecimal split (IntervalParser.parseMilliSeconds)."""
+    neg = txt.strip().startswith("-")
+    whole, _, frac = txt.strip().lstrip("+-").partition(".")
+    s = int(whole or "0")
+    ms = int((frac + "000")[:3]) if frac else 0
+    return (-s, -ms) if neg else (s, ms)
+
+
+def _parse_interval_literal_ex(text: str):
+    """Interval text -> ((years, months, days, hours, minutes,
+    seconds-float), used_shorthand) with the reference parsers'
+    ACCEPTANCE rules, or None for anything they reject
+    (IntervalParser.java parser chain; semantics pinned by
+    IntervalParserTest.java):
+
+    - SQL-standard shorthand ``[Y-M] [D] [H:M[:S]]`` — a leading sign
+      on a segment negates the whole segment ('-120-1 -1 -15:30' is
+      -120y -1mo -1d -15h -30m; SQLStandardIntervalParser.java:111);
+      unit words may not mix with it; a lone bare number is seconds.
+    - PG unit-word lists ('1 year 2 mons ...'), optionally ending in
+      an ``H:M[:S[.fff]]`` tail. Values for units other than seconds
+      must be integers (Integer.parseInt — '1.5 hours' is an invalid
+      interval, NOT 1 hour); fractional milliseconds truncate toward
+      zero (IntervalParser.parseInteger).
+    - Repeated units are invalid ('1 hour 2 hours'), with the
+      reference's literal ``> 0`` guard quirk: a zero or negative
+      first value may be silently overwritten (PGIntervalParser.java
+      switch cases); days/weeks use strict seen-flags.
+
+    Raw field values are returned (normalization is the caller's
+    job via ``_normalize_interval_fields``)."""
     t = text.strip().lower()
     if not t:
         return None
-    ym = re.match(r"^([+-]?\d+)-(\d+)\b", t)
+    y = mo = d = h = mi = 0
+    # one shared milliseconds slot, like the reference's milliSeconds
+    # variable: a fractional seconds value fills it (truncated at ms
+    # precision, parseMilliSeconds), making a later ms unit a repeat
+    sec_i = ms_i = 0
+    days_parsed = weeks_parsed = time_parsed = False
+    used_words = used_shorthand = False
+    ym = re.match(r"^([+-]?)(\d+)-(\d+)(?!\S)", t)
     if ym:
-        vals["years"] = int(ym.group(1))
-        vals["months"] = int(ym.group(2))
+        sign = -1 if ym.group(1) == "-" else 1
+        y, mo = sign * int(ym.group(2)), sign * int(ym.group(3))
+        used_shorthand = True
         t = t[ym.end():].strip()
     while t:
         m = re.match(r"^([+-]?\d+(?:\.\d+)?)\s*([a-z]+)\b", t)
         if m:
+            if used_shorthand:
+                # unit words never mix with the Y-M/D/H:M:S shorthand
+                # (both reference parsers reject the combination)
+                return None
             unit = _IV_UNIT_SLOTS.get(m.group(2))
             if unit is None:
                 return None
-            vals[unit] += float(m.group(1))
+            frac = "." in m.group(1)
+            v = float(m.group(1))
+            if unit == "years":
+                if frac or y > 0:
+                    return None
+                y = int(v)
+            elif unit == "months":
+                if frac or mo > 0:
+                    return None
+                mo = int(v)
+            elif unit == "weeks":
+                if frac or weeks_parsed:
+                    return None
+                d += 7 * int(v)
+                weeks_parsed = True
+            elif unit == "days":
+                if frac or days_parsed:
+                    return None
+                d += int(v)
+                days_parsed = True
+            elif unit == "hours":
+                if frac or h > 0:
+                    return None
+                h = int(v)
+                time_parsed = True
+            elif unit == "minutes":
+                if frac or mi > 0:
+                    return None
+                mi = int(v)
+                time_parsed = True
+            elif unit == "seconds":
+                if sec_i > 0 or ms_i > 0:
+                    return None
+                sec_i, ms_i = _sec_ms_parts(m.group(1))
+                time_parsed = True
+            else:  # millis: fraction truncates toward zero
+                if ms_i > 0:
+                    return None
+                ms_i = int(v)
+                time_parsed = True
+            used_words = True
             t = t[m.end():].strip()
             continue
-        m = re.match(r"^([+-]?\d+):(\d+)(?::(\d+(?:\.\d+)?))?$", t)
+        m = re.match(r"^([+-]?)(\d+):(\d+)(?::(\d+(?:\.\d+)?))?$", t)
         if m:
-            vals["hours"] += int(m.group(1))
-            vals["minutes"] += int(m.group(2))
-            if m.group(3):
-                vals["seconds"] += float(m.group(3))
+            if time_parsed:
+                return None
+            sign = -1 if m.group(1) == "-" else 1
+            h, mi = sign * int(m.group(2)), sign * int(m.group(3))
+            if m.group(4):
+                sec_i, ms_i = _sec_ms_parts(m.group(4))
+                sec_i, ms_i = sign * sec_i, sign * ms_i
+            if not used_words:
+                used_shorthand = True
             t = ""
             continue
+        m = re.match(r"^([+-]?)(\d+)(?!\S)", t)
+        if m and not used_words and not days_parsed:
+            sign = -1 if m.group(1) == "-" else 1
+            rest = t[m.end():].strip()
+            if not rest and not used_shorthand:
+                # a lone bare number is seconds (PG)
+                sec_i = sign * int(m.group(2))
+                used_shorthand = True
+                t = ""
+                continue
+            if used_shorthand or re.match(r"^[+-]?\d+:\d+", rest):
+                # day count: after Y-M, or ahead of an H:M[:S] tail
+                d = sign * int(m.group(2))
+                days_parsed = used_shorthand = True
+                t = rest
+                continue
+            return None
         return None
-    secs = vals["seconds"] + vals["millis"] / 1000.0
-    return (
-        int(vals["years"]), int(vals["months"]),
-        int(vals["days"] + 7 * vals["weeks"]),
-        int(vals["hours"]), int(vals["minutes"]), secs,
-    )
+    s = sec_i + ms_i / 1000.0
+    return (y, mo, d, h, mi, s), used_shorthand
+
+
+def _parse_interval_literal(text: str):
+    """``_parse_interval_literal_ex`` without the shorthand flag."""
+    parsed = _parse_interval_literal_ex(text)
+    return parsed[0] if parsed is not None else None
+
+
+def _normalize_interval_fields(parts):
+    """Joda ``Period.normalizedStandard(yearMonthDayTime)``, applied by
+    the reference at interval parse time (IntervalParser.java:96): the
+    day-time fields (days included) collapse to total milliseconds and
+    re-split with truncation toward zero — every field keeps the
+    total's sign, so '-90 seconds' is -1 min -30 s (not -2 min +30 s)
+    — and months overflow into years with truncating division
+    ('25 months' -> 2 years 1 mon). The doc NOTE's example holds:
+    14 years / 1250 days / 49 hours -> day = 1252."""
+    y, mo, d, h, mi, s = parts
+    total_months = y * 12 + mo
+    y, mo = _trunc_divmod(total_months, 12)
+    total_ms = round(((d * 24 + h) * 60 + mi) * 60_000 + s * 1000)
+    d, rest = _trunc_divmod(total_ms, 86_400_000)
+    h, rest = _trunc_divmod(rest, 3_600_000)
+    mi, rest = _trunc_divmod(rest, 60_000)
+    return y, mo, d, h, mi, rest / 1000.0
 
 
 def _normalize_interval_up_to_days(parts):
-    """The reference's parse-time Period normalization "up to days"
-    (scalar-functions.rst extract-from-interval NOTE): seconds carry
-    into minutes, minutes into hours, hours into days; months and
-    years stay as written."""
-    y, mo, d, h, mi, s = parts
-    extra_mi, s = divmod(s, 60)
-    mi += int(extra_mi)
-    extra_h, mi = divmod(mi, 60)
-    h += extra_h
-    extra_d, h = divmod(h, 24)
-    d += extra_d
-    return y, mo, d, h, mi, s
+    """Historic alias for ``_normalize_interval_fields``."""
+    return _normalize_interval_fields(parts)
 
 
 def _struct_array_literal_subscripts(sql: str, literals: list[str]) -> str:
@@ -1586,7 +1821,12 @@ def _struct_array_literal_subscripts(sql: str, literals: list[str]) -> str:
             out.append(sql[i : j + len("array(")])
             i = j + len("array(")
             continue
-        stripped = ", ".join(x.strip()[len("to_json(") : -1] for x in args)
+        stripped = ", ".join(
+            x.strip()[len("to_json(") : -1]
+            if x.strip().startswith("to_json(")
+            else x.strip()
+            for x in args
+        )
         # subscript chain: index first, then at least one word key
         pos, ok, acc, saw_key = k, True, f"array({stripped})", False
         while pos < len(sql) and sql[pos] == "[":
@@ -2099,110 +2339,81 @@ PG_KEYWORDS = [
 
 #: interval field order for <unit> TO <unit> truncation
 _IVL_FIELDS = ("YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND")
-_IVL_UNIT_WORDS = {
-    "year": ("y", 1), "years": ("y", 1), "yr": ("y", 1), "yrs": ("y", 1),
-    "month": ("mo", 1), "months": ("mo", 1), "mon": ("mo", 1), "mons": ("mo", 1),
-    "week": ("d", 7), "weeks": ("d", 7),
-    "day": ("d", 1), "days": ("d", 1),
-    "hour": ("us", 3_600_000_000), "hours": ("us", 3_600_000_000),
-    "minute": ("us", 60_000_000), "minutes": ("us", 60_000_000),
-    "min": ("us", 60_000_000), "mins": ("us", 60_000_000),
-    "second": ("us", 1_000_000), "seconds": ("us", 1_000_000),
-    "sec": ("us", 1_000_000), "secs": ("us", 1_000_000),
-    "millisecond": ("us", 1_000), "milliseconds": ("us", 1_000),
-    "microsecond": ("us", 1), "microseconds": ("us", 1),
-}
 
 
 def _parse_pg_interval(s: str):
     """PG interval string -> (months, days, micros, used_shorthand,
-    has_ym, has_dt) or None if unparseable. Handles both the verbose
-    unit-word form ('2 years 1 month') and the sql-standard shorthand
-    ('1-2 3 04:05:06' = 1y 2mo 3d 4:05:06) the reference accepts
-    (data-types.rst interval section; IntervalParser.java)."""
-    months = days = micros = 0
-    shorthand = False
-    toks = s.strip().split()
-    i = 0
-    while i < len(toks):
-        t = toks[i].lower()
-        m = re.fullmatch(r"([+-]?\d+)-(\d+)", t)
-        if m:
-            months += int(m.group(1)) * 12 + int(m.group(2))
-            shorthand = True
-            i += 1
-            continue
-        m = re.fullmatch(r"([+-]?\d+):(\d+)(?::(\d+(?:\.\d+)?))?", t)
-        if m:
-            micros += (int(m.group(1)) * 3600 + int(m.group(2)) * 60) * 1_000_000
-            if m.group(3):
-                micros += int(round(float(m.group(3)) * 1_000_000))
-            shorthand = True
-            i += 1
-            continue
-        m = re.fullmatch(r"[+-]?\d+(\.\d+)?", t)
-        if m:
-            if i + 1 < len(toks) and toks[i + 1].lower() in _IVL_UNIT_WORDS:
-                kind, mult = _IVL_UNIT_WORDS[toks[i + 1].lower()]
-                v = float(t)
-                if kind == "y":
-                    months += int(v * 12 * mult)
-                elif kind == "mo":
-                    months += int(v * mult)
-                elif kind == "d":
-                    days += int(v * mult)
-                else:
-                    micros += int(round(v * mult))
-                i += 2
-                continue
-            # bare number followed by a time token = days
-            # ('3 4:05:06'); a lone bare number is seconds (PG)
-            if i + 1 < len(toks) and re.fullmatch(
-                r"[+-]?\d+:\d+(:\d+(\.\d+)?)?", toks[i + 1]
-            ):
-                days += int(t)
-            else:
-                micros += int(round(float(t) * 1_000_000))
-            shorthand = True
-            i += 1
-            continue
+    has_ym, has_dt) or None if unparseable. Thin wrapper over
+    ``_parse_interval_literal_ex`` (single source of truth for the
+    reference parsers' acceptance rules — fractional non-second
+    values, repeated units, sign on shorthand segments)."""
+    parsed = _parse_interval_literal_ex(s)
+    if parsed is None:
         return None
-    return (months, days, micros, shorthand, months != 0, days != 0 or micros != 0)
+    (y, mo, d, h, mi, sec), shorthand = parsed
+    months = y * 12 + mo
+    micros = round(((h * 60 + mi) * 60 + sec) * 1_000_000)
+    return (months, d, micros, shorthand, months != 0, d != 0 or micros != 0)
 
 
-def _truncate_interval(months, days, micros, start, end):
-    """Zero out fields outside [start..end] (INTERVAL ... <u> TO <u>)."""
-    lo, hi = _IVL_FIELDS.index(start), _IVL_FIELDS.index(end)
-    keep = set(_IVL_FIELDS[lo : hi + 1])
-    y, mo = divmod(months, 12)
-    h, rest = divmod(micros, 3_600_000_000)
-    mi, us = divmod(rest, 60_000_000)
-    y = y if "YEAR" in keep else 0
-    mo = mo if "MONTH" in keep else 0
-    days = days if "DAY" in keep else 0
-    h = h if "HOUR" in keep else 0
-    mi = mi if "MINUTE" in keep else 0
-    us = us if "SECOND" in keep else 0
-    return y * 12 + mo, days, h * 3_600_000_000 + mi * 60_000_000 + us
+def _truncate_interval_fields(parts, start, end):
+    """``INTERVAL '<lit>' <u> [TO <u>]`` precision restriction on the
+    RAW parsed fields, BEFORE normalization — the reference's
+    IntervalParser.roundToPrecision runs on the as-written period
+    ('14 years 58 months ...' restricted to YEAR keeps 14 years, not
+    the normalized 18): YEAR alone keeps only the years field; YEAR TO
+    MONTH / MONTH keep the raw year-month pair; a day-time start keeps
+    ALL higher fields and zeroes the fields strictly below the end
+    precision (SECOND drops sub-second millis). Combinations the
+    reference rejects return None."""
+    y, mo, d, h, mi, s = parts
+    if start == "YEAR" and end == "YEAR":
+        return (y, 0, 0, 0, 0, 0.0)
+    if (start, end) in {("YEAR", "MONTH"), ("MONTH", "MONTH")}:
+        return (y, mo, 0, 0, 0, 0.0)
+    order = ("DAY", "HOUR", "MINUTE", "SECOND")
+    if start not in order or end not in order:
+        return None
+    if order.index(end) < order.index(start):
+        return None
+    if end == "DAY":
+        return (y, mo, d, 0, 0, 0.0)
+    if end == "HOUR":
+        return (y, mo, d, h, 0, 0.0)
+    if end == "MINUTE":
+        return (y, mo, d, h, mi, 0.0)
+    return (y, mo, d, h, mi, float(int(s)))
 
 
 def _crate_interval_str(months, days, micros) -> str:
     """Render like the reference ('1 year 2 mons 3 days 04:05:06' —
-    y/mons/days parts when nonzero, time always)."""
-    y, mo = divmod(months, 12)
+    y/mons/days parts when nonzero, time always). The reference prints
+    the Joda normalizedStandard period (IntervalType.PERIOD_FORMATTER),
+    so day-time fields re-split from the combined total with truncation
+    toward zero — hour overflow rolls into days, every field carries
+    the total's sign — and a negative field pads after its sign
+    ('-90 seconds' -> '00:-01:-30', Joda FormatUtils)."""
+    y, mo = _trunc_divmod(months, 12)
+    total = days * 86_400_000_000 + micros
+    d, rest = _trunc_divmod(total, 86_400_000_000)
+    h, rest = _trunc_divmod(rest, 3_600_000_000)
+    mi, rest = _trunc_divmod(rest, 60_000_000)
+    s, us = _trunc_divmod(rest, 1_000_000)
+
+    def f2(v: int) -> str:
+        return f"-{-v:02d}" if v < 0 else f"{v:02d}"
+
     parts = []
     if y:
         parts.append(f"{y} year" + ("s" if abs(y) != 1 else ""))
     if mo:
         parts.append(f"{mo} mon" + ("s" if abs(mo) != 1 else ""))
-    if days:
-        parts.append(f"{days} day" + ("s" if abs(days) != 1 else ""))
-    h, rest = divmod(micros, 3_600_000_000)
-    mi, rest = divmod(rest, 60_000_000)
-    s, us = divmod(rest, 1_000_000)
-    t = f"{h:02d}:{mi:02d}:{s:02d}"
+    if d:
+        parts.append(f"{d} day" + ("s" if abs(d) != 1 else ""))
+    sec = "-00" if s == 0 and us < 0 else f2(s)
+    t = f"{f2(h)}:{f2(mi)}:{sec}"
     if us:
-        frac = f"{us:06d}"
+        frac = f"{abs(us):06d}"
         # millisecond precision minimum, micros digits only if set
         t += "." + frac[:3] + frac[3:].rstrip("0")
     parts.append(t)
@@ -2220,10 +2431,10 @@ def _fold_interval_literals(sql: str, literals: list[str]) -> str:
     def repl(m: re.Match) -> str:
         mult = int(m.group(1)) if m.group(1) else None
         lit = literals[int(m.group(2))]
-        parsed = _parse_pg_interval(lit[1:-1])
+        parsed = _parse_interval_literal_ex(lit[1:-1])
         if parsed is None:
             return m.group(0)
-        months, days, micros, shorthand, has_ym, has_dt = parsed
+        (y, mo, d, h, mi, s), shorthand = parsed
         qual_start, qual_end = m.group(3), m.group(4) or m.group(3)
         if qual_start and re.fullmatch(r"\s*[+-]?\d+\s*", lit[1:-1]):
             # INTERVAL '1' DAY — Spark-native qualified literal
@@ -2234,16 +2445,29 @@ def _fold_interval_literals(sql: str, literals: list[str]) -> str:
         # integer*interval, and folding it to a TEXT literal broke
         # `now() - 3 * INTERVAL '1 day'` with DATATYPE_MISMATCH
         # (ADVICE r5).
+        has_ym = y != 0 or mo != 0
+        has_dt = bool(d or h or mi or s)
         needs_fold = shorthand or (has_ym and has_dt)
         if not needs_fold:
             return m.group(0)
         if qual_start:
-            months, days, micros = _truncate_interval(
-                months, days, micros, qual_start.upper(), qual_end.upper()
+            # precision restriction applies to the RAW fields, before
+            # the render's normalization (roundToPrecision order)
+            t = _truncate_interval_fields(
+                (y, mo, d, h, mi, s), qual_start.upper(), qual_end.upper()
             )
+            if t is None:
+                return m.group(0)
+            y, mo, d, h, mi, s = t
         if mult is not None:
-            months, days, micros = months * mult, days * mult, micros * mult
-        literals.append("'" + _crate_interval_str(months, days, micros) + "'")
+            # Period.multipliedBy scales each field; the render's
+            # normalizedStandard re-splits the result
+            y, mo, d, h, mi, s = (
+                y * mult, mo * mult, d * mult, h * mult, mi * mult, s * mult
+            )
+        months = y * 12 + mo
+        micros = round(((h * 60 + mi) * 60 + s) * 1_000_000)
+        literals.append("'" + _crate_interval_str(months, d, micros) + "'")
         return f"__LIT_{len(literals) - 1}__"
 
     return re.sub(
@@ -2268,14 +2492,23 @@ def _fold_extract_over_interval_literal(sql: str, literals: list[str]) -> str:
         parts = _parse_interval_literal(literals[int(m.group(2))][1:-1])
         if parts is None:
             return m.group(0)
-        y, mo, d, h, mi, s = _normalize_interval_up_to_days(parts)
+        if m.group(3):
+            # INTERVAL '...' <u> [TO <u>]: precision restriction on
+            # the raw fields first (roundToPrecision order)
+            parts = _truncate_interval_fields(
+                parts, m.group(3).upper(), (m.group(4) or m.group(3)).upper()
+            )
+            if parts is None:
+                return m.group(0)
+        y, mo, d, h, mi, s = _normalize_interval_fields(parts)
         field = m.group(1).upper()
         vals = {
             "YEAR": y, "MONTH": mo, "DAY": d, "HOUR": h,
             "MINUTE": mi, "SECOND": int(s),
-            # reference quirk: QUARTER on intervals is months/4
+            # reference quirk: QUARTER on intervals is months/4 with
+            # Java's truncating int division
             # (ExtractFunctions.java intervalFieldsMapWithIntReturn)
-            "QUARTER": mo // 4,
+            "QUARTER": int(mo / 4),
         }
         if field == "EPOCH":
             # ExtractFunctions.toMillis: 365d + 6h per year, 30d per
@@ -2294,7 +2527,9 @@ def _fold_extract_over_interval_literal(sql: str, literals: list[str]) -> str:
         return f"{vals[field]}"
 
     return re.sub(
-        r"\bEXTRACT\s*\(\s*(\w+)\s+FROM\s+INTERVAL\s+__LIT_(\d+)__\s*\)",
+        r"\bEXTRACT\s*\(\s*(\w+)\s+FROM\s+INTERVAL\s+__LIT_(\d+)__"
+        r"(?:\s+(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND)"
+        r"(?:\s+TO\s+(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND))?)?\s*\)",
         repl,
         sql,
         flags=re.IGNORECASE,

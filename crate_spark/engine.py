@@ -2578,7 +2578,19 @@ class CrateSession:
         # own, alias the match view back to the original name
         after = stmt[tbl_m.end():]
         am = re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", after)
-        has_alias = bool(am) and am.group(1).upper() not in {
+        word = am.group(1).upper() if am else None
+        # enforce the documented single-table contract loudly: a JOIN
+        # keyword or comma after the table is a multi-relation FROM,
+        # not a table alias (ADVICE r8)
+        rest_after_alias = after[am.end():] if am else after
+        if word in {
+            "JOIN", "LEFT", "RIGHT", "INNER", "OUTER", "CROSS", "FULL",
+            "NATURAL", "ON", "USING",
+        } or re.match(r"\s*,", after) or re.match(r"\s*,", rest_after_alias):
+            raise ValueError(
+                "_score with MATCH supports a single-table FROM only"
+            )
+        has_alias = bool(am) and word not in {
             "WHERE", "ORDER", "GROUP", "LIMIT", "OFFSET", "HAVING",
             "UNION", "INTERSECT", "EXCEPT", "FETCH", "WINDOW",
         }
@@ -4348,6 +4360,34 @@ def _js_block_to_python(
                     r"(break|return|throw)\b", frags[-1]
                 ) is not None
 
+            def _check_no_inner_break(stmts: str) -> None:
+                # a non-terminal break at the arm's own nesting level
+                # (`case 1: if (c) break; more();`) would translate to
+                # a Python break that, inside a loop, exits the LOOP
+                # instead of the switch — reject at CREATE like
+                # fallthrough (ADVICE r8). break inside braces belongs
+                # to a nested loop/switch and stays legal.
+                dpt, k = 0, 0
+                while k < len(stmts):
+                    c = stmts[k]
+                    if c in "{(":
+                        dpt += 1
+                    elif c in "})":
+                        dpt -= 1
+                    elif (
+                        dpt == 0
+                        and stmts[k : k + 5] == "break"
+                        and (k == 0 or not (stmts[k - 1].isalnum()
+                                            or stmts[k - 1] in "_$"))
+                        and not re.match(r"break[\w$]", stmts[k:])
+                    ):
+                        raise ValueError(
+                            "unsupported JavaScript construct: break "
+                            "before the end of a switch case (only a "
+                            "terminal break is supported)"
+                        )
+                    k += 1
+
             for idx, (labels, stmts) in enumerate(arms):
                 # fallthrough check: every non-final arm must END the
                 # case with break/return/throw (JS fallthrough has no
@@ -4378,6 +4418,7 @@ def _js_block_to_python(
                 first = False
                 # strip the terminal break (Python if/elif needs none)
                 inner = re.sub(r"break\s*;?\s*$", "", stmts)
+                _check_no_inner_break(inner)
                 before_len = len(body_lines)
                 _js_block_to_python(
                     inner, depth + 1, body_lines, lits, scope_names, loop
@@ -4389,6 +4430,7 @@ def _js_block_to_python(
                     f"{pad}else:" if not first else f"{pad}if True:"
                 )
                 inner = re.sub(r"break\s*;?\s*$", "", default_arm[1])
+                _check_no_inner_break(inner)
                 before_len = len(body_lines)
                 _js_block_to_python(
                     inner, depth + 1, body_lines, lits, scope_names, loop

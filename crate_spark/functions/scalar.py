@@ -334,52 +334,17 @@ def gen_random_text_uuid() -> Column:
 # ---------------------------------------------------------------------------
 # PG formatting
 # ---------------------------------------------------------------------------
-#: PG to_char template -> java.time pattern, longest-match-first.
-#: Reference: expression/scalar/formatting/ToCharFunction.java (common
-#: date/time subset; fill-mode/ordinal modifiers out of scope).
-_TO_CHAR_MAP = [
-    ("HH24", "HH"), ("HH12", "hh"), ("YYYY", "yyyy"), ("YYY", "yyy"),
-    ("MONTH", "LLLL"), ("Month", "LLLL"), ("MON", "LLL"), ("Mon", "LLL"),
-    ("DAY", "EEEE"), ("Day", "EEEE"), ("DY", "EEE"), ("Dy", "EEE"),
-    ("DDD", "DDD"), ("DD", "dd"), ("MM", "MM"), ("MI", "mm"),
-    ("SS", "ss"), ("MS", "SSS"), ("AM", "a"), ("PM", "a"),
-    ("YY", "yy"), ("HH", "hh"), ("AD", "G"), ("BC", "G"), ("A.D.", "G"),
-    ("D", "u"), ("Q", "Q"), ("WW", "ww"),
-    ("TZ", "zz"), ("J", "g"),
-]
+def to_char(ts: str, fmt: str) -> Column:
+    """PG ``to_char(timestamp, template)`` — the reference's FULL
+    template engine (``formatting/PGDateTimeTemplates.java``: every
+    token spelling, padding rules, th/TH ordinal suffixes), compiled at
+    plan time by :mod:`crate_spark.functions.pgformat` into one
+    expression of Spark built-ins — JVM-side, codegen-eligible, no UDF.
+    ``ts`` is an SQL expression string (column name or expression); the
+    compiler splices it into the generated built-in calls."""
+    from crate_spark.functions.pgformat import compile_to_sql
 
-
-def _pg_template_to_java(fmt: str) -> str:
-    out, i = [], 0
-    run: list[str] = []
-
-    def flush():
-        # literal runs quote as ONE unit — adjacent single-quoted
-        # chars read as escaped quotes ('t''h''e' renders t'h'e)
-        if run:
-            text = "".join(run)
-            out.append("'" + text + "'" if any(c.isalpha() for c in text) else text)
-            run.clear()
-
-    while i < len(fmt):
-        for pg, java in _TO_CHAR_MAP:
-            if fmt.startswith(pg, i):
-                flush()
-                out.append(java)
-                i += len(pg)
-                break
-        else:
-            run.append(fmt[i])
-            i += 1
-    flush()
-    return "".join(out)
-
-
-def to_char(ts: Column | str, fmt: str) -> Column:
-    """PG ``to_char(timestamp, template)`` for the common date/time
-    templates (YYYY/MM/DD/HH24/MI/SS/...), translated at plan time to a
-    ``date_format`` pattern — JVM-side, codegen-eligible."""
-    return F.date_format(_col(ts), _pg_template_to_java(fmt))
+    return F.expr(compile_to_sql(f"CAST({ts} AS TIMESTAMP)", fmt))
 
 
 #: MySQL date_format %-codes -> java.time patterns. Reference:

@@ -703,10 +703,10 @@ def scalar_to_char(spark, sf_dir):
         .filter(F.col("event_id") < 400)
         .select(
             "event_id",
-            to_char(F.col("ts"), "YYYY-MM-DD HH24:MI:SS").alias("iso_fmt"),
-            to_char(F.col("ts"), "DD/MM/YYYY").alias("euro_date"),
-            to_char(F.col("ts"), "Mon").alias("mon_abbrev"),
-            F.concat(to_char(F.col("ts"), "HH24"), F.lit("h")).alias("hour_label"),
+            to_char("ts", "YYYY-MM-DD HH24:MI:SS").alias("iso_fmt"),
+            to_char("ts", "DD/MM/YYYY").alias("euro_date"),
+            to_char("ts", "Mon").alias("mon_abbrev"),
+            F.concat(to_char("ts", "HH24"), F.lit("h")).alias("hour_label"),
         )
     )
 

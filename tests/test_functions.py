@@ -131,15 +131,35 @@ def test_geohash(spark, row):
     assert gh.startswith("u4pruydqqvj")
 
 
-def test_to_char_template_translation():
-    from crate_spark.functions.scalar import _pg_template_to_java
+def test_to_char_template_tokenizer():
+    """PGDateTimeTemplates.java parse(): case-exact longest-match
+    tokens, single-char literal fallback, quoted sections."""
+    from crate_spark.functions.pgformat import tokenize
 
-    assert _pg_template_to_java("YYYY-MM-DD") == "yyyy-MM-dd"
-    assert _pg_template_to_java("HH24:MI:SS") == "HH:mm:ss"
-    assert _pg_template_to_java("MONTH") == "LLLL"
-    assert _pg_template_to_java("Mon YYYY") == "LLL yyyy"
-    # literal pattern letters are quoted
-    assert _pg_template_to_java("HH24h") == "HH'h'"
+    assert tokenize("YYYY-MM-DD") == [
+        ("tok", "Y4"), ("lit", "-"), ("tok", "MM"), ("lit", "-"),
+        ("tok", "DD"),
+    ]
+    assert tokenize("miss-") == [
+        ("tok", "MI"), ("tok", "SEC"), ("lit", "-")
+    ]
+    # 'Th' is NOT a token spelling (only th/TH) -> literal chars
+    assert tokenize("DDTh") == [
+        ("tok", "DD"), ("lit", "T"), ("lit", "h")
+    ]
+    assert tokenize('"year: "YYYY') == [("lit", "year: "), ("tok", "Y4")]
+
+
+def test_to_char_via_sql(spark, row):
+    from crate_spark.functions.scalar import to_char
+
+    df = row.select(
+        to_char("TIMESTAMP '2024-12-13 00:00:00'", "yyyy-mm-dd").alias("a"),
+        to_char("TIMESTAMP '2024-12-13 00:00:00'", "miss-").alias("b"),
+        to_char("TIMESTAMP '2024-01-21 00:00:00'", "DDth").alias("c"),
+    )
+    r = df.collect()[0]
+    assert (r.a, r.b, r.c) == ("2024-12-13", "0000-", "21st")
 
 
 def test_blake3_reference_vectors():

@@ -1,0 +1,332 @@
+"""Reference-derived expected values — the oracle-blind-spot sweep.
+
+The r8 EXTRACT(DOW) lesson: a divergence survives every DuckDB
+hash-compare when the Spark query and its oracle twin spell the same
+wrong assumption. These tests pin outputs against constants taken
+from the REFERENCE's own unit tests (file:line cited per block), so
+they are independent of both engines:
+
+- ``IntervalParserTest.java`` — parser acceptance + field values
+- ``ExtractFunctionsTest.java`` — EXTRACT over intervals/timestamps
+- ``DateTruncFunctionTest.java`` — tz-aware truncation
+- ``ToCharFunctionTest.java`` — the PG template engine
+- ``RegexpReplace/Count/PositionFunctionTest.java``
+- ``DateBinFunctionTest.java`` — sign/bigint/pre-epoch binning
+
+The r8 sweep found and fixed: PG-vs-Joda negative-interval
+normalization, months-overflow-into-years, lowercase/exotic to_char
+tokens + th ordinals + interval operands, regexp_instr's extended
+signature, and date_bin numeric-epoch-millis operands.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# IntervalParserTest.java — parser-level constants (no Spark needed)
+# ---------------------------------------------------------------------------
+
+def P(text):
+    from crate_spark.dialect import _parse_interval_literal
+
+    return _parse_interval_literal(text)
+
+
+def N(text):
+    from crate_spark.dialect import _normalize_interval_fields
+
+    return _normalize_interval_fields(P(text))
+
+
+@pytest.mark.parametrize("text,want", [
+    # IntervalParserTest.java:38-127 — raw fields, sign propagation
+    ("120-1 1 15:30", (120, 1, 1, 15, 30, 0.0)),
+    ("-120-1 -1 -15:30", (-120, -1, -1, -15, -30, 0.0)),
+    ("1", (0, 0, 0, 0, 0, 1.0)),
+    ("120-1 1", (120, 1, 1, 0, 0, 0.0)),
+    ("-120-1 -1", (-120, -1, -1, 0, 0, 0.0)),
+    ("-120-1", (-120, -1, 0, 0, 0, 0.0)),
+    ("120-1 15:30", (120, 1, 0, 15, 30, 0.0)),
+    ("15:30", (0, 0, 0, 15, 30, 0.0)),
+    ("-15:30", (0, 0, 0, -15, -30, 0.0)),
+    ("15:30:10", (0, 0, 0, 15, 30, 10.0)),
+    ("1 15:30:10", (0, 0, 1, 15, 30, 10.0)),
+    ("-1 -15:30:10", (0, 0, -1, -15, -30, -10.0)),
+    ("0-0 0 0:0:0", (0, 0, 0, 0, 0, 0.0)),
+    # :222-233
+    ("6 years 5 mons 4 days 03:02:01", (6, 5, 4, 3, 2, 1.0)),
+    ("1 week", (0, 0, 7, 0, 0, 0.0)),
+    # :199 — fractional seconds split exactly (BigDecimal math)
+    ("-3.30 secs", (0, 0, 0, 0, 0, -3.3)),
+])
+def test_interval_parser_accepts(text, want):
+    assert P(text) == want
+
+
+@pytest.mark.parametrize("text", [
+    # IntervalParserTest.java:130-175 — invalid shapes
+    "1 1", "-1 -1", "10-1-1-1-1-1", "1-2 3 4-5-6", "A-B C D:E:F",
+    # :236-268 — bad unit words and duplicate units
+    "a week b mons c days", "1 week 2 monthss 3 days",
+    "1 week 2 mons 3 days 4w", "1y 11:22:33 11:22:33",
+    "2sec 11:22:33", "1 years 2 mons 3 days 2 years",
+    "5 millis 1 years 2 mons 3 days 2 ms",
+    "1 years 2 mons 3 days 2.2 secs 2 ms",
+    # PGIntervalParser nullSafeIntGet: fractional non-second values
+    "1.5 hours", "1.5 days", "1.5 weeks",
+    # unit words never mix with shorthand segments
+    "1-2 3 days", "15:30 1 year",
+])
+def test_interval_parser_rejects(text):
+    assert P(text) is None
+
+
+def test_interval_normalization_reference_example():
+    """IntervalParserTest.java:272-296: 1y 2mo 3w 763d 1024h 642m
+    7123s 12ms normalizes to (1, 2, 827d, 4h, 40m, 43.012s)."""
+    got = N("1 y 2 mons 3 w 763 d 1024 h 642 min 7123 s 12 ms")
+    assert got[:5] == (1, 2, 827, 4, 40)
+    assert abs(got[5] - 43.012) < 1e-9
+
+
+def test_interval_normalization_truncates_toward_zero():
+    """Joda normalizedStandard (IntervalParser.java:96): every
+    day-time field keeps the total's sign; months overflow into
+    years with truncating division (ADVICE r8)."""
+    y, mo, d, h, mi, s = N("-90 seconds")
+    assert (d, h, mi, int(s)) == (0, 0, -1, -30)
+    assert N("-1 hours")[:5] == (0, 0, 0, -1, 0)
+    assert N("25 months")[:2] == (2, 1)
+    assert N("-25 months")[:2] == (-2, -1)
+    assert N("14 years 1250 days 49 hours")[2] == 1252
+
+
+def test_interval_text_render():
+    """IntervalType.PERIOD_FORMATTER over the normalized period."""
+    from crate_spark.dialect import _crate_interval_str
+
+    assert _crate_interval_str(14, 3, 3_723_000_000) == (
+        "1 year 2 mons 3 days 01:02:03"
+    )
+    # hour overflow rolls into days; negative fields pad after sign
+    assert _crate_interval_str(
+        0, 3, 28 * 3_600_000_000 + 5 * 60_000_000 + 6_000_000
+    ) == "4 days 04:05:06"
+    assert _crate_interval_str(0, 0, -90_000_000) == "00:-01:-30"
+    assert _crate_interval_str(0, 1, -2 * 3_600_000_000) == "22:00:00"
+
+
+# ---------------------------------------------------------------------------
+# SQL-level constants through the engine
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def sess(spark):
+    from crate_spark.engine import CrateSession
+
+    return CrateSession(spark)
+
+
+def one(sess, expr):
+    return sess.execute(f"SELECT {expr} AS v").collect()[0][0]
+
+
+def ts(ms):
+    """Reference long-epoch-ms expected value -> naive UTC datetime."""
+    return datetime.datetime.fromtimestamp(
+        ms / 1000, datetime.timezone.utc
+    ).replace(tzinfo=None)
+
+
+#: the reference tests' timestamp_tz literal (919946281123 =
+#: 1999-02-25T12:38:01.123Z)
+TSTZ = "'1999-02-25T12:38:01.123+00:00'::timestamptz"
+
+EXTRACT_CASES = [
+    # ExtractFunctionsTest.java:80-159 (interval operands)
+    ("extract(year from INTERVAL '1250 days 49 hours')", 0),
+    ("extract(year from INTERVAL '14 years 1250 days 49 hours')", 14),
+    ("extract(quarter from INTERVAL "
+     "'14 years 58 months 1250 days 49 hours')", 2),
+    ("extract(quarter from INTERVAL '8 months 1250 days 49 hours')", 2),
+    ("extract(month from INTERVAL '1250 days 49 hours')", 0),
+    ("extract(month from INTERVAL "
+     "'14 years 58 months 1250 days 49 hours')", 10),
+    ("extract(day from INTERVAL "
+     "'14 years 58 months 1250 days 49 hours' DAY TO HOUR)", 1252),
+    ("extract(day from INTERVAL '49 hours 127 minutes 43250 seconds')", 2),
+    ("extract(hour from INTERVAL "
+     "'14 years 58 months 1250 days 49 hours')", 1),
+    ("extract(hour from INTERVAL "
+     "'49 hours 127 minutes 43250 seconds' HOUR TO SECOND)", 15),
+    ("extract(minute from INTERVAL "
+     "'12 years 46 months 1250 days 49 hours 127 minutes 43250 seconds')",
+     7),
+    ("extract(minute from INTERVAL "
+     "'49 hours 127 minutes 43250 seconds' DAY TO MINUTE)", 7),
+    ("extract(second from INTERVAL "
+     "'12 years 46 months 1250 days 49 hours 127 minutes 43250 seconds')",
+     50),
+    ("extract(second from INTERVAL "
+     "'49 hours 127 minutes 43250 seconds' DAY TO MINUTE)", 0),
+    ("extract(epoch from INTERVAL "
+     "'1025 days 29 hours 137 minutes 72 seconds')", 88672692.0),
+    ("extract(epoch from INTERVAL '21:47:36')", 78456.0),
+    ("extract(epoch from INTERVAL '7 years 11 months 18 days 11 hours')",
+     251010000.0),
+    # ADVICE r8 negative-literal folds (Joda truncation toward zero)
+    ("extract(minute from INTERVAL '-90 seconds')", -1),
+    ("extract(second from INTERVAL '-90 seconds')", -30),
+    ("extract(day from INTERVAL '-1 hours')", 0),
+    ("extract(hour from INTERVAL '-1 hours')", -1),
+    # scalar-functions.rst extract-from-interval NOTE
+    ("extract(day from INTERVAL '14 years 1250 days 49 hours')", 1252),
+    ("extract(hour from INTERVAL '5 days 12 hours 45 minutes')", 12),
+    ("extract(second from INTERVAL '90 seconds')", 30),
+]
+
+DATE_TRUNC_CASES = [
+    # DateTruncFunctionTest.java:83-155
+    (f"date_trunc('second', {TSTZ})", ts(919946281000)),
+    (f"date_trunc('minute', {TSTZ})", ts(919946280000)),
+    (f"date_trunc('hour', {TSTZ})", ts(919944000000)),
+    (f"date_trunc('day', {TSTZ})", ts(919900800000)),
+    (f"date_trunc('week', {TSTZ})", ts(919641600000)),
+    (f"date_trunc('month', {TSTZ})", ts(917827200000)),
+    (f"date_trunc('year', {TSTZ})", ts(915148800000)),
+    (f"date_trunc('quarter', {TSTZ})", ts(915148800000)),
+    (f"date_trunc('dAy', {TSTZ})", ts(919900800000)),
+    (f"date_trunc('hour', 'Europe/Vienna', {TSTZ})", ts(919944000000)),
+    (f"date_trunc('day', 'Europe/Moscow', {TSTZ})", ts(919890000000)),
+    (f"date_trunc('day', '+01:00', {TSTZ})", ts(919897200000)),
+    (f"date_trunc('day', '-08:00', {TSTZ})", ts(919929600000)),
+    ("date_trunc('day', 'Europe/Vienna', '2014-06-03')", ts(1401746400000)),
+]
+
+TO_CHAR_CASES = [
+    # ToCharFunctionTest.java:116-124 — lowercase + exotic tokens
+    ("to_char('2024-12-13'::timestamp, 'yyyy-mm-dd')", "2024-12-13"),
+    ("to_char('2024-12-13'::timestamp, 'mm')", "12"),
+    ("to_char('2024-12-13'::timestamp, 'miss-')", "0000-"),
+    ("to_char('2024-12-13'::timestamp, 'd')", "6"),
+    ("to_char('2024-12-13'::timestamp, 'w')", "2"),
+    ("to_char('2024-12-13'::timestamp, 'cc')", "21"),
+    ("to_char('2024-12-13'::timestamp, 'j')", "2460658"),
+    ("to_char('2024-12-13'::timestamp, 'iw')", "50"),
+    ("to_char(timestamp '1970-01-01', 'yyyy')", "1970"),
+    # :146-171 — interval operands (format 0000-01-01T00:00 + period)
+    ("to_char(interval '2 year', 'yyyy')", "0002"),
+    ("to_char(INTERVAL '1 year 2 months 3 weeks 5 hours 6 minutes "
+     "7 seconds', 'yyyy')", "0001"),
+    ("to_char(INTERVAL '1 year 2 months 3 weeks 5 hours 6 minutes "
+     "7 seconds', 'YYYY MM DD HH12:MI:SS')", "0001 03 22 05:06:07"),
+    ("to_char(INTERVAL '1 year 2 months 3 weeks 5 hours 6 minutes "
+     "7 seconds 1000 milliseconds', 'YYYY MM DD HH12:MI:SS')",
+     "0001 03 22 05:06:08"),
+    ("to_char(INTERVAL '1 year 2 months 3 weeks 5 hours 6 minutes "
+     "7 seconds 334 milliseconds', 'YYYY MM DD HH12:MI:SS.MS')",
+     "0001 03 22 05:06:07.334"),
+    ("to_char(INTERVAL '1 year 2 months 3 weeks 5 hours 6 minutes "
+     "7 seconds 1334 milliseconds', 'YYYY MM DD HH12:MI:SS.MS')",
+     "0001 03 22 05:06:08.334"),
+    # :192-215 — th/TH ordinal suffixes (case-exact token spellings)
+    ("to_char(timestamp '2024-01-15', 'DDth')", "15th"),
+    ("to_char(timestamp '2024-01-15', 'DDTH')", "15TH"),
+    ("to_char(timestamp '2024-01-11', 'DDth')", "11th"),
+    ("to_char(timestamp '2024-01-12', 'DDth')", "12th"),
+    ("to_char(timestamp '2024-01-13', 'DDth')", "13th"),
+    ("to_char(timestamp '2024-01-01', 'DDth')", "01st"),
+    ("to_char(timestamp '2024-01-02', 'DDth')", "02nd"),
+    ("to_char(timestamp '2024-01-03', 'DDth')", "03rd"),
+    ("to_char(timestamp '2024-01-21', 'DDth')", "21st"),
+    ("to_char(timestamp '2024-01-22', 'DDth')", "22nd"),
+    ("to_char(timestamp '2024-01-23', 'DDth')", "23rd"),
+    ("to_char(timestamp '2024-01-01', 'DDTh')", "01Th"),
+    ("to_char(timestamp '2024-01-01', 'DDtH')", "01tH"),
+    ("to_char(timestamp '2024-03-15', 'Wth')", "3rd"),
+    ("to_char(timestamp '2024-03-15', 'WWth')", "11th"),
+    ("to_char(timestamp '2024-03-15', 'IWth')", "11th"),
+    ("to_char(timestamp '2024-03-15', 'Qth')", "1st"),
+]
+
+REGEXP_CASES = [
+    # RegexpReplaceFunctionTest.java:39-70
+    ("regexp_replace('foobarbequebaz', 'crate', 'crate')",
+     "foobarbequebaz"),
+    ("regexp_replace('foobarbequebaz', 'ba', 'Crate')",
+     "fooCraterbequebaz"),
+    ("regexp_replace('foobarbequebaz', '(ba).*(ba)', 'First$1Second$2')",
+     "fooFirstbaSecondbaz"),
+    ("regexp_replace('foobarbequebaz', 'ba', 'Crate', 'g')",
+     "fooCraterbequeCratez"),
+    ("regexp_replace('st. cloud', '[^a-z]', '', 'g')", "stcloud"),
+    # RegexpCountFunctionTest.java:37-77
+    ("regexp_count('foobarbequebaz', 'crate')", 0),
+    ("regexp_count('foobarbequebaz', 'ba(?:r|z)')", 2),
+    ("regexp_count('aaaa', 'a{2}')", 2),
+    ("regexp_count('abcabc', 'abc', 2)", 1),
+    ("regexp_count('abcabc', 'abc', 1)", 2),
+    ("regexp_count('aaaa', 'aa', 2)", 1),
+    ("regexp_count('abc', 'a', 5)", 0),
+    ("regexp_count('AaA', 'a', 1, 'i')", 3),
+    # RegexpPositionFunctionTest.java:36-70 — the 7-arg signature
+    ("regexp_instr('foobarbequebaz', 'crate')", 0),
+    ("regexp_instr('foobarbequebaz', 'b..')", 4),
+    ("regexp_instr('foobarbequebaz', 'b..', 1, 2)", 7),
+    ("regexp_instr('foobarbequebaz', 'b..', 10, 1)", 12),
+    ("regexp_instr('foobarbequebaz', 'b..', 10, 1, 1)", 15),
+    ("regexp_instr('foobarbequebaz', 'B..', 10, 1, 1, 'i')", 15),
+    ("regexp_instr('foobarbequebaz', 'B..', 10, 1, 1, '')", 0),
+    ("regexp_instr('foobarbequebaz', 'O(B..).*(B..)', 1, 1, 0, 'i', 0)", 3),
+    ("regexp_instr('foobarbequebaz', 'O(B..).*(B..)', 1, 1, 0, 'i', 1)", 4),
+    ("regexp_instr('foobarbequebaz', 'O(B..).*(B..)', 1, 1, 0, 'i', 2)", 12),
+    ("regexp_instr('foobarbequebaz', 'O(B..).*(B..)', 1, 1, 1, 'i', 2)", 15),
+]
+
+DATE_BIN_CASES = [
+    # DateBinFunctionTest.java:93-127 — sign ignored, floor toward
+    # -infinity, bigint operands are epoch millis and stay bigint
+    ("date_bin('8 days'::interval, '2001-01-04 00:00:00'::timestamp, "
+     "'2001-01-01 00:00:00'::timestamp)", ts(978307200000)),
+    ("date_bin('-8 days'::interval, '2001-01-04 00:00:00'::timestamp, "
+     "'2001-01-01 00:00:00'::timestamp)", ts(978307200000)),
+    ("date_bin('8 days'::interval, '2001-01-01 00:00:00'::timestamp, "
+     "'2001-01-04 00:00:00'::timestamp)",
+     datetime.datetime(2000, 12, 27)),
+    ("date_bin('7 weeks'::INTERVAL, '2001-01-01 00:00:00'::timestamp, "
+     "'2001-01-01 00:00:00'::timestamp)", ts(978307200000)),
+    ("date_bin('3 days'::INTERVAL, 86400000*4, 0)", 86400000 * 3),
+    ("date_bin('-3 days'::INTERVAL, 86400000*4, 0)", 86400000 * 3),
+    ("date_bin('2 minutes'::INTERVAL, "
+     "'1969-01-01T00:07:00Z'::timestamp, 0)",
+     ts(-31536000000 + 6 * 60000)),
+]
+
+
+@pytest.mark.parametrize("expr,want", EXTRACT_CASES)
+def test_extract_reference_constants(sess, expr, want):
+    assert one(sess, expr) == want
+
+
+@pytest.mark.parametrize("expr,want", DATE_TRUNC_CASES)
+def test_date_trunc_reference_constants(sess, expr, want):
+    assert one(sess, expr) == want
+
+
+@pytest.mark.parametrize("expr,want", TO_CHAR_CASES)
+def test_to_char_reference_constants(sess, expr, want):
+    assert one(sess, expr) == want
+
+
+@pytest.mark.parametrize("expr,want", REGEXP_CASES)
+def test_regexp_reference_constants(sess, expr, want):
+    assert one(sess, expr) == want
+
+
+@pytest.mark.parametrize("expr,want", DATE_BIN_CASES)
+def test_date_bin_reference_constants(sess, expr, want):
+    assert one(sess, expr) == want
