@@ -4177,6 +4177,37 @@ def _js_block_to_python(
         m = re.match(r"(?:var|let|const)\b(.*?);", rest, re.DOTALL)
         if m:
             for decl in _js_split_decls(m.group(1)):
+                # destructuring declarations over plain identifier
+                # lists: `const {a, b} = o` / `const [x, y] = arr`
+                # (r9 — previously a declared rejection; renames,
+                # defaults and nesting still reject below)
+                dd = re.match(
+                    r"\s*([\[{])\s*([\w$]+(?:\s*,\s*[\w$]+)*)\s*([\]}])"
+                    r"\s*=\s*(.*)$",
+                    decl,
+                    re.DOTALL,
+                )
+                if dd and (dd.group(1), dd.group(3)) in {
+                    ("[", "]"), ("{", "}")
+                }:
+                    names = [x.strip() for x in dd.group(2).split(",")]
+                    tmp = f"__destr{depth}"
+                    body_lines.append(
+                        f"{pad}{tmp} = "
+                        f"{_js_expr_to_python(dd.group(4), lits)}"
+                    )
+                    for k2, nm in enumerate(names):
+                        if dd.group(1) == "[":
+                            body_lines.append(
+                                f"{pad}{nm} = ({tmp}[{k2}] "
+                                f"if {tmp} is not None "
+                                f"and len({tmp}) > {k2} else None)"
+                            )
+                        else:
+                            body_lines.append(
+                                f"{pad}{nm} = __js_member({tmp}, '{nm}')"
+                            )
+                    continue
                 dm = re.match(
                     r"\s*([\w$]+)\s*(?:=\s*(.*))?$", decl, re.DOTALL
                 )
@@ -4303,11 +4334,12 @@ def _js_block_to_python(
             continue
         m = re.match(r"switch\s*\(", rest)
         if m:
-            # switch with break/return/throw-terminated cases -> an
-            # if/elif chain on strict equality. JS fallthrough (a case
-            # whose statements don't end the case) is NOT translatable
-            # to if/elif and rejects at CREATE; consecutive bare
-            # `case a: case b:` labels (shared body) are supported.
+            # switch -> index dispatch with full JS semantics: an
+            # if/elif chain on strict equality picks the starting arm,
+            # then arms execute sequentially from that index until a
+            # terminal break (fallthrough supported, r9); consecutive
+            # bare `case a: case b:` labels (shared body) and a
+            # mid-switch default position all behave like GraalVM.
             subject, j = _js_balanced(rest, m.end() - 1)
             block, j = _js_brace_block(rest, j)
             body_lines.append(
@@ -4388,54 +4420,53 @@ def _js_block_to_python(
                         )
                     k += 1
 
-            for idx, (labels, stmts) in enumerate(arms):
-                # fallthrough check: every non-final arm must END the
-                # case with break/return/throw (JS fallthrough has no
-                # if/elif equivalent — reject at CREATE, fail loudly)
-                if idx < len(arms) - 1 and not _arm_terminated(stmts):
-                    raise ValueError(
-                        "unsupported JavaScript construct: switch case "
-                        "falls through (end each case with break/"
-                        "return/throw)"
-                    )
-            # JS evaluates every case before default regardless of
-            # the default's textual position: emit case arms in order,
-            # the default arm last as `else`
-            default_arm = next(
-                (a for a in arms if any(v is None for v in a[0])), None
+            # Full JS dispatch semantics, fallthrough included: pick
+            # the starting arm index (first matching case, else the
+            # default arm's TEXTUAL position, else past-the-end), then
+            # execute arms sequentially from that index until a
+            # terminal break sets the break flag (return/throw exit on
+            # their own). Case expressions evaluate in order, like JS.
+            default_idx = next(
+                (k for k, a in enumerate(arms)
+                 if any(v is None for v in a[0])),
+                len(arms),
             )
             first = True
-            for labels, stmts in arms:
-                if any(v is None for v in labels):
-                    continue
+            for idx, (labels, stmts) in enumerate(arms):
                 conds = " or ".join(
                     f"__switch{depth} == ({_js_expr_to_python(v, lits)})"
                     for v in labels
+                    if v is not None
                 )
+                if not conds:
+                    continue  # pure default arm: the else below
                 body_lines.append(
                     f"{pad}{'if' if first else 'elif'} {conds}:"
                 )
+                body_lines.append(f"{pad}    __swidx{depth} = {idx}")
                 first = False
-                # strip the terminal break (Python if/elif needs none)
-                inner = re.sub(r"break\s*;?\s*$", "", stmts)
-                _check_no_inner_break(inner)
-                before_len = len(body_lines)
-                _js_block_to_python(
-                    inner, depth + 1, body_lines, lits, scope_names, loop
-                )
-                if len(body_lines) == before_len:
-                    body_lines.append(f"{pad}    pass")
-            if default_arm is not None:
+            if first:
+                body_lines.append(f"{pad}__swidx{depth} = {default_idx}")
+            else:
+                body_lines.append(f"{pad}else:")
+                body_lines.append(f"{pad}    __swidx{depth} = {default_idx}")
+            body_lines.append(f"{pad}__swbrk{depth} = False")
+            for idx, (labels, stmts) in enumerate(arms):
                 body_lines.append(
-                    f"{pad}else:" if not first else f"{pad}if True:"
+                    f"{pad}if not __swbrk{depth} "
+                    f"and __swidx{depth} <= {idx}:"
                 )
-                inner = re.sub(r"break\s*;?\s*$", "", default_arm[1])
+                # strip the terminal break; it becomes the break flag
+                inner = re.sub(r"\bbreak\s*;?\s*$", "", stmts)
+                had_break = inner != stmts and _arm_terminated(stmts)
                 _check_no_inner_break(inner)
                 before_len = len(body_lines)
                 _js_block_to_python(
                     inner, depth + 1, body_lines, lits, scope_names, loop
                 )
-                if len(body_lines) == before_len:
+                if had_break:
+                    body_lines.append(f"{pad}    __swbrk{depth} = True")
+                elif len(body_lines) == before_len:
                     body_lines.append(f"{pad}    pass")
             i += j
             continue
@@ -4590,17 +4621,53 @@ def _js_function(body: str, env: dict) -> tuple[list[str], object]:
             "LANGUAGE JAVASCRIPT bodies must be a single "
             "`function name(args) { ... }` definition"
         )
-    params = [p.strip() for p in m.group(1).split(",") if p.strip()]
+    raw_params = [p.strip() for p in _js_split_decls(m.group(1)) if p.strip()]
+    params: list[str] = []
+    preamble: list[str] = []
+    bound: list[str] = []
+    for k, p in enumerate(raw_params):
+        # destructuring parameters over plain identifier lists:
+        # `function f([a, b])` / `function f({x, y})` (r9 — renames,
+        # defaults, nesting, and rest params still reject)
+        dp = re.fullmatch(
+            r"([\[{])\s*([\w$]+(?:\s*,\s*[\w$]+)*)\s*([\]}])", p
+        )
+        if dp and (dp.group(1), dp.group(3)) in {("[", "]"), ("{", "}")}:
+            names = [x.strip() for x in dp.group(2).split(",")]
+            synth = f"__arg{k}"
+            params.append(synth)
+            for k2, nm in enumerate(names):
+                if dp.group(1) == "[":
+                    preamble.append(
+                        f"    {nm} = ({synth}[{k2}] if {synth} is not None "
+                        f"and len({synth}) > {k2} else None)"
+                    )
+                else:
+                    preamble.append(
+                        f"    {nm} = __js_member({synth}, '{nm}')"
+                    )
+            bound.extend(names)
+        elif re.fullmatch(r"[\w$]+", p):
+            params.append(p)
+        else:
+            raise ValueError(
+                f"unsupported JavaScript construct: parameter {p!r}"
+            )
     lines = [
         "def __js_udf({}):".format(", ".join(f"{p}=None" for p in params))
     ]
+    lines.extend(preamble)
     # mask string + regex literals ONCE over the whole body, before
     # any statement parsing (a ';', ',' or paren inside a literal must
     # never split a statement)
     masked, body_lits = _js_mask_literals(m.group(2))
-    # the top scope's bound names (params + this body's declarations,
-    # nested fn bodies excluded) seed the closure nonlocal analysis
-    top_scope = set(params) | _js_declared_names(_js_strip_fn_bodies(masked))
+    # the top scope's bound names (params + destructured names + this
+    # body's declarations, nested fn bodies excluded) seed the closure
+    # nonlocal analysis
+    top_scope = (
+        set(params) | set(bound)
+        | _js_declared_names(_js_strip_fn_bodies(masked))
+    )
     _js_block_to_python(masked, 1, lines, body_lits, top_scope)
     if len(lines) == 1:
         lines.append("    return None")

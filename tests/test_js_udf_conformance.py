@@ -782,10 +782,10 @@ def test_js_method_dispatch_misses_throw_at_evaluate():
 
 
 def test_js_switch_statement():
-    """switch with break/return/throw-terminated cases translates to
-    an if/elif chain; shared `case a: case b:` labels and a default
-    in ANY textual position (JS checks all cases before default)
-    work; fallthrough rejects at CREATE."""
+    """switch translates to index dispatch with full JS semantics:
+    shared `case a: case b:` labels, a default in ANY textual position
+    (JS checks all cases before default), and fallthrough (r9 — a case
+    whose statements don't end the case continues into the next)."""
     body = (
         "function f(x) { switch (x) { case 1: return 'a'; "
         "case 2: case 3: return 'bc'; default: return 'z'; } }"
@@ -807,17 +807,84 @@ def test_js_switch_statement():
         "function f(x) { switch (x) { case 1: return 'a'; } return 'none'; }",
         5,
     ) == "none"
-    with pytest.raises(ValueError, match="falls through"):
-        _run("function f(x) { switch (x) { case 1: x = 2; case 2: return x; } }", 1)
+
+
+def test_js_switch_fallthrough():
+    """r9: fallthrough executes subsequent arms until a break;
+    mid-switch default participates in the fall order; a break before
+    the end of a case rejects at CREATE (ADVICE r8 — it would bind to
+    an enclosing Python loop)."""
+    assert _run(
+        "function f(x) { switch (x) { case 1: x = 2; case 2: return x; } }",
+        1,
+    ) == 2
+    # accumulate across arms; break stops the fall
+    body = (
+        "function f(x) { var s = ''; switch (x) { case 1: s += 'a'; "
+        "case 2: s += 'b'; break; case 3: s += 'c'; default: s += 'd'; } "
+        "return s; }"
+    )
+    assert [_run(body, v) for v in (1, 2, 3, 9)] == ["ab", "b", "cd", "d"]
+    # default mid-switch: no match starts at default and falls onward
+    assert _run(
+        "function f(x) { var s = ''; switch (x) { case 1: s += 'a'; "
+        "default: s += 'd'; case 2: s += 'b'; } return s; }",
+        9,
+    ) == "db"
+    # fallthrough inside a loop: the terminal break exits the SWITCH,
+    # not the loop
+    assert _run(
+        "function f(n) { var s = 0; for (var i = 0; i < n; i++) { "
+        "switch (i % 3) { case 0: s += 1; case 1: s += 10; break; "
+        "case 2: s += 100; } } return s; }",
+        6,
+    ) == 2 * (11 + 10 + 100)
+    with pytest.raises(ValueError, match="before the end of a switch"):
+        _run(
+            "function f(x) { switch (x) { case 1: if (x > 0) break; "
+            "x = 2; break; } return x; }",
+            1,
+        )
+
+
+def test_js_destructuring():
+    """r9: destructuring over plain identifier lists — parameters
+    (`function f([a, b])` / `function f({x, y})`) and declarations
+    (`const {a} = o` / `const [x, y] = arr`). Missing members and
+    out-of-range elements read as undefined/None, GraalVM host-access
+    style."""
+    assert _run(
+        "function f([a, b]) { return a + b; }", [3, 4]
+    ) == 7
+    assert _run(
+        "function f({x, y}) { return x * y; }", {"x": 3, "y": 5}
+    ) == 15
+    assert _run(
+        "function f(o) { const {a, b} = o; return a + b; }",
+        {"a": 1, "b": 2},
+    ) == 3
+    assert _run(
+        "function f(xs) { var [h, t] = xs; return h * 10 + t; }", [4, 2]
+    ) == 42
+    # missing -> undefined (None)
+    assert _run(
+        "function f([a, b]) { return b === undefined ? 'u' : b; }", [1]
+    ) == "u"
+    assert _run(
+        "function f({q}) { return q === undefined ? 'u' : q; }", {"x": 1}
+    ) == "u"
 
 
 def test_js_still_rejected_constructs():
     """The remaining declared divergences stay CREATE-time rejections:
-    destructuring, spread, block-body arrows in expression position
-    (the compile catches them), assignment-body callbacks."""
+    spread, rest/renamed/defaulted destructuring patterns, block-body
+    arrows in expression position (the compile catches them),
+    assignment-body callbacks."""
     for body in (
-        "function f(o) { const {a} = o; return a; }",
         "function f(xs) { return [...xs, 9]; }",
+        "function f(...xs) { return xs; }",
+        "function f({a: b}) { return b; }",
+        "function f([a = 1]) { return a; }",
         "function f(xs) { return xs.map(x => { return x * 2; }); }",
         "function f(xs) { var s = 0; xs.forEach(x => s += x); return s; }",
     ):
