@@ -849,3 +849,110 @@ def test_concat_slice_differential(crate, i, pair):
     a = canonical_rows([c.lower() for c in sdf_a.columns], ra)
     b = canonical_rows([c.lower() for c in sdf_b.columns], rb)
     assert a == b, f"values differ: {crate_sql} vs {ansi_sql}"
+
+
+# ---- EXTRACT dual-spelling family (VERDICT r8 "what's wrong" #1) -----------
+# The temporal family above (family #2) once encoded the EXTRACT(DOW)
+# blind spot: both engines spelled the field the same PG way, so the
+# hash matched while both were wrong vs the reference. This family
+# makes that structurally impossible for the divergent fields: the
+# ENGINE side uses the reference's native spelling (dow/day_of_week,
+# century) while the DUCKDB side spells the same reference semantics
+# the DuckDB way (isodow; floor(year/100)) — a regression on either
+# side breaks the pair. Same-semantics fields ride along as guards
+# over random literal timestamps.
+
+def gen_extract_pair(rng: random.Random) -> tuple[str, str]:
+    table, col = rng.choice(
+        [("orders", "o_orderdate"), ("lineitem", "l_shipdate")]
+    )
+    fam = rng.randrange(5)
+    if fam == 0:
+        # reference DOW / DAY_OF_WEEK = ISO Mon=1..Sun=7
+        # (ExtractFunctions.java:178) <-> DuckDB isodow
+        part = rng.choice(["dow", "day_of_week"])
+        return (
+            f"SELECT CAST(EXTRACT({part} FROM {col}) AS BIGINT) AS p, "
+            f"count(*) AS n FROM {table} GROUP BY p",
+            f"SELECT CAST(EXTRACT(isodow FROM {col}) AS BIGINT) AS p, "
+            f"count(*) AS n FROM {table} GROUP BY p",
+        )
+    if fam == 1:
+        # reference CENTURY = Joda centuryOfEra = year/100 truncation
+        # (2000 AND 2001 are both century 20) <-> explicit arithmetic
+        # in DuckDB (whose own century is the PG one)
+        return (
+            f"SELECT CAST(EXTRACT(century FROM {col}) AS BIGINT) AS c, "
+            f"count(*) AS n FROM {table} GROUP BY c",
+            f"SELECT CAST(floor(EXTRACT(year FROM {col}) / 100) AS BIGINT) "
+            f"AS c, count(*) AS n FROM {table} GROUP BY c",
+        )
+    y, mo, d = rng.randint(1971, 2030), rng.randint(1, 12), rng.randint(1, 28)
+    h, mi, s = rng.randint(0, 23), rng.randint(0, 59), rng.randint(0, 59)
+    ts = f"TIMESTAMP '{y}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{s:02d}'"
+    if fam == 2:
+        # one literal timestamp, every divergent-spelling field at once
+        return (
+            f"SELECT CAST(EXTRACT(dow FROM {ts}) AS BIGINT) AS dw, "
+            f"CAST(EXTRACT(day_of_week FROM {ts}) AS BIGINT) AS dw2, "
+            f"CAST(EXTRACT(century FROM {ts}) AS BIGINT) AS cc",
+            f"SELECT CAST(EXTRACT(isodow FROM {ts}) AS BIGINT) AS dw, "
+            f"CAST(EXTRACT(isodow FROM {ts}) AS BIGINT) AS dw2, "
+            f"CAST(floor({y} / 100) AS BIGINT) AS cc",
+        )
+    if fam == 3:
+        # integer SECOND over a fractional-seconds literal (reference:
+        # secondOfMinute drops the fraction) + epoch as exact bigint
+        frac = rng.randint(100, 999)
+        tsf = (
+            f"TIMESTAMP '{y}-{mo:02d}-{d:02d} "
+            f"{h:02d}:{mi:02d}:{s:02d}.{frac:03d}'"
+        )
+        return (
+            f"SELECT CAST(EXTRACT(second FROM {tsf}) AS BIGINT) AS sec, "
+            f"CAST(floor(EXTRACT(epoch FROM {tsf})) AS BIGINT) AS ep",
+            f"SELECT CAST(EXTRACT(second FROM {tsf}) AS BIGINT) AS sec, "
+            f"CAST(floor(EXTRACT(epoch FROM {tsf})) AS BIGINT) AS ep",
+        )
+    # same-semantics guard fields over the literal: both spell alike,
+    # so a drift in EITHER engine's numbering surfaces as a mismatch
+    parts = ["year", "quarter", "month", "week", "day", "doy",
+             "hour", "minute"]
+    rng.shuffle(parts)
+    chosen = parts[:4]
+    sel = ", ".join(
+        f"CAST(EXTRACT({p} FROM {ts}) AS BIGINT) AS f{k}"
+        for k, p in enumerate(chosen)
+    )
+    return (f"SELECT {sel}", f"SELECT {sel}")
+
+
+N_EXTRACT_PAIRS = 110
+
+
+def _extract_pairs():
+    rng = random.Random(SEED ^ 0xE87AC7)
+    return [
+        gen_extract_pair(random.Random(rng.getrandbits(64)))
+        for _ in range(N_EXTRACT_PAIRS)
+    ]
+
+
+@pytest.mark.parametrize(
+    "i,pair",
+    list(enumerate(_extract_pairs())),
+    ids=[f"x{i:03d}" for i in range(N_EXTRACT_PAIRS)],
+)
+def test_extract_spelling_differential(crate, duck, i, pair):
+    engine_sql, duck_sql = pair
+    sdf = crate.execute(engine_sql)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(duck_sql)
+    ocols = [c[0] for c in cur.description]
+    orows = cur.fetchall()
+    assert len(srows) == len(orows), (
+        f"row count differs: {engine_sql} vs {duck_sql}"
+    )
+    a = canonical_rows([c.lower() for c in sdf.columns], srows)
+    b = canonical_rows([c.lower() for c in ocols], orows)
+    assert a == b, f"values differ: {engine_sql} vs {duck_sql}"
