@@ -51,6 +51,10 @@ HEADLINE = [
     # write-path roundtrip
     "sql_match_score",
     "dml_copy_roundtrip",
+    # r9 addition (VERDICT r8 #6): the routed-PQ single-scan batch —
+    # 200 queries, one corpus scan — so the ANN batch contract gets
+    # timing regression cover like the other headliners
+    "vector_ann_pq_routed",
 ]
 
 

@@ -86,9 +86,11 @@ def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
     bigint. JVM-side: each bit is a dot product against a literal array
     (no Python in the row path).
     """
+    from crate_spark.operators.quant import _lit_vec
+
     bits = []
     for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        lit_plane = _lit_vec(plane)
         bit = (dot_product(vec, lit_plane) > 0).cast("bigint") * F.lit(2**i)
         bits.append(bit)
     out = bits[0]
@@ -247,10 +249,12 @@ def _nearest_cells(vec: Column, cents: np.ndarray, nprobe: int) -> Column:
     Pure JVM: squared distance to each literal centroid, struct-sort
     (lexicographic on (dist, cid)), slice. No Python in the row path.
     """
+    from crate_spark.operators.quant import _lit_vec
+
     cells = F.array(
         *[
             F.struct(
-                l2_squared(vec, F.array(*[F.lit(float(x)) for x in c])).alias("d"),
+                l2_squared(vec, _lit_vec(c)).alias("d"),
                 F.lit(i).alias("cid"),
             )
             for i, c in enumerate(cents)

@@ -155,8 +155,26 @@ def pq_codebooks_cached(
     )
 
 
+def _sql_double(x) -> str:
+    r = repr(float(x))
+    return r if "e" in r or "E" in r else r + "D"
+
+
+def _lit_vec(vals) -> F.Column:
+    """array<double> literal via ONE sql parse — the
+    ``F.array(*[F.lit(x) ...])`` spelling costs a py4j round-trip PER
+    ELEMENT, which at codebook/centroid sizes is seconds of driver
+    time per plan build (the routed 200-query batch spent 4+ s just
+    constructing expressions)."""
+    return F.expr("array(" + ", ".join(_sql_double(x) for x in vals) + ")")
+
+
 def _lit_matrix(rows) -> F.Column:
-    return F.array(*[F.array(*[F.lit(float(x)) for x in r]) for r in rows])
+    """array<array<double>> literal via one sql parse (see _lit_vec)."""
+    body = ", ".join(
+        "array(" + ", ".join(_sql_double(x) for x in r) + ")" for r in rows
+    )
+    return F.expr(f"array({body})")
 
 
 def pq_encode(vec, codebooks) -> F.Column:
@@ -200,7 +218,7 @@ def pq_adc_distance(codes, query_vec, codebooks) -> F.Column:
     )  # (m, k)
     total = F.lit(0.0)
     for j in range(m):
-        row = F.array(*[F.lit(float(x)) for x in lut[j]])
+        row = _lit_vec(lut[j])
         total = total + F.element_at(row, F.element_at(c, j + 1) + 1)
     return total
 
@@ -287,26 +305,34 @@ def _knn_pq_ivf_routed(
         "_qvec",
         F.explode(knn._nearest_cells(F.col("_qvec"), centroids, nprobe)).alias("_cell"),
     )
+    # the heavy ADC/L2 expressions materialize in ONE select each
+    # (chained withColumns re-analyze the whole tree per call — over a
+    # second of driver time per plan at this expression size, r9
+    # profile), and the window sort keys reference the materialized
+    # column so the expression is never evaluated twice
     w_short = Window.partitionBy("query_id").orderBy("_adc", id_col)
     short = (
         coded.join(F.broadcast(probes), "_cell")
-        .withColumn("_adc", pq_adc_distance_expr("_codes", "_qvec", codebooks))
-        .withColumn("_srn", F.row_number().over(w_short))
+        .select(
+            "*",
+            pq_adc_distance_expr("_codes", "_qvec", codebooks).alias("_adc"),
+        )
+        .select("*", F.row_number().over(w_short).alias("_srn"))
         .filter(F.col("_srn") <= shortlist * k_neighbors)
     )
     # exact L2 sits ABOVE the shortlist cut (same evaluation-order trap
     # as the per-query path): it runs on shortlist rows only
-    l2 = l2_squared("_cvec", "_qvec")
     w = Window.partitionBy("query_id").orderBy("_l2", id_col)
     return (
-        short.withColumn("_l2", l2)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k_neighbors)
+        short.select("*", l2_squared("_cvec", "_qvec").alias("_l2"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             F.round("_l2", 9).alias("l2_dist"),
+            F.row_number().over(w).alias("_rn"),
         )
+        .filter(F.col("_rn") <= k_neighbors)
+        .drop("_rn")
     )
 
 
@@ -398,7 +424,7 @@ def knn_pq(
     )
     per_q = []
     for qid, qv in queries:
-        qlit = F.array(*[F.lit(float(x)) for x in qv])
+        qlit = _lit_vec(qv)
         l2 = F.aggregate(
             F.zip_with(
                 F.col(vec_col), qlit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)

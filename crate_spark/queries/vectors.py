@@ -163,6 +163,27 @@ def embedding_neardup_cosine(spark, sf_dir):
     )
 
 
+@query("vector_ann_pq_routed", oracle=None)
+def vector_ann_pq_routed(spark, sf_dir):
+    """The large-batch PQ path as a headliner (VERDICT r8 #6): a FIXED
+    200-query batch crosses ``crate_spark.vector.pq_route_threshold``
+    and routes through the IVF-celled single-scan search
+    (operators/quant._knn_pq_ivf_routed) — ONE corpus scan for the
+    whole batch, query batch broadcast, training memoized on the
+    corpus plan's semanticHash. Rows-only (k-means codebooks aren't
+    SQL-expressible); the single-scan plan contract is pinned at both
+    test scale and bench sf in tests/test_plans.py, and recall in
+    tests/test_pipeline.py."""
+    from crate_spark.operators import quant as Q
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qs = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 200).collect()
+    ]
+    return Q.knn_pq(emb, qs, k_neighbors=10)
+
+
 @query("vector_ann_pq", oracle=None)
 def vector_ann_pq(spark, sf_dir):
     """Product-quantization kNN with exact re-rank

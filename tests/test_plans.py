@@ -10,6 +10,8 @@ evaluation in JVM-only operators.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from crate_spark.queries import load_all
@@ -354,6 +356,38 @@ def test_pq_large_batch_routes_to_one_scan(spark):
         assert fplan.count("Scan parquet") == 1
     finally:
         spark.conf.unset("crate_spark.vector.pq_route_threshold")
+
+
+BENCH_SF_DIR = "/root/testdata/sf0.1"
+
+
+def test_routed_pq_single_scan_at_bench_sf(spark):
+    """VERDICT r8 #7: the routed-PQ single-scan contract re-pinned at
+    the BENCH scale factor under AQE (the earlier pin runs at test
+    scale): the headliner's fixed 200-query batch plans exactly ONE
+    corpus parquet scan with the query batch broadcast. Plan is read
+    BEFORE collect (post-execution AQE toString double-counts)."""
+    if not os.path.isdir(BENCH_SF_DIR):
+        pytest.skip("bench sf dir not present")
+    df = REGISTRY["vector_ann_pq_routed"].fn(spark, BENCH_SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_copy_roundtrip_verify_agg_plan_at_bench_sf(spark):
+    """VERDICT r8 #7: dml_copy_roundtrip's verify aggregate re-pinned
+    at the bench sf under AQE — a clean partial->final two-exchange
+    collapse (decimal sum + count-distinct), no Python, no extra
+    shuffle sneaking in at the larger scale."""
+    if not os.path.isdir(BENCH_SF_DIR):
+        pytest.skip("bench sf dir not present")
+    df = REGISTRY["dml_copy_roundtrip"].fn(spark, BENCH_SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
 
 
 def test_bm25_scoring_is_map_only(spark):

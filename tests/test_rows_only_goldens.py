@@ -38,6 +38,7 @@ GOLDENS = {
     "vector_ann_lsh": (25, "f11c95d49df111c4fbcc390570645d09a2f890e2d22f5771945165562b222aed"),
     "vector_ann_ivf": (25, "57fc00e9191fb456a3507d0638e04eba602cfe5b1756a08c7ca8323e0ca982b2"),
     "vector_ann_pq": (30, "966810acb11804638680c649af320dedef6247a357d078f8cbf02f79aa38d1fd"),
+    "vector_ann_pq_routed": (2000, "d2482dae0cc388535e86b76b7aa1c5985e5d43d23fd7f9f62756646eaedab56c"),
     "text_minhash_lsh": (25, "8ed74b6974881f5f6eee159057e2a53dd223ba48abe448ad3c1384df541b9bd2"),
     "text_simhash": (29, "d8b8040ad4ccc54150c6d1cde608d087cff8c12202e02ebe2666369551985140"),
     "ts_lttb_downsample": (7499, "869c05981d88ce4e78ac41dd7f500e935b82e850bf4a030580d21dc5ce901041"),
