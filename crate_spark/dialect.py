@@ -1207,8 +1207,11 @@ def _geo_within_sql(a: list[str], literals: list[str]) -> str | None:
 def _trunc_sql(a: list[str]) -> str | None:
     if len(a) == 1:
         return f"(CAST(CAST({a[0]} AS BIGINT) AS DOUBLE))"
-    if len(a) == 2 and re.fullmatch(r"\d+", a[1]):
-        pow10 = f"1e{a[1]}"
+    if len(a) == 2 and re.fullmatch(r"-?\d+", a[1].strip()):
+        # negative digit counts truncate whole-number places toward
+        # zero, like the reference (TruncFunctionTest.java:81
+        # trunc(29.1947, -1) = 20.0)
+        pow10 = f"1e{int(a[1])}"
         return f"(CAST(CAST(({a[0]}) * {pow10} AS BIGINT) AS DOUBLE) / {pow10})"
     return None  # trunc(date, 'MM') etc.: Spark's own trunc
 
@@ -1316,6 +1319,51 @@ def _named_struct_entries(text: str) -> dict[str, str] | None:
     if len(args) % 2:
         return None
     return {args[i]: args[i + 1] for i in range(0, len(args), 2)}
+
+
+def _substring_from_for_commas(sql: str) -> str:
+    """``substring(x FROM a [FOR b])`` -> ``substring(x, a[, b])``:
+    the SQL-standard keyword spelling normalized to the comma form, so
+    the PG REGEX variant (non-numeric second arg,
+    SubstrFunctionTest.java:106 ``substring('foobar' FROM 'o.b')``)
+    reaches ``_substring_regex_sql`` and positional forms reach
+    Spark's builtin unchanged. Top-level keywords only — a FROM inside
+    a nested call is someone else's clause."""
+    pat = re.compile(r"\bsubstr(?:ing)?\s*\(", re.IGNORECASE)
+    kw = re.compile(r"\s+(?:FROM|FOR)\s+", re.IGNORECASE)
+    out, i = [], 0
+    while True:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            return "".join(out)
+        close = _find_close(sql, m.end() - 1)
+        if close < 0:
+            out.append(sql[i:])
+            return "".join(out)
+        inner = _substring_from_for_commas(sql[m.end() : close])
+        # replace top-level FROM/FOR keywords with commas
+        pieces, j, d = [], 0, 0
+        k = 0
+        while k < len(inner):
+            ch = inner[k]
+            if ch in "([":
+                d += 1
+            elif ch in ")]":
+                d -= 1
+            elif d == 0:
+                km = kw.match(inner, k)
+                if km:
+                    pieces.append(inner[j:k])
+                    pieces.append(", ")
+                    j = k = km.end()
+                    continue
+            k += 1
+        pieces.append(inner[j:])
+        out.append(sql[i : m.end()])
+        out.append("".join(pieces))
+        i = close
+    return "".join(out)
 
 
 def _substring_regex_sql(a: list[str], lits: list[str]) -> str | None:
@@ -3180,6 +3228,14 @@ def rewrite(
         sql,
         flags=re.IGNORECASE,
     )
+
+    # SQL-standard keyword spellings normalized before templating:
+    # substring(x FROM a [FOR b]) -> comma form (routes the PG regex
+    # variant to _substring_regex_sql); bare `trim(from x)` -> the
+    # `trim(both from x)` spelling Spark parses
+    sql = _substring_from_for_commas(sql)
+    sql = re.sub(r"\btrim\s*\(\s*from\b", "trim(both from", sql,
+                 flags=re.IGNORECASE)
 
     sql = _rewrite_crate_fns(sql, literals)
 

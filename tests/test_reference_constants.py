@@ -330,3 +330,110 @@ def test_regexp_reference_constants(sess, expr, want):
 @pytest.mark.parametrize("expr,want", DATE_BIN_CASES)
 def test_date_bin_reference_constants(sess, expr, want):
     assert one(sess, expr) == want
+
+
+# ---------------------------------------------------------------------------
+# batch 2: math + string families (same sweep, second pass)
+# ---------------------------------------------------------------------------
+
+MATH_CASES = [
+    # RoundFunctionTest.java:43-85 — float/double round is Java
+    # Math.round (floor(x+0.5): -42.5 -> -42), numeric is HALF_UP
+    ("round(42.2)", 42),
+    ("round(42)", 42),
+    ("round(cast(42.5 as float))", 43),
+    ("round(cast(-42.5 as float))", -42),
+    ("round(cast(42.5 as double))", 43),
+    ("round(cast(-42.5 as double))", -42),
+    ("round(123.123, 1)", 123.1),
+    ("round(123.123, -1)", 120),
+    ("round(-123.123, -1)", -120),
+    ("round(260.775, 2)", 260.78),
+    ("round(987.987, -1)", 990),
+    # TruncFunctionTest.java:80-97 — truncation toward zero, negative
+    # digit counts truncate whole-number places
+    ("trunc(29.1947)", 29),
+    ("trunc(29.1947, 2)", 29.19),
+    ("trunc(29.1947, -1)", 20.0),
+    ("trunc(246.0, -2)", 200.0),
+    # Ceil/FloorFunctionTest.java
+    ("ceil(29.9)", 30),
+    ("ceil(-29.9)", -29),
+    ("ceiling(-95.3)", -95),
+    ("floor(29.9)", 29),
+    ("floor(-29.9)", -30),
+]
+
+STRING_CASES = [
+    # StringPositionFunctionTest.java:33-73
+    ("strpos('crate', 'ate')", 3),
+    ("strpos('crate', 'db')", 0),
+    ("strpos('This is crate', 'is')", 3),
+    ("strpos('ThIs IS crate', '')", 1),
+    ("strpos('', 'crate')", 0),
+    ("strpos('', '')", 1),
+    ("position('ate' in 'crate')", 3),
+    # StringLeftRightFunctionTest.java:36-54 — negative lengths count
+    # from the other end, PG-style
+    ("left('crate.io', 5)", "crate"),
+    ("left('crate.io', -3)", "crate"),
+    ("left('crate.io', 0)", ""),
+    ("right('crate.io', 2)", "io"),
+    ("right('crate.io', -6)", "io"),
+    # StringPaddingFunctionTest.java:55-86
+    ("lpad('yes', 0, 'yes')", ""),
+    ("lpad('yes', -1, 'yes')", ""),
+    ("lpad('yes', 5, '')", "yes"),
+    ("lpad('yes', 2, '')", "ye"),
+    ("lpad('yes', 5)", "  yes"),
+    ("lpad('', 5, 'yes')", "yesye"),
+    # StringSplitPartFunctionTest.java:34-91 (empty separator, overlap)
+    ("split_part('abc~@~def~@~ghi', '~@~', 2)", "def"),
+    ("split_part('abc~@~def~@~ghi', '~@~', 4)", ""),
+    ("split_part('abcdefg', '', 1)", "abcdefg"),
+    ("split_part('abcdefg', '', 2)", ""),
+    ("split_part('+++++++++++a+++b', '+++', 4)", "++a"),
+    ("split_part('+++++++++++a+++b', '+++', 5)", "b"),
+    # Translate / Chr / Trim / EncodeDecode tests
+    ("translate('Crate', 'Ct', 'Dk')", "Drake"),
+    ("chr(65)", "A"),
+    ("btrim('  Arthur  ')", "Arthur"),
+    ("rtrim('  Arthur  ')", "  Arthur"),
+    ("trim(both ' ' FROM '  trim this  ')", "trim this"),
+    ("trim(leading ' ' FROM '  trim this  ')", "trim this  "),
+    ("trim('ab' from 'ababtrim thisbaba')", "trim this"),
+    ("trim(leading from ' trim')", "trim"),
+    ("trim(trailing from ' trim  ')", " trim"),
+    ("trim(from ' trim ')", "trim"),
+    ("encode('123', 'base64')", "MTIz"),
+    ("encode('', 'base64')", ""),
+    # SubstrFunctionTest.java:56-126 — incl. the SQL-standard keyword
+    # spelling routing the PG REGEX variant (r9 fix)
+    ("substr('cratedata', 6, 2)", "da"),
+    ("substring('cratedata' FROM 6 FOR 2)", "da"),
+    ("substring('cratedata' FROM 6)", "data"),
+    ("substring('foobar' FROM 'o.b')", "oob"),
+    ("substring('foobar' FROM 'o(.)b')", "o"),
+    ("substring('foobar' FROM '(.)oo([a-z])')", "f"),
+    ("substring('foobar' FROM 'nomatch')", None),
+]
+
+
+def _check(sess, expr, want):
+    got = one(sess, expr)
+    if want is None:
+        assert got is None, (expr, got)
+    elif isinstance(want, float):
+        assert got is not None and abs(float(got) - want) < 1e-9, (expr, got)
+    else:
+        assert got == want, (expr, got)
+
+
+@pytest.mark.parametrize("expr,want", MATH_CASES)
+def test_math_reference_constants(sess, expr, want):
+    _check(sess, expr, want)
+
+
+@pytest.mark.parametrize("expr,want", STRING_CASES)
+def test_string_reference_constants(sess, expr, want):
+    _check(sess, expr, want)
