@@ -144,7 +144,8 @@ _SUBSCRIPT_RE = _RE.compile(rf"(?P<base>{_sub_base()})\s*\[\s*(?P<idx>\d+)\s*\]"
 #: 1-based inclusive slice subscript arr[from:to] with optional open
 #: ends (AstBuilder subscript grammar -> ArraySliceFunction)
 _SUBSCRIPT_SLICE_RE = _RE.compile(
-    rf"(?P<base>{_sub_base()})\s*\[\s*(?P<frm>\d*)\s*:\s*(?P<to>\d*)\s*\]"
+    rf"(?P<base>{_sub_base()})\s*\[\s*(?P<frm>(?i:null)|\d*)\s*"
+    rf":\s*(?P<to>(?i:null)|\d*)\s*\]"
 )
 
 
@@ -194,6 +195,12 @@ def _cast_type(t: str) -> str:
 
 def _subscript_slice_sub(m: re.Match) -> str:
     base, frm, to = m.group("base"), m.group("frm"), m.group("to")
+    # NULL bounds read as open ends (ArraySliceFunctionTest.java:97:
+    # [null:3] slices from 1, [3:null] to the end)
+    if frm.lower() == "null":
+        frm = ""
+    if to.lower() == "null":
+        to = ""
     if not frm and not to:
         return base
     if not frm:
@@ -328,8 +335,13 @@ _FN_TEMPLATES: dict = {
     "array_set": lambda a, lits: _array_set_sql(a),
     "array_position": lambda a, lits: (
         # reference returns NULL when absent; Spark returns 0. 3-arg
-        # form searches FROM a 1-based start position.
-        f"nullif(array_position({a[0]}, {a[1]}), 0)"
+        # form searches FROM a 1-based start position. A NULL needle
+        # finds the first null ELEMENT (ArrayPositionFunctionTest:45 —
+        # Spark's builtin would just return NULL).
+        f"nullif(coalesce(array_position(transform({a[0]}, "
+        f"__x -> __x IS NULL), true), 0), 0)"
+        if len(a) == 2 and a[1].strip().upper() == "NULL"
+        else f"nullif(array_position({a[0]}, {a[1]}), 0)"
         if len(a) == 2
         else (
             f"(CASE WHEN array_position(slice({a[0]}, {a[2]}, size({a[0]})), "

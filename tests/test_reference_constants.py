@@ -437,3 +437,49 @@ def test_math_reference_constants(sess, expr, want):
 @pytest.mark.parametrize("expr,want", STRING_CASES)
 def test_string_reference_constants(sess, expr, want):
     _check(sess, expr, want)
+
+
+# ---------------------------------------------------------------------------
+# batch 3: hash vectors, ascii, array slice/position edges
+# ---------------------------------------------------------------------------
+
+MISC_CASES = [
+    # AsciiFunctionTest.java:30-46 (codepoint, not byte — emoji)
+    ("ascii('a')", 97),
+    ("ascii('ab')", 97),
+    ("ascii('')", 0),
+    ("ascii('💩')", 128169),
+    # HashFunctionsTest.java:36-44 — externally-sourced digest vectors
+    ("md5('©rate')", "53cee571b9fbab07cc894d55988cc70b"),
+    ("md5('crate')", "dd4827af87b26de9ed92e6fb08efc5ab"),
+    ("md5('')", "d41d8cd98f00b204e9800998ecf8427e"),
+    ("sha1('©rate')", "9a437faeb9adff59cc06313bfb23fe1d46181924"),
+    ("sha1('crate')", "1673dc397042322a0a5ac49c79cc08d3a25cb0f6"),
+    ("sha1('')", "da39a3ee5e6b4b0d3255bfef95601890afd80709"),
+    ("blake3('crate')",
+     "012efcab3db1a63a5d50510e48f1fbf3ac26dbd28a3cec099457eff5fefa96aa"),
+    ("'crate ' || sha1('')",
+     "crate da39a3ee5e6b4b0d3255bfef95601890afd80709"),
+    # ArraySliceFunctionTest.java:37-107 — incl. NULL open bounds (r9)
+    ("[1, 2, 3, 4, 5][1:3]", [1, 2, 3]),
+    ("[1, 2, 3, 4, 5][2:]", [2, 3, 4, 5]),
+    ("[1, 2, 3, 4, 5][6:]", []),
+    ("[1, 2, 3, 4, 5][:]", [1, 2, 3, 4, 5]),
+    ("[1, 2, 3, 4, 5][ 3 :100]", [3, 4, 5]),
+    ("[1, 2, 3, 4, 5][ 20:100 ]", []),
+    ("[1, 2, 3, 4, 5][ 3 : 1 ]", []),
+    ("[1,2,3,4,5][null:3]", [1, 2, 3]),
+    ("[1,2,3,4,5][3:null]", [3, 4, 5]),
+    ("array_slice([1, 2, 3, 4, 5], 3, 5)", [3, 4, 5]),
+    # ArrayPositionFunctionTest.java:45 — a NULL needle finds the
+    # first null ELEMENT (r9; Spark's builtin just returns NULL)
+    ("array_position([3,2,null,4,6], null)", 3),
+    ("array_position([3,2,4,6], null)", None),
+    ("repeat('ab', 3)", "ababab"),
+    ("reverse('crate')", "etarc"),
+]
+
+
+@pytest.mark.parametrize("expr,want", MISC_CASES)
+def test_misc_reference_constants(sess, expr, want):
+    _check(sess, expr, want)
