@@ -483,3 +483,21 @@ MISC_CASES = [
 @pytest.mark.parametrize("expr,want", MISC_CASES)
 def test_misc_reference_constants(sess, expr, want):
     _check(sess, expr, want)
+
+
+TS_ARITH_CASES = [
+    # TimestampArithmeticTest.java:51-53 — ts - ts is a day-time
+    # Period (days/hours, never months); field signs follow the total
+    ("extract(day from ('2022-11-13T01:22:33'::timestamp - "
+     "'2022-12-05T21:22:33'::timestamp))", -22),
+    ("extract(hour from ('2022-11-13T01:22:33'::timestamp - "
+     "'2022-12-05T21:22:33'::timestamp))", -20),
+    # (ts + ts — the reference's bigint-epoch-sum quirk,
+    # TimestampArithmeticTest.java:34 — is a declared divergence:
+    # Spark types timestamps, it does not add them)
+]
+
+
+@pytest.mark.parametrize("expr,want", TS_ARITH_CASES)
+def test_ts_arith_reference_constants(sess, expr, want):
+    _check(sess, expr, want)
