@@ -2803,12 +2803,37 @@ class CrateSession:
             " ".join(s[1:]).lower() if len(s) > 1 else "" for s in specs
         ]
         sig = tuple(_map_type(t) if t else "" for t in declared_types)
+        def _obj_parse(x):
+            # OBJECT values ride the engine as JSON strings (dynamic
+            # object representation); a JS UDF's declared-object param
+            # must see the OBJECT, not its encoding, for property
+            # access / destructuring (GraalVM host access gets a map)
+            import json as _json
+
+            if isinstance(x, str):
+                try:
+                    v = _json.loads(x)
+                    return v if isinstance(v, (dict, list)) else x
+                except Exception:
+                    return x
+            return x
+
         coercers = []
         for declared in declared_types:
             if declared in _float_types:
                 coercers.append(float)
             elif declared in _int_types:
                 coercers.append(int)
+            elif language == "JAVASCRIPT" and declared.startswith("object"):
+                coercers.append(_obj_parse)
+            elif language == "JAVASCRIPT" and re.fullmatch(
+                r"array\s*\(\s*object.*", declared
+            ):
+                coercers.append(
+                    lambda xs: [_obj_parse(e) for e in xs]
+                    if isinstance(xs, list)
+                    else xs
+                )
             else:
                 coercers.append(lambda x: x)
 
@@ -3989,10 +4014,17 @@ def _js_expr_to_python(expr: str, body_lits: list[str] | None = None) -> str:
         expr,
     )
     expr = re.sub(r", \)", ")", expr)  # join() with no separator
+    # block-body arrows whose body is EXACTLY one return statement
+    # unwrap to the expression form (r9: `xs.map(x => { return x*2; })`
+    # was a CREATE-time rejection; multi-statement block bodies still
+    # fail at the compile like any other untranslatable construct)
+    expr = re.sub(
+        r"=>\s*\{\s*return\b([^{};]*);?\s*\}",
+        r"=> (\1)",
+        expr,
+    )
     # expression-body arrow functions -> Python lambdas (JS callbacks:
-    # xs.map(x => x * 2), sort((a, b) => a - b)); block bodies in
-    # expression position stay unsupported and fail at the CREATE-time
-    # compile like any other untranslatable construct
+    # xs.map(x => x * 2), sort((a, b) => a - b))
     expr = re.sub(
         r"\(\s*([\w$]*(?:\s*,\s*[\w$]+)*)\s*\)\s*=>\s*(?!\{)",
         r"lambda \1: ",
@@ -4177,37 +4209,29 @@ def _js_block_to_python(
         m = re.match(r"(?:var|let|const)\b(.*?);", rest, re.DOTALL)
         if m:
             for decl in _js_split_decls(m.group(1)):
-                # destructuring declarations over plain identifier
-                # lists: `const {a, b} = o` / `const [x, y] = arr`
-                # (r9 — previously a declared rejection; renames,
-                # defaults and nesting still reject below)
+                # destructuring declarations: `const {a, b: c = 1} = o`
+                # / `const [x, y = 2] = arr` — identifier lists with
+                # optional renames/defaults (r9; nesting/rest still
+                # reject below)
                 dd = re.match(
-                    r"\s*([\[{])\s*([\w$]+(?:\s*,\s*[\w$]+)*)\s*([\]}])"
-                    r"\s*=\s*(.*)$",
+                    r"\s*([\[{])(.*?)([\]}])\s*=\s*(.*)$",
                     decl,
                     re.DOTALL,
                 )
                 if dd and (dd.group(1), dd.group(3)) in {
                     ("[", "]"), ("{", "}")
                 }:
-                    names = [x.strip() for x in dd.group(2).split(",")]
                     tmp = f"__destr{depth}"
-                    body_lines.append(
-                        f"{pad}{tmp} = "
-                        f"{_js_expr_to_python(dd.group(4), lits)}"
+                    bindings = _js_destructure_bindings(
+                        dd.group(1), dd.group(2), tmp, pad, lits
                     )
-                    for k2, nm in enumerate(names):
-                        if dd.group(1) == "[":
-                            body_lines.append(
-                                f"{pad}{nm} = ({tmp}[{k2}] "
-                                f"if {tmp} is not None "
-                                f"and len({tmp}) > {k2} else None)"
-                            )
-                        else:
-                            body_lines.append(
-                                f"{pad}{nm} = __js_member({tmp}, '{nm}')"
-                            )
-                    continue
+                    if bindings is not None:
+                        body_lines.append(
+                            f"{pad}{tmp} = "
+                            f"{_js_expr_to_python(dd.group(4), lits)}"
+                        )
+                        body_lines.extend(bindings)
+                        continue
                 dm = re.match(
                     r"\s*([\w$]+)\s*(?:=\s*(.*))?$", decl, re.DOTALL
                 )
@@ -4585,6 +4609,47 @@ def _js_block_to_python(
     lines.extend(body_lines)
 
 
+def _js_destructure_bindings(kind, body, src, pad, lits):
+    """Python binding lines for one ``{...}``/``[...]`` destructuring
+    pattern: plain identifiers, optional ``key: target`` renames
+    (objects), optional ``= default`` values (applied when the member
+    reads undefined/None, like JS absent members; null is conflated
+    with undefined here — documented). None when the pattern is out of
+    subset (nesting, rest, computed keys)."""
+    lines = []
+    for k, elem in enumerate(_js_split_decls(body)):
+        if kind == "{":
+            m = re.fullmatch(
+                r"\s*([\w$]+)\s*(?::\s*([\w$]+))?\s*(?:=\s*(.+?))?\s*",
+                elem,
+                re.DOTALL,
+            )
+            if not m:
+                return None
+            target = m.group(2) or m.group(1)
+            default = m.group(3)
+            val = f"__js_member({src}, '{m.group(1)}')"
+        else:
+            m = re.fullmatch(
+                r"\s*([\w$]+)\s*(?:=\s*(.+?))?\s*", elem, re.DOTALL
+            )
+            if not m:
+                return None
+            target, default = m.group(1), m.group(2)
+            val = (
+                f"({src}[{k}] if {src} is not None "
+                f"and len({src}) > {k} else None)"
+            )
+        if default is not None:
+            dv = _js_expr_to_python(default, lits)
+            lines.append(
+                f"{pad}{target} = ({val} if {val} is not None else ({dv}))"
+            )
+        else:
+            lines.append(f"{pad}{target} = {val}")
+    return lines
+
+
 def _js_function(body: str, env: dict) -> tuple[list[str], object]:
     """``function name(params) { statements }`` -> (params, Python
     callable). Translation + compilation happen HERE, at CREATE
@@ -4626,27 +4691,24 @@ def _js_function(body: str, env: dict) -> tuple[list[str], object]:
     preamble: list[str] = []
     bound: list[str] = []
     for k, p in enumerate(raw_params):
-        # destructuring parameters over plain identifier lists:
-        # `function f([a, b])` / `function f({x, y})` (r9 — renames,
-        # defaults, nesting, and rest params still reject)
-        dp = re.fullmatch(
-            r"([\[{])\s*([\w$]+(?:\s*,\s*[\w$]+)*)\s*([\]}])", p
-        )
+        # destructuring parameters: `function f([a, b = 1])` /
+        # `function f({x, y: z = 2})` — identifier lists with optional
+        # renames/defaults (r9; nesting and rest params still reject)
+        dp = re.fullmatch(r"([\[{])(.*?)([\]}])", p, re.DOTALL)
         if dp and (dp.group(1), dp.group(3)) in {("[", "]"), ("{", "}")}:
-            names = [x.strip() for x in dp.group(2).split(",")]
             synth = f"__arg{k}"
+            bindings = _js_destructure_bindings(
+                dp.group(1), dp.group(2), synth, "    ", None
+            )
+            if bindings is None:
+                raise ValueError(
+                    f"unsupported JavaScript construct: parameter {p!r}"
+                )
             params.append(synth)
-            for k2, nm in enumerate(names):
-                if dp.group(1) == "[":
-                    preamble.append(
-                        f"    {nm} = ({synth}[{k2}] if {synth} is not None "
-                        f"and len({synth}) > {k2} else None)"
-                    )
-                else:
-                    preamble.append(
-                        f"    {nm} = __js_member({synth}, '{nm}')"
-                    )
-            bound.extend(names)
+            preamble.extend(bindings)
+            bound.extend(
+                ln.split("=", 1)[0].strip() for ln in bindings
+            )
         elif re.fullmatch(r"[\w$]+", p):
             params.append(p)
         else:
@@ -4661,6 +4723,12 @@ def _js_function(body: str, env: dict) -> tuple[list[str], object]:
     # any statement parsing (a ';', ',' or paren inside a literal must
     # never split a statement)
     masked, body_lits = _js_mask_literals(m.group(2))
+    # single-return block-body arrows unwrap to the expression form
+    # BEFORE statement splitting (the `;` inside `x => { return e; }`
+    # would otherwise cut the enclosing statement mid-expression)
+    masked = re.sub(
+        r"=>\s*\{\s*return\b([^{};]*);?\s*\}", r"=> (\1)", masked
+    )
     # the top scope's bound names (params + destructured names + this
     # body's declarations, nested fn bodies excluded) seed the closure
     # nonlocal analysis

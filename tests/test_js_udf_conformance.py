@@ -877,19 +877,70 @@ def test_js_destructuring():
 
 def test_js_still_rejected_constructs():
     """The remaining declared divergences stay CREATE-time rejections:
-    spread, rest/renamed/defaulted destructuring patterns, block-body
-    arrows in expression position (the compile catches them),
-    assignment-body callbacks."""
+    spread, rest params, NESTED destructuring patterns,
+    multi-statement block-body arrows in expression position (the
+    compile catches them), assignment-body callbacks."""
     for body in (
         "function f(xs) { return [...xs, 9]; }",
         "function f(...xs) { return xs; }",
-        "function f({a: b}) { return b; }",
-        "function f([a = 1]) { return a; }",
-        "function f(xs) { return xs.map(x => { return x * 2; }); }",
+        "function f({a: {b}}) { return b; }",
+        "function f(xs) { return xs.map(x => { var y = x; return y; }); }",
         "function f(xs) { var s = 0; xs.forEach(x => s += x); return s; }",
     ):
         with pytest.raises(ValueError):
             _run(body, [1])
+
+
+def test_js_destructuring_renames_defaults_block_arrows():
+    """r9 second pass: `key: target` renames and `= default` values in
+    destructuring patterns (defaults apply when the member reads
+    undefined), and block-body arrows whose body is exactly one return
+    statement unwrap to the expression form."""
+    assert _run(
+        "function f(o) { const {a: b} = o; return b; }", {"a": 7}
+    ) == 7
+    assert _run(
+        "function f({a: b = 5, c = 2}) { return b * 10 + c; }", {"c": 3}
+    ) == 53
+    assert _run(
+        "function f([a = 1, b = 2]) { return a * 10 + b; }", [4]
+    ) == 42
+    assert _run(
+        "function f(xs) { const [h = 9] = xs; return h; }", []
+    ) == 9
+    assert _run(
+        "function f(xs) { return xs.map(x => { return x * 2; }); }",
+        [1, 2, 3],
+    ) == [2, 4, 6]
+    assert _run(
+        "function f(xs) { return xs.filter(x => { return x > 1; }); }",
+        [1, 2, 3],
+    ) == [2, 3]
+
+
+def test_js_object_literal_argument_e2e(spark):
+    """r9: an OBJECT-typed JS UDF param sees the OBJECT, not its JSON
+    encoding — property access and destructuring work on an
+    object-LITERAL argument through the SQL front door (the engine
+    carries dynamic objects as JSON strings internally)."""
+    from crate_spark.engine import CrateSession
+
+    s = CrateSession(spark)
+    s.execute(
+        "CREATE FUNCTION __objpick(o object) RETURNS int "
+        "LANGUAGE JAVASCRIPT AS "
+        "'function __objpick(o) { const {a: b = 5, c = 2} = o; "
+        "return b * 10 + c; }'"
+    )
+    try:
+        assert s.execute(
+            "SELECT __objpick({c = 3}) AS v"
+        ).collect()[0][0] == 53
+        assert s.execute(
+            "SELECT __objpick({a = 7, c = 3}) AS v"
+        ).collect()[0][0] == 73
+    finally:
+        s.execute("DROP FUNCTION __objpick(object)")
 
 
 def test_js_continue_statement():
