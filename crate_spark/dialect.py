@@ -1721,6 +1721,29 @@ def _parse_interval_literal_ex(text: str):
     t = text.strip().lower()
     if not t:
         return None
+    # ISO-8601 period form (IntervalParser.java:87 tries Joda's
+    # ISOPeriodFormat.standard() second in the chain): P[nY][nM][nW]
+    # [nD][T[nH][nM][n[.f]S]], leading '-' negates the whole period
+    iso = re.fullmatch(
+        r"(-?)p(?:(\d+)y)?(?:(\d+)m)?(?:(\d+)w)?(?:(\d+)d)?"
+        r"(?:t(?:(\d+)h)?(?:(\d+)m)?(?:(\d+(?:\.\d+)?)s)?)?",
+        t,
+    )
+    if iso and any(iso.group(g) for g in range(2, 9)):
+        sign = -1 if iso.group(1) else 1
+        g = lambda i: int(iso.group(i) or 0)  # noqa: E731
+        sec_i, ms_i = _sec_ms_parts(iso.group(8) or "0")
+        return (
+            (
+                sign * g(2),
+                sign * g(3),
+                sign * (g(5) + 7 * g(4)),
+                sign * g(6),
+                sign * g(7),
+                sign * (sec_i + ms_i / 1000.0),
+            ),
+            True,  # Spark cannot parse ISO periods: always fold
+        )
     y = mo = d = h = mi = 0
     # one shared milliseconds slot, like the reference's milliSeconds
     # variable: a fractional seconds value fills it (truncated at ms

@@ -62,6 +62,12 @@ def N(text):
     ("1 week", (0, 0, 7, 0, 0, 0.0)),
     # :199 — fractional seconds split exactly (BigDecimal math)
     ("-3.30 secs", (0, 0, 0, 0, 0, -3.3)),
+    # ISO-8601 form (IntervalParser.java:87, ISOPeriodFormat.standard)
+    ("P1Y2M3DT4H5M6S", (1, 2, 3, 4, 5, 6.0)),
+    ("P2W", (0, 0, 14, 0, 0, 0.0)),
+    ("PT1H30M", (0, 0, 0, 1, 30, 0.0)),
+    ("-P1DT2H", (0, 0, -1, -2, 0, 0.0)),
+    ("PT0.5S", (0, 0, 0, 0, 0, 0.5)),
 ])
 def test_interval_parser_accepts(text, want):
     assert P(text) == want
