@@ -1721,6 +1721,25 @@ def _parse_interval_literal_ex(text: str):
     t = text.strip().lower()
     if not t:
         return None
+    # PG verbose form: '@ 1 year 2 mons ... [ago]' — '@' strips, a
+    # trailing 'ago' negates the whole period
+    # (PGIntervalParser.java:46-57, IntervalParserTest.java:190-218)
+    negate = False
+    if t.startswith("@"):
+        t = t[1:].strip()
+        if t.endswith("ago"):
+            t = t[: -len("ago")].strip()
+            negate = True
+        if not t:
+            return None
+        parsed = _parse_interval_literal_ex(t)
+        if parsed is None:
+            return None
+        (y, mo, d, h, mi, s), shorthand = parsed
+        if negate:
+            y, mo, d, h, mi, s = -y, -mo, -d, -h, -mi, -s
+        # the verbose spelling itself is un-Spark-parseable: fold
+        return (y, mo, d, h, mi, s), True
     # ISO-8601 period form (IntervalParser.java:87 tries Joda's
     # ISOPeriodFormat.standard() second in the chain): P[nY][nM][nW]
     # [nD][T[nH][nM][n[.f]S]], leading '-' negates the whole period

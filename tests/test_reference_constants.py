@@ -68,6 +68,14 @@ def N(text):
     ("PT1H30M", (0, 0, 0, 1, 30, 0.0)),
     ("-P1DT2H", (0, 0, -1, -2, 0, 0.0)),
     ("PT0.5S", (0, 0, 0, 0, 0, 0.5)),
+    # PG verbose form with @ / ago (IntervalParserTest.java:179-218)
+    ("@ 1 year 1 mon 1 day 1 hour 1 minute 1 secs", (1, 1, 1, 1, 1, 1.0)),
+    ("@ 1 year 1 mon 1 day 1 hour 1 minute 1 secs ago",
+     (-1, -1, -1, -1, -1, -1.0)),
+    ("@ 1 year -23 hours -3 mins -3.30 secs", (1, 0, 0, -23, -3, -3.3)),
+    ("@ 1 year -23 hours -3 mins -3.30 secs ago", (-1, 0, 0, 23, 3, 3.3)),
+    ("@ 1 year -23 hours -3 mins -3 secs -300 msecs ago",
+     (-1, 0, 0, 23, 3, 3.3)),
 ])
 def test_interval_parser_accepts(text, want):
     assert P(text) == want
