@@ -1829,15 +1829,26 @@ def _parse_interval_literal_ex(text: str):
             used_words = True
             t = t[m.end():].strip()
             continue
-        m = re.match(r"^([+-]?)(\d+):(\d+)(?::(\d+(?:\.\d+)?))?$", t)
+        m = re.match(
+            r"^([+-]?)(\d+):([+-]?)(\d+)(?::([+-]?)(\d+(?:\.\d+)?))?$", t
+        )
         if m:
             if time_parsed:
                 return None
             sign = -1 if m.group(1) == "-" else 1
-            h, mi = sign * int(m.group(2)), sign * int(m.group(3))
-            if m.group(4):
-                sec_i, ms_i = _sec_ms_parts(m.group(4))
-                sec_i, ms_i = sign * sec_i, sign * ms_i
+
+            def _fsig(sgn: str) -> int:
+                # a per-field sign (the Joda PERIOD_FORMATTER render
+                # prints '00:-01:-30') wins; else the leading sign
+                # propagates (SQLStandardIntervalParser semantics)
+                return -1 if sgn == "-" else 1 if sgn == "+" else sign
+
+            h = sign * int(m.group(2))
+            mi = _fsig(m.group(3)) * int(m.group(4))
+            if m.group(6):
+                sec_i, ms_i = _sec_ms_parts(m.group(6))
+                ssig = _fsig(m.group(5))
+                sec_i, ms_i = ssig * sec_i, ssig * ms_i
             if not used_words:
                 used_shorthand = True
             t = ""

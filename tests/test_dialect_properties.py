@@ -242,3 +242,36 @@ def test_dollar_brace_literal_reaches_row(spark):
 
     s = CrateSession(spark)
     assert s.execute("SELECT '${0}' AS v").collect()[0][0] == "${0}"
+
+
+@given(
+    months=st.integers(min_value=-3000, max_value=3000),
+    days=st.integers(min_value=-100000, max_value=100000),
+    micros=st.integers(
+        min_value=-10**15, max_value=10**15
+    ).map(lambda v: (v // 1000) * 1000),  # reference precision is ms
+)
+@settings(max_examples=300, deadline=None)
+def test_interval_render_parse_roundtrip(months, days, micros):
+    """The crate text render is itself an accepted interval input
+    ('1 year 2 mons 3 days 04:05:06'), so render -> parse -> normalize
+    must reproduce the normalized fields of the original value. This
+    pins the renderer and the parser against EACH OTHER across the
+    whole value space (sign handling, field carry, ms fractions) —
+    the r9 rewrite made both Joda-normalizedStandard-faithful and this
+    keeps them from drifting apart."""
+    from crate_spark.dialect import (
+        _crate_interval_str,
+        _normalize_interval_fields,
+        _parse_interval_literal,
+    )
+
+    text = _crate_interval_str(months, days, micros)
+    parsed = _parse_interval_literal(text)
+    assert parsed is not None, text
+    got = _normalize_interval_fields(parsed)
+    want = _normalize_interval_fields(
+        (0, months, days, 0, 0, micros / 1_000_000)
+    )
+    assert got[:5] == want[:5], (text, got, want)
+    assert abs(got[5] - want[5]) < 1e-6, (text, got, want)
