@@ -918,11 +918,101 @@ def _date_bin_sql(a: list[str], literals: list[str]) -> str | None:
     return f"timestamp_micros({binned})"
 
 
+#: MySQL %-codes java.time patterns cannot express (reference
+#: TimestampFormatter.java Calendar week grids, unpadded 12-hour,
+#: the %D ordinal day)
+_MYSQL_SQL_CODES = set("lUuVvwXxD")
+
+
+def _mysql_fmt_to_sql(ts: str, fmt: str) -> str:
+    """date_format with the week/dow codes compiled piecewise: plain
+    runs keep the java-pattern fast path, %l/%U/%u/%V/%v/%w/%X/%x
+    become SQL expressions mirroring TimestampFormatter.java:162-369 —
+    %u/%v/%x on the ISO grid (Calendar Monday/minDays=4), %U/%V/%X on
+    the Sunday/minDays=7 grid where week 1 starts at the year's first
+    Sunday and earlier days read week 0 (%U) or the previous grid
+    year's last week (%V)."""
+    from crate_spark.functions.scalar import _mysql_template_to_java
+
+    d = f"CAST({ts} AS DATE)"
+    iso_year = f"year(date_add({d}, 3 - weekday({d})))"
+    jan1 = f"make_date(year({d}), 1, 1)"
+    fs = f"date_add({jan1}, (7 - (dayofweek({jan1}) - 1)) % 7)"
+    jan1p = f"make_date(year({d}) - 1, 1, 1)"
+    fsp = f"date_add({jan1p}, (7 - (dayofweek({jan1p}) - 1)) % 7)"
+    sun_week = f"(datediff({d}, {fs}) DIV 7 + 1)"
+    pieces: list[str] = []
+    run: list[str] = []
+
+    def flush() -> None:
+        if run:
+            java = _mysql_template_to_java("".join(run)).replace("'", "\\'")
+            pieces.append(f"date_format({ts}, '{java}')")
+            run.clear()
+
+    i = 0
+    while i < len(fmt):
+        if (
+            fmt[i] == "%"
+            and i + 1 < len(fmt)
+            and fmt[i + 1] in _MYSQL_SQL_CODES
+        ):
+            flush()
+            c = fmt[i + 1]
+            if c == "D":
+                pieces.append(_ordinal_day_sql(ts))
+            elif c == "l":
+                pieces.append(
+                    f"CAST(CASE WHEN hour({ts}) % 12 = 0 THEN 12 "
+                    f"ELSE hour({ts}) % 12 END AS STRING)"
+                )
+            elif c == "w":
+                pieces.append(f"CAST(dayofweek({d}) - 1 AS STRING)")
+            elif c == "v":
+                pieces.append(
+                    f"lpad(CAST(weekofyear({d}) AS STRING), 2, '0')"
+                )
+            elif c == "x":
+                pieces.append(f"lpad(CAST({iso_year} AS STRING), 4, '0')")
+            elif c == "u":
+                wk = (
+                    f"(CASE WHEN {iso_year} < year({d}) THEN 0 "
+                    f"WHEN {iso_year} > year({d}) "
+                    f"THEN weekofyear(make_date({iso_year}, 12, 28)) "
+                    f"ELSE weekofyear({d}) END)"
+                )
+                pieces.append(f"lpad(CAST({wk} AS STRING), 2, '0')")
+            elif c == "U":
+                wk = f"(CASE WHEN {d} < {fs} THEN 0 ELSE {sun_week} END)"
+                pieces.append(f"lpad(CAST({wk} AS STRING), 2, '0')")
+            elif c == "V":
+                wk = (
+                    f"(CASE WHEN {d} < {fs} "
+                    f"THEN datediff({fs}, {fsp}) DIV 7 "
+                    f"ELSE {sun_week} END)"
+                )
+                pieces.append(f"lpad(CAST({wk} AS STRING), 2, '0')")
+            else:  # X
+                y = (
+                    f"(CASE WHEN {d} < {fs} THEN year({d}) - 1 "
+                    f"ELSE year({d}) END)"
+                )
+                pieces.append(f"lpad(CAST({y} AS STRING), 4, '0')")
+            i += 2
+            continue
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            run.append(fmt[i : i + 2])
+            i += 2
+        else:
+            run.append(fmt[i])
+            i += 1
+    flush()
+    return pieces[0] if len(pieces) == 1 else f"concat({', '.join(pieces)})"
+
+
 def _date_format_sql(a: list[str], literals: list[str]) -> str | None:
     """DateFormatFunction.java: date_format([fmt], [tz], ts) with MySQL
     %-codes (TimestampFormatter.java), translated at rewrite time."""
-    from crate_spark.functions.scalar import _mysql_template_to_java
-
     if len(a) == 1:
         fmt, tz, ts = "%Y-%m-%dT%H:%i:%s.%fZ", None, a[0]
     elif len(a) == 2:
@@ -940,20 +1030,7 @@ def _date_format_sql(a: list[str], literals: list[str]) -> str | None:
     expr = _ts_coerce(ts)
     if tz:
         expr = f"convert_timezone('{tz}', {expr})"
-    # %D (day with ordinal suffix) has no java.time pattern — stitch
-    # the parts around a CASE-built suffix
-    pieces = fmt.split("%D")
-    javas = [
-        _mysql_template_to_java(p).replace("'", "\\'") for p in pieces
-    ]
-    parts = [f"date_format({expr}, '{javas[0]}')"] if javas[0] else []
-    for j in javas[1:]:
-        parts.append(_ordinal_day_sql(expr))
-        if j:
-            parts.append(f"date_format({expr}, '{j}')")
-    if len(parts) == 1:
-        return parts[0]
-    return f"concat({', '.join(parts)})"
+    return _mysql_fmt_to_sql(expr, fmt)
 
 
 def _ts_coerce(ts: str) -> str:

@@ -515,3 +515,27 @@ TS_ARITH_CASES = [
 @pytest.mark.parametrize("expr,want", TS_ARITH_CASES)
 def test_ts_arith_reference_constants(sess, expr, want):
     _check(sess, expr, want)
+
+
+#: the full MySQL %-code battery (DateFormatFunctionTest.java:75-96)
+_MYSQL_FMT = ("%a %b %c %D %d %e %f %H %h %I %i %j %k %l %M %m %p %r "
+              "%S %s %T %U %u %V %v %W %w %X %x %Y %y")
+
+DATE_FORMAT_CASES = [
+    (f"date_format('{_MYSQL_FMT}', '2055-01-01'::timestamptz)",
+     "Fri Jan 1 1st 01 1 000000 00 12 12 00 001 0 12 January 01 AM "
+     "12:00:00 AM 00 00 00:00:00 00 00 52 53 Friday 5 2054 2054 2055 55"),
+    (f"date_format('{_MYSQL_FMT}', 'EST', "
+     "'1981-01-01T09:00:00.000+01:00'::timestamptz)",
+     "Thu Jan 1 1st 01 1 000000 03 03 03 00 001 3 3 January 01 AM "
+     "03:00:00 AM 00 00 03:00:00 00 01 52 01 Thursday 4 1980 1981 1981 81"),
+]
+
+
+@pytest.mark.parametrize("expr,want", DATE_FORMAT_CASES)
+def test_date_format_reference_constants(sess, expr, want):
+    """r9: the week-grid codes (%U Sunday/minDays-7, %u/%v/%x ISO,
+    %V with previous-grid-year fallback, %X), unpadded %l, and %w —
+    compiled piecewise since java.time patterns can't express the
+    Calendar week grids TimestampFormatter uses."""
+    _check(sess, expr, want)
