@@ -956,3 +956,57 @@ def test_extract_spelling_differential(crate, duck, i, pair):
     a = canonical_rows([c.lower() for c in sdf.columns], srows)
     b = canonical_rows([c.lower() for c in ocols], orows)
     assert a == b, f"values differ: {engine_sql} vs {duck_sql}"
+
+
+# ---- date_format dual-spelling family (r9, guards the week-grid codes) -----
+# The engine's date_format speaks MySQL %-codes (TimestampFormatter);
+# DuckDB's strftime speaks C codes. For every code pair whose
+# semantics coincide (ISO week %v<->%V, ISO week-year %x<->%G,
+# Sunday-0 dow %w<->%w, names, numerics), random dates through BOTH
+# engines must format identically — so the r9 piecewise week-grid
+# compiler can't drift without a spelled-out differential failing.
+
+#: (engine MySQL code, DuckDB strftime code)
+_DF_CODE_PAIRS = [
+    ("%Y", "%Y"), ("%y", "%y"), ("%m", "%m"), ("%d", "%d"),
+    ("%H", "%H"), ("%i", "%M"), ("%S", "%S"), ("%j", "%j"),
+    ("%a", "%a"), ("%b", "%b"), ("%W", "%A"), ("%M", "%B"),
+    ("%w", "%w"), ("%v", "%V"), ("%x", "%G"), ("%p", "%p"),
+]
+
+
+def gen_date_format_pair(rng: random.Random) -> tuple[str, str]:
+    y = rng.randint(1971, 2055)
+    mo, d = rng.randint(1, 12), rng.randint(1, 28)
+    h, mi, s = rng.randint(0, 23), rng.randint(0, 59), rng.randint(0, 59)
+    ts = f"'{y}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{s:02d}'"
+    pairs = rng.sample(_DF_CODE_PAIRS, rng.randint(2, 5))
+    eng = " ".join(p[0] for p in pairs)
+    duck = " ".join(p[1] for p in pairs)
+    return (
+        f"SELECT date_format('{eng}', TIMESTAMP {ts}) AS v",
+        f"SELECT strftime(TIMESTAMP {ts}, '{duck}') AS v",
+    )
+
+
+N_DF_PAIRS = 100
+
+
+def _date_format_pairs():
+    rng = random.Random(SEED ^ 0xDF0913)
+    return [
+        gen_date_format_pair(random.Random(rng.getrandbits(64)))
+        for _ in range(N_DF_PAIRS)
+    ]
+
+
+@pytest.mark.parametrize(
+    "i,pair",
+    list(enumerate(_date_format_pairs())),
+    ids=[f"df{i:03d}" for i in range(N_DF_PAIRS)],
+)
+def test_date_format_spelling_differential(crate, duck, i, pair):
+    engine_sql, duck_sql = pair
+    got = crate.execute(engine_sql).collect()[0][0]
+    want = duck.execute(duck_sql).fetchall()[0][0]
+    assert got == want, f"{engine_sql} -> {got!r}, {duck_sql} -> {want!r}"
