@@ -539,3 +539,21 @@ def test_date_format_reference_constants(sess, expr, want):
     compiled piecewise since java.time patterns can't express the
     Calendar week grids TimestampFormatter uses."""
     _check(sess, expr, want)
+
+
+CAST_CASES = [
+    # CastFunctionTest.java:127 + IntegerType/LongType.java — numeric
+    # downcasts TRUNCATE toward zero (Java Number.intValue), never
+    # round like PG
+    ("cast([10.2, 12.3] as array(long))", [10, 12]),
+    ("cast(2.7 as int)", 2),
+    ("cast(-2.7 as int)", -2),
+    ("cast('t' as boolean)", True),
+    ("cast('false' as boolean)", False),
+    ("cast(1 as boolean)", True),
+]
+
+
+@pytest.mark.parametrize("expr,want", CAST_CASES)
+def test_cast_reference_constants(sess, expr, want):
+    _check(sess, expr, want)
