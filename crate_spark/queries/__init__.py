@@ -82,64 +82,65 @@ _MODULES = (
 #: (mm_*, dml/ddl lifecycles, tf_*, match_*) + 31 of the 32 oldest r5
 #: rows; pipeline_knn_quantized was displaced to r9 to make room.
 #: The r9 window (below) = the 13 r5 remainders + 37 of the 49 r6
-#: rows; the 12 r6 rows left over (sql_window_filter,
-#: join_q18/q16, scalar_blake3, sql_ident_surface, the three
-#: sql_tvf_* rows, streaming_sessionize_events, pipeline_train_split/
-#: quantize_int8/shard_layout) are the r10 window. After r9 no query's
-#: newest driver row is older than r6.
+#: rows. The r10 window (below) = the 12 r6 rows left over
+#: (sql_window_filter, join_q18/q16, scalar_blake3, sql_ident_surface,
+#: the three sql_tvf_* rows, streaming_sessionize_events,
+#: pipeline_train_split/quantize_int8/shard_layout), the FIRST driver
+#: row for vector_ann_pq_routed (registered in r9, judge-oracle green
+#: but never driver-checked), and the 37 alphabetically-first of the
+#: 50 r7 rows. After r10 the freshness floor is r7; the 13 remaining
+#: r7 rows (vector_ann_pq..window_value_fns) are the r11 backlog.
 _DRIVER_PRIORITY = (
-    # 13 r5-stale rows — the final freshness backlog
-    "pipeline_knn_quantized",
-    "pipeline_decontaminate",
-    "pipeline_repetition_metrics",
-    "sql_array_fn_surface",
-    "sql_array_numeric_fns",
-    "sql_datetime_compat",
-    "sql_geo_surface",
-    "sql_string_fn_surface",
-    "sql_datetime_fn_surface",
-    "sql_regexp_surface",
-    "sql_array_subquery",
-    "sql_agg_surface",
-    "streaming_rollup_events",
-    # 37 oldest r6 rows
-    "q1_pricing_summary",
-    "scan_filter_project",
-    "point_lookup",
-    "count_star",
-    "distinct_flags",
-    "topk_orders",
-    "limit_offset",
-    "order_nulls_last",
-    "agg_global",
-    "agg_group_having",
-    "agg_stats",
-    "agg_string_agg",
-    "agg_array_agg",
-    "agg_geometric_mean",
-    "agg_percentile",
-    "agg_minmax_by",
-    "conditional_agg",
-    "union_all",
-    "union_distinct",
-    "except_intersect",
-    "subquery_scalar",
-    "subquery_correlated",
-    "cte_query",
-    "join_inner_multiway",
-    "join_q5_regional_revenue",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_cross",
-    "scalar_string_funcs",
-    "scalar_regexp_funcs",
-    "scalar_datetime_funcs",
-    "scalar_date_bin",
-    "scalar_string_funcs2",
-    "scalar_array_funcs2",
-    "ts_sessionize",
-    "interval_column_ops",
+    "join_q16_supplier_cnt",
+    "join_q18_large_orders",
+    "pipeline_quantize_int8",
+    "pipeline_shard_layout",
+    "pipeline_train_split",
+    "scalar_blake3",
+    "sql_ident_surface",
+    "sql_tvf_regexp_docs",
+    "sql_tvf_series",
+    "sql_tvf_series_ts",
+    "sql_window_filter",
+    "streaming_sessionize_events",
+    "vector_ann_pq_routed",
+    "embedding_neardup_cosine",
+    "join_anti",
+    "join_in_subquery_negated",
+    "join_lookup",
+    "join_non_equi",
+    "join_q10_returned_items",
+    "join_self",
+    "join_semi",
+    "mm_decode_features",
+    "mm_resize_plan",
+    "pred_any_all_array",
+    "pred_any_like_range",
+    "pred_any_subquery",
+    "pred_between_in",
+    "pred_cidr_containment",
+    "pred_is_distinct_from",
+    "pred_like_ilike_regex",
+    "pred_three_valued_logic",
+    "scalar_math_funcs",
+    "sql_match_score",
+    "sql_object_subscript",
+    "sql_sys_columns",
+    "text_dedup_exact",
+    "text_fingerprint",
+    "text_langid",
+    "text_minhash_lsh",
+    "text_ngram_jaccard",
+    "text_quality",
+    "text_simhash",
+    "text_stats",
+    "ts_gap_detection",
+    "ts_lttb_downsample",
+    "ts_ndv_users",
+    "ts_topk_event_values",
+    "ts_zero_filled_series",
+    "vector_ann_ivf",
+    "vector_ann_lsh",
 )
 
 
