@@ -485,11 +485,20 @@ _FN_TEMPLATES: dict = {
     "encode": lambda a, lits: _encode_sql(a, lits),
     "decode": lambda a, lits: _decode_sql(a, lits),
     # VectorSimilarityFunction: 1 / (1 + squared_l2) — Lucene
-    # squareDistance semantics, matching functions/vector.py
+    # squareDistance semantics, matching functions/vector.py. The
+    # reference RETURNS float (FloatVectorType.java:56 / Lucene
+    # EUCLIDEAN.compare is float), so the result casts to FLOAT; the
+    # accumulation stays double (Lucene's own float accumulation
+    # order varies with SIMD lane width, so float-exact accumulation
+    # parity is unattainable anyway — double-then-round is within
+    # half-ulp of every lane order).
+    # the ARRAY<FLOAT> operand casts type bare NULL args (STRICTNULL:
+    # null in -> null out) and mirror float_vector's own element type
     "vector_similarity": lambda a, lits: (
-        f"(1.0 / (1.0 + aggregate(zip_with({a[0]}, {a[1]}, "
+        f"CAST(1.0 / (1.0 + aggregate(zip_with("
+        f"CAST({a[0]} AS ARRAY<FLOAT>), CAST({a[1]} AS ARRAY<FLOAT>), "
         f"(__x, __y) -> (CAST(__x AS DOUBLE) - __y) * (CAST(__x AS DOUBLE) - __y)), "
-        f"CAST(0.0 AS DOUBLE), (__acc, __v) -> __acc + __v)))"
+        f"CAST(0.0 AS DOUBLE), (__acc, __v) -> __acc + __v)) AS FLOAT)"
         if len(a) == 2
         else None
     ),
@@ -777,7 +786,12 @@ def _regexp_instr_sql(a: list[str], literals: list[str]) -> str | None:
     n_groups = len(re.findall(r"(?<!\\)\((?!\?)", pat))
     if subexpr > n_groups:
         return "0"
-    p = _mklit(literals, "'" + pat.replace("'", "''") + "'")
+    # template-appended literals emit VERBATIM at unmask (no
+    # backslash doubling — see the unmask loop), so Spark-escape the
+    # user pattern here or '\d' reaches Spark's parser as escape-'d'
+    p = _mklit(
+        literals, "'" + pat.replace("\\", "\\\\").replace("'", "''") + "'"
+    )
     sub = f"substring({a[0]}, {start})" if start > 1 else a[0]
     ms = f"regexp_extract_all({sub}, {p}, 0)"
     parts = f"split({sub}, {p}, -1)"
@@ -790,11 +804,18 @@ def _regexp_instr_sql(a: list[str], literals: list[str]) -> str | None:
     if subexpr == 0:
         res = f"({abs_start} + length({match}))" if endopt else abs_start
     else:
+        # A non-participating optional group: matcher.start(group) is
+        # -1 in the reference (RegexpPositionFunction -> 0), while
+        # regexp_extract returns '' and instr(match, '') is 1 — so
+        # guard the empty extract to 0. (A group that PARTICIPATED
+        # with a zero-width match also extracts '' and thus returns 0
+        # here; documented divergence, no reference test exercises it.)
         grp = f"regexp_extract({match}, {p}, {subexpr})"
-        res = f"({abs_start} + instr({match}, {grp}) - 1"
+        pos = f"({abs_start} + instr({match}, {grp}) - 1"
         if endopt:
-            res += f" + length({grp})"
-        res += ")"
+            pos += f" + length({grp})"
+        pos += ")"
+        res = f"(CASE WHEN {grp} = '' THEN 0 ELSE {pos} END)"
     return (
         f"(CASE WHEN size({ms}) >= {n} THEN CAST({res} AS INT) "
         f"ELSE 0 END)"
@@ -845,8 +866,25 @@ def _decode_sql(a: list[str], literals: list[str]) -> str | None:
 
 
 def _lit_value(arg: str, literals: list[str]) -> str | None:
-    """The raw text of a masked string literal, or None."""
-    m = re.fullmatch(r"__LIT_(\d+)__", arg.strip())
+    """The raw text of a masked string literal, or None. A no-op
+    ``CAST(__LIT__ AS STRING)`` wrapper (produced by ::text/::geo_shape
+    casts and the interval-fold marker) unwraps to the literal."""
+    s = arg.strip()
+    m = (
+        re.fullmatch(r"__LIT_(\d+)__", s)
+        or re.fullmatch(
+            r"CAST\s*\(\s*__LIT_(\d+)__\s+AS\s+STRING\s*\)",
+            s,
+            re.IGNORECASE,
+        )
+        # fn rewrites run before the :: cast pass, so a string-typed
+        # cast suffix may still be attached (within('...'::geo_shape))
+        or re.fullmatch(
+            r"__LIT_(\d+)__\s*::\s*(?:text|string|geo_shape|json)",
+            s,
+            re.IGNORECASE,
+        )
+    )
     if not m:
         return None
     return literals[int(m.group(1))][1:-1].replace("''", "'")
@@ -1087,12 +1125,20 @@ def _to_char_fn_sql(a: list[str], literals: list[str]) -> str | None:
         if text is None:
             return None
         return _mklit(literals, "'" + text.replace("'", "''") + "'")
-    raw = _lit_value(a[0], literals)
-    if raw is not None and re.search(r"[a-z:]", raw, re.IGNORECASE):
-        # a MIXED interval literal was already text-folded to a plain
-        # string by the earlier interval passes; the crate render
-        # re-parses as an interval, while date/timestamp strings never
-        # do (the [a-z:] guard keeps bare epoch numbers timestamp-typed)
+    # a MIXED interval literal was already text-folded to a plain
+    # string by _fold_interval_literals, which wraps its output in a
+    # no-op CAST(__LIT__ AS STRING) marker precisely so this fallback
+    # fires ONLY on fold-produced renders — a user-written string that
+    # merely LOOKS like an interval ('15:30:10') stays on the
+    # timestamp path, matching the reference's signature resolution
+    # (timestamp registered first, ToCharFunction.java:54) (ADVICE r9)
+    fm = re.fullmatch(
+        r"CAST\s*\(\s*__LIT_(\d+)__\s+AS\s+STRING\s*\)",
+        a[0].strip(),
+        re.IGNORECASE,
+    )
+    if fm:
+        raw = literals[int(fm.group(1))][1:-1]
         parsed = _parse_interval_literal(raw)
         if parsed is not None:
             text = format_interval(_normalize_interval_fields(parsed), fmt)
@@ -1104,38 +1150,68 @@ def _to_char_fn_sql(a: list[str], literals: list[str]) -> str | None:
 def _parse_uri_sql(
     a: list[str], lits: list[str], with_params: bool = False
 ) -> str:
-    """ParseUriFunction.java / ParseUrlFunction.java object shape via
-    Spark's parse_url parts: typed INT port off the authority;
-    parse_url additionally decomposes the query string into a
-    ``parameters`` map of value ARRAYS (repeated keys accumulate,
-    valueless keys yield [NULL])."""
+    """ParseURIFunction.java / ParseURLFunction.java object shape via
+    Spark's parse_url parts, with the reference's DECODING semantics
+    (r10 constant sweep): parse_uri uses java.net.URI getters — %XX
+    decodes, '+' stays literal — while parse_url runs URLDecoder over
+    userinfo/path/query/fragment ('+' becomes a space too). Typed INT
+    port off the authority. parse_url additionally decomposes the RAW
+    query into a ``parameters`` map of value ARRAYS: split on
+    ``&(?!amp)`` (ParseURLFunction.parseQuery's html-escape quirk),
+    keys AND values URL-decoded, repeated keys accumulate, valueless
+    keys and empty ``k=`` values yield NULL (idx/length guards at
+    ParseURLFunction.java:126-128)."""
     u = a[0]
-    amp = _mklit(lits, "'&'")
-    eq = _mklit(lits, "'='")
+
+    if with_params:
+        # URLDecoder.decode: '+' -> space, %XX decodes
+        def dec(s: str) -> str:
+            return f"url_decode({s})"
+
+    else:
+        # java.net.URI getters: %XX decodes, '+' stays '+'
+        plus = _mklit(lits, "'+'")
+        plus_enc = _mklit(lits, "'%2B'")
+
+        def dec(s: str) -> str:
+            return f"url_decode(replace({s}, {plus}, {plus_enc}))"
+
     q = f"parse_url({u}, 'QUERY')"
-    key = f"element_at(split(__kv, {eq}), 1)"
-    key2 = f"element_at(split(__e, {eq}), 1)"
-    params = (
-        f"'parameters', map_from_entries(transform(array_distinct("
-        f"transform(split({q}, {amp}), __kv -> {key})), "
-        f"__k -> struct(__k, transform(filter(split({q}, {amp}), "
-        f"__e -> {key2} = __k), "
-        f"__e -> CASE WHEN instr(__e, {eq}) > 0 "
-        f"THEN substring(__e, instr(__e, {eq}) + 1) END)))), "
-        if with_params
-        else ""
-    )
+    params = ""
+    if with_params:
+        eq = _mklit(lits, "'='")
+        amp_re = _mklit(lits, "'&(?!amp)'")
+        key = (
+            f"CASE WHEN instr(__e, {eq}) > 1 THEN url_decode("
+            f"substring(__e, 1, instr(__e, {eq}) - 1)) "
+            f"ELSE url_decode(__e) END"
+        )
+        key_k = key.replace("__e", "__kv")
+        val = (
+            f"CASE WHEN instr(__e, {eq}) > 1 "
+            f"AND length(__e) > instr(__e, {eq}) "
+            f"THEN url_decode(substring(__e, instr(__e, {eq}) + 1)) END"
+        )
+        parts = f"split({q}, {amp_re})"
+        params = (
+            f"'parameters', CASE WHEN {q} IS NULL OR {q} = '' THEN NULL "
+            f"ELSE map_from_entries(transform(array_distinct("
+            f"transform({parts}, __kv -> {key_k})), "
+            f"__k -> struct(__k, transform(filter({parts}, "
+            f"__e -> ({key}) = __k), "
+            f"__e -> {val})))) END, "
+        )
     return (
         f"named_struct('scheme', parse_url({u}, 'PROTOCOL'), "
-        f"'userinfo', parse_url({u}, 'USERINFO'), "
+        f"'userinfo', {dec(f'parse_url({u}, %r)' % 'USERINFO')}, "
         f"'hostname', parse_url({u}, 'HOST'), "
         # Spark's parse_url has no PORT part; take it off AUTHORITY
         f"'port', CAST(nullif(regexp_extract(parse_url({u}, 'AUTHORITY'), "
         f"':(\\\\d+)$', 1), '') AS INT), "
-        f"'path', parse_url({u}, 'PATH'), "
-        f"'query', {q}, "
+        f"'path', {dec(f'parse_url({u}, %r)' % 'PATH')}, "
+        f"'query', {dec(q)}, "
         f"{params}"
-        f"'fragment', parse_url({u}, 'REF'))"
+        f"'fragment', {dec(f'parse_url({u}, %r)' % 'REF')})"
     )
 
 
@@ -1264,9 +1340,20 @@ def _geo_distance_sql(a: list[str], literals: list[str]) -> str | None:
 
 def _geo_within_sql(a: list[str], literals: list[str]) -> str | None:
     """within(point, 'POLYGON ((...))') — the ray-cast containment of
-    functions.geo.point_in_polygon unrolled at plan time (WithinFunction)."""
+    functions.geo.point_in_polygon unrolled at plan time
+    (WithinFunction.java). Shape-literal × polygon-literal operands
+    (LINESTRING/POLYGON within POLYGON, WithinFunctionTest
+    testEvaluateShapeWithinShape) constant-fold entirely via the
+    planar relate in functions.geo.shape_within_polygon (r10)."""
     if len(a) != 2:
         return None
+    va, vb = _lit_value(a[0], literals), _lit_value(a[1], literals)
+    if va is not None and vb is not None:
+        from crate_spark.functions.geo import shape_within_polygon
+
+        r = shape_within_polygon(va, vb)
+        if r is not None:
+            return "TRUE" if r else "FALSE"
     pt = _geo_lonlat(a[0], literals)
     m = re.fullmatch(r"__LIT_(\d+)__", a[1])
     if pt is None or not m:
@@ -2658,7 +2745,12 @@ def _fold_interval_literals(sql: str, literals: list[str]) -> str:
         months = y * 12 + mo
         micros = round(((h * 60 + mi) * 60 + s) * 1_000_000)
         literals.append("'" + _crate_interval_str(months, d, micros) + "'")
-        return f"__LIT_{len(literals) - 1}__"
+        # the no-op CAST marks this literal as a FOLDED interval render
+        # (vs a user string): _to_char_fn_sql's interval fallback keys
+        # on exactly this shape, so to_char('15:30:10', f) — a plain
+        # user string that HAPPENS to parse as an interval — stays on
+        # the timestamp path (ADVICE r9)
+        return f"CAST(__LIT_{len(literals) - 1}__ AS STRING)"
 
     return re.sub(
         r"(?:(\d+)\s*\*\s*)?\bINTERVAL\s+__LIT_(\d+)__"
@@ -2828,7 +2920,14 @@ def rewrite(
     literals: list[str] = []
 
     # PG escape-string literals E'...' (string-literal.rst): decode
-    # the C-style escapes into a plain literal before masking
+    # the C-style escapes into a plain literal before masking —
+    # reference semantics per Literals.replaceEscapedChars
+    # (libs/sql-parser Literals.java:44-140): an UNRECOGNIZED escape
+    # drops the backslash and keeps the char (E'Te\%tch' is 'Te%tch',
+    # so LIKE sees the % wildcard — LikeOperatorTest
+    # test_wildcard_escaped_in_c_style_string); octal starts 0-3 (\4x
+    # falls to the drop rule); \x without hex digits emits 'x';
+    # malformed \u/\U rejects like the reference lexer.
     def _e_lit(m: re.Match) -> str:
         body, out, i = m.group(1), [], 0
         esc = {"b": "\b", "f": "\f", "n": "\n", "r": "\r", "t": "\t"}
@@ -2840,31 +2939,47 @@ def rewrite(
                     out.append(esc[n])
                     i += 2
                     continue
-                if n == "\\":
-                    out.append("\\")
+                if n in ("\\", "'"):
+                    out.append(n)
                     i += 2
                     continue
-                if n == "'":
-                    out.append("'")
-                    i += 2
+                if n in ("u", "U"):
+                    width = 4 if n == "u" else 8
+                    u = re.match(
+                        r"[0-9A-Fa-f]{%d}" % width, body[i + 2 :]
+                    )
+                    if not u:
+                        raise ValueError(
+                            "Invalid Unicode escape in escaped string "
+                            "literal (Literals.java ESCAPED_UNICODE)"
+                        )
+                    out.append(chr(int(u.group(0), 16)))
+                    i += 2 + width
                     continue
-                o = re.match(r"[0-7]{1,3}", body[i + 1 :])
+                if n == "x":
+                    x = re.match(r"[0-9A-Fa-f]{1,2}", body[i + 2 :])
+                    if x:
+                        out.append(chr(int(x.group(0), 16)))
+                        i += 2 + len(x.group(0))
+                    else:
+                        # hex sequence unmatched: original char
+                        out.append("x")
+                        i += 2
+                    continue
+                o = re.match(r"[0-3][0-7]{0,2}", body[i + 1 :])
                 if o:
                     out.append(chr(int(o.group(0), 8)))
                     i += 1 + len(o.group(0))
                     continue
-                x = re.match(r"x([0-9A-Fa-f]{1,2})", body[i + 1 :])
-                if x:
-                    out.append(chr(int(x.group(1), 16)))
-                    i += 1 + x.end()
-                    continue
-                u = re.match(
-                    r"u([0-9A-Fa-f]{4})|U([0-9A-Fa-f]{8})", body[i + 1 :]
-                )
-                if u:
-                    out.append(chr(int(u.group(1) or u.group(2), 16)))
-                    i += 1 + u.end()
-                    continue
+                # unrecognized escape: IGNORE the backslash (drop it),
+                # next char re-processes normally
+                i += 1
+                continue
+            if c == "'" and i + 1 < len(body) and body[i + 1] == "'":
+                # doubled quote inside the raw body is ONE quote char
+                out.append("'")
+                i += 2
+                continue
             out.append(c)
             i += 1
         return "'" + "".join(out).replace("'", "''") + "'"
@@ -2918,6 +3033,33 @@ def rewrite(
 
     sql = _LIT_RE.sub(_mask, sql)
     n_input_lits = len(literals)
+
+    # LIKE/ILIKE ... ESCAPE '' — the reference DISABLES escaping
+    # (LikeOperators.java; LikeOperatorTest
+    # test_like_with_empty_escape_disables_escaping), while Spark's
+    # parser rejects an empty escape string outright. Doubling every
+    # backslash in the pattern makes each one self-escaped — a
+    # literal — which is exactly "no escape character".
+    def _esc_empty(m: re.Match) -> str:
+        pat, idx = m.group(1), int(m.group(2))
+        if literals[idx] != "''":
+            return m.group(0)
+        pm = re.fullmatch(r"__LIT_(\d+)__", pat)
+        if pm:
+            j = int(pm.group(1))
+            literals[j] = literals[j].replace("\\", "\\\\")
+            return pat
+        bs1 = _mklit(literals, "'\\\\'")  # one backslash to Spark
+        bs2 = _mklit(literals, "'\\\\\\\\'")  # two backslashes
+        return f"replace({pat}, {bs1}, {bs2})"
+
+    sql = re.sub(
+        r"((?:__LIT_\d+__|[\w.`\]]+|\([^()]*\)))\s+ESCAPE\s+"
+        r"__LIT_(\d+)__",
+        lambda m: _esc_empty(m),
+        sql,
+        flags=re.IGNORECASE,
+    )
 
     # PG double-quoted identifiers -> Spark backticks (string literals
     # are masked, so any remaining "word" is an identifier). Dotted

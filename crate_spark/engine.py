@@ -2732,6 +2732,8 @@ class CrateSession:
                 "__builtins__": safe_builtins, "math": _math,
                 "Math": _JsMath, "Date": _JsDate, "JSON": _JsJSON,
                 "__js_member": _js_member,
+                "__js_member_d": _js_member_d,
+                "__JS_ABSENT": _JS_ABSENT,
                 "__js_join": (
                     lambda arr, sep=",": _js_str(sep).join(
                         "" if e is None else _js_str(e) for e in arr
@@ -3240,6 +3242,32 @@ def _js_unwrap(v):
     if isinstance(v, (list, tuple)):
         return [_js_unwrap(x) for x in v]
     return v
+
+
+class _JsAbsent:
+    """Missing-member sentinel for destructuring defaults: JS fires a
+    default only for ABSENT keys / out-of-range indexes (undefined),
+    never for an explicit null — `const {a = 1} = {a: null}` is null
+    under GraalVM (ADVICE r9). The CLASS object itself is the
+    sentinel: cloudpickle ships a bare ``object()`` instance BY VALUE
+    to Spark workers (breaking ``is``), but a module-level class
+    travels by reference and keeps its identity."""
+
+
+_JS_ABSENT = _JsAbsent
+
+
+def _js_member_d(obj, name):
+    """``_js_member`` for destructuring reads: absent keys return the
+    ``_JS_ABSENT`` sentinel (so `= default` fires only on undefined),
+    present-but-null values return None and keep the null."""
+    if isinstance(obj, dict):
+        return dict.get(obj, name, _JS_ABSENT)
+    if obj is None:
+        return None
+    if name == "length" and hasattr(obj, "__len__"):
+        return len(obj)
+    return getattr(obj, name, _JS_ABSENT)
 
 
 def _js_member(obj, name):
@@ -4417,25 +4445,58 @@ def _js_block_to_python(
                 ) is not None
 
             def _check_no_inner_break(stmts: str) -> None:
-                # a non-terminal break at the arm's own nesting level
-                # (`case 1: if (c) break; more();`) would translate to
-                # a Python break that, inside a loop, exits the LOOP
-                # instead of the switch — reject at CREATE like
-                # fallthrough (ADVICE r8). break inside braces belongs
-                # to a nested loop/switch and stays legal.
-                dpt, k = 0, 0
-                while k < len(stmts):
+                # any `break` in the arm body NOT caught by a nested
+                # loop/switch would compile to a bare Python break —
+                # which exits an enclosing translated loop instead of
+                # the switch (or SyntaxErrors without one), diverging
+                # from GraalVM. Reject at CREATE like fallthrough
+                # (ADVICE r8/r9: braces opened by if/else/try do NOT
+                # legitimize a break, so recurse into them — only
+                # for/while/do/switch braces catch one).
+                stack: list[bool] = []  # True => brace catches break
+                k, n = 0, len(stmts)
+                while k < n:
                     c = stmts[k]
-                    if c in "{(":
-                        dpt += 1
-                    elif c in "})":
-                        dpt -= 1
-                    elif (
-                        dpt == 0
-                        and stmts[k : k + 5] == "break"
+                    if c in "'\"`":
+                        q = c
+                        k += 1
+                        while k < n and stmts[k] != q:
+                            k += 2 if stmts[k] == "\\" else 1
+                        k += 1
+                        continue
+                    if c == "{":
+                        head = stmts[:k].rstrip()
+                        catching = False
+                        if head.endswith(")"):
+                            d2, j2 = 0, len(head) - 1
+                            while j2 >= 0:
+                                if head[j2] == ")":
+                                    d2 += 1
+                                elif head[j2] == "(":
+                                    d2 -= 1
+                                    if d2 == 0:
+                                        break
+                                j2 -= 1
+                            kw = re.search(r"([\w$]+)\s*$", head[:j2])
+                            catching = kw is not None and kw.group(1) in (
+                                "for", "while", "switch"
+                            )
+                        elif re.search(r"(?<![\w$])do\s*$", head):
+                            catching = True
+                        stack.append(catching)
+                        k += 1
+                        continue
+                    if c == "}":
+                        if stack:
+                            stack.pop()
+                        k += 1
+                        continue
+                    if (
+                        stmts[k : k + 5] == "break"
                         and (k == 0 or not (stmts[k - 1].isalnum()
                                             or stmts[k - 1] in "_$"))
                         and not re.match(r"break[\w$]", stmts[k:])
+                        and not any(stack)
                     ):
                         raise ValueError(
                             "unsupported JavaScript construct: break "
@@ -4612,10 +4673,11 @@ def _js_block_to_python(
 def _js_destructure_bindings(kind, body, src, pad, lits):
     """Python binding lines for one ``{...}``/``[...]`` destructuring
     pattern: plain identifiers, optional ``key: target`` renames
-    (objects), optional ``= default`` values (applied when the member
-    reads undefined/None, like JS absent members; null is conflated
-    with undefined here — documented). None when the pattern is out of
-    subset (nesting, rest, computed keys)."""
+    (objects), optional ``= default`` values (GraalVM semantics: a
+    default fires only when the member reads UNDEFINED — an absent
+    key or out-of-range index — never for an explicit null, which
+    stays null; ADVICE r9). None when the pattern is out of subset
+    (nesting, rest, computed keys)."""
     lines = []
     for k, elem in enumerate(_js_split_decls(body)):
         if kind == "{":
@@ -4628,7 +4690,22 @@ def _js_destructure_bindings(kind, body, src, pad, lits):
                 return None
             target = m.group(2) or m.group(1)
             default = m.group(3)
-            val = f"__js_member({src}, '{m.group(1)}')"
+            if default is not None:
+                # the sentinel read distinguishes absent from null
+                dv = _js_expr_to_python(default, lits)
+                lines.append(
+                    f"{pad}{target} = __js_member_d({src}, "
+                    f"'{m.group(1)}')"
+                )
+                lines.append(
+                    f"{pad}if {target} is __JS_ABSENT: "
+                    f"{target} = ({dv})"
+                )
+            else:
+                lines.append(
+                    f"{pad}{target} = __js_member({src}, "
+                    f"'{m.group(1)}')"
+                )
         else:
             m = re.fullmatch(
                 r"\s*([\w$]+)\s*(?:=\s*(.+?))?\s*", elem, re.DOTALL
@@ -4636,17 +4713,19 @@ def _js_destructure_bindings(kind, body, src, pad, lits):
             if not m:
                 return None
             target, default = m.group(1), m.group(2)
-            val = (
-                f"({src}[{k}] if {src} is not None "
-                f"and len({src}) > {k} else None)"
-            )
-        if default is not None:
-            dv = _js_expr_to_python(default, lits)
-            lines.append(
-                f"{pad}{target} = ({val} if {val} is not None else ({dv}))"
-            )
-        else:
-            lines.append(f"{pad}{target} = {val}")
+            if default is not None:
+                # out-of-range index is undefined -> default; an
+                # in-range null element stays null
+                dv = _js_expr_to_python(default, lits)
+                lines.append(
+                    f"{pad}{target} = ({src}[{k}] if {src} is not None "
+                    f"and len({src}) > {k} else ({dv}))"
+                )
+            else:
+                lines.append(
+                    f"{pad}{target} = ({src}[{k}] if {src} is not None "
+                    f"and len({src}) > {k} else None)"
+                )
     return lines
 
 
@@ -4748,6 +4827,10 @@ def _js_function(body: str, env: dict) -> tuple[list[str], object]:
             f"(translated line: {e.text!r})"
         ) from None
     ns: dict = {}
+    # the destructuring sentinel helpers are translator-internal —
+    # inject them here so every caller-built env has them
+    env.setdefault("__js_member_d", _js_member_d)
+    env.setdefault("__JS_ABSENT", _JS_ABSENT)
     exec(code, env, ns)  # noqa: S102 - trusted-caller surface by design
     fn = ns["__js_udf"]
     # Unresolvable globals (Java.type, start_point in the docs' line()

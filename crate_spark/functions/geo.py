@@ -460,3 +460,73 @@ def _intersects_batch(shape_a, shape_b):
         pb = parsed(sb) if sb is not None else None
         out.append(None if pa is None or pb is None else _shapes_intersect(pa, pb))
     return pd.Series(out, dtype="object")
+
+
+def _on_segment_pt(a, b, c, eps: float = 1e-12) -> bool:
+    cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+    if abs(cross) > eps:
+        return False
+    return (
+        min(a[0], b[0]) - eps <= c[0] <= max(a[0], b[0]) + eps
+        and min(a[1], b[1]) - eps <= c[1] <= max(a[1], b[1]) + eps
+    )
+
+
+def _pt_in_polygon_rings(x: float, y: float, rings) -> bool:
+    """Boundary-inclusive containment in a polygon with holes
+    (rings[0] = outer)."""
+    for r in rings:
+        for i in range(len(r)):
+            if _on_segment_pt(r[i], r[(i + 1) % len(r)], (x, y)):
+                return True
+    if not _pt_in_ring(x, y, rings[0]):
+        return False
+    return not any(_pt_in_ring(x, y, h) for h in rings[1:])
+
+
+def shape_within_polygon(a_text: str, b_text: str) -> bool | None:
+    """Planar within(shape, polygon) over WKT/GeoJSON TEXT — the
+    constant-fold twin of WithinFunction.java (spatial4j/JTS planar
+    relate) for literal operands: every vertex of A inside-or-on B,
+    no edge of A properly crossing an edge of B, and every A-segment
+    midpoint inside-or-on B (catches a segment leaving through two
+    boundary touches). None when A isn't parseable or B isn't a
+    polygon (out of fold scope)."""
+    a, b = _parse_shape(a_text), _parse_shape(b_text)
+    if a is None or b is None or b[0] != "rings" or not b[1]:
+        return None
+    rings = b[1]
+    kind, parts = a
+    if kind == "point":
+        pts, segs = parts, []
+    elif kind == "line":
+        pts = [p for ln in parts for p in ln]
+        segs = [
+            (ln[i], ln[i + 1]) for ln in parts for i in range(len(ln) - 1)
+        ]
+    else:
+        pts = [p for r in parts for p in r]
+        segs = [
+            (r[i], r[(i + 1) % len(r)]) for r in parts for i in range(len(r))
+        ]
+    for x, y in pts:
+        if not _pt_in_polygon_rings(x, y, rings):
+            return False
+    b_edges = [
+        (r[i], r[(i + 1) % len(r)]) for r in rings for i in range(len(r))
+    ]
+
+    def orient(p, q, r) -> int:
+        v = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+        return 0 if abs(v) < 1e-12 else (1 if v > 0 else -1)
+
+    for s in segs:
+        for e in b_edges:
+            o1, o2 = orient(s[0], s[1], e[0]), orient(s[0], s[1], e[1])
+            o3, o4 = orient(e[0], e[1], s[0]), orient(e[0], e[1], s[1])
+            if o1 != o2 and o3 != o4 and 0 not in (o1, o2, o3, o4):
+                return False  # proper crossing: A exits B
+        mx, my = (s[0][0] + s[1][0]) / 2, (s[0][1] + s[1][1]) / 2
+        if not _pt_in_polygon_rings(mx, my, rings):
+            return False
+    return True

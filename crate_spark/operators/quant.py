@@ -156,7 +156,14 @@ def pq_codebooks_cached(
 
 
 def _sql_double(x) -> str:
-    r = repr(float(x))
+    f = float(x)
+    if f != f:
+        return "double('NaN')"
+    if f == float("inf"):
+        return "double('Infinity')"
+    if f == float("-inf"):
+        return "double('-Infinity')"
+    r = repr(f)
     return r if "e" in r or "E" in r else r + "D"
 
 

@@ -162,6 +162,39 @@ def test_to_char_via_sql(spark, row):
     assert (r.a, r.b, r.c) == ("2024-12-13", "0000-", "21st")
 
 
+def test_to_char_user_string_stays_timestamp_typed(spark):
+    """A plain user string that merely LOOKS like an interval
+    ('15:30:10') resolves to the timestamp signature (registered
+    first, ToCharFunction.java:54), not the interval formatter —
+    only renders produced by our own interval folds (tagged with a
+    no-op CAST marker) take the interval path (ADVICE r9)."""
+    from crate_spark.engine import CrateSession
+
+    sess = CrateSession(spark)
+    got = sess.execute(
+        "SELECT to_char('2024-03-05 15:30:10', 'HH24:MI:SS') AS a, "
+        "to_char(INTERVAL '1 year 04:05:06', "
+        "'YYYY-MM-DD HH24:MI:SS') AS b"
+    ).collect()[0]
+    assert got.a == "15:30:10"
+    # the folded mixed interval still formats as an interval
+    # (reference formats 0000-01-01T00:00 + period; year renders 0001
+    # via the 400-year Gregorian-cycle shift)
+    assert got.b == "0001-01-01 04:05:06"
+
+
+def test_sql_double_nonfinite():
+    """_sql_double must emit plan-parseable spellings for NaN/Inf —
+    degenerate k-means codebooks on zero vectors produce them
+    (ADVICE r9)."""
+    from crate_spark.operators.quant import _sql_double
+
+    assert _sql_double(float("nan")) == "double('NaN')"
+    assert _sql_double(float("inf")) == "double('Infinity')"
+    assert _sql_double(float("-inf")) == "double('-Infinity')"
+    assert _sql_double(1.5) == "1.5D"
+
+
 def test_blake3_reference_vectors():
     """Reference HashFunctionsTest.java:42-44 vectors."""
     from crate_spark.functions._blake3 import blake3_hex

@@ -845,6 +845,30 @@ def test_js_switch_fallthrough():
             "x = 2; break; } return x; }",
             1,
         )
+    # r10 (ADVICE r9): a break WRAPPED IN BRACES that belong to an
+    # if/else block — not a nested loop — must also reject at CREATE
+    # (it would compile to a bare Python break binding to an
+    # enclosing translated loop)
+    with pytest.raises(ValueError, match="before the end of a switch"):
+        _run(
+            "function f(x) { switch (x) { case 1: "
+            "if (x > 0) { break; } x = 2; break; } return x; }",
+            1,
+        )
+    with pytest.raises(ValueError, match="before the end of a switch"):
+        _run(
+            "function f(x) { switch (x) { case 1: "
+            "if (x > 0) { x = 3; } else { break; } x = 2; break; } "
+            "return x; }",
+            1,
+        )
+    # ...while a break caught by a loop NESTED IN THE ARM stays legal
+    assert _run(
+        "function f(n) { var s = 0; switch (n) { case 1: "
+        "for (var i = 0; i < 10; i++) { if (i > 2) { break; } s += i; } "
+        "break; } return s; }",
+        1,
+    ) == 3
 
 
 def test_js_destructuring():
@@ -916,6 +940,26 @@ def test_js_destructuring_renames_defaults_block_arrows():
         "function f(xs) { return xs.filter(x => { return x > 1; }); }",
         [1, 2, 3],
     ) == [2, 3]
+    # r10 (ADVICE r9): a default fires ONLY for undefined (absent key
+    # / out-of-range index) — an explicit null stays null, GraalVM
+    # semantics
+    assert _run(
+        "function f(o) { const {a = 1} = o; return a === null ? 'null' "
+        ": a; }",
+        {"a": None},
+    ) == "null"
+    assert _run(
+        "function f(o) { const {a = 1} = o; return a; }", {}
+    ) == 1
+    assert _run(
+        "function f({a: b = 5}) { return b === null ? 'null' : b; }",
+        {"a": None},
+    ) == "null"
+    assert _run(
+        "function f(xs) { const [h = 9] = xs; return h === null "
+        "? 'null' : h; }",
+        [None],
+    ) == "null"
 
 
 def test_js_object_literal_argument_e2e(spark):
