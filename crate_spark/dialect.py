@@ -1822,6 +1822,50 @@ def _struct_literal_subscripts(sql: str, literals: list[str]) -> str:
 #: sql-parser IntervalLiteral; millennium/century/decade omitted like
 #: the reference's Period mapping). Distinct from the _IV_UNITS
 #: micros table used by _interval_literal_micros.
+def _extract_field_pat(fields: str) -> "re.Pattern":
+    """``EXTRACT(<field> FROM <operand>)`` with the operand matched at
+    ANY paren nesting depth (named group ``x``)."""
+    return _RE.compile(
+        rf"\bEXTRACT\s*\(\s*(?:{fields})\s+FROM\s+"
+        rf"(?P<x>(?:[^()]|{_paren()})+)\)",
+        re.IGNORECASE,
+    )
+
+
+#: EXTRACT fields whose reference semantics differ from Spark's
+#: native extract (see the block comment at the use site):
+#: EPOCH (PG fractional seconds), DOW/ISODOW/DAY_OF_WEEK (the
+#: reference's DOW aliases DAY_OF_WEEK = ISO Monday=1..Sunday=7,
+#: ExtractFunctions.java:178 — NOT PG's Sunday=0), CENTURY (Joda
+#: centuryOfEra = year/100 truncation), SECOND (INTEGER
+#: secondOfMinute, fraction dropped), DAY_OF_MONTH/DAY_OF_YEAR
+#: (spellings Spark lacks). Spark's weekday() is Monday=0.
+_EXTRACT_FIELD_REWRITES = [
+    (_extract_field_pat("EPOCH"),
+     r"(unix_micros(CAST(\g<x> AS TIMESTAMP)) / 1e6)"),
+    (_extract_field_pat("ISODOW|DOW|DAY_OF_WEEK"),
+     r"(weekday(CAST(\g<x> AS TIMESTAMP)) + 1)"),
+    (_extract_field_pat("CENTURY"),
+     r"CAST(floor(year(CAST(\g<x> AS TIMESTAMP)) / 100) AS INT)"),
+    (_extract_field_pat("SECOND"),
+     r"CAST(floor(EXTRACT(SECOND FROM \g<x>)) AS INT)"),
+    (_extract_field_pat("DAY_OF_MONTH"),
+     r"day(CAST(\g<x> AS TIMESTAMP))"),
+    (_extract_field_pat("DAY_OF_YEAR"),
+     r"dayofyear(CAST(\g<x> AS TIMESTAMP))"),
+]
+
+
+#: unit spellings Spark's own interval-string parser accepts — a
+#: pass-through literal must stay inside this set (anything else is
+#: rebuilt from the parsed fields; see _fold_interval_literals)
+_SPARK_IV_UNITS = {
+    "interval", "year", "years", "month", "months", "week", "weeks",
+    "day", "days", "hour", "hours", "minute", "minutes", "second",
+    "seconds", "millisecond", "milliseconds", "microsecond",
+    "microseconds",
+}
+
 _IV_UNIT_SLOTS = {
     "y": "years", "yr": "years", "yrs": "years", "year": "years",
     "years": "years",
@@ -2726,7 +2770,39 @@ def _fold_interval_literals(sql: str, literals: list[str]) -> str:
         has_dt = bool(d or h or mi or s)
         needs_fold = shorthand or (has_ym and has_dt)
         if not needs_fold:
-            return m.group(0)
+            # crate accepts unit spellings Spark's interval parser
+            # does not (mins/secs/mons/ms/w — _IV_UNIT_SLOTS); when
+            # the literal uses one, REBUILD it from the parsed fields
+            # in Spark's spelling (fuzz r10: INTERVAL '-15 mins' was
+            # passed through verbatim and failed at parse). Literals
+            # already in Spark spelling pass through untouched so
+            # their native single-unit types are preserved.
+            words = set(re.findall(r"[a-z]+", lit[1:-1].lower()))
+            if words <= _SPARK_IV_UNITS:
+                return m.group(0)
+            if qual_start:
+                # apply the <u> TO <u> restriction before rebuilding
+                # (the qualifier text is consumed by the rebuild)
+                t = _truncate_interval_fields(
+                    (y, mo, d, h, mi, s),
+                    qual_start.upper(),
+                    qual_end.upper(),
+                )
+                if t is None:
+                    return m.group(0)
+                y, mo, d, h, mi, s = t
+                has_ym = y != 0 or mo != 0
+            if has_ym:
+                canon = f"{y} years {mo} months"
+            else:
+                sec = (
+                    repr(s)
+                    if isinstance(s, float) and not float(s).is_integer()
+                    else str(int(s))
+                )
+                canon = f"{d} days {h} hours {mi} minutes {sec} seconds"
+            prefix = f"{mult} * " if mult is not None else ""
+            return f"{prefix}INTERVAL '{canon}'"
         if qual_start:
             # precision restriction applies to the RAW fields, before
             # the render's normalization (roundToPrecision order)
@@ -2837,10 +2913,22 @@ def _mixed_interval_arith(sql: str, literals: list[str]) -> str:
         adjacent = (before.endswith(("+", "-"))
                     or after.startswith(("+", "-")))
         raw = literals[int(m.group(1))][1:-1]
-        parts = _parse_interval_literal(raw)
+        parsed = _parse_interval_literal_ex(raw)
+        parts = parsed[0] if parsed is not None else None
         replaced = False
+        # a trailing unit qualifier (INTERVAL '1' DAY, ... DAY TO
+        # HOUR) belongs to the literal — leave the whole form for
+        # _fold_interval_literals, which knows the precision rules
+        # (r10: the shorthand branch once swallowed the literal out
+        # from under its qualifier, stranding a bare `DAY`)
+        if re.match(
+            r"(?:YEAR|MONTH|DAY|HOUR|MINUTE|SECOND)\b", after, re.IGNORECASE
+        ):
+            parts = None
         if adjacent and parts is not None:
             y, mo, d, h, mi, s = parts
+            shorthand = parsed[1]
+            words = set(re.findall(r"[a-z]+", raw.lower()))
             if (y or mo) and (d or h or mi or s):
                 out.append(sql[i : m.start()])
                 out.append(
@@ -2853,6 +2941,19 @@ def _mixed_interval_arith(sql: str, literals: list[str]) -> str:
                 # native qualified literal composes and collects
                 out.append(sql[i : m.start()])
                 out.append(f"INTERVAL '{y}-{mo}' YEAR TO MONTH")
+                replaced = True
+            elif shorthand or not words <= _SPARK_IV_UNITS:
+                # any other shape Spark's parser rejects — ISO-8601,
+                # day-time shorthand, bare-number seconds, crate unit
+                # aliases (mins/secs/mons) — composes as
+                # make_interval when it sits in arithmetic (fuzz r10:
+                # ts + INTERVAL 'P...DT...S' text-folded and failed
+                # with BINARY_OP_WRONG_TYPE)
+                out.append(sql[i : m.start()])
+                out.append(
+                    f"make_interval({y}, {mo}, 0, {d}, {h}, {mi}, "
+                    f"CAST({s!r} AS DECIMAL(18,6)))"
+                )
                 replaced = True
         if not replaced:
             out.append(sql[i : m.end()])
@@ -3368,66 +3469,12 @@ def rewrite(
     # ([{k=v},{k=w}][i]['k'] -> element_at(array(named_struct..), i).k)
     sql = _struct_array_literal_subscripts(sql, literals)
 
-    # EXTRACT(EPOCH FROM x): PG epoch seconds with fraction
-    # (ExtractFunctions epoch case; Spark has no EPOCH extract field)
-    sql = re.sub(
-        r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\s+((?:[^()]|\([^()]*\))+)\)",
-        r"(unix_micros(CAST(\1 AS TIMESTAMP)) / 1e6)",
-        sql,
-        flags=re.IGNORECASE,
-    )
-    # Day-of-week numbering: the reference's DOW is an ALIAS of
-    # DAY_OF_WEEK = ISO Monday=1..Sunday=7 (ExtractFunctions.java:178
-    # `case DOW: return NAME_PREFIX + DAY_OF_WEEK`, docs "DOW same as
-    # day_of_week") — NOT PostgreSQL's 0-6 Sunday=0. ISODOW (a PG
-    # spelling the reference doesn't parse — surplus here) is the
-    # same ISO numbering. Spark's weekday() is Monday=0.
-    sql = re.sub(
-        r"\bEXTRACT\s*\(\s*(?:ISODOW|DOW)\s+FROM\s+((?:[^()]|\([^()]*\))+)\)",
-        r"(weekday(CAST(\1 AS TIMESTAMP)) + 1)",
-        sql,
-        flags=re.IGNORECASE,
-    )
-    # CENTURY: Joda centuryOfEra — a straight year/100 split (docs:
-    # "Year 2000 century 20 and year 2001 is also century 20"), not
-    # PG's ceil-based century. Spark has no CENTURY extract field.
-    sql = re.sub(
-        r"\bEXTRACT\s*\(\s*CENTURY\s+FROM\s+((?:[^()]|\([^()]*\))+)\)",
-        r"CAST(floor(year(CAST(\1 AS TIMESTAMP)) / 100) AS INT)",
-        sql,
-        flags=re.IGNORECASE,
-    )
-    # SECOND: the reference returns INTEGER secondOfMinute (fraction
-    # dropped; ExtractFunctions fieldsMapWithIntReturn) where Spark's
-    # EXTRACT(SECOND) is a decimal with the fraction. Wrap the native
-    # extract so interval sources keep working.
-    sql = re.sub(
-        r"\bEXTRACT\s*\(\s*SECOND\s+FROM\s+((?:[^()]|\([^()]*\))+)\)",
-        r"CAST(floor(EXTRACT(SECOND FROM \1)) AS INT)",
-        sql,
-        flags=re.IGNORECASE,
-    )
-    # crate long-form field names (ExtractFunctions.java:73,177):
-    # DAY_OF_WEEK is ISO (Monday=1); DAY_OF_MONTH/DAY_OF_YEAR are the
-    # plain day/doy fields Spark lacks under these spellings
-    sql = re.sub(
-        r"\bEXTRACT\s*\(\s*DAY_OF_WEEK\s+FROM\s+((?:[^()]|\([^()]*\))+)\)",
-        r"(weekday(CAST(\1 AS TIMESTAMP)) + 1)",
-        sql,
-        flags=re.IGNORECASE,
-    )
-    sql = re.sub(
-        r"\bEXTRACT\s*\(\s*DAY_OF_MONTH\s+FROM\s+((?:[^()]|\([^()]*\))+)\)",
-        r"day(CAST(\1 AS TIMESTAMP))",
-        sql,
-        flags=re.IGNORECASE,
-    )
-    sql = re.sub(
-        r"\bEXTRACT\s*\(\s*DAY_OF_YEAR\s+FROM\s+((?:[^()]|\([^()]*\))+)\)",
-        r"dayofyear(CAST(\1 AS TIMESTAMP))",
-        sql,
-        flags=re.IGNORECASE,
-    )
+    # EXTRACT field rewrites over a FULLY-nested operand (fuzz r10:
+    # the old 1-level pattern missed `ts + make_interval(.., CAST(..))`
+    # operands, so EXTRACT(dow) fell through to Spark's native
+    # Sunday=1 numbering on compound expressions).
+    for fld_pat, repl in _EXTRACT_FIELD_REWRITES:
+        sql = fld_pat.sub(repl, sql)
 
     # table functions in FROM (TableFunctions.java): empty_row() is a
     # one-row zero-column anchor (Spark needs >=1 column — documented

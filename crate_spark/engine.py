@@ -19,6 +19,7 @@ Surface:
 
 from __future__ import annotations
 
+import itertools
 import json as _json
 import re
 
@@ -3257,6 +3258,23 @@ class _JsAbsent:
 _JS_ABSENT = _JsAbsent
 
 
+def _js_rest_obj(obj, taken):
+    """``{a, ...rest} = o``: the remaining OWN keys as a new object
+    (GraalVM object rest)."""
+    if isinstance(obj, dict):
+        return _JsObject(
+            {k: v for k, v in obj.items() if k not in taken}
+        )
+    return _JsObject({})
+
+
+def _js_rest_arr(arr, start):
+    """``[h, ...t] = xs``: the remaining elements as a new array."""
+    if arr is None:
+        return _JsArray([])
+    return _JsArray(list(arr[start:]))
+
+
 def _js_member_d(obj, name):
     """``_js_member`` for destructuring reads: absent keys return the
     ``_JS_ABSENT`` sentinel (so `= default` fires only on undefined),
@@ -4238,28 +4256,45 @@ def _js_block_to_python(
         if m:
             for decl in _js_split_decls(m.group(1)):
                 # destructuring declarations: `const {a, b: c = 1} = o`
-                # / `const [x, y = 2] = arr` — identifier lists with
-                # optional renames/defaults (r9; nesting/rest still
-                # reject below)
-                dd = re.match(
-                    r"\s*([\[{])(.*?)([\]}])\s*=\s*(.*)$",
-                    decl,
-                    re.DOTALL,
-                )
-                if dd and (dd.group(1), dd.group(3)) in {
-                    ("[", "]"), ("{", "}")
-                }:
-                    tmp = f"__destr{depth}"
-                    bindings = _js_destructure_bindings(
-                        dd.group(1), dd.group(2), tmp, pad, lits
-                    )
-                    if bindings is not None:
-                        body_lines.append(
-                            f"{pad}{tmp} = "
-                            f"{_js_expr_to_python(dd.group(4), lits)}"
+                # / `const [x, y = 2] = arr`, incl. NESTED patterns and
+                # rest elements (r10). Balanced-bracket scan finds the
+                # pattern's true close (a lazy regex would cut
+                # `{a: {b} = {}} = o` at the wrong brace).
+                dm0 = re.match(r"\s*([\[{])", decl)
+                if dm0:
+                    open_ch = dm0.group(1)
+                    close_ch = "]" if open_ch == "[" else "}"
+                    d2, j2 = 0, dm0.end() - 1
+                    while j2 < len(decl):
+                        if decl[j2] in "([{":
+                            d2 += 1
+                        elif decl[j2] in ")]}":
+                            d2 -= 1
+                            if d2 == 0:
+                                break
+                        j2 += 1
+                    after = decl[j2 + 1 :].lstrip() if j2 < len(decl) else ""
+                    if (
+                        j2 < len(decl)
+                        and decl[j2] == close_ch
+                        and after.startswith("=")
+                        and not after.startswith("==")
+                    ):
+                        tmp = f"__destr{depth}"
+                        bindings = _js_destructure_bindings(
+                            open_ch,
+                            decl[dm0.end() : j2],
+                            tmp,
+                            pad,
+                            lits,
                         )
-                        body_lines.extend(bindings)
-                        continue
+                        if bindings is not None:
+                            body_lines.append(
+                                f"{pad}{tmp} = "
+                                f"{_js_expr_to_python(after[1:], lits)}"
+                            )
+                            body_lines.extend(bindings)
+                            continue
                 dm = re.match(
                     r"\s*([\w$]+)\s*(?:=\s*(.*))?$", decl, re.DOTALL
                 )
@@ -4670,62 +4705,152 @@ def _js_block_to_python(
     lines.extend(body_lines)
 
 
-def _js_destructure_bindings(kind, body, src, pad, lits):
-    """Python binding lines for one ``{...}``/``[...]`` destructuring
-    pattern: plain identifiers, optional ``key: target`` renames
-    (objects), optional ``= default`` values (GraalVM semantics: a
-    default fires only when the member reads UNDEFINED — an absent
-    key or out-of-range index — never for an explicit null, which
-    stays null; ADVICE r9). None when the pattern is out of subset
-    (nesting, rest, computed keys)."""
-    lines = []
-    for k, elem in enumerate(_js_split_decls(body)):
-        if kind == "{":
-            m = re.fullmatch(
-                r"\s*([\w$]+)\s*(?::\s*([\w$]+))?\s*(?:=\s*(.+?))?\s*",
-                elem,
-                re.DOTALL,
-            )
-            if not m:
-                return None
-            target = m.group(2) or m.group(1)
-            default = m.group(3)
-            if default is not None:
-                # the sentinel read distinguishes absent from null
-                dv = _js_expr_to_python(default, lits)
+#: temp-name counter for nested destructuring sources
+_DS_COUNTER = itertools.count()
+
+
+def _js_destructure_target(target, val_plain, val_d, default, pad, lits,
+                           lines):
+    """Emit bindings for ONE destructuring target: a plain identifier,
+    or a nested ``{...}``/``[...]`` pattern (r10 — the verdict's next
+    translator tier). ``val_plain`` reads the member as undefined->
+    None; ``val_d`` (object members only) reads with the _JS_ABSENT
+    sentinel so a default fires only for absent keys. Returns False
+    when the target is out of subset."""
+    nested = re.fullmatch(r"([\[{])(.*)([\]}])", target, re.DOTALL)
+    if nested and (nested.group(1), nested.group(3)) in {
+        ("[", "]"), ("{", "}")
+    }:
+        tmp = f"__ds{next(_DS_COUNTER)}"
+        if default is not None:
+            dv = _js_expr_to_python(default, lits)
+            if val_d is not None:
+                lines.append(f"{pad}{tmp} = {val_d}")
                 lines.append(
-                    f"{pad}{target} = __js_member_d({src}, "
-                    f"'{m.group(1)}')"
-                )
-                lines.append(
-                    f"{pad}if {target} is __JS_ABSENT: "
-                    f"{target} = ({dv})"
+                    f"{pad}if {tmp} is __JS_ABSENT: {tmp} = ({dv})"
                 )
             else:
                 lines.append(
-                    f"{pad}{target} = __js_member({src}, "
-                    f"'{m.group(1)}')"
+                    f"{pad}{tmp} = ({val_plain}) if ({val_plain}) "
+                    f"is not None else ({dv})"
                 )
         else:
-            m = re.fullmatch(
-                r"\s*([\w$]+)\s*(?:=\s*(.+?))?\s*", elem, re.DOTALL
+            lines.append(f"{pad}{tmp} = {val_plain}")
+        inner = _js_destructure_bindings(
+            nested.group(1), nested.group(2), tmp, pad, lits
+        )
+        if inner is None:
+            return False
+        lines.extend(inner)
+        return True
+    if not re.fullmatch(r"[\w$]+", target):
+        return False
+    if default is not None:
+        dv = _js_expr_to_python(default, lits)
+        if val_d is not None:
+            # the sentinel read distinguishes absent from null
+            lines.append(f"{pad}{target} = {val_d}")
+            lines.append(
+                f"{pad}if {target} is __JS_ABSENT: {target} = ({dv})"
             )
-            if not m:
-                return None
-            target, default = m.group(1), m.group(2)
-            if default is not None:
-                # out-of-range index is undefined -> default; an
-                # in-range null element stays null
-                dv = _js_expr_to_python(default, lits)
+        else:
+            lines.append(
+                f"{pad}{target} = {val_plain} if {val_plain} "
+                f"is not None else ({dv})"
+            )
+    else:
+        lines.append(f"{pad}{target} = {val_plain}")
+    return True
+
+
+def _js_split_target_default(s: str):
+    """Split ``<target> [= <default>]`` at the TOP-LEVEL ``=`` (not
+    ==/=>, not inside brackets) -> (target, default|None)."""
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif (
+            ch == "="
+            and depth == 0
+            and (i + 1 >= len(s) or s[i + 1] not in "=>")
+            and (i == 0 or s[i - 1] not in "=<>!+-*/%&|^")
+        ):
+            return s[:i].strip(), s[i + 1 :].strip()
+    return s.strip(), None
+
+
+def _js_destructure_bindings(kind, body, src, pad, lits):
+    """Python binding lines for one ``{...}``/``[...]`` destructuring
+    pattern: plain identifiers, ``key: target`` renames (objects),
+    ``= default`` values (GraalVM semantics: a default fires only
+    when the member reads UNDEFINED — an absent key or out-of-range
+    index — never for an explicit null, which stays null; ADVICE r9),
+    NESTED patterns (``const [a, [b]] = xs``, ``{a: {b}} = o``; r10),
+    and a trailing REST element (``{a, ...rest}`` / ``[h, ...t]``;
+    r10). None when the pattern is out of subset (computed keys,
+    elisions, non-final rest)."""
+    lines = []
+    elems = _js_split_decls(body)
+    obj_keys: list[str] = []
+    for k, elem in enumerate(elems):
+        elem = elem.strip()
+        if not elem:
+            return None  # elision: out of subset
+        rm = re.fullmatch(r"\.\.\.\s*([\w$]+)", elem)
+        if rm:
+            if k != len(elems) - 1:
+                return None  # rest must be final (JS SyntaxError)
+            if kind == "{":
+                keys = ", ".join(f"'{x}'" for x in obj_keys)
+                comma = "," if obj_keys else ""
                 lines.append(
-                    f"{pad}{target} = ({src}[{k}] if {src} is not None "
-                    f"and len({src}) > {k} else ({dv}))"
+                    f"{pad}{rm.group(1)} = "
+                    f"__js_rest_obj({src}, ({keys}{comma}))"
                 )
             else:
                 lines.append(
-                    f"{pad}{target} = ({src}[{k}] if {src} is not None "
-                    f"and len({src}) > {k} else None)"
+                    f"{pad}{rm.group(1)} = __js_rest_arr({src}, {k})"
                 )
+            continue
+        if kind == "{":
+            km = re.match(r"([\w$]+)\s*", elem)
+            if not km:
+                return None
+            key = km.group(1)
+            obj_keys.append(key)
+            rest = elem[km.end():]
+            if rest.startswith(":"):
+                target, default = _js_split_target_default(rest[1:])
+            else:
+                target, default = _js_split_target_default(elem)
+            val_plain = f"__js_member({src}, '{key}')"
+            val_d = f"__js_member_d({src}, '{key}')"
+            if not _js_destructure_target(
+                target, val_plain, val_d, default, pad, lits, lines
+            ):
+                return None
+        else:
+            target, default = _js_split_target_default(elem)
+            # out-of-range index is undefined -> default fires; an
+            # in-range null element stays null
+            val_plain = (
+                f"({src}[{k}] if {src} is not None "
+                f"and len({src}) > {k} else None)"
+            )
+            if default is not None:
+                dv = _js_expr_to_python(default, lits)
+                val_plain = (
+                    f"({src}[{k}] if {src} is not None "
+                    f"and len({src}) > {k} else ({dv}))"
+                )
+                default = None  # already folded into the read
+            if not _js_destructure_target(
+                target, val_plain, None, default, pad, lits, lines
+            ):
+                return None
     return lines
 
 
@@ -4831,6 +4956,8 @@ def _js_function(body: str, env: dict) -> tuple[list[str], object]:
     # inject them here so every caller-built env has them
     env.setdefault("__js_member_d", _js_member_d)
     env.setdefault("__JS_ABSENT", _JS_ABSENT)
+    env.setdefault("__js_rest_obj", _js_rest_obj)
+    env.setdefault("__js_rest_arr", _js_rest_arr)
     exec(code, env, ns)  # noqa: S102 - trusted-caller surface by design
     fn = ns["__js_udf"]
     # Unresolvable globals (Java.type, start_point in the docs' line()

@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 from crate_spark.operators import quant as Q
 from crate_spark.session import get_spark
 
-COPIES = 10
+#: override with PQ_COPIES=1 for the 1x point of the scale curve
+COPIES = int(os.environ.get("PQ_COPIES", "10"))
 N_QUERIES = 200
 K = 10
 

@@ -275,3 +275,107 @@ def test_interval_render_parse_roundtrip(months, days, micros):
     )
     assert got[:5] == want[:5], (text, got, want)
     assert abs(got[5] - want[5]) < 1e-6, (text, got, want)
+
+
+def test_extract_over_interval_arithmetic_property(spark):
+    """r10 (VERDICT r9 next-round #8): literals, arithmetic and
+    EXTRACT folds now share ONE interval parser — pin the three paths
+    agreeing on COMPOSITION: ``EXTRACT(f FROM ts + INTERVAL 'iv')``
+    over 200 seeded (timestamp, interval, field) cases against a
+    Python-computed expected (total-months add with end-of-month
+    clamp, then days+time — java.time Period.addTo order, which both
+    the reference's arithmetic and Spark's make_interval follow).
+    Interval spellings cycle through the rewrite paths: Spark-native
+    unit words, mixed ym+dt (make_interval), SQL-standard shorthand,
+    and ISO-8601."""
+    import calendar
+    import datetime
+    import random
+
+    from crate_spark.engine import CrateSession
+
+    rng = random.Random(0x1E10AC)
+    sess = CrateSession(spark)
+
+    def add_iv(dt, y, mo, d, h, mi, s):
+        m0 = dt.month - 1 + y * 12 + mo
+        yr = dt.year + m0 // 12
+        mn = m0 % 12 + 1
+        dy = min(dt.day, calendar.monthrange(yr, mn)[1])
+        base = dt.replace(year=yr, month=mn, day=dy)
+        return base + datetime.timedelta(
+            days=d, hours=h, minutes=mi, seconds=s
+        )
+
+    FIELDS = {
+        "year": lambda t: t.year,
+        "month": lambda t: t.month,
+        "day": lambda t: t.day,
+        "hour": lambda t: t.hour,
+        "minute": lambda t: t.minute,
+        "second": lambda t: t.second,
+        "quarter": lambda t: (t.month - 1) // 3 + 1,
+        "doy": lambda t: t.timetuple().tm_yday,
+        # reference DOW = ISO Mon=1..Sun=7 (ExtractFunctions.java:178)
+        "dow": lambda t: t.isoweekday(),
+    }
+
+    exprs, expected = [], []
+    for i in range(200):
+        ts = datetime.datetime(
+            rng.randint(1960, 2090), rng.randint(1, 12),
+            rng.randint(1, 28), rng.randint(0, 23),
+            rng.randint(0, 59), rng.randint(0, 59),
+        )
+        y = rng.choice([0, 0, rng.randint(-3, 3)])
+        mo = rng.choice([0, rng.randint(-26, 26)])
+        d = rng.choice([0, rng.randint(-400, 400)])
+        h = rng.choice([0, rng.randint(-50, 50)])
+        mi = rng.choice([0, rng.randint(-120, 120)])
+        s = rng.choice([0, rng.randint(-7000, 7000)])
+        form = i % 4
+        if form == 0:
+            # unit-word list (Spark-native for pure ym or pure dt,
+            # make_interval when mixed)
+            parts = []
+            for v, u in ((y, "years"), (mo, "mons"), (d, "days"),
+                         (h, "hours"), (mi, "mins"), (s, "secs")):
+                if v:
+                    parts.append(f"{v} {u}")
+            iv = " ".join(parts) or "0 secs"
+        elif form == 1:
+            # pure day-time, possibly large fields
+            y = mo = 0
+            iv = " ".join(
+                f"{v} {u}" for v, u in
+                ((d, "days"), (h, "hours"), (mi, "mins"), (s, "secs"))
+                if v
+            ) or "1 hour"
+            if iv == "1 hour":
+                h, d, mi, s = 1, 0, 0, 0
+        elif form == 2:
+            # SQL-standard shorthand [D] [H:M:S] (signs propagate)
+            d, h, mi, s = abs(d), abs(h) % 24, abs(mi) % 60, abs(s) % 60
+            y = mo = 0
+            iv = f"{d} {h}:{mi:02d}:{s:02d}"
+        else:
+            # ISO-8601 period (always the fold path)
+            y, mo, d = abs(y), abs(mo), abs(d)
+            h, mi, s = abs(h), abs(mi), abs(s)
+            iv = f"P{y}Y{mo}M{d}DT{h}H{mi}M{s}S"
+        fname, fget = rng.choice(list(FIELDS.items()))
+        lit = ts.strftime("%Y-%m-%d %H:%M:%S")
+        exprs.append(
+            f"CAST(EXTRACT({fname} FROM TIMESTAMP '{lit}' "
+            f"+ INTERVAL '{iv}') AS BIGINT) AS f{i}"
+        )
+        expected.append((i, fname, iv, lit,
+                         fget(add_iv(ts, y, mo, d, h, mi, s))))
+
+    # one wide SELECT: 200 round-trips through the full shim at once
+    row = sess.execute("SELECT " + ", ".join(exprs)).collect()[0]
+    for i, fname, iv, lit, want in expected:
+        assert row[f"f{i}"] == want, (
+            f"EXTRACT({fname} FROM '{lit}' + '{iv}') = "
+            f"{row[f'f{i}']}, want {want}"
+        )

@@ -901,18 +901,61 @@ def test_js_destructuring():
 
 def test_js_still_rejected_constructs():
     """The remaining declared divergences stay CREATE-time rejections:
-    spread, rest params, NESTED destructuring patterns,
-    multi-statement block-body arrows in expression position (the
-    compile catches them), assignment-body callbacks."""
+    spread in expression position, rest PARAMS (rest destructuring
+    ELEMENTS are supported since r10), multi-statement block-body
+    arrows in expression position (the compile catches them),
+    assignment-body callbacks."""
     for body in (
         "function f(xs) { return [...xs, 9]; }",
         "function f(...xs) { return xs; }",
-        "function f({a: {b}}) { return b; }",
         "function f(xs) { return xs.map(x => { var y = x; return y; }); }",
         "function f(xs) { var s = 0; xs.forEach(x => s += x); return s; }",
     ):
         with pytest.raises(ValueError):
             _run(body, [1])
+
+
+def test_js_nested_destructuring_and_rest():
+    """r10 (VERDICT next-round #5): nested destructuring patterns and
+    trailing rest elements, in declarations AND parameters — both
+    appear in the reference's lang-js test corpus (full GraalVM)."""
+    # nested array pattern
+    assert _run(
+        "function f(xs) { const [a, [b]] = xs; return a * 10 + b; }",
+        [4, [2]],
+    ) == 42
+    # nested object pattern, in a parameter
+    assert _run(
+        "function f({a: {b}}) { return b; }", {"a": {"b": 7}}
+    ) == 7
+    # nested object inside array, with rename
+    assert _run(
+        "function f(xs) { const [{x: q}, [y]] = xs; return q + y; }",
+        [{"x": 30}, [12]],
+    ) == 42
+    # object rest: remaining own keys
+    assert _run(
+        "function f(o) { const {a, ...rest} = o; "
+        "return a + rest.b + rest.c; }",
+        {"a": 1, "b": 2, "c": 3},
+    ) == 6
+    # array rest: remaining elements keep array methods
+    assert _run(
+        "function f(xs) { const [h, ...t] = xs; return h + t.length; }",
+        [10, 1, 2, 3],
+    ) == 13
+    # rest in a parameter pattern
+    assert _run(
+        "function f({x, ...r}) { return x + r.y; }", {"x": 1, "y": 2}
+    ) == 3
+    # rest must be final — JS SyntaxError, CREATE-time rejection
+    with pytest.raises(ValueError):
+        _run("function f(o) { const {...r, a} = o; return a; }", {})
+    # nested null member reads as undefined-ish: inner binds None
+    assert _run(
+        "function f(o) { const {a: {b} = {b: 9}} = o; return b; }",
+        {},
+    ) == 9
 
 
 def test_js_destructuring_renames_defaults_block_arrows():
