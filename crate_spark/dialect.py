@@ -838,30 +838,154 @@ def _regexp_count_sql(a: list[str], literals: list[str]) -> str | None:
     return None
 
 
+def _bytea_parse(text: str) -> bytes:
+    """PG bytea INPUT text -> bytes (EncodeDecodeFunction.java input
+    handling): a leading ``\\x`` means hex; anything else is the
+    escape format (``\\\\`` one backslash, ``\\nnn`` octal, other
+    chars raw). Error spellings follow the reference's exceptions."""
+    if text.startswith("\\x"):
+        hx = text[2:]
+        for i, c in enumerate(hx):
+            if c not in "0123456789abcdefABCDEF":
+                raise ValueError(
+                    f"Illegal hexadecimal character {c} at index {i + 2}"
+                )
+        if len(hx) % 2:
+            raise ValueError("Odd number of characters")
+        return bytes.fromhex(hx)
+    out = bytearray()
+    i = 0
+    while i < len(text):
+        c = text[i]
+        if c == "\\":
+            if text[i + 1 : i + 2] == "\\":
+                out.append(0x5C)
+                i += 2
+                continue
+            oct3 = text[i + 1 : i + 4]
+            if len(oct3) == 3 and all(ch in "01234567" for ch in oct3):
+                out.append(int(oct3, 8))
+                i += 4
+                continue
+            nxt = text[i + 1 : i + 2] or "?"
+            raise ValueError(
+                f"Illegal octal character {nxt} at index {i + 1}"
+            )
+        out.append(ord(c) & 0xFF if ord(c) < 256 else 0x3F)
+        i += 1
+    return bytes(out)
+
+
+def _bytea_escape(data: bytes) -> str:
+    """bytes -> PG escape output: backslash doubles, non-printable
+    bytes render as ``\\nnn`` octal."""
+    out = []
+    for b in data:
+        if b == 0x5C:
+            out.append("\\\\")
+        elif 0x20 <= b <= 0x7E:
+            out.append(chr(b))
+        else:
+            out.append(f"\\{b:03o}")
+    return "".join(out)
+
+
 def _encode_sql(a: list[str], literals: list[str]) -> str | None:
-    """EncodeFunction (PG encode(data, format)): base64/hex."""
+    """EncodeFunction (encode(data, format) — base64/hex/escape):
+    the DATA operand is PG bytea INPUT text ('\\x..' hex or the
+    octal-escape format), not plain text (r10 —
+    EncodeDecodeFunctionTest: encode('123\\000\\001','base64') is
+    'MTIzAAE='). Literal operands constant-fold with full escape
+    parsing + reference error spellings; column operands handle the
+    '\\x' hex form and raw text (octal escapes in COLUMN data stay a
+    documented gap)."""
+    import base64 as _b64
+
     if len(a) != 2:
         return None
     fmt = _lit_value(a[1], literals)
     if fmt is None:
         return None
-    if fmt.lower() == "base64":
-        return f"base64(CAST({a[0]} AS BINARY))"
-    if fmt.lower() == "hex":
-        return f"lower(hex(CAST({a[0]} AS BINARY)))"
+    fmt = fmt.lower()
+    raw = _lit_value(a[0], literals)
+    if raw is not None:
+        if fmt not in ("base64", "hex", "escape"):
+            raise ValueError(
+                f"Encoding format '{fmt}' is not supported"
+            )
+        data = _bytea_parse(raw)
+        if fmt == "base64":
+            text = _b64.b64encode(data).decode()
+        elif fmt == "hex":
+            text = data.hex()
+        else:
+            text = _bytea_escape(data)
+        return _mklit(
+            literals,
+            "'" + text.replace("\\", "\\\\").replace("'", "''") + "'",
+        )
+    hexpfx = _mklit(literals, "'\\\\x'")
+    src = (
+        f"CASE WHEN startswith({a[0]}, {hexpfx}) "
+        f"THEN unhex(substring({a[0]}, 3)) "
+        f"ELSE CAST({a[0]} AS BINARY) END"
+    )
+    if fmt == "base64":
+        return f"base64({src})"
+    if fmt == "hex":
+        return f"lower(hex({src}))"
     return None
 
 
 def _decode_sql(a: list[str], literals: list[str]) -> str | None:
+    """DecodeFunction: base64/hex/escape text -> bytea, RENDERED as
+    the reference renders bytea results — a '\\x..' hex string
+    (EncodeDecodeFunctionTest: decode('MTIzAAE=','base64') is
+    '\\x3132330001')."""
+    import base64 as _b64
+
     if len(a) != 2:
         return None
     fmt = _lit_value(a[1], literals)
     if fmt is None:
         return None
-    if fmt.lower() == "base64":
-        return f"unbase64({a[0]})"
-    if fmt.lower() == "hex":
-        return f"unhex({a[0]})"
+    fmt = fmt.lower()
+    raw = _lit_value(a[0], literals)
+    if raw is not None:
+        if fmt not in ("base64", "hex", "escape"):
+            raise ValueError(
+                f"Encoding format '{fmt}' is not supported"
+            )
+        if fmt == "base64":
+            try:
+                data = _b64.b64decode(raw, validate=True)
+            except Exception:
+                bad = next(
+                    (c for c in raw
+                     if not (c.isalnum() or c in "+/=")), "?",
+                )
+                raise ValueError(
+                    f"Illegal base64 character {ord(bad):x}"
+                ) from None
+        elif fmt == "hex":
+            for i, c in enumerate(raw):
+                if c not in "0123456789abcdefABCDEF":
+                    raise ValueError(
+                        f"Illegal hexadecimal character {c} at index {i}"
+                    )
+            if len(raw) % 2:
+                raise ValueError("Odd number of characters")
+            data = bytes.fromhex(raw)
+        else:
+            data = _bytea_parse(raw)
+        return _mklit(
+            literals, "'" + "\\\\x" + data.hex() + "'"
+        )
+    pfx = _mklit(literals, "'\\\\x'")
+    if fmt == "base64":
+        return f"concat({pfx}, lower(hex(unbase64({a[0]}))))"
+    if fmt == "hex":
+        return f"concat({pfx}, lower({a[0]}))"
     return None
 
 

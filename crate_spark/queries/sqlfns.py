@@ -208,7 +208,7 @@ def sql_geo_surface(spark, sf_dir):
            printf('%s-%s', lang, source) AS fmt,
            to_base64(lang::BLOB) AS b64,
            lower(hex(source::BLOB)) AS hexed,
-           lang AS roundtrip,
+           '\\x' || lower(hex(lang::BLOB)) AS roundtrip,
            CASE WHEN doc_id % 3 = 0 THEN false ELSE doc_id % 3 = 1 END AS i3vl,
            array_to_string(json_keys('{"k' || (doc_id % 3)::VARCHAR || '":1,"z":2}'), ',') AS objkeys,
            source || '.example.com' AS host,
@@ -242,6 +242,11 @@ def sql_string_fn_surface(spark, sf_dir):
         "format('%s-%s', lang, source) AS fmt, "
         "encode(lang, 'base64') AS b64, "
         "encode(source, 'hex') AS hexed, "
+        # decode returns the reference's '\\x..' hex TEXT render (the
+        # reference has no bytea runtime type; EncodeDecodeFunctionTest
+        # decode('MTIzAAE=','base64') = '\\x3132330001') — r10 fix of a
+        # same-spelling blind spot where both sides asserted the plain
+        # round-tripped text
         "cast(decode(encode(lang, 'base64'), 'base64') AS string) AS roundtrip, "
         "ignore3vl(CASE WHEN doc_id % 3 = 0 THEN NULL "
         "          ELSE doc_id % 3 = 1 END) AS i3vl, "

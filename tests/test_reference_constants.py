@@ -22,6 +22,7 @@ signature, and date_bin numeric-epoch-millis operands.
 from __future__ import annotations
 
 import datetime
+import re
 
 import pytest
 
@@ -775,3 +776,46 @@ def _row_to_plain(v):
 def test_parse_uri_url_reference_constants(sess, expr, want):
     got = _row_to_plain(one(sess, expr))
     assert got == want, (expr, got)
+
+
+ENCODE_CASES = [
+    # EncodeDecodeFunctionTest.java:130-180 — the DATA operand is PG
+    # bytea INPUT text ('\x..' hex or octal-escape), decode results
+    # render as '\x..' hex like the reference's bytea output (r10)
+    (r"encode('\x3132330001', 'base64')", "MTIzAAE="),
+    (r"encode('123\000\001', 'base64')", "MTIzAAE="),
+    ("encode('123', 'base64')", "MTIz"),
+    (r"decode('MTIzAAE=', 'base64')", "\\x3132330001"),
+    (r"decode('MTIzAAE=', 'BASE64')", "\\x3132330001"),
+    (r"encode('\x3132330001', 'hex')", "3132330001"),
+    (r"encode('123\000\001', 'hex')", "3132330001"),
+    (r"decode('3132330001', 'hex')", "\\x3132330001"),
+    ("encode('', 'base64')", ""),
+    ("encode('', 'hex')", ""),
+    ("encode('', 'escape')", ""),
+    (r"encode('\x6108625c63', 'escape')", "a\\010b\\\\c"),
+    (r"decode('a\010b\\c', 'escape')", "\\x6108625c63"),
+    ("encode(null, 'base64')", None),
+    ("decode(null, 'base64')", None),
+    # FormatFunctionTest.java:44
+    ("format('%s bla %s', 'Arthur', 38)", "Arthur bla 38"),
+]
+
+
+@pytest.mark.parametrize("expr,want", ENCODE_CASES)
+def test_encode_decode_reference_constants(sess, expr, want):
+    _check(sess, expr, want)
+
+
+@pytest.mark.parametrize("expr,msg", [
+    # EncodeDecodeFunctionTest.java:33-128 — reference error spellings
+    (r"encode('123\b\t56', 'base64')", "Illegal octal character b"),
+    (r"encode('\xfh', 'base64')", "Illegal hexadecimal character h"),
+    (r"encode('\xfh', 'hex')", "Illegal hexadecimal character h"),
+    (r"decode('ffa', 'hex')", "Odd number of characters"),
+    (r"encode('\xff', 'bad')", "Encoding format 'bad' is not supported"),
+    (r"decode('FA==', 'bad')", "Encoding format 'bad' is not supported"),
+])
+def test_encode_decode_reference_errors(sess, expr, msg):
+    with pytest.raises(Exception, match=re.escape(msg)):
+        sess.execute(f"SELECT {expr} AS v").collect()
