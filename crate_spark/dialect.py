@@ -651,7 +651,85 @@ def _quote_ident_sql(a: list[str], lits: list[str]) -> str | None:
     )
 
 
+def _parse_ident_value(text: str, strict: bool) -> list[str]:
+    """ParseIdentFunction.parseIdent: split a qualified identifier on
+    quote-aware dots — unquoted parts lowercase, quoted parts keep
+    case and may contain dots/doubled quotes; strict=false returns
+    the LEADING qualified name and ignores trailing junk
+    (parse_ident('foo()', false) is ['foo'])."""
+    s, i, n = text, 0, len(text)
+    parts: list[str] = []
+
+    def skip_ws():
+        nonlocal i
+        while i < n and s[i] in " \t\r\n":
+            i += 1
+
+    invalid = ValueError(
+        f'String is not a valid identifier: "{text}"'
+    )
+    while True:
+        skip_ws()
+        if i < n and s[i] == '"':
+            i += 1
+            buf: list[str] = []
+            closed = False
+            while i < n:
+                if s[i] == '"':
+                    if i + 1 < n and s[i + 1] == '"':
+                        buf.append('"')
+                        i += 2
+                        continue
+                    i += 1
+                    closed = True
+                    break
+                buf.append(s[i])
+                i += 1
+            if not closed or not buf:
+                raise invalid
+            parts.append("".join(buf))
+        else:
+            m = re.match(r"[A-Za-z_][A-Za-z0-9_$]*", s[i:])
+            if not m:
+                raise invalid
+            parts.append(m.group(0).lower())
+            i += m.end()
+        skip_ws()
+        if i < n and s[i] == ".":
+            i += 1
+            continue
+        break
+    if i < n and strict:
+        raise invalid
+    return parts
+
+
 def _parse_ident_sql(a: list[str], lits: list[str]) -> str | None:
+    """ParseIdentFunction: literal operands constant-fold through the
+    reference's quote-aware tokenizer (incl. the 2-arg non-strict
+    form); a 1-arg COLUMN operand keeps the simple dot-split (quoted
+    parts containing dots in column data are a documented gap)."""
+    if len(a) not in (1, 2):
+        return None
+    raw = _lit_value(a[0], lits)
+    if raw is not None:
+        strict = True
+        if len(a) == 2:
+            flag = a[1].strip().lower()
+            if flag not in ("true", "false"):
+                return None
+            strict = flag == "true"
+        parts = _parse_ident_value(raw, strict)
+        # new literals go through the mask so later passes keep their
+        # all-literals-masked invariant
+        body = ", ".join(
+            _mklit(
+                lits,
+                "'" + p.replace("\\", "\\\\").replace("'", "''") + "'",
+            )
+            for p in parts
+        )
+        return f"array({body})"
     if len(a) != 1:
         return None
     dot = _mklit(lits, r"'\\.'")

@@ -819,3 +819,84 @@ def test_encode_decode_reference_constants(sess, expr, want):
 def test_encode_decode_reference_errors(sess, expr, msg):
     with pytest.raises(Exception, match=re.escape(msg)):
         sess.execute(f"SELECT {expr} AS v").collect()
+
+
+STRING_FN_CASES = [
+    # ChrFunctionTest / StringLeftRightFunctionTest /
+    # StringPaddingFunctionTest — PG edge semantics: negative counts
+    # cut from the other end, pad to shorter truncates
+    ("chr(65)", "A"),
+    ("left('crate.io', 0)", ""), ("left('', 100)", ""),
+    ("left('crate.io', 5)", "crate"), ("left('crate.io', -3)", "crate"),
+    ("right('crate.io', 0)", ""), ("right('', 100)", ""),
+    ("right('crate.io', 2)", "io"), ("right('crate.io', -6)", "io"),
+    ("lpad('', 5, '')", ""), ("lpad('yes', 0, 'yes')", ""),
+    ("lpad('yes', -1, 'yes')", ""), ("lpad('yes', 5, '')", "yes"),
+    ("lpad('yes', 2, '')", "ye"), ("lpad('yes', 1)", "y"),
+    ("lpad('yes', 5)", "  yes"), ("lpad('', 5, 'yes')", "yesye"),
+    ("lpad('yes', 3, 'yes')", "yes"), ("lpad('yes', 1, 'yes')", "y"),
+    ("rpad('yes', 5)", "yes  "), ("rpad('', 5, 'yes')", "yesye"),
+    ("rpad('yes', -1, 'yes')", ""), ("rpad('yes', 5, '')", "yes"),
+    # StringRepeatFunctionTest / ReverseFunctionTest
+    ("repeat('test', 0)", ""), ("repeat('test', -1)", ""),
+    ("repeat('', 3)", ""), ("repeat('test', 3)", "testtesttest"),
+    ("reverse('abcde')", "edcba"), ("reverse('')", ""),
+    # TranslateFunctionTest
+    ("translate('Crate', 'Ct', 'Dk')", "Drake"),
+    ("translate('time', 'emit', 'tieZ')", "Zeit"),
+    # StringSplitPartFunctionTest — 1-based, out-of-range '',
+    # empty separator returns the whole string at part 1, greedy-free
+    # non-overlapping splits
+    ("split_part('abc~@~def~@~ghi', '~@~', 2)", "def"),
+    ("split_part('abc~@~def~@~ghi', '~@~', 4)", ""),
+    ("split_part('abcdefg', '', 1)", "abcdefg"),
+    ("split_part('abcdefg', '', 2)", ""),
+    ("split_part('+++++++++++a+++b', '+++', 4)", "++a"),
+    ("split_part('+++++++++++a+++b', '+++', 5)", "b"),
+    # QuoteIdentFunctionTest
+    ("quote_ident('Foo')", '"Foo"'),
+    ("quote_ident('Foo bar')", '"Foo bar"'),
+    ('''quote_ident('foo"bar')''', '"foo""bar"'),
+    # ParseIdentFunctionTest — quote-aware splits, case folding,
+    # non-strict leading-identifier mode (r10: constant-folded via
+    # the reference's tokenizer; the dot-inside-quotes and 2-arg
+    # forms were previously wrong/unsupported)
+    ("parse_ident('customers')", ["customers"]),
+    ("parse_ident('SomeTable')", ["sometable"]),
+    ("parse_ident('myschema.mytable')", ["myschema", "mytable"]),
+    ("parse_ident('\"SomeSchema\".sometable')",
+     ["SomeSchema", "sometable"]),
+    ("parse_ident('\"some.schema\".table1')", ["some.schema", "table1"]),
+    ("parse_ident('\"foo\"\"bar\".baz')", ['foo"bar', "baz"]),
+    ("parse_ident('  myschema . mytable  ')", ["myschema", "mytable"]),
+    ("parse_ident('John.Smith.Lily%%%', false)",
+     ["john", "smith", "lily"]),
+    ("parse_ident('foo()', false)", ["foo"]),
+    ("parse_ident('\"SomeFunc\"(int)', false)", ["SomeFunc"]),
+    ("parse_ident('foo.bar baz', false)", ["foo", "bar"]),
+    ("parse_ident('\"tëst\"')", ["tëst"]),
+    ("parse_ident('\"UPPER\"')", ["UPPER"]),
+    ("parse_ident('_private')", ["_private"]),
+    # StringPositionFunctionTest / StartsWithFunctionTest /
+    # AsciiFunctionTest — codepoint ascii, empty-needle 1
+    ("strpos('crate', 'ate')", 3), ("strpos('crate', 'db')", 0),
+    ("strpos('ThIs IS crate', '')", 1), ("strpos('', '')", 1),
+    ("starts_with('crate', 'cr')", True), ("starts_with('', '')", True),
+    ("ascii('a')", 97), ("ascii('ab')", 97), ("ascii('')", 0),
+    ("ascii('💩')", 128169),
+    ("initcap('hello world')", "Hello World"),
+]
+
+
+@pytest.mark.parametrize("expr,want", STRING_FN_CASES)
+def test_string_fn_reference_constants(sess, expr, want):
+    _check(sess, expr, want)
+
+
+def test_parse_ident_strict_rejects(sess):
+    """ParseIdentFunction strict mode: trailing junk raises the
+    reference's exact message."""
+    with pytest.raises(
+        Exception, match=re.escape('String is not a valid identifier')
+    ):
+        sess.execute("SELECT parse_ident('foo()') AS v").collect()
