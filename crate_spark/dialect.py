@@ -548,9 +548,21 @@ _FN_TEMPLATES: dict = {
     # Math.round: floor(x + 0.5) returned as a LONG, so round(-2.5)
     # is -2 where Spark/DuckDB HALF_UP gives -3. (Integral inputs
     # above 2^52 lose the double round-trip — the reference has the
-    # same double path.) 2-arg round keeps Spark's HALF_UP (:126).
+    # same double path.) 2-arg round keeps Spark's HALF_UP (:126) —
+    # except an INTEGER-literal operand with negative digits, which
+    # the reference promotes to NUMERIC (RoundFunctionTest:
+    # round(2147483647, -1) = 2147483650) where Spark's int-typed
+    # round overflows under ANSI (r10).
     "round": lambda a, lits: (
-        f"CAST(floor(CAST({a[0]} AS DOUBLE) + 0.5D) AS BIGINT)" if len(a) == 1 else None
+        f"CAST(floor(CAST({a[0]} AS DOUBLE) + 0.5D) AS BIGINT)"
+        if len(a) == 1
+        else (
+            f"round(CAST({a[0]} AS DECIMAL(38,0)), {a[1]})"
+            if len(a) == 2
+            and re.fullmatch(r"[+-]?\d+", a[0].strip())
+            and re.fullmatch(r"-\d+", a[1].strip())
+            else None
+        )
     ),
     # DateTruncFunction 3-arg form: date_trunc(interval, timezone, ts)
     # truncates in that zone, result back as the UTC instant
@@ -560,6 +572,11 @@ _FN_TEMPLATES: dict = {
         if len(a) == 3
         else None
     ),
+    # ConditionalFunctions: the reference's variadic greatest/least
+    # accept ONE argument (ConditionalFunctionTest: greatest(10) is
+    # 10) where Spark requires two (r10)
+    "greatest": lambda a, lits: f"({a[0]})" if len(a) == 1 else None,
+    "least": lambda a, lits: f"({a[0]})" if len(a) == 1 else None,
     # QuoteIdentFunction (PG quote_ident): quote unless the name is
     # already a plain lower-case identifier (keyword check omitted —
     # documented divergence)
@@ -3670,6 +3687,19 @@ def rewrite(
     # ...and through an array-of-object-literals element
     # ([{k=v},{k=w}][i]['k'] -> element_at(array(named_struct..), i).k)
     sql = _struct_array_literal_subscripts(sql, literals)
+
+    # searched CASE with a bare NULL first condition: the reference
+    # treats the null condition as not-matched (ConditionalFunctionTest
+    # `CASE WHEN NULL THEN false WHEN a > 5 THEN true END`) where
+    # Spark's analyzer rejects the untyped NULL (r10). Anchored to
+    # `CASE WHEN` so a SIMPLE case's `WHEN NULL` comparand — typed by
+    # its operand — stays untouched.
+    sql = re.sub(
+        r"\bCASE\s+WHEN\s+NULL\s+THEN\b",
+        "CASE WHEN CAST(NULL AS BOOLEAN) THEN",
+        sql,
+        flags=re.IGNORECASE,
+    )
 
     # EXTRACT field rewrites over a FULLY-nested operand (fuzz r10:
     # the old 1-level pattern missed `ts + make_interval(.., CAST(..))`

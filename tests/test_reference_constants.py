@@ -900,3 +900,69 @@ def test_parse_ident_strict_rejects(sess):
         Exception, match=re.escape('String is not a valid identifier')
     ):
         sess.execute("SELECT parse_ident('foo()') AS v").collect()
+
+
+NUMERIC_ROUND_CASES = [
+    # RoundFunctionTest.java — integer operands with negative digit
+    # counts promote to NUMERIC in the reference (r10: Spark's
+    # int-typed round overflows under ANSI at the type max)
+    ("round(2147483647, -1)", 2147483650),
+    ("round(9223372036854775807, -1)", 9223372036854775810),
+    ("round('12.345'::NUMERIC, 2)", 12.35),
+    ("round('-12.345'::NUMERIC, 2)", -12.35),
+    ("round(cast(12.545 as numeric(5, 2)))", 13),
+    ("round(cast(-12.545 as numeric(5, 2)))", -13),
+    # NegateFunctionsTest / SignFunctionTest (sign returns DOUBLE)
+    ("- 12.34::numeric", -12.34),
+    ("sign(-2)", -1.0), ("sign(11)", 1.0), ("sign(0)", 0.0),
+    ("ceiling(-95.3)", -95), ("abs(-2)", 2),
+]
+
+
+@pytest.mark.parametrize("expr,want", NUMERIC_ROUND_CASES)
+def test_numeric_round_reference_constants(sess, expr, want):
+    got = one(sess, expr)
+    assert got is not None, expr
+    import decimal
+    if isinstance(got, decimal.Decimal):
+        got = float(got) if abs(got) < 2**52 else int(got)
+    if isinstance(want, float):
+        assert abs(float(got) - want) < 1e-9, (expr, got)
+    else:
+        assert int(got) == want, (expr, got)
+
+
+CONDITIONAL_CASES = [
+    # ConditionalFunctionTest.java — 1-arg greatest/least, mixed-type
+    # CASE result coercion, bare-NULL searched condition, lazy arms
+    ("coalesce(10, null, 20)", 10),
+    ("greatest(10)", 10),
+    ("greatest(10, 20, null, 30)", 30),
+    ("greatest(11.1, 22.2, null)", 22.2),
+    ("least(10)", 10),
+    ("least(10, 20, null, 30)", 10),
+    ("least(11.1, 22.2, null)", 11.1),
+    ("nullif(10, 12)", 10),
+    ("if(0 = 0, 'zero', 'other')", "zero"),
+    ("if(1 = 0, 'zero', if(1 = 1, 'one', 'other'))", "one"),
+    ("CASE 45 WHEN 38 THEN 38 WHEN 34 THEN 34 WHEN 80 THEN 80 "
+     "ELSE '40' END", 40),
+    ("CASE WHEN NULL THEN false WHEN 6 > 5 THEN true END", True),
+    ("case when 4 <= 5 then 0 when 4 > 5 then 1 / (4 - 10) end", 0),
+    # ObjectKeysFunctionTest
+    ("object_keys({})", []),
+    ("object_keys({a=1, b=2})", ["a", "b"]),
+]
+
+
+@pytest.mark.parametrize("expr,want", CONDITIONAL_CASES)
+def test_conditional_reference_constants(sess, expr, want):
+    got = one(sess, expr)
+    if isinstance(want, float):
+        assert got is not None and abs(float(got) - want) < 1e-9, (
+            expr, got,
+        )
+    elif isinstance(got, str) and isinstance(want, int):
+        assert got == str(want), (expr, got)
+    else:
+        assert got == want, (expr, got)
