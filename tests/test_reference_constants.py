@@ -966,3 +966,16 @@ def test_conditional_reference_constants(sess, expr, want):
         assert got == str(want), (expr, got)
     else:
         assert got == want, (expr, got)
+
+
+@pytest.mark.parametrize("expr,msg", [
+    # ArithmeticOverflowTest.java — ANSI overflow raises with the
+    # reference's phrase (Spark's message embeds the same words)
+    ("2147483647::integer + 1::integer", "integer overflow"),
+    ("2147483647::integer * 2::integer", "integer overflow"),
+    ("9223372036854775807 + 1", "long overflow"),
+    ("9223372036854775807 * 2", "long overflow"),
+])
+def test_overflow_reference_errors(sess, expr, msg):
+    with pytest.raises(Exception, match=msg):
+        sess.execute(f"SELECT {expr} AS v").collect()
