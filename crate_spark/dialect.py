@@ -136,6 +136,10 @@ _CAST_RE = _RE.compile(
     r"|time\s+with(?:out)?\s+time\s+zone"
     r"|double\s+precision"
     r"|character\s+varying"
+    # crate array(<elem>) spelling — the elem may carry (p[,s])
+    # (CastFunctionTest [1,2,0]::array(boolean); r10)
+    r"|array\s*\(\s*[A-Za-z_][A-Za-z0-9_]*"
+    r"(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?\s*\)"
     r"|[A-Za-z_][A-Za-z0-9_]*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
     r"(?:\s*\[\s*\])?)",
     re.IGNORECASE,
@@ -3403,6 +3407,11 @@ def rewrite(
         "smallint": "SMALLINT", "real": "FLOAT",
         "double precision": "DOUBLE", "boolean": "BOOLEAN",
         "ip": "STRING", "text": "STRING",
+        # crate/PG alias spellings (CastFunctionTest: string '10.4',
+        # long '-4', int4 '1' — r10)
+        "string": "STRING", "long": "BIGINT", "short": "SMALLINT",
+        "int2": "SMALLINT", "int4": "INT", "int8": "BIGINT",
+        "float4": "FLOAT", "float8": "DOUBLE",
         "timestamp with time zone": "TIMESTAMP",
         "timestamp without time zone": "TIMESTAMP_NTZ",
     }
@@ -3419,7 +3428,12 @@ def rewrite(
     sql = re.sub(
         r"\b(TIMESTAMP\s+WITH(?:OUT)?\s+TIME\s+ZONE|DOUBLE\s+PRECISION|"
         r"NUMERIC\s*\(\s*\d+\s*,\s*\d+\s*\)|NUMERIC|INTEGER|INT|BIGINT|"
-        r"SMALLINT|REAL|IP|BOOLEAN|TEXT)\s+(__LIT_\d+__)",
+        r"SMALLINT|REAL|IP|BOOLEAN|TEXT|"
+        # crate/PG alias spellings (CastFunctionTest r10); STRING is
+        # anchored to the literal so SELECT string FROM t (a column
+        # named string) is unaffected
+        r"STRING|LONG|SHORT|INT2|INT4|INT8|FLOAT4|FLOAT8)"
+        r"\s+(__LIT_\d+__)",
         _typed_lit,
         sql,
         flags=re.IGNORECASE,
@@ -3445,16 +3459,33 @@ def rewrite(
         flags=re.IGNORECASE,
     )
 
-    # PG array-input literals cast to arrays: '{a, b}'::ARRAY(TEXT)
+    # PG array-input literals cast to arrays: '{a, b}'::ARRAY(TEXT),
+    # '{a,abc}'::text[], CAST('{..}' AS array(<t>)) — the string
+    # parses as PG array-input syntax and the element type applies on
+    # top (CastFunctionTest test_str_value_to_text_array; r10
+    # generalized beyond the ARRAY(TEXT) spelling)
     def _arr_lit_cast(m: re.Match) -> str:
-        lit = literals[int(m.group(1))]
+        lit = literals[int(m.group("lit"))]
         body = lit[1:-1].replace("''", "'")
         if not (body.strip().startswith("{") and body.strip().endswith("}")):
             return m.group(0)
-        return _pg_array_literal_to_sql(body)
+        arr = _pg_array_literal_to_sql(body)
+        elem = _cast_type(
+            re.sub(r"\s+", "", m.group("ty") or m.group("ty2"))
+        )
+        if elem.upper() == "STRING":
+            return arr
+        return f"CAST({arr} AS ARRAY<{elem}>)"
 
+    _ARR_TY = r"(?:ARRAY\s*\(\s*(?P<ty>\w+)\s*\)|(?P<ty2>\w+)\s*\[\s*\])"
     sql = re.sub(
-        r"__LIT_(\d+)__\s*::\s*ARRAY\s*\(\s*TEXT\s*\)",
+        r"__LIT_(?P<lit>\d+)__\s*::\s*" + _ARR_TY,
+        _arr_lit_cast,
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        r"CAST\s*\(\s*__LIT_(?P<lit>\d+)__\s+AS\s+" + _ARR_TY + r"\s*\)",
         _arr_lit_cast,
         sql,
         flags=re.IGNORECASE,
@@ -3597,6 +3628,45 @@ def rewrite(
         return "".join(out)
 
     sql = _int_div_chain(sql)
+
+    # ...and the parenthesized flavor: (1+3)/2 is integer division in
+    # the reference too (CastFunctionTest `((1+3)/2)::string` = '2').
+    # Operands are flat integer arithmetic groups (digits and + - *
+    # only — no dots, no nesting) or bare integers; anything else
+    # keeps Spark's double `/`.
+    _PAREN_INT = r"\(\s*\d+(?:\s*[+*-]\s*\d+)*\s*\)"
+    _INT_OPND = rf"(?:{_PAREN_INT}|\d+)"
+
+    def _paren_div_sub(m: re.Match) -> str:
+        before = sql_holder[0][: m.start()].rstrip()
+        if before.endswith("/"):
+            return m.group(0)
+        # split the chain on top-level '/'
+        s, terms, buf, depth = m.group(1), [], [], 0
+        for ch in s:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "/" and depth == 0:
+                terms.append("".join(buf).strip())
+                buf = []
+            else:
+                buf.append(ch)
+        terms.append("".join(buf).strip())
+        if len(terms) < 2:
+            return m.group(0)
+        expr = terms[0]
+        for t in terms[1:]:
+            expr = f"div({expr}, {t})"
+        return expr
+
+    sql_holder = [sql]
+    sql = re.sub(
+        rf"(?<![\w.])({_INT_OPND}(?:\s*/\s*{_INT_OPND})+)(?![\w.(])",
+        _paren_div_sub,
+        sql,
+    )
 
     # Numeric literals with a decimal point are DOUBLE in the
     # reference (AstBuilder.java:2453 DoubleLiteral) and in PG's

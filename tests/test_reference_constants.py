@@ -979,3 +979,60 @@ def test_conditional_reference_constants(sess, expr, want):
 def test_overflow_reference_errors(sess, expr, msg):
     with pytest.raises(Exception, match=msg):
         sess.execute(f"SELECT {expr} AS v").collect()
+
+
+NUMERIC_ARITH_CASES = [
+    # NumericArithmeticTest.java — BigDecimal arithmetic; Spark
+    # decimals agree on value for +,-,*,%,^ (trailing scale differs).
+    ("12.123::numeric(4, 2) + 10.14::numeric", "22.26"),
+    ("12.12::numeric(4, 2) - 10.14::numeric(3)", "2.12"),
+    ("12.12::numeric * 10.14::numeric", "122.8968"),
+    ("12.12::numeric(4, 2) % 10.14::numeric(4, 2)", "1.98"),
+    ("3::numeric ^ 4::numeric", "81"),
+    # division: the reference computes with MathContext 16-digit
+    # precision (1.195266272189349); Spark's decimal division derives
+    # its result scale from the operand types (1.1952663) — same value
+    # to 8 significant digits, narrower scale. DECLARED divergence;
+    # pinned at the shared precision.
+    ("12.12::numeric(4, 2) / 10.14::numeric(4, 2)", "1.1952663"),
+]
+
+
+@pytest.mark.parametrize("expr,want", NUMERIC_ARITH_CASES)
+def test_numeric_arith_reference_constants(sess, expr, want):
+    got = one(sess, expr)
+    assert got is not None, expr
+    assert abs(float(got) - float(want)) <= 1e-7 * max(
+        1.0, abs(float(want))
+    ), (expr, got)
+
+
+CAST_SURFACE_CASES = [
+    # CastFunctionTest.java — the ::/CAST/typed-literal spellings
+    # (r10: array-input literals under any array type spelling,
+    # array(<elem>) in the :: grammar, crate alias typed literals,
+    # parenthesized integer division)
+    ("cast(10.4 as string)", "10.4"),
+    ("'abcde'::varchar(2)", "ab"),
+    ("cast('{a,abc}' as array(text))", ["a", "abc"]),
+    ("'{a,abc}'::text[]", ["a", "abc"]),
+    ("'{1,2}'::int[]", [1, 2]),
+    ("cast({x=10, y=20} as text)", '{"x":10,"y":20}'),
+    ("10.4::string", "10.4"),
+    ("[1, 2, 0]::array(boolean)", [True, True, False]),
+    ("((1+3)/2)::string", "2"),
+    ("(-4)::string", "-4"),
+    ("'-4'::long", -4),
+    ("(-4)::string || ' apples'", "-4 apples"),
+    ("'-4'::long + 10", 6),
+    ("string '10.4'", "10.4"),
+    ("string '-4' || ' apples'", "-4 apples"),
+    ("long '-4' + 10", 6),
+    ("int4 '1'", 1),
+    ("8/2/2", 2),
+]
+
+
+@pytest.mark.parametrize("expr,want", CAST_SURFACE_CASES)
+def test_cast_surface_reference_constants(sess, expr, want):
+    _check(sess, expr, want)
