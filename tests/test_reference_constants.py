@@ -1036,3 +1036,20 @@ CAST_SURFACE_CASES = [
 @pytest.mark.parametrize("expr,want", CAST_SURFACE_CASES)
 def test_cast_surface_reference_constants(sess, expr, want):
     _check(sess, expr, want)
+
+
+TIMEZONE_CASES = [
+    # TimezoneFunctionTest.java — numeric operands are epoch millis;
+    # with-tz operands shift INTO the zone, the result is the
+    # wall-clock reading
+    ("timezone('UTC', 257504400000)", ts(257504400000)),
+    ("timezone('Europe/Madrid', 257491800000)", ts(257488200000)),
+    ("timezone('Europe/Madrid', "
+     "'1978-02-28T14:30+05:30'::timestamp with time zone)",
+     ts(257508000000)),
+]
+
+
+@pytest.mark.parametrize("expr,want", TIMEZONE_CASES)
+def test_timezone_reference_constants(sess, expr, want):
+    _check(sess, expr, want)
