@@ -660,14 +660,33 @@ def _null_or_empty_sql(a: list[str], lits: list[str]) -> str | None:
 
 
 def _quote_ident_sql(a: list[str], lits: list[str]) -> str | None:
-    """QuoteIdentFunction (PG quote_ident): quote unless already a
-    plain lower-case identifier (keyword check omitted — documented)."""
+    """QuoteIdentFunction (QuoteIdentFunction.java
+    maybeQuoteExpression): quote unless already a plain lower-case
+    identifier; RESERVED KEYWORDS quote too (Identifiers.isKeyWord —
+    r10, closes the documented keyword-check omission). Literal
+    operands fold in Python; column operands get the keyword check as
+    an IN list over the grammar's reserved words."""
     if len(a) != 1:
         return None
+    raw = _lit_value(a[0], lits)
+    if raw is not None:
+        if re.fullmatch(r"[a-z_][a-z0-9_]*", raw) and not any(
+            w == raw and c == "R" for w, c in PG_KEYWORDS
+        ):
+            out = raw
+        else:
+            out = '"' + raw.replace('"', '""') + '"'
+        return _mklit(
+            lits, "'" + out.replace("\\", "\\\\").replace("'", "''") + "'"
+        )
     pat = _mklit(lits, "'^[a-z_][a-z0-9_]*$'")
     dq, esc = "'\"'", "'\"\"'"
+    kws = ", ".join(
+        _mklit(lits, f"'{w}'") for w, c in PG_KEYWORDS if c == "R"
+    )
     return (
-        f"(CASE WHEN {a[0]} RLIKE {pat} THEN {a[0]} "
+        f"(CASE WHEN {a[0]} RLIKE {pat} "
+        f"AND NOT {a[0]} IN ({kws}) THEN {a[0]} "
         f"ELSE concat({dq}, replace({a[0]}, {dq}, {esc}), {dq}) END)"
     )
 

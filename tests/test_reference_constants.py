@@ -1053,3 +1053,13 @@ TIMEZONE_CASES = [
 @pytest.mark.parametrize("expr,want", TIMEZONE_CASES)
 def test_timezone_reference_constants(sess, expr, want):
     _check(sess, expr, want)
+
+
+def test_quote_ident_keywords(sess):
+    """QuoteIdentFunction quotes RESERVED KEYWORDS too
+    (Identifiers.isKeyWord; r10 — closes the documented
+    keyword-check omission), for literal AND column-path operands."""
+    assert one(sess, "quote_ident('select')") == '"select"'
+    assert one(sess, "quote_ident(lower('SELECT'))") == '"select"'
+    assert one(sess, "quote_ident('foo')") == "foo"
+    assert one(sess, "quote_ident(lower('COLUMNX'))") == "columnx"
