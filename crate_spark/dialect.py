@@ -3404,6 +3404,52 @@ def rewrite(
         flags=re.IGNORECASE,
     )
 
+    # LIKE patterns where the escape precedes an ORDINARY character:
+    # the reference drops the escape and keeps the char
+    # (LikeOperators.patternToRegex default branch — '\a' matches
+    # 'a'), while Spark raises INVALID_FORMAT.ESC_IN_THE_MIDDLE.
+    # Normalize literal patterns so the escape only precedes
+    # wildcards or itself (fuzz family #11, r10). A TRAILING escape
+    # char stays — both engines reject it.
+    def _like_pat_normalize(raw: str, esc: str) -> str:
+        out, i = [], 0
+        while i < len(raw):
+            c = raw[i]
+            if c == esc and i + 1 < len(raw):
+                n = raw[i + 1]
+                if n in ("%", "_", esc):
+                    out.append(c)
+                    out.append(n)
+                else:
+                    out.append(n)
+                i += 2
+                continue
+            out.append(c)
+            i += 1
+        return "".join(out)
+
+    def _like_esc_mid(m: re.Match) -> str:
+        esc = "\\"
+        if m.group("esc") is not None:
+            ev = literals[int(m.group("esc"))][1:-1].replace("''", "'")
+            if len(ev) != 1:
+                return m.group(0)
+            esc = ev
+        idx = int(m.group("pat"))
+        raw = literals[idx][1:-1]
+        norm = _like_pat_normalize(raw, esc)
+        if norm != raw:
+            literals[idx] = "'" + norm + "'"
+        return m.group(0)
+
+    sql = re.sub(
+        r"\bI?LIKE\s+__LIT_(?P<pat>\d+)__"
+        r"(?:\s+ESCAPE\s+__LIT_(?P<esc>\d+)__)?",
+        _like_esc_mid,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
     # PG double-quoted identifiers -> Spark backticks (string literals
     # are masked, so any remaining "word" is an identifier). Dotted
     # chains quote each part; "" inside stays (rare) untouched.

@@ -1109,3 +1109,82 @@ def test_tochar_template_differential(crate, duck, i, pair):
     got = crate.execute(engine_sql).collect()[0][0]
     want = duck.execute(duck_sql).fetchall()[0][0]
     assert got == want, f"{engine_sql} -> {got!r}, {duck_sql} -> {want!r}"
+
+
+# ---- LIKE/ILIKE escape family (#11, r10) ------------------------------------
+# The engine's LIKE follows crate/PG: backslash is the DEFAULT escape,
+# ESCAPE '<c>' overrides it, ESCAPE '' disables escaping. DuckDB's
+# LIKE has NO default escape — so the twins are structurally
+# independent spellings of the same semantics: engine default-escape
+# pairs with an explicit DuckDB ESCAPE '\', engine ESCAPE '' pairs
+# with DuckDB's bare LIKE. A drift in either engine's escape handling
+# (or in the r10 empty-escape rewrite) mismatches.
+
+_LIKE_TEXT_CHARS = list("abcAB%_\\ .")
+_LIKE_PAT_CHARS = list("abA%_\\")
+
+
+def gen_like_pair(rng: random.Random) -> tuple[str, str]:
+    text = "".join(
+        rng.choice(_LIKE_TEXT_CHARS) for _ in range(rng.randint(0, 8))
+    )
+    pat = "".join(
+        rng.choice(_LIKE_PAT_CHARS) for _ in range(rng.randint(0, 6))
+    )
+    op = rng.choice(["LIKE", "ILIKE", "NOT LIKE", "NOT ILIKE"])
+
+    def q(s: str) -> str:
+        # crate literals are standard-conforming: backslash literal
+        return "'" + s.replace("'", "''") + "'"
+
+    form = rng.randrange(3)
+    if form == 0:
+        # default escape: engine bare <-> DuckDB explicit ESCAPE '\'.
+        # A pattern ENDING in the escape char is an error in both
+        # engines — regenerate locally by stripping it.
+        while pat.endswith("\\"):
+            pat = pat[:-1]
+        return (
+            f"SELECT {q(text)} {op} {q(pat)} AS v",
+            f"SELECT {q(text)} {op} {q(pat)} ESCAPE '\\' AS v",
+        )
+    if form == 1:
+        # ESCAPE '' disables escaping: engine <-> DuckDB bare LIKE
+        return (
+            f"SELECT {q(text)} {op} {q(pat)} ESCAPE '' AS v",
+            f"SELECT {q(text)} {op} {q(pat)} AS v",
+        )
+    # custom escape char (letter, so it can escape itself/wildcards);
+    # strip a trailing escape char like form 0
+    esc = rng.choice("ex")
+    while pat.endswith(esc):
+        pat = pat[:-1]
+    return (
+        f"SELECT {q(text)} {op} {q(pat)} ESCAPE '{esc}' AS v",
+        f"SELECT {q(text)} {op} {q(pat)} ESCAPE '{esc}' AS v",
+    )
+
+
+N_LIKE_PAIRS = 120
+
+
+def _like_pairs():
+    rng = random.Random(SEED ^ 0x11CE)
+    return [
+        gen_like_pair(random.Random(rng.getrandbits(64)))
+        for _ in range(N_LIKE_PAIRS)
+    ]
+
+
+@pytest.mark.parametrize(
+    "i,pair",
+    list(enumerate(_like_pairs())),
+    ids=[f"lk{i:03d}" for i in range(N_LIKE_PAIRS)],
+)
+def test_like_escape_differential(crate, duck, i, pair):
+    engine_sql, duck_sql = pair
+    got = crate.execute(engine_sql).collect()[0][0]
+    want = duck.execute(duck_sql).fetchall()[0][0]
+    assert got is want or got == want, (
+        f"{engine_sql} -> {got!r}, {duck_sql} -> {want!r}"
+    )
