@@ -1063,3 +1063,24 @@ def test_quote_ident_keywords(sess):
     assert one(sess, "quote_ident(lower('SELECT'))") == '"select"'
     assert one(sess, "quote_ident('foo')") == "foo"
     assert one(sess, "quote_ident(lower('COLUMNX'))") == "columnx"
+
+
+MISC_SURFACE_CASES = [
+    # ArrayFunctionTest.java — ARRAY[..] / [..] literal forms, nested
+    ("ARRAY[1 + 2]", [3]),
+    ("[1 + 1]", [2]),
+    ("[[1 + 1], ARRAY[1 + 2]]", [[2], [3]]),
+    ("['Youri', 'Ruben'][1]", "Youri"),
+    ("[{x=10}, {x=2}]['x']", [10, 2]),
+    # DistinctFromTest.java — array operands and null sides
+    ("[1, 2] IS DISTINCT FROM [1, 2]", False),
+    ("[1, 2] IS DISTINCT FROM null", True),
+    ("null IS DISTINCT FROM [1, 2]", True),
+    # EqOperatorTest.java — numeric scale-aware equality
+    ("1.11::numeric(4,2) = 1.111", False),
+]
+
+
+@pytest.mark.parametrize("expr,want", MISC_SURFACE_CASES)
+def test_misc_surface_reference_constants(sess, expr, want):
+    assert one(sess, expr) == want, expr
