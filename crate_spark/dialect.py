@@ -1694,6 +1694,10 @@ def _string_to_array_sql(a: list[str], literals: list[str]) -> str | None:
                 parts = f"split({a[0]}, __LIT_{len(literals) - 1}__)"
         else:
             parts = f"split({a[0]}, {sep})"
+    # PG: an EMPTY source string yields an EMPTY array, whatever the
+    # separator (StringToArrayFunctionTest: string_to_array('', 'x')
+    # is []; Spark's split('') gives ['']) — r10
+    parts = f"(CASE WHEN {a[0]} = '' THEN array() ELSE {parts} END)"
     if len(a) == 2:
         return parts
     return f"transform({parts}, __x -> CASE WHEN __x <> {a[2]} THEN __x END)"

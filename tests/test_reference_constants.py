@@ -1084,3 +1084,48 @@ MISC_SURFACE_CASES = [
 @pytest.mark.parametrize("expr,want", MISC_SURFACE_CASES)
 def test_misc_surface_reference_constants(sess, expr, want):
     assert one(sess, expr) == want, expr
+
+
+STRING_SPLIT_CASES = [
+    # ConcatFunctionTest.java — array concat and || element append
+    ("concat([1::bigint], [2, 3])", [1, 2, 3]),
+    ("[1] || 2", [1, 2]),
+    ("1 || [2]", [1, 2]),
+    # TrimFunctionTest.java — every keyword form
+    ("btrim('  Arthur  ')", "Arthur"),
+    ("rtrim('  Arthur  ')", "  Arthur"),
+    ("trim(both ' ' FROM '  trim this  ')", "trim this"),
+    ("trim(leading ' ' FROM '  trim this  ')", "trim this  "),
+    ("trim('ab' from 'ababtrim thisbaba')", "trim this"),
+    ("trim(leading from ' trim')", "trim"),
+    ("trim(trailing from ' trim  ')", " trim"),
+    ("trim(from ' trim ')", "trim"),
+    # SubstrFunctionTest.java — FROM-regex form group selection
+    ("substr('cratedata', 6, 2)", "da"),
+    ("substring('foobar' FROM 'o.b')", "oob"),
+    ("substring('foobar' FROM 'o(.)b')", "o"),
+    ("substring('foobar' FROM '(.)oo([a-z])')", "f"),
+    ("substring('foobar' FROM '((.)oo([a-z]))')", "foob"),
+    ("substring('foobar' FROM 'nomatch')", None),
+    # StringToArrayFunctionTest.java — PG split edges (r10: empty
+    # source yields an EMPTY array whatever the separator)
+    ("string_to_array('', 'x')", []),
+    ("string_to_array('', '')", []),
+    ("string_to_array('xyz', null)", ["x", "y", "z"]),
+    ("string_to_array('xyz', '')", ["xyz"]),
+    ("string_to_array('x', 'x')", ["", ""]),
+    ("string_to_array('xx', 'x')", ["", "", ""]),
+    ("string_to_array('xyz', 'y')", ["x", "z"]),
+    ("string_to_array('xyyz', 'y')", ["x", "", "z"]),
+    ("string_to_array('abcdeabcde', 'ab')", ["", "cde", "cde"]),
+    ("string_to_array('xyz', '', 'xyz')", [None]),
+]
+
+
+@pytest.mark.parametrize("expr,want", STRING_SPLIT_CASES)
+def test_string_split_reference_constants(sess, expr, want):
+    got = one(sess, expr)
+    if want is None:
+        assert got is None, expr
+    else:
+        assert got == want, (expr, got)
