@@ -3041,14 +3041,23 @@ def _fold_interval_literals(sql: str, literals: list[str]) -> str:
             if has_ym:
                 canon = f"{y} years {mo} months"
             else:
+                # fixed-point seconds: repr() renders 1e-06 in
+                # scientific notation, which Spark's interval-string
+                # parser rejects (ADVICE r10)
                 sec = (
-                    repr(s)
+                    f"{s:.6f}".rstrip("0").rstrip(".")
                     if isinstance(s, float) and not float(s).is_integer()
                     else str(int(s))
                 )
                 canon = f"{d} days {h} hours {mi} minutes {sec} seconds"
             prefix = f"{mult} * " if mult is not None else ""
-            return f"{prefix}INTERVAL '{canon}'"
+            # keep the rebuilt render MASKED: a raw INTERVAL '...'
+            # string would miss _to_char_fn_sql's `INTERVAL __LIT__`
+            # matcher and get corrupted by later text passes (the
+            # decimal D-suffix pass turned '1.5 seconds' into a parse
+            # error) (ADVICE r10)
+            literals.append("'" + canon + "'")
+            return f"{prefix}INTERVAL __LIT_{len(literals) - 1}__"
         if qual_start:
             # precision restriction applies to the RAW fields, before
             # the render's normalization (roundToPrecision order)
@@ -3082,6 +3091,38 @@ def _fold_interval_literals(sql: str, literals: list[str]) -> str:
         sql,
         flags=re.IGNORECASE,
     )
+
+
+def _typed_null_case_conditions(sql: str) -> str:
+    """Type bare ``WHEN NULL THEN`` conditions in searched CASEs (any
+    arm, not just the first) as ``CAST(NULL AS BOOLEAN)``. The
+    governing CASE of each occurrence is found by scanning backwards
+    over CASE/END tokens; simple CASEs (head not followed by WHEN)
+    are left alone because their comparand types the NULL."""
+    heads = [
+        (m.start(), m.group(0).upper())
+        for m in re.finditer(r"\bCASE\b|\bEND\b", sql, re.IGNORECASE)
+    ]
+    spans = []
+    for m in re.finditer(r"\bWHEN\s+NULL\s+THEN\b", sql, re.IGNORECASE):
+        depth, case_pos = 0, None
+        for tpos, tok in reversed(heads):
+            if tpos > m.start():
+                continue
+            if tok == "END":
+                depth += 1
+            elif depth == 0:
+                case_pos = tpos
+                break
+            else:
+                depth -= 1
+        if case_pos is None:
+            continue
+        if re.match(r"\s+WHEN\b", sql[case_pos + 4 :], re.IGNORECASE):
+            spans.append((m.start(), m.end()))
+    for s_, e_ in reversed(spans):
+        sql = sql[:s_] + "WHEN CAST(NULL AS BOOLEAN) THEN" + sql[e_:]
+    return sql
 
 
 def _fold_extract_over_interval_literal(sql: str, literals: list[str]) -> str:
@@ -3680,16 +3721,22 @@ def rewrite(
     # double semantics (documented divergence).
     def _int_div_chain(s: str) -> str:
         out, last = [], 0
-        for m in re.finditer(r"(?<![\w.])(\d+(?:\s*/\s*\d+)+)(?![\w.])", s):
-            # a non-literal LEFT operand ("x / 2/3") means the chain's
-            # first literal is really a divisor — leave it to Spark
+        # the chain includes same-precedence '*' and '%' so
+        # left-associativity survives: 2 * 6/4 is (2*6)/4 = 3, not
+        # 2 * div(6,4) = 2 (ADVICE r10)
+        for m in re.finditer(r"(?<![\w.])(\d+(?:\s*[*%/]\s*\d+)+)(?![\w.])", s):
+            # a non-literal LEFT operand ("x / 2/3", "x * 2/3") means
+            # the chain's first literal is really a right operand of a
+            # same-precedence operator — leave it to Spark
             before = s[: m.start()].rstrip()
-            if before.endswith("/"):
+            if before.endswith(("/", "*", "%")):
                 continue
-            terms = [t.strip() for t in m.group(1).split("/")]
-            expr = terms[0]
-            for t in terms[1:]:
-                expr = f"div({expr}, {t})"
+            parts = re.findall(r"\d+|[*%/]", m.group(1))
+            if "/" not in parts:
+                continue
+            expr = parts[0]
+            for op, t in zip(parts[1::2], parts[2::2]):
+                expr = f"div({expr}, {t})" if op == "/" else f"({expr} {op} {t})"
             out.append(s[last : m.start()])
             out.append(expr)
             last = m.end()
@@ -3708,31 +3755,35 @@ def rewrite(
 
     def _paren_div_sub(m: re.Match) -> str:
         before = sql_holder[0][: m.start()].rstrip()
-        if before.endswith("/"):
+        # same-precedence left context: the chain head is really a
+        # right operand — skip, 3 * (1+1)/4 must stay (3*2)/4 unless
+        # the '3 *' is folded INTO the chain below (ADVICE r10)
+        if before.endswith(("/", "*", "%")):
             return m.group(0)
-        # split the chain on top-level '/'
-        s, terms, buf, depth = m.group(1), [], [], 0
+        # split the chain on top-level same-precedence operators
+        s, terms, ops, buf, depth = m.group(1), [], [], [], 0
         for ch in s:
             if ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1
-            if ch == "/" and depth == 0:
+            if ch in "/*%" and depth == 0:
                 terms.append("".join(buf).strip())
+                ops.append(ch)
                 buf = []
             else:
                 buf.append(ch)
         terms.append("".join(buf).strip())
-        if len(terms) < 2:
+        if "/" not in ops:
             return m.group(0)
         expr = terms[0]
-        for t in terms[1:]:
-            expr = f"div({expr}, {t})"
+        for op, t in zip(ops, terms[1:]):
+            expr = f"div({expr}, {t})" if op == "/" else f"({expr} {op} {t})"
         return expr
 
     sql_holder = [sql]
     sql = re.sub(
-        rf"(?<![\w.])({_INT_OPND}(?:\s*/\s*{_INT_OPND})+)(?![\w.(])",
+        rf"(?<![\w.])({_INT_OPND}(?:\s*[*%/]\s*{_INT_OPND})+)(?![\w.(])",
         _paren_div_sub,
         sql,
     )
@@ -3827,18 +3878,16 @@ def rewrite(
     # ([{k=v},{k=w}][i]['k'] -> element_at(array(named_struct..), i).k)
     sql = _struct_array_literal_subscripts(sql, literals)
 
-    # searched CASE with a bare NULL first condition: the reference
-    # treats the null condition as not-matched (ConditionalFunctionTest
-    # `CASE WHEN NULL THEN false WHEN a > 5 THEN true END`) where
-    # Spark's analyzer rejects the untyped NULL (r10). Anchored to
-    # `CASE WHEN` so a SIMPLE case's `WHEN NULL` comparand — typed by
-    # its operand — stays untouched.
-    sql = re.sub(
-        r"\bCASE\s+WHEN\s+NULL\s+THEN\b",
-        "CASE WHEN CAST(NULL AS BOOLEAN) THEN",
-        sql,
-        flags=re.IGNORECASE,
-    )
+    # searched CASE with a bare NULL condition in ANY arm: the
+    # reference treats the null condition as not-matched
+    # (ConditionalFunctionTest `CASE WHEN NULL THEN false WHEN a > 5
+    # THEN true END`) where Spark's analyzer rejects the untyped NULL
+    # (r10; non-first arms ADVICE r10). Each `WHEN NULL THEN` is
+    # resolved to its governing CASE by a backward CASE/END balance
+    # scan; only searched CASEs (head immediately followed by WHEN)
+    # rewrite — a SIMPLE case's `WHEN NULL` comparand, typed by its
+    # operand, stays untouched.
+    sql = _typed_null_case_conditions(sql)
 
     # EXTRACT field rewrites over a FULLY-nested operand (fuzz r10:
     # the old 1-level pattern missed `ts + make_interval(.., CAST(..))`

@@ -235,6 +235,11 @@ TO_CHAR_CASES = [
     ("to_char(timestamp '1970-01-01', 'yyyy')", "1970"),
     # :146-171 — interval operands (format 0000-01-01T00:00 + period)
     ("to_char(interval '2 year', 'yyyy')", "0002"),
+    # crate-alias unit spellings stay on the interval path after the
+    # Spark-spelling rebuild (ADVICE r10: the rebuilt literal must
+    # stay MASKED for the INTERVAL __LIT__ matcher to fire)
+    ("to_char(INTERVAL '2 mins', 'HH24:MI')", "00:02"),
+    ("to_char(INTERVAL '90 secs', 'MI:SS')", "01:30"),
     ("to_char(INTERVAL '1 year 2 months 3 weeks 5 hours 6 minutes "
      "7 seconds', 'yyyy')", "0001"),
     ("to_char(INTERVAL '1 year 2 months 3 weeks 5 hours 6 minutes "
@@ -520,6 +525,19 @@ TS_ARITH_CASES = [
     # TimestampArithmeticTest.java:34 — is a declared divergence:
     # Spark types timestamps, it does not add them)
 ]
+
+
+def test_interval_alias_rebuild_stays_masked(sess):
+    """Crate-alias unit spellings (mins/secs) rebuild into a MASKED
+    Spark-spelling literal: fractional seconds must survive the
+    decimal D-suffix pass (ADVICE r10 — INTERVAL '1.5 secs' became
+    '1.5D seconds', a Spark parse error), and sub-milli values must
+    render fixed-point, not repr()'s scientific notation."""
+    got = one(sess, "CAST(INTERVAL '1.5 secs' AS STRING)")
+    assert "01.5" in got, got
+    assert one(sess, "EXTRACT(SECOND FROM INTERVAL '90.25 secs')") == 30
+    # 1e-06 seconds parses (repr() would render '1e-06 seconds')
+    one(sess, "CAST(INTERVAL '0.000001 secs' AS STRING)")
 
 
 @pytest.mark.parametrize("expr,want", TS_ARITH_CASES)
@@ -948,6 +966,11 @@ CONDITIONAL_CASES = [
     ("CASE 45 WHEN 38 THEN 38 WHEN 34 THEN 34 WHEN 80 THEN 80 "
      "ELSE '40' END", 40),
     ("CASE WHEN NULL THEN false WHEN 6 > 5 THEN true END", True),
+    # non-first bare-NULL arm + nested simple-CASE comparand NULL
+    # staying untouched (ADVICE r10)
+    ("CASE WHEN 1 > 5 THEN 1 WHEN NULL THEN 2 END", None),
+    ("CASE WHEN 1 > 5 THEN 1 WHEN NULL THEN 2 ELSE 3 END", 3),
+    ("CASE WHEN 1 < 5 THEN CASE 1 WHEN NULL THEN 9 ELSE 7 END END", 7),
     ("case when 4 <= 5 then 0 when 4 > 5 then 1 / (4 - 10) end", 0),
     # ObjectKeysFunctionTest
     ("object_keys({})", []),
@@ -1030,6 +1053,14 @@ CAST_SURFACE_CASES = [
     ("long '-4' + 10", 6),
     ("int4 '1'", 1),
     ("8/2/2", 2),
+    # left-associativity across same-precedence * and % (ADVICE r10:
+    # 3 * (1+1)/4 regrouped to 3 * div(2,4) = 0; Java evaluates
+    # (3*2)/4 = 1)
+    ("3 * (1+1)/4", 1),
+    ("2 * 6/4", 3),
+    ("8 % (5+0)/2", 1),
+    ("8/2*3", 12),
+    ("7/2*2", 6),
 ]
 
 
