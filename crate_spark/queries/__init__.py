@@ -88,59 +88,61 @@ _MODULES = (
 #: pipeline_train_split/quantize_int8/shard_layout), the FIRST driver
 #: row for vector_ann_pq_routed (registered in r9, judge-oracle green
 #: but never driver-checked), and the 37 alphabetically-first of the
-#: 50 r7 rows. After r10 the freshness floor is r7; the 13 remaining
-#: r7 rows (vector_ann_pq..window_value_fns) are the r11 backlog.
+#: 50 r7 rows. The r11 window (below) = the 13 remaining r7 rows
+#: (vector_ann_pq..window_value_fns) + the 37 alphabetically-first of
+#: the 50 r8 rows; the 13 r8 leftovers (scalar_object_funcs,
+#: scalar_to_char, the 11 tf_* rows) are the r12 backlog.
 _DRIVER_PRIORITY = (
-    "join_q16_supplier_cnt",
-    "join_q18_large_orders",
-    "pipeline_quantize_int8",
-    "pipeline_shard_layout",
-    "pipeline_train_split",
-    "scalar_blake3",
-    "sql_ident_surface",
-    "sql_tvf_regexp_docs",
-    "sql_tvf_series",
-    "sql_tvf_series_ts",
-    "sql_window_filter",
-    "streaming_sessionize_events",
-    "vector_ann_pq_routed",
-    "embedding_neardup_cosine",
-    "join_anti",
-    "join_in_subquery_negated",
-    "join_lookup",
-    "join_non_equi",
-    "join_q10_returned_items",
-    "join_self",
-    "join_semi",
-    "mm_decode_features",
-    "mm_resize_plan",
-    "pred_any_all_array",
-    "pred_any_like_range",
-    "pred_any_subquery",
-    "pred_between_in",
-    "pred_cidr_containment",
-    "pred_is_distinct_from",
-    "pred_like_ilike_regex",
-    "pred_three_valued_logic",
-    "scalar_math_funcs",
-    "sql_match_score",
-    "sql_object_subscript",
-    "sql_sys_columns",
-    "text_dedup_exact",
-    "text_fingerprint",
-    "text_langid",
-    "text_minhash_lsh",
-    "text_ngram_jaccard",
-    "text_quality",
-    "text_simhash",
-    "text_stats",
-    "ts_gap_detection",
-    "ts_lttb_downsample",
-    "ts_ndv_users",
-    "ts_topk_event_values",
-    "ts_zero_filled_series",
-    "vector_ann_ivf",
-    "vector_ann_lsh",
+    "vector_ann_pq",
+    "vector_knn_exact",
+    "vector_similarity_score",
+    "window_agg_as_window",
+    "window_global_share",
+    "window_lag_lead",
+    "window_moving_avg",
+    "window_range_frame",
+    "window_ranking",
+    "window_running_sum",
+    "window_surplus_distribution",
+    "window_topk_per_group",
+    "window_value_fns",
+    "agg_any_value",
+    "agg_bool_and_or",
+    "agg_collect_set",
+    "agg_distinct_sums",
+    "agg_median_corr",
+    "ddl_sql_lifecycle",
+    "dml_copy_roundtrip",
+    "dml_lifecycle",
+    "geo_area",
+    "geo_distance_topk",
+    "geo_geohash",
+    "geo_intersects",
+    "geo_within_bbox",
+    "geo_within_polygon",
+    "graph_component_stats",
+    "graph_connected_components",
+    "graph_dedup_canonical",
+    "graph_neardup_clusters",
+    "match_boolean_modes",
+    "match_filter_then_query",
+    "match_score_topk",
+    "mm_decode_real_image",
+    "mm_frame_sample",
+    "mm_mime_filter_pushdown",
+    "pipeline_domain_mix",
+    "pipeline_pack_sequences",
+    "pipeline_pii_redact",
+    "pipeline_quality_gate",
+    "pipeline_stratified_sample",
+    "scalar_array_funcs",
+    "scalar_array_numeric",
+    "scalar_bitwise_hash",
+    "scalar_casts",
+    "scalar_conditional",
+    "scalar_datetime_funcs2",
+    "scalar_json_funcs",
+    "scalar_misc_funcs",
 )
 
 
