@@ -245,6 +245,7 @@ _ANY_ALL_CMP_RE = _RE.compile(
 _CONCAT_OP_RE = _RE.compile(rf"(?P<lhs>{_operand()})\s*\|\|\s*(?P<rhs>{_operand()})")
 _POW_OP_RE = _RE.compile(rf"(?P<lhs>{_operand()})\s*\^\s*(?P<rhs>{_operand()})")
 _XOR_OP_RE = _RE.compile(rf"(?P<lhs>{_operand()})\s*#\s*(?P<rhs>{_operand()})")
+_OVERLAP_OP_RE = _RE.compile(rf"(?P<lhs>{_operand()})\s*&&\s*(?P<rhs>{_operand()})")
 _SCHEMA_RE = re.compile(
     r"\b(information_schema|sys|pg_catalog|blob)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)"
 )
@@ -305,28 +306,47 @@ _FN_TEMPLATES: dict = {
         if len(a) == 1
         else f"array_distinct(concat({a[0]}, {a[1]}))" if len(a) == 2 else None
     ),
+    # null-safe element compare so LEFT null elements survive when
+    # absent from the right (ArrayDifferenceFunctionTest: [1,null,2,
+    # null] - [2] keeps both nulls); a NULL right side removes
+    # nothing ([1] - null_array = [1]) while a NULL left stays NULL
     "array_difference": lambda a, lits: (
-        f"filter({a[0]}, __x -> NOT array_contains({a[1]}, __x))" if len(a) == 2 else None
+        f"filter({a[0]}, __x -> NOT exists(coalesce({a[1]}, array()), "
+        f"__y -> __x <=> __y))"
+        if len(a) == 2
+        else None
     ),
-    "array_cat": lambda a, lits: f"concat({a[0]}, {a[1]})" if len(a) == 2 else None,
+    # a NULL side concatenates as empty (ArrayCatFunctionTest:
+    # array_cat([1,2,3], null) = [1,2,3]; Spark's concat returns NULL)
+    "array_cat": lambda a, lits: (
+        f"concat(coalesce({a[0]}, array()), coalesce({a[1]}, array()))"
+        if len(a) == 2
+        else None
+    ),
+    # a NULL array grows from empty (ArrayAppendFunctionTest:
+    # array_append(null, 1) = [1]; Spark returns NULL)
+    "array_append": lambda a, lits: (
+        f"array_append(coalesce({a[0]}, array()), {a[1]})"
+        if len(a) == 2
+        else None
+    ),
     "array_overlap": lambda a, lits: (
         f"arrays_overlap({a[0]}, {a[1]})" if len(a) == 2 else None
     ),
-    # PG dimension semantics: empty array -> NULL (ArrayUpper/Lower)
+    # PG dimension semantics (ArrayUpper/LowerFunction.java): empty
+    # array / dim <= 0 / dim beyond the nesting depth -> NULL; upper
+    # at dim d is the MAX sub-array size (ragged arrays), lower is 1
+    # only when no null/empty sub-array exists on the path
     "array_length": lambda a, lits: (
-        f"nullif(size({a[0]}), 0)" if len(a) in (1, 2) else None
+        f"nullif(size({a[0]}), 0)"
+        if len(a) == 1
+        else _array_dim_sql(a, "upper") if len(a) == 2 else None
     ),
-    "array_upper": lambda a, lits: f"nullif(size({a[0]}), 0)" if len(a) == 2 else None,
+    "array_upper": lambda a, lits: (
+        _array_dim_sql(a, "upper") if len(a) == 2 else None
+    ),
     "array_lower": lambda a, lits: (
-        (
-            f"(CASE WHEN size({a[0]}) > 0 THEN 1 END)"
-            if a[1].strip() == "1"
-            # dim 2: defined only when every inner array is non-empty
-            else f"(CASE WHEN size({a[0]}) > 0 AND "
-            f"array_min(transform({a[0]}, __x -> size(__x))) > 0 THEN 1 END)"
-        )
-        if len(a) == 2
-        else None
+        _array_dim_sql(a, "lower") if len(a) == 2 else None
     ),
     # ArraySliceFunction: 1-based INCLUSIVE [from, to]
     "array_slice": lambda a, lits: (
@@ -368,9 +388,13 @@ _FN_TEMPLATES: dict = {
         else None
     ),
     "gen_random_text_uuid": lambda a, lits: "uuid()" if len(a) == 0 else None,
-    # reference arg order is (value, array) — Spark's is (array, value)
+    # reference arg order is (value, array) — Spark's is (array,
+    # value); a NULL array grows from empty (array_prepend(1, null)
+    # = [1], ArrayPrependFunctionTest)
     "array_prepend": lambda a, lits: (
-        f"array_prepend({a[1]}, {a[0]})" if len(a) == 2 else None
+        f"array_prepend(coalesce({a[1]}, array()), {a[0]})"
+        if len(a) == 2
+        else None
     ),
     # modulus = mod alias (arithmetic.rst); sign follows the dividend
     # in both engines (Java %)
@@ -441,6 +465,7 @@ _FN_TEMPLATES: dict = {
     # age(ts[, ts2]) (AgeFunction.java): PG symbolic interval — whole
     # months truncated toward zero, then day/time remainder
     "age": lambda a, lits: _age_sql(a),
+    "_map": lambda a, lits: _map_fn_sql(a, lits),
     # geo scalars (expression/scalar/geo/, dql/geo.rst): geo_point =
     # [lon, lat] array (the reference's own literal form); shape
     # literals as WKT strings
@@ -650,6 +675,14 @@ def _null_or_empty_sql(a: list[str], lits: list[str]) -> str | None:
     if len(a) != 1:
         return None
     arg = a[0].strip()
+    # a bare/cast NULL operand folds to true whatever the declared
+    # type (NullOrEmptyFunctionTest: null_or_empty(null::object) —
+    # the object cast reaches here as CAST(NULL AS STRING), which
+    # size() rejects at analysis)
+    if re.match(
+        r"(?:NULL\s*(?:::|$)|CAST\s*\(\s*NULL\s+AS\b)", arg, re.IGNORECASE
+    ):
+        return "true"
     lit = _lit_value(arg, lits)
     if (lit is not None and lit.strip().startswith("{")) or arg.startswith(
         "to_json("
@@ -1634,6 +1667,29 @@ def _trunc_sql(a: list[str]) -> str | None:
     return None  # trunc(date, 'MM') etc.: Spark's own trunc
 
 
+def _map_fn_sql(a: list[str], lits: list[str]) -> str | None:
+    """MapFunction.java (``_map(k1, v1, ...)``): even key/value args
+    build an OBJECT; keys stringify (``_map(10, 2)`` = {"10": 2}).
+    Emitted as the engine's object representation
+    (to_json(named_struct(...))). Non-literal keys stay unresolved —
+    the reference accepts them but a text shim cannot name struct
+    fields dynamically (declared divergence, fails loudly)."""
+    if len(a) < 2 or len(a) % 2:
+        return None
+    parts = []
+    for i in range(0, len(a), 2):
+        k = a[i].strip()
+        raw = _lit_value(k, lits)
+        if raw is None:
+            if re.fullmatch(r"[+-]?\d+(?:\.\d+)?", k):
+                raw = k
+            else:
+                return None
+        key_lit = _mklit(lits, "'" + raw.replace("'", "''") + "'")
+        parts.append(f"{key_lit}, {a[i + 1]}")
+    return "to_json(named_struct(" + ", ".join(parts) + "))"
+
+
 def _age_sql(a: list[str]) -> str | None:
     """Text expansion of functions.scalar.age (AgeFunction.java): the
     month count by field arithmetic with a borrow when the shifted
@@ -1658,9 +1714,14 @@ def _age_sql(a: list[str]) -> str | None:
     # the engine's IntervalType representation is the (months, days,
     # micros) struct of functions.scalar.interval_make — collectable
     # over Arrow, unlike a raw CalendarInterval
+    # a NULL operand nulls the WHOLE interval, not a struct of nulls
+    # (AgeFunctionTest: age(null) IS NULL)
     return (
+        f"IF({A} IS NULL OR {B} IS NULL, "
+        f"CAST(NULL AS STRUCT<months: BIGINT, days: BIGINT, "
+        f"micros: BIGINT>), "
         f"named_struct('months', CAST({months} AS BIGINT), "
-        f"'days', {days}, 'micros', {rem})"
+        f"'days', {days}, 'micros', {rem}))"
     )
 
 #: optional schema qualifier — the reference registers these under
@@ -1809,23 +1870,93 @@ def _substring_regex_sql(a: list[str], lits: list[str]) -> str | None:
 def _array_set_sql(a: list[str]) -> str | None:
     """ArraySetFunction: (arr, idx, val) single splice, or
     (arr, indexes[], values[]) multi-update that appends past the end
-    and null-fills gaps (scalar-functions.rst array_set overloads)."""
+    and null-fills gaps (scalar-functions.rst array_set overloads).
+    Repeated indexes resolve LAST-write-wins (ArraySetFunctionTest:
+    array_set([1,2,3], [1,1,1], [1,2,3]) = [3,2,3]) and NULL
+    index/value ARRAYS are a no-op (the scalar form's NULL index
+    still nulls the result)."""
     if len(a) != 3:
         return None
-    if a[1].strip().startswith("array("):
+    idx_s, val_s = a[1].strip(), a[2].strip()
+    if idx_s.upper() == "NULL" and val_s.upper() == "NULL":
+        return f"({a[0]})"
+    if idx_s.startswith("array("):
         arr, idx, val = a
-        pos = f"array_position({idx}, CAST(__i AS INT))"
+        rpos = f"array_position(reverse({idx}), CAST(__i AS INT))"
+        pos = f"(size({idx}) + 1 - {rpos})"
+        hi = f"greatest(size({arr}), coalesce(array_max({idx}), 0))"
+        # sequence(1, 0) would run DESCENDING — an empty array with no
+        # updates must stay empty
         return (
-            f"transform(sequence(1, greatest(size({arr}), array_max({idx}))), "
-            f"__i -> CASE WHEN {pos} > 0 "
+            f"(CASE WHEN {hi} < 1 THEN ({arr}) ELSE "
+            f"transform(sequence(1, {hi}), "
+            f"__i -> CASE WHEN {rpos} > 0 "
             f"THEN element_at({val}, CAST({pos} AS INT)) "
             f"WHEN __i <= size({arr}) THEN element_at({arr}, CAST(__i AS INT)) "
-            f"END)"
+            f"END) END)"
         )
     return (
         f"concat(slice({a[0]}, 1, ({a[1]}) - 1), array({a[2]}), "
         f"slice({a[0]}, ({a[1]}) + 1, greatest(size({a[0]}) - ({a[1]}), 0)))"
     )
+
+
+def _lit_array_depth(s: str) -> int:
+    """Nesting depth of a rewritten array-literal expression (0 =
+    not a recognizable literal, so the caller must trust the user's
+    dimension argument)."""
+    s = s.strip()
+    if s.startswith("array(") and s.endswith(")"):
+        inner = s[6:-1].strip()
+        if not inner:
+            return 1
+        depths = [_lit_array_depth(x) for x in _split_args(inner)]
+        return 1 + max(depths)
+    m = re.match(r"CAST\s*\(\s*array\s*\(\s*\)\s*AS\s+(.+)\)$", s,
+                 re.IGNORECASE | re.DOTALL)
+    if m:
+        return m.group(1).upper().count("ARRAY<")
+    return 0
+
+
+def _array_dim_sql(a: list[str], kind: str) -> str | None:
+    """array_upper/array_length/array_lower with an explicit
+    dimension (ArrayUpperFunction.java upperBound /
+    ArrayLowerFunction.java lowerBound): dim <= 0 or beyond a
+    literal operand's nesting depth -> NULL; upper = MAX sub-array
+    size at the dimension (ragged, null sub-arrays skipped), lower =
+    1 unless any path hits a null/empty sub-array. Non-literal
+    dimension args fall back to dim-1 semantics (Spark cannot
+    introspect depth in a text shim)."""
+    arr, dim_s = a[0], a[1].strip()
+    if not re.fullmatch(r"[+-]?\d+", dim_s):
+        return f"nullif(size({arr}), 0)"  # pre-r11 behavior
+    dim = int(dim_s)
+    if dim <= 0:
+        return "CAST(NULL AS INT)"
+    depth = _lit_array_depth(arr)
+    if depth > 0 and dim > depth:
+        return "CAST(NULL AS INT)"
+    if kind == "upper":
+        if dim == 1:
+            return f"nullif(size({arr}), 0)"
+        inner = arr
+        for _ in range(dim - 2):  # flatten down to the target level
+            inner = f"flatten({inner})"
+        return (
+            f"(CASE WHEN size({arr}) > 0 THEN "
+            f"array_max(transform({inner}, __x -> size(__x))) END)"
+        )
+    # lower: every path down to `dim` must be non-null and non-empty
+    def cond(expr: str, d: int) -> str:
+        if d == 1:
+            return f"size({expr}) > 0"
+        return (
+            f"size({expr}) > 0 AND forall({expr}, "
+            f"__x{d} -> __x{d} IS NOT NULL AND {cond('__x' + str(d), d - 1)})"
+        )
+
+    return f"(CASE WHEN {cond(arr, dim)} THEN 1 END)"
 
 
 def _rewrite_crate_fns(sql: str, literals: list[str]) -> str:
@@ -1853,7 +1984,11 @@ def _rewrite_crate_fns(sql: str, literals: list[str]) -> str:
     return sql[: m.start()] + out + _rewrite_crate_fns(sql[i:], literals)
 #: pg_typeof(expr) -> Spark's typeof(expr) (type-name spellings differ:
 #: Spark says 'bigint' where PG says 'int8' — documented divergence)
-_PG_TYPEOF_RE = re.compile(r"\bpg_typeof\s*\(", re.IGNORECASE)
+#: the schema-qualified spelling arrives as pg_catalog_pg_typeof
+#: after the qualified-function flattening pass
+_PG_TYPEOF_RE = re.compile(
+    r"\b(?:pg_catalog_)?pg_typeof\s*\(", re.IGNORECASE
+)
 
 
 def _rewrite_order_by(sql: str) -> str:
@@ -3093,6 +3228,66 @@ def _fold_interval_literals(sql: str, literals: list[str]) -> str:
     )
 
 
+def _extract_over_age(sql: str) -> str:
+    """``EXTRACT(field FROM age(...))`` — age() evaluates to the
+    engine's (months, days, micros) interval struct (AgeFunction.java
+    returns a Joda Period in yearMonthDayTime), so EXTRACT compiles
+    to field arithmetic with Java truncation-toward-zero on every
+    split, matching _normalize_interval_fields."""
+    pat = re.compile(
+        r"\bEXTRACT\s*\(\s*(\w+)\s+FROM\s+(\(\s*)?(?=age\s*\()",
+        re.IGNORECASE,
+    )
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            return sql
+        call_start = m.end()
+        open_paren = sql.index("(", call_start)
+        depth, i = 1, open_paren + 1
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            return sql
+        S = "(" + sql[call_start:i] + ")"
+        j = i
+        closers = (2 if m.group(2) else 1)
+        ok = True
+        for _ in range(closers):
+            m2 = re.match(r"\s*\)", sql[j:])
+            if not m2:
+                ok = False
+                break
+            j += m2.end()
+        f = m.group(1).upper()
+        months, days, us = f"{S}.months", f"{S}.days", f"{S}.micros"
+        exprs = {
+            "YEAR": f"CAST({months} / 12 AS INT)",
+            "MONTH": f"CAST({months} % 12 AS INT)",
+            "QUARTER": f"CAST(({months} % 12) / 4 AS INT)",
+            "DAY": f"CAST({days} AS INT)",
+            "HOUR": f"CAST({us} / 3600000000 AS INT)",
+            "MINUTE": f"CAST(({us} % 3600000000) / 60000000 AS INT)",
+            "SECOND": f"CAST(({us} % 60000000) / 1000000 AS INT)",
+            # ExtractFunctions.toMillis: 365d6h years, 30d months
+            "EPOCH": (
+                f"CAST(CAST({months} / 12 AS BIGINT) * 31557600 + "
+                f"({months} % 12) * 2592000 + {days} * 86400 + "
+                f"{us} / 1e6 AS DOUBLE)"
+            ),
+        }
+        if not ok or f not in exprs:
+            pos = m.end()
+            continue
+        sql = sql[: m.start()] + exprs[f] + sql[j:]
+        pos = m.start()
+
+
 def _typed_null_case_conditions(sql: str) -> str:
     """Type bare ``WHEN NULL THEN`` conditions in searched CASEs (any
     arm, not just the first) as ``CAST(NULL AS BOOLEAN)``. The
@@ -3134,17 +3329,25 @@ def _fold_extract_over_interval_literal(sql: str, literals: list[str]) -> str:
     mixed-unit interval literal nor extract from one."""
 
     def repl(m: re.Match) -> str:
-        parts = _parse_interval_literal(literals[int(m.group(2))][1:-1])
+        paren_open, mult_s, paren_close = m.group(2), m.group(3), m.group(7)
+        if bool(paren_open) != bool(paren_close):
+            return m.group(0)
+        parts = _parse_interval_literal(literals[int(m.group(4))][1:-1])
         if parts is None:
             return m.group(0)
-        if m.group(3):
+        if m.group(5):
             # INTERVAL '...' <u> [TO <u>]: precision restriction on
             # the raw fields first (roundToPrecision order)
             parts = _truncate_interval_fields(
-                parts, m.group(3).upper(), (m.group(4) or m.group(3)).upper()
+                parts, m.group(5).upper(), (m.group(6) or m.group(5)).upper()
             )
             if parts is None:
                 return m.group(0)
+        if mult_s:
+            # N * interval scales each RAW field (Period.multipliedBy,
+            # IntervalFunctionTest: 2 * '2 years 1 month 10 days' ->
+            # 4y 2mo 20d), then normalizedStandard re-splits
+            parts = tuple(f * int(mult_s) for f in parts)
         y, mo, d, h, mi, s = _normalize_interval_fields(parts)
         field = m.group(1).upper()
         vals = {
@@ -3172,9 +3375,13 @@ def _fold_extract_over_interval_literal(sql: str, literals: list[str]) -> str:
         return f"{vals[field]}"
 
     return re.sub(
-        r"\bEXTRACT\s*\(\s*(\w+)\s+FROM\s+INTERVAL\s+__LIT_(\d+)__"
+        r"\bEXTRACT\s*\(\s*(\w+)\s+FROM\s+"
+        r"(\(\s*)?"
+        r"(?:(\d+)\s*\*\s*)?"
+        r"INTERVAL\s+__LIT_(\d+)__"
         r"(?:\s+(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND)"
-        r"(?:\s+TO\s+(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND))?)?\s*\)",
+        r"(?:\s+TO\s+(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND))?)?"
+        r"(\s*\))?\s*\)",
         repl,
         sql,
         flags=re.IGNORECASE,
@@ -3252,6 +3459,24 @@ def _interval_literal_passes(sql: str, literals: list[str]) -> str:
     EXTRACT constant-fold first (needs the raw literal), then
     arithmetic-adjacent mixed literals to make_interval, then the
     text-render fold for whatever Spark still can't parse."""
+    # multiplier normalization first: a postfix numeric multiplier
+    # commutes to the prefix position (interval '...' * 2 -> 2 *
+    # INTERVAL ...) so the EXTRACT fold and the text-render fold see
+    # ONE shape, and a DECIMAL multiplier truncates to int like
+    # Period.multipliedBy (IntervalFunctionTest: interval '1 hour' *
+    # 3.5 = 3 hours, where Spark would scale fractionally)
+    sql = re.sub(
+        r"\bINTERVAL\s+(__LIT_\d+__)\s*\*\s*(\d+(?:\.\d+)?)(?![\w.])",
+        lambda m: f"{int(float(m.group(2)))} * INTERVAL {m.group(1)}",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        r"(?<![\w.])(\d+\.\d+)\s*\*\s*(?=INTERVAL\s+__LIT_)",
+        lambda m: f"{int(float(m.group(1)))} * ",
+        sql,
+        flags=re.IGNORECASE,
+    )
     sql = _fold_extract_over_interval_literal(sql, literals)
     sql = _mixed_interval_arith(sql, literals)
     return _fold_interval_literals(sql, literals)
@@ -3502,12 +3727,42 @@ def rewrite(
 
     # bit-string literals B'0110' (data-types.rst bit strings): stored
     # as bare bit text (declared divergence — no BIT runtime type)
+    _bit_idx: set[int] = set()
+
     def _bit_lit(m: re.Match) -> str:
-        idx = int(m.group(1))
-        literals[idx] = literals[idx]  # '0110' — already the bits
+        _bit_idx.add(int(m.group(1)))
         return f"__LIT_{m.group(1)}__"
 
     sql = re.sub(r"(?<![\w'])B__LIT_(\d+)__", _bit_lit, sql)
+
+    # bitwise ops on bit-string literals fold elementwise
+    # (BitwiseFunctions.java BitStringType overloads); unequal
+    # lengths raise the reference's error. Must precede the `#`->`^`
+    # xor rewrite, which would coerce the text literals numerically.
+    def _bit_op(m: re.Match) -> str:
+        i, op, j = int(m.group(1)), m.group(2), int(m.group(3))
+        if i not in _bit_idx or j not in _bit_idx:
+            return m.group(0)
+        x, y = literals[i][1:-1], literals[j][1:-1]
+        if len(x) != len(y):
+            name = {"&": "AND", "|": "OR", "#": "XOR"}[op]
+            raise ValueError(
+                f"Cannot {name} bit strings of different sizes"
+            )
+        f = {"&": min, "|": max, "#": lambda p, q: p != q}[op]
+        bits = "".join(str(int(f(int(p), int(q)))) for p, q in zip(x, y))
+        literals.append(f"'{bits}'")
+        _bit_idx.add(len(literals) - 1)
+        return f"__LIT_{len(literals) - 1}__"
+
+    prev_bits = None
+    while prev_bits != sql:
+        prev_bits = sql
+        sql = re.sub(
+            r"__LIT_(\d+)__\s*([&#]|\|(?!\|))\s*__LIT_(\d+)__",
+            _bit_op,
+            sql,
+        )
 
     # typed literals: <TYPE> 'value' -> CAST (data-types.rst "you can
     # also use the type name followed by a string literal"); DATE /
@@ -3889,6 +4144,10 @@ def rewrite(
     # operand, stays untouched.
     sql = _typed_null_case_conditions(sql)
 
+    # EXTRACT over age() compiles to interval-struct field arithmetic
+    # BEFORE the generic field rewrites (SECOND/EPOCH would otherwise
+    # wrap the struct in a timestamp cast)
+    sql = _extract_over_age(sql)
     # EXTRACT field rewrites over a FULLY-nested operand (fuzz r10:
     # the old 1-level pattern missed `ts + make_interval(.., CAST(..))`
     # operands, so EXTRACT(dow) fell through to Spark's native
@@ -4104,6 +4363,9 @@ def rewrite(
     while prev_pow != sql:
         prev_pow = sql
         sql = _POW_OP_RE.sub(r"power(\g<lhs>, \g<rhs>)", sql)
+    # PG array-overlap operator `&&` (array-comparisons.rst) — must
+    # run before any single-& handling
+    sql = _OVERLAP_OP_RE.sub(r"arrays_overlap(\g<lhs>, \g<rhs>)", sql)
     # PG/crate bitwise XOR spelling `#` -> Spark's `^` (bit-operators.rst)
     sql = _XOR_OP_RE.sub(r"\g<lhs> ^ \g<rhs>", sql)
     # the reference's regexp operators match the WHOLE string
@@ -4281,6 +4543,7 @@ def rewrite(
             f"WHEN 'tinyint' THEN '\"char\"' WHEN 'binary' THEN 'bytea' "
             f"WHEN 'timestamp' THEN 'timestamp with time zone' "
             f"WHEN 'timestamp_ntz' THEN 'timestamp without time zone' "
+            f"WHEN 'void' THEN 'undefined' "
             f"ELSE (CASE WHEN {t} LIKE 'decimal%' THEN 'numeric' ELSE {t} END) END)"
         )
 

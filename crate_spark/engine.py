@@ -4037,6 +4037,71 @@ def _js_route_method_calls(expr: str) -> str:
         i = start + len(repl)
 
 
+def _js_spread_to_python(expr: str) -> str:
+    """Spread in expression position (r11): ``[...xs, 9]`` -> Python
+    ``[*xs, 9]``, ``f(...xs)`` -> ``f(*xs)``, ``{...o, a: 1}`` ->
+    ``{**o, "a": 1}`` — the nearest enclosing bracket decides * vs **
+    (JS objects are dicts in this runtime)."""
+    if "..." not in expr:
+        return expr
+    out: list[str] = []
+    stack: list[str] = []
+    i = 0
+    while i < len(expr):
+        if expr.startswith("...", i):
+            out.append("**" if (stack and stack[-1] == "{") else "*")
+            i += 3
+            continue
+        ch = expr[i]
+        if ch in "([{":
+            stack.append(ch)
+        elif ch in ")]}" and stack:
+            stack.pop()
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _js_block_arrow_unwrap(text: str) -> str:
+    """Multi-statement block-body arrows in expression position whose
+    body is a sequence of declarations / reassignments of OWN names
+    plus a trailing return (r11): compile to a walrus chain —
+    ``x => { var y = x * 2; y = y + 1; return y; }`` becomes
+    ``x => ((y := x * 2), (y := y + 1), (y))[-1]``. Assignments to
+    ENCLOSING names stay rejections (a Python lambda cannot rebind
+    its closure)."""
+
+    def sub(m: re.Match) -> str:
+        body = m.group(1)
+        stmts = [s.strip() for s in body.split(";") if s.strip()]
+        if len(stmts) < 2 or not re.match(r"return\b", stmts[-1]):
+            return m.group(0)
+        declared: set[str] = set()
+        parts: list[str] = []
+        for st in stmts[:-1]:
+            dm = re.fullmatch(
+                r"(?:var|let|const)\s+([\w$]+)\s*=\s*(.+)", st, re.DOTALL
+            )
+            if dm:
+                declared.add(dm.group(1))
+                parts.append(f"({dm.group(1)} := {dm.group(2)})")
+                continue
+            am = re.fullmatch(
+                r"([\w$]+)\s*([-+*/]?)=\s*(.+)", st, re.DOTALL
+            )
+            if am and am.group(1) in declared:
+                tgt, op, rhs = am.groups()
+                rhs = f"{tgt} {op} ({rhs})" if op else rhs
+                parts.append(f"({tgt} := {rhs})")
+                continue
+            return m.group(0)  # anything else: leave for the reject path
+        ret = stmts[-1][len("return"):].strip()
+        parts.append(f"({ret})")
+        return "=> ({},)[-1]".format(", ".join(parts))
+
+    return re.sub(r"=>\s*\{([^{}]*)\}", sub, text)
+
+
 def _js_expr_to_python(expr: str, body_lits: list[str] | None = None) -> str:
     """Translate one JS expression to Python. String/regex literals
     arrive MASKED as ``__JSBODY{n}__`` placeholders (``body_lits``
@@ -4045,6 +4110,8 @@ def _js_expr_to_python(expr: str, body_lits: list[str] | None = None) -> str:
     touch text inside a literal."""
     expr = expr.strip()
     expr = expr.replace("!==", "!=").replace("===", "==")
+    expr = _js_spread_to_python(expr)
+    expr = _js_block_arrow_unwrap(expr)
     # fn.apply(null, xs) -> fn(*xs) (Math.max.apply in the reference's
     # arr_max integration test)
     expr = re.sub(
@@ -4894,7 +4961,22 @@ def _js_function(body: str, env: dict) -> tuple[list[str], object]:
     params: list[str] = []
     preamble: list[str] = []
     bound: list[str] = []
+    rest_name: str | None = None
     for k, p in enumerate(raw_params):
+        # rest parameter (r11): `function f(a, ...xs)` collects the
+        # remaining arguments as a JS Array; GraalVM rejects a
+        # non-final rest
+        rm = re.fullmatch(r"\.\.\.\s*([\w$]+)", p)
+        if rm:
+            if k != len(raw_params) - 1:
+                raise ValueError(
+                    "unsupported JavaScript construct: rest parameter "
+                    "must be the last formal parameter"
+                )
+            rest_name = rm.group(1)
+            preamble.append(f"    {rest_name} = [*{rest_name}]")
+            bound.append(rest_name)
+            continue
         # destructuring parameters: `function f([a, b = 1])` /
         # `function f({x, y: z = 2})` — identifier lists with optional
         # renames/defaults (r9; nesting and rest params still reject)
@@ -4919,17 +5001,20 @@ def _js_function(body: str, env: dict) -> tuple[list[str], object]:
             raise ValueError(
                 f"unsupported JavaScript construct: parameter {p!r}"
             )
-    lines = [
-        "def __js_udf({}):".format(", ".join(f"{p}=None" for p in params))
-    ]
+    sig = [f"{p}=None" for p in params]
+    if rest_name is not None:
+        sig.append(f"*{rest_name}")
+    lines = ["def __js_udf({}):".format(", ".join(sig))]
     lines.extend(preamble)
     # mask string + regex literals ONCE over the whole body, before
     # any statement parsing (a ';', ',' or paren inside a literal must
     # never split a statement)
     masked, body_lits = _js_mask_literals(m.group(2))
-    # single-return block-body arrows unwrap to the expression form
-    # BEFORE statement splitting (the `;` inside `x => { return e; }`
-    # would otherwise cut the enclosing statement mid-expression)
+    # block-body arrows unwrap to expression form BEFORE statement
+    # splitting (the `;` inside `x => { ... }` would otherwise cut
+    # the enclosing statement mid-expression): first the
+    # decl+return walrus form (r11), then the single-return form
+    masked = _js_block_arrow_unwrap(masked)
     masked = re.sub(
         r"=>\s*\{\s*return\b([^{};]*);?\s*\}", r"=> (\1)", masked
     )

@@ -182,11 +182,15 @@ def _sql_pieces(key: str, t: str) -> tuple[str, str | None]:
         return f"CAST({v} AS STRING)", v
     if key == "MS":
         return f"date_format({t}, 'SSS')", f"CAST({us} DIV 1000 AS INT)"
+    # crate timestamps are epoch MILLIS — sub-ms digits are always 0
+    # (ToCharFunctionPostgresCompatabilityTest: US of .12345 renders
+    # 123000, FF4-6 pad with zeros)
     if key == "US":
-        return f"lpad(CAST({us} AS STRING), 6, '0')", us
+        v = f"(({us} DIV 1000) * 1000)"
+        return f"lpad(CAST({v} AS STRING), 6, '0')", v
     if key.startswith("FF"):
         div = 10 ** (6 - int(key[2]))
-        v = f"({us} DIV {div})"
+        v = f"((({us} DIV 1000) * 1000) DIV {div})"
         return f"CAST({v} AS STRING)", v
     if key == "AMU":
         return f"(CASE WHEN hour({t}) >= 12 THEN 'PM' ELSE 'AM' END)", None
@@ -371,9 +375,10 @@ def _py_pieces(key: str, dt: _dt.datetime) -> tuple[str, int | None]:
     if key == "MS":
         return f"{us // 1000:03d}", us // 1000
     if key == "US":
-        return f"{us:06d}", us
+        v = us // 1000 * 1000  # ms storage precision
+        return f"{v:06d}", v
     if key.startswith("FF"):
-        v = us // (10 ** (6 - int(key[2])))
+        v = (us // 1000 * 1000) // (10 ** (6 - int(key[2])))
         return str(v), v
     if key in ("AMU", "AML", "AMDU", "AMDL"):
         pm = dt.hour >= 12

@@ -1188,3 +1188,197 @@ def test_like_escape_differential(crate, duck, i, pair):
     assert got is want or got == want, (
         f"{engine_sql} -> {got!r}, {duck_sql} -> {want!r}"
     )
+
+
+# ---- family #12: array-function model differential (r11) -------------------
+# The r11 sweep rewrote the array family's null/edge semantics
+# (append/prepend/cat on NULL arrays, difference's null-safe element
+# compare, set's last-write-wins, upper/lower's ragged-dimension
+# rules). This family guards them with a PYTHON model of the Java
+# implementations (ArrayAppend/Prepend/Cat/Unique/Difference/Set/
+# Slice/ToString/Upper/LowerFunction.java) — expected values come
+# from the model, not from a second SQL engine, so a same-spelling
+# blind spot is impossible by construction.
+
+N_ARRAY_CASES = 150
+
+
+def _arr_lit(xs) -> str:
+    parts = []
+    for x in xs:
+        if x is None:
+            parts.append("null")
+        elif isinstance(x, str):
+            parts.append("'" + x.replace("'", "''") + "'")
+        elif isinstance(x, list):
+            parts.append(_arr_lit(x))
+        else:
+            parts.append(str(x))
+    return "[" + ", ".join(parts) + "]"
+
+
+def _rand_flat(rng, kind, min_n=0, max_n=6, nulls=True):
+    n = rng.randint(min_n, max_n)
+    out = []
+    for _ in range(n):
+        if nulls and rng.random() < 0.2:
+            out.append(None)
+        elif kind == "i":
+            out.append(rng.randint(-5, 9))
+        else:
+            out.append(rng.choice(["a", "b", "cd", "e'f", ""]))
+    return out
+
+
+def _eq(x, y):
+    """Reference element equality: null == null inside array fns."""
+    return x == y
+
+
+def gen_array_case(rng: random.Random):
+    kind = rng.choice(["i", "s"])
+    fam = rng.randrange(10)
+    if fam == 0:  # append / prepend (incl. NULL array)
+        a = None if rng.random() < 0.25 else _rand_flat(rng, kind)
+        e = None if rng.random() < 0.2 else _rand_flat(rng, kind, 1, 1, False)[0]
+        a_lit = "null::int[]" if a is None and kind == "i" else (
+            "null::text[]" if a is None else _arr_lit(a))
+        e_lit = _arr_lit([e])[1:-1]
+        if rng.random() < 0.5:
+            return f"array_append({a_lit}, {e_lit})", (a or []) + [e]
+        return f"array_prepend({e_lit}, {a_lit})", [e] + (a or [])
+    if fam == 1:  # cat with NULL sides
+        a = None if rng.random() < 0.2 else _rand_flat(rng, kind)
+        b = None if rng.random() < 0.2 else _rand_flat(rng, kind)
+        al = "null::int[]" if a is None and kind == "i" else (
+            "null::text[]" if a is None else _arr_lit(a))
+        bl = "null::int[]" if b is None and kind == "i" else (
+            "null::text[]" if b is None else _arr_lit(b))
+        return f"array_cat({al}, {bl})", (a or []) + (b or [])
+    if fam == 2:  # unique (1- and 2-arg), first-seen order, nulls kept
+        a = _rand_flat(rng, kind)
+        b = _rand_flat(rng, kind) if rng.random() < 0.6 else None
+        merged = a + (b if b is not None else [])
+        seen, want = [], []
+        for x in merged:
+            if not any(_eq(x, y) for y in seen):
+                seen.append(x)
+                want.append(x)
+        if b is None:
+            return f"array_unique({_arr_lit(a)})", want
+        return f"array_unique({_arr_lit(a)}, {_arr_lit(b)})", want
+    if fam == 3:  # difference: null-safe compare, left nulls survive
+        a = _rand_flat(rng, kind)
+        b = _rand_flat(rng, kind)
+        want = [x for x in a if not any(_eq(x, y) for y in b)]
+        return f"array_difference({_arr_lit(a)}, {_arr_lit(b)})", want
+    if fam == 4:  # slice: 1-based inclusive, clamped
+        a = _rand_flat(rng, kind, 1, 6)
+        i = rng.randint(1, 7)
+        j = rng.randint(i - 1, 8)
+        want = a[i - 1 : j]
+        return f"array_slice({_arr_lit(a)}, {i}, {j})", want
+    if fam == 5:  # to_string with/without null replacement
+        a = _rand_flat(rng, "i")
+        sep = rng.choice([", ", "", "|"])
+        if rng.random() < 0.5:
+            want = sep.join(str(x) for x in a if x is not None)
+            return (
+                f"array_to_string({_arr_lit(a)}, '{sep}')",
+                want,
+            )
+        want = sep.join("x" if v is None else str(v) for v in a)
+        return (
+            f"array_to_string({_arr_lit(a)}, '{sep}', 'x')",
+            want,
+        )
+    if fam == 6:  # array_set multi-form: last-write-wins, appends, gaps
+        a = _rand_flat(rng, "i", 0, 5, False)
+        n_idx = rng.randint(0, 4)
+        idx = [rng.randint(1, 8) for _ in range(n_idx)]
+        val = [rng.randint(-5, 9) for _ in range(n_idx)]
+        want = list(a)
+        hi = max([len(a)] + idx)
+        want += [None] * (hi - len(a))
+        for p, v in zip(idx, val):
+            want[p - 1] = v
+        return (
+            f"array_set({_arr_lit(a)}, {_arr_lit(idx)}, {_arr_lit(val)})",
+            want,
+        )
+    if fam == 7:  # upper/lower/length on ragged 2-D arrays
+        rows = rng.randint(1, 4)
+        nested = []
+        for _ in range(rows):
+            if rng.random() < 0.15:
+                nested.append(None)
+            else:
+                nested.append(_rand_flat(rng, "i", 0, 3, False))
+        dim = rng.randint(1, 3)
+        fn = rng.choice(["array_upper", "array_lower", "array_length"])
+        if fn == "array_lower":
+            if dim == 1:
+                want = 1 if nested else None
+            elif dim == 2:
+                want = (
+                    1
+                    if nested and all(
+                        x is not None and len(x) > 0 for x in nested
+                    )
+                    else None
+                )
+            else:
+                want = None
+        else:
+            if dim == 1:
+                want = len(nested) or None
+            elif dim == 2:
+                sizes = [len(x) for x in nested if x is not None]
+                want = max(sizes) if sizes else None
+            else:
+                want = None
+        return f"{fn}({_arr_lit(nested)}, {dim})", want
+    if fam == 8:  # overlap (both spellings), no nulls
+        a = _rand_flat(rng, kind, 1, 5, False)
+        b = _rand_flat(rng, kind, 1, 5, False)
+        want = any(any(_eq(x, y) for y in b) for x in a)
+        if rng.random() < 0.5:
+            return f"array_overlap({_arr_lit(a)}, {_arr_lit(b)})", want
+        return f"{_arr_lit(a)} && {_arr_lit(b)}", want
+    # fam == 9: position (incl. null needle = first null element)
+    a = _rand_flat(rng, kind, 1, 6)
+    if rng.random() < 0.3:
+        want = next(
+            (i + 1 for i, x in enumerate(a) if x is None), None
+        )
+        return f"array_position({_arr_lit(a)}, null)", want
+    needle = rng.choice([x for x in a if x is not None] + [
+        _rand_flat(rng, kind, 1, 1, False)[0]
+    ])
+    want = next(
+        (i + 1 for i, x in enumerate(a) if x == needle), None
+    )
+    return f"array_position({_arr_lit(a)}, {_arr_lit([needle])[1:-1]})", want
+
+
+def _array_cases():
+    rng = random.Random(SEED ^ 0xA44A1)
+    return [
+        gen_array_case(random.Random(rng.getrandbits(64)))
+        for _ in range(N_ARRAY_CASES)
+    ]
+
+
+@pytest.mark.parametrize(
+    "i,case",
+    list(enumerate(_array_cases())),
+    ids=[f"arr{i:03d}" for i in range(N_ARRAY_CASES)],
+)
+def test_array_model_differential(crate, i, case):
+    expr, want = case
+    got = crate.execute(f"SELECT {expr} AS v").collect()[0][0]
+    if isinstance(got, list):
+        got = list(got)
+    assert got == want or (got is None and want is None), (
+        f"{expr} -> {got!r}, model -> {want!r}"
+    )

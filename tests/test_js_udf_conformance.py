@@ -901,18 +901,38 @@ def test_js_destructuring():
 
 def test_js_still_rejected_constructs():
     """The remaining declared divergences stay CREATE-time rejections:
-    spread in expression position, rest PARAMS (rest destructuring
-    ELEMENTS are supported since r10), multi-statement block-body
-    arrows in expression position (the compile catches them),
-    assignment-body callbacks."""
+    assignment-body callbacks that rebind an ENCLOSING name (a Python
+    lambda cannot rebind its closure) and a non-final rest param
+    (GraalVM rejects it too)."""
     for body in (
-        "function f(xs) { return [...xs, 9]; }",
-        "function f(...xs) { return xs; }",
-        "function f(xs) { return xs.map(x => { var y = x; return y; }); }",
         "function f(xs) { var s = 0; xs.forEach(x => s += x); return s; }",
+        "function f(...xs, a) { return a; }",
     ):
         with pytest.raises(ValueError):
             _run(body, [1])
+
+
+def test_js_spread_rest_block_arrows():
+    """r11: spread in expression position (array / call / object),
+    rest params, and decl+return block-body arrows in expression
+    position — all previously CREATE-time rejections."""
+    assert _run("function f(xs) { return [...xs, 9]; }", [1, 2]) == [1, 2, 9]
+    assert _run(
+        "function f(xs) { return Math.max(...xs); }", [3, 7, 2]
+    ) == 7
+    assert _run(
+        "function f(a) { var o = {...a, z: 1}; return o.z + o.x; }",
+        {"x": 4},
+    ) == 5
+    assert _run("function f(...xs) { return xs.length; }", 1) == 1
+    assert _run(
+        "function f(a, ...xs) { return a * 100 + xs[0]; }", 2, 3
+    ) == 203
+    assert _run(
+        "function f(xs) { return xs.map(x => { var y = x * 2; "
+        "y = y + 1; return y; }); }",
+        [1, 2],
+    ) == [3, 5]
 
 
 def test_js_nested_destructuring_and_rest():

@@ -1160,3 +1160,350 @@ def test_string_split_reference_constants(sess, expr, want):
         assert got is None, expr
     else:
         assert got == want, (expr, got)
+
+
+# ---------------------------------------------------------------------------
+# Constant sweep #3 (r11) — array family, bitwise/bit-strings, _map,
+# null_or_empty, interval arithmetic, age (reference file:line in the
+# section comments; all values lifted from the reference's unit tests)
+# ---------------------------------------------------------------------------
+
+ARRAY_FAMILY_CASES = [
+    # ArrayAppend/PrependFunctionTest — NULL array grows from empty
+    ("array_append([1, 2], 3)", [1, 2, 3]),
+    ("array_append([1, 2], null)", [1, 2, None]),
+    ("array_append(null::int[], 1)", [1]),
+    ("array_append(cast([] as array(integer)), 1)", [1]),
+    ("array_prepend(3, [1, 2])", [3, 1, 2]),
+    ("array_prepend(null, [1, 2])", [None, 1, 2]),
+    ("array_prepend(1, null::int[])", [1]),
+    # ArrayCatFunctionTest — NULL side concatenates as empty
+    ("array_cat([1::integer], [1::long])", [1, 1]),
+    ("array_cat([], [111, 222, 333])", [111, 222, 333]),
+    ("array_cat([1, null, 2], [2, 3])", [1, None, 2, 2, 3]),
+    # ArrayDifferenceFunctionTest — LEFT nulls survive; NULL right
+    # removes nothing
+    ("array_difference([[1, 2], [1, 3]], [[1, 2]])", [[1, 3]]),
+    ("array_difference([1::integer], [1::long])", []),
+    ("array_difference([1, 2, 3], [2])", [1, 3]),
+    ("array_difference([1, null, 2, null], [2])", [1, None, None]),
+    # ArrayUniqueFunctionTest
+    ("array_unique(['foo', 'bar', 'baz', 'baz'])", ["foo", "bar", "baz"]),
+    ("array_unique([10, 20], [10.1, 20.0])", [10.0, 20.0, 10.1]),
+    ("array_unique([1, null, 3], [null, 2, 3])", [1, None, 3, 2]),
+    ("array_unique([], [111, 222, 333])", [111, 222, 333]),
+    ("array_unique([[0, 0], [1, 1]], [[0, 0], [1, 1]])", [[0, 0], [1, 1]]),
+    # ArraySetFunctionTest — repeated index LAST-write-wins, null
+    # idx/val ARRAYS are a no-op, scalar NULL index nulls the result
+    ("array_set([1,2,3], [3::long], [-1])", [1, 2, -1]),
+    ("array_set([1,2,3], [4], [-1])", [1, 2, 3, -1]),
+    ("array_set([1,2,3], [5], [-1])", [1, 2, 3, None, -1]),
+    ("array_set([1,2,3], [], [])", [1, 2, 3]),
+    ("array_set([1,2,3], null, null)", [1, 2, 3]),
+    ("array_set([], [1], [1])", [1]),
+    ("array_set([1,2,3], [1,1,1], [1,2,3])", [3, 2, 3]),
+    ("array_set([1, 2, 3], 2, 10)", [1, 10, 3]),
+    ("array_set(null, 2, 10)", None),
+    ("array_set([1, 2, 3], null, 10)", None),
+    ("array_set([1, 2, 3], 2, null)", [1, None, 3]),
+    # ArrayToStringFunctionTest
+    ("array_to_string(cast([] as array(integer)), ',')", ""),
+    ("array_to_string([1, 2, 3], '')", "123"),
+    ("array_to_string([1, null, 3], '', '2')", "123"),
+    ("array_to_string([1, 2, 3], ', ')", "1, 2, 3"),
+    ("array_to_string([1, null, 3], ', ')", "1, 3"),
+    ("array_to_string(['', '', ''], ', ')", ", , "),
+    ("array_to_string(cast([null, null, null] as array(integer)), ', ')", ""),
+    ("array_to_string([1, null, 2], ', ', 'xyz')", "1, xyz, 2"),
+    ("array_to_string(cast([null, null, null] as array(integer)), ', ', 'xyz')",
+     "xyz, xyz, xyz"),
+    ("array_to_string([1, null, 2], ', ', null)", "1, 2"),
+    # ArrayMax/MinFunctionTest — nulls skipped
+    ("array_max([null, 1])", 1),
+    ("array_max([3, 1, 2])", 3),
+    ("array_min([null, 1])", 1),
+    ("array_min([3, 1, 2])", 1),
+    # ArrayLower/UpperFunction.java — dim <= 0 / beyond depth NULL;
+    # upper = MAX ragged sub-size; lower needs no null/empty sub-array
+    ("array_lower([4, 5], 1)", 1),
+    ("array_lower([4, 5], 3)", None),
+    ("array_lower([1], 0)", None),
+    ("array_lower([1], -1)", None),
+    ("array_lower([[1, 4], [3], []], 2)", None),
+    ("array_lower([[1, 4], null, [1, 2]], 2)", None),
+    ("array_lower([[1, 2, 3], [3, 4]], 2)", 1),
+    ("array_lower(cast([] as array(integer)), 1)", None),
+    ("array_upper([4, 5], 1)", 2),
+    ("array_upper([4, 5], 3)", None),
+    ("array_upper([[3, 4], [1, 2, 3]], 2)", 3),
+    ("array_upper(cast([] as array(integer)), 1)", None),
+    ("array_length([2, 3, 4], 1)", 3),
+    ("array_length([1], 0)", None),
+    ("array_length([1], -1)", None),
+    # ArrayOverlapFunctionTest — function + && operator spellings
+    ("array_overlap([1, 2], [2, 3])", True),
+    ("array_overlap([1, 2], [3, 4])", False),
+    ("[1, 2] && [2, 3]", True),
+    ("[1, 2] && [3, 4]", False),
+]
+
+
+@pytest.mark.parametrize("expr,want", ARRAY_FAMILY_CASES)
+def test_array_family_reference_constants(sess, expr, want):
+    got = one(sess, expr)
+    assert got == want, (expr, got, want)
+
+
+NULL_EMPTY_LENGTH_CASES = [
+    # NullOrEmptyFunctionTest
+    ("null_or_empty(null::object)", True),
+    ("null_or_empty({a = 10})", False),
+    ("null_or_empty({})", True),
+    ("null_or_empty(null::text[])", True),
+    ("null_or_empty(['foo', 'bar'])", False),
+    ("null_or_empty([])", True),
+    # LengthFunctionTest
+    ("octet_length('crate')", 5),
+    ("octet_length('')", 0),
+    ("bit_length('crate')", 40),
+    ("bit_length('')", 0),
+    ("char_length('crate')", 5),
+    ("octet_length(null)", None),
+    ("length('crate')", 5),
+    # Ignore3vlFunctionTest
+    ("ignore3vl(false)", False),
+    ("ignore3vl(true)", True),
+    ("ignore3vl(null)", False),
+]
+
+
+@pytest.mark.parametrize("expr,want", NULL_EMPTY_LENGTH_CASES)
+def test_null_empty_length_reference_constants(sess, expr, want):
+    got = one(sess, expr)
+    assert got == want, (expr, got, want)
+
+
+BITWISE_CASES = [
+    # BitwiseFunctionsTest — &, |, # (XOR) on integrals; bit-string
+    # literals fold elementwise (BitwiseFunctions.java BitStringType)
+    ("5 & 3", 1),
+    ("5 | 3", 7),
+    ("5 # 3", 6),
+    ("1 & null", None),
+    ("null & 1", None),
+    ("12::byte # 10::byte", 6),
+    ("200::short & 236::short", 200),
+    ("B'10001' & B'10101'", "10001"),
+    ("B'10001' | B'00101'", "10101"),
+    ("B'10001' # B'10101'", "00100"),
+]
+
+
+@pytest.mark.parametrize("expr,want", BITWISE_CASES)
+def test_bitwise_reference_constants(sess, expr, want):
+    got = one(sess, expr)
+    assert got == want, (expr, got, want)
+
+
+def test_bitstring_size_mismatch_raises(sess):
+    """BitwiseFunctions.java LENGTH_VALIDATOR error spelling."""
+    with pytest.raises(Exception, match="Cannot OR bit strings of different sizes"):
+        sess.execute("SELECT B'10001' | B'001' AS v").collect()
+
+
+MAP_FN_CASES = [
+    # MapFunctionTest — _map builds an OBJECT, keys stringify; the
+    # engine's object representation is the JSON text render
+    ("_map(10, 2)", '{"10":2}'),
+    ("_map('foo', 10)", '{"foo":10}'),
+    ("_map('foo', 10, 'bar', 'some')", '{"foo":10,"bar":"some"}'),
+]
+
+
+@pytest.mark.parametrize("expr,want", MAP_FN_CASES)
+def test_map_fn_reference_constants(sess, expr, want):
+    got = one(sess, expr)
+    assert got == want, (expr, got, want)
+
+
+INTERVAL_ARITH_FN_CASES = [
+    # IntervalFunctionTest.java — interval +/-, integer multiplication
+    # (both operand orders), decimal multipliers truncate to int like
+    # Period.multipliedBy((int) x): interval '1 hour' * 3.5 = 3 hours
+    ("EXTRACT(SECOND FROM (interval '1 second' + interval '1 second'))", 2),
+    ("EXTRACT(SECOND FROM (interval '1000 millisecond' + interval '1 second'))", 2),
+    ("EXTRACT(YEAR FROM (interval '1100 years' + interval '2000 years'))", 3100),
+    ("EXTRACT(YEAR FROM (interval '-10 years' + interval '1 years'))", -9),
+    ("EXTRACT(SECOND FROM (interval '2 second' - interval '1 second'))", 1),
+    ("EXTRACT(YEAR FROM (interval '1 month' + interval '1 year'))", 1),
+    ("EXTRACT(MONTH FROM (interval '1 month' + interval '1 year'))", 1),
+    ("EXTRACT(YEAR FROM (2 * interval '2 years 1 month 10 days'))", 4),
+    ("EXTRACT(MONTH FROM (2 * interval '2 years 1 month 10 days'))", 2),
+    ("EXTRACT(DAY FROM (2 * interval '2 years 1 month 10 days'))", 20),
+    ("EXTRACT(DAY FROM (-10 * interval '1 day'))", -10),
+    ("EXTRACT(MINUTE FROM (900 * interval '1 second'))", 15),
+    ("EXTRACT(MINUTE FROM (interval '1 millisecond' * 900000))", 15),
+    ("EXTRACT(HOUR FROM (interval '1 hour' * 3.5))", 3),
+    ("EXTRACT(MINUTE FROM (interval '1 hour' * 3.5))", 0),
+    ("EXTRACT(HOUR FROM (3.5 * interval '1 hour'))", 3),
+    ("EXTRACT(MINUTE FROM (3.5 * interval '1 hour'))", 0),
+]
+
+
+@pytest.mark.parametrize("expr,want", INTERVAL_ARITH_FN_CASES)
+def test_interval_arith_fn_reference_constants(sess, expr, want):
+    got = one(sess, expr)
+    assert got == want, (expr, got, want)
+
+
+AGE_CASES = [
+    # AgeFunctionTest.java — Joda yearMonthDayTime normalization: 8
+    # days stay 8 days (not 1w1d), calendar months before day/time
+    ("EXTRACT(DAY FROM age('2021-01-09T00:00:00'::timestamp, "
+     "'2021-01-01T00:00:00'::timestamp))", 8),
+    ("EXTRACT(MONTH FROM age('2021-02-01T00:00:00'::timestamp, "
+     "'2021-01-01T00:00:00'::timestamp))", 1),
+    ("EXTRACT(MONTH FROM age('2021-03-01T00:00:00'::timestamp, "
+     "'2021-02-01T00:00:00'::timestamp))", 1),
+    ("EXTRACT(YEAR FROM age('2021-01-01T00:00:00'::timestamp, "
+     "'2019-10-28T19:54:53.993'::timestamp))", 1),
+    ("EXTRACT(MONTH FROM age('2021-01-01T00:00:00'::timestamp, "
+     "'2019-10-28T19:54:53.993'::timestamp))", 2),
+    ("EXTRACT(DAY FROM age('2021-01-01T00:00:00'::timestamp, "
+     "'2019-10-28T19:54:53.993'::timestamp))", 3),
+    ("EXTRACT(HOUR FROM age('2021-01-01T00:00:00'::timestamp, "
+     "'2019-10-28T19:54:53.993'::timestamp))", 4),
+    ("EXTRACT(MINUTE FROM age('2021-01-01T00:00:00'::timestamp, "
+     "'2019-10-28T19:54:53.993'::timestamp))", 5),
+    ("EXTRACT(SECOND FROM age('2021-01-01T00:00:00'::timestamp, "
+     "'2019-10-28T19:54:53.993'::timestamp))", 6),
+    # negated operand order flips every field sign
+    ("EXTRACT(YEAR FROM age('2021-01-01T00:00:00'::timestamp, "
+     "'2022-03-04T04:05:06.007'::timestamp))", -1),
+    ("EXTRACT(MONTH FROM age('2021-01-01T00:00:00'::timestamp, "
+     "'2022-03-04T04:05:06.007'::timestamp))", -2),
+    ("EXTRACT(DAY FROM age('2021-01-01T00:00:00'::timestamp, "
+     "'2022-03-04T04:05:06.007'::timestamp))", -3),
+    ("EXTRACT(HOUR FROM age('2021-01-01T00:00:00'::timestamp, "
+     "'2022-03-04T04:05:06.007'::timestamp))", -4),
+    ("age(null)", None),
+    ("age(null, '2019-01-02'::TIMESTAMP)", None),
+    ("age('2019-01-02'::TIMESTAMP, null)", None),
+]
+
+
+@pytest.mark.parametrize("expr,want", AGE_CASES)
+def test_age_reference_constants(sess, expr, want):
+    got = one(sess, expr)
+    assert got == want, (expr, got, want)
+
+
+MATH_CORNER_CASES = [
+    # Abs/Negate/Log/Power/SquareRootFunctionTest
+    ("abs(-2)", 2),
+    ("abs(cast(-12.23 as numeric(4,2)))", 12.23),
+    ("- 12.34::numeric", -12.34),
+    ("- CAST(36 as REAL)", -36.0),
+    ("log(10, 100)", 0.5),
+    ("log(100)", 2.0),
+    ("power(2,-3)", 0.125),
+    ("power(-2,3)", -8.0),
+    ("power(-2,-3)", -0.125),
+    ("sqrt(25)", 5.0),
+    ("sqrt(cast(25.0 as float))", 5.0),
+]
+
+
+@pytest.mark.parametrize("expr,want", MATH_CORNER_CASES)
+def test_math_corner_reference_constants(sess, expr, want):
+    _check(sess, expr, want)
+
+
+TO_CHAR_PG_COMPAT_CASES = [
+    # ToCharFunctionPostgresCompatabilityTest.java — the full token
+    # battery PG-side-by-side: 12-hour HH, MS truncation, US/FF4-6
+    # zero-padded past ms storage precision, SSSS seconds-of-day,
+    # meridiem/era spellings, Y,YYY digit splits, ISO-year boundary
+    # rows, name-field padEnd, D (Sunday=1) vs ID (ISO), W/WW/IW,
+    # CC boundary, Julian day J, quarter, blank-padded Roman months,
+    # empty TZ/OF on naive timestamps, literal Z passthrough
+    ("to_char(timestamp '1970-01-01T17:31:12.12345', 'HH HH12 HH24')", "05 05 17"),
+    ("to_char(timestamp '1970-01-01T03:31:12.12345', 'HH HH12 HH24')", "03 03 03"),
+    ("to_char(timestamp '1970-01-01T17:05:12.12345', 'MI')", "05"),
+    ("to_char(timestamp '1970-01-01T17:31:05.72345', 'SS')", "05"),
+    ("to_char(timestamp '1970-01-01T17:31:12.12345', 'MS')", "123"),
+    ("to_char(timestamp '1970-01-01T17:31:12.003', 'MS')", "003"),
+    ("to_char(timestamp '1970-01-01T17:31:12.300', 'MS')", "300"),
+    ("to_char(timestamp '1970-01-01T17:31:12.0002', 'MS')", "000"),
+    ("to_char(timestamp '1970-01-01T17:31:12.12345', 'US')", "123000"),
+    ("to_char(timestamp '1970-01-01T17:31:12.00005', 'US')", "000000"),
+    ("to_char(timestamp '1970-01-01T17:31:12.12345', 'FF1 FF2 FF3 FF4 FF5 FF6')", "1 12 123 1230 12300 123000"),
+    ("to_char(timestamp '1970-01-01T17:31:12.12345', 'SSSS, SSSSS')", "63072, 63072"),
+    ("to_char(timestamp '1970-01-01T17:31:12.12345', 'AM am PM pm A.M. a.m. P.M. p.m.')", "PM pm PM pm P.M. p.m. P.M. p.m."),
+    ("to_char(timestamp '1970-01-01T03:31:12.12345', 'AM am PM pm A.M. a.m. P.M. p.m.')", "AM am AM am A.M. a.m. A.M. a.m."),
+    ("to_char(timestamp '1970-01-01T17:31:12.12345', 'Y,YYY YYYY YYY YY Y')", "1,970 1970 970 70 0"),
+    ("to_char(timestamp '1970-01-01T17:31:12.12345', 'IYYY IYY IY I')", "1970 970 70 0"),
+    ("to_char(timestamp '1971-01-03T17:31:12.12345', 'IYYY IYY IY I')", "1970 970 70 0"),
+    ("to_char(timestamp '1971-01-04T17:31:12.12345', 'IYYY IYY IY I')", "1971 971 71 1"),
+    ("to_char(timestamp '1970-01-01T17:31:12.12345', 'BC bc AD ad B.C. b.c. A.D. a.d.')", "AD ad AD ad A.D. a.d. A.D. a.d."),
+    ("to_char(timestamp '1970-01-01T17:31:12.12345', 'MONTH Month month')", "JANUARY January january"),
+    ("to_char(timestamp '1970-01-01T17:31:12.12345', 'MON Mon mon')", "JAN Jan jan"),
+    ("to_char(timestamp '1970-01-01T17:31:12.12345', 'DAY Day day')", "THURSDAY Thursday thursday"),
+    ("to_char(timestamp '1970-01-01T17:31:12.12345', 'DY Dy dy')", "THU Thu thu"),
+    ("to_char(timestamp '1970-01-01T17:31:12.12345', 'DDD IDDD')", "001 004"),
+    ("to_char(timestamp '1970-08-01T17:31:12.12345', 'DDD IDDD')", "213 216"),
+    ("to_char(timestamp '1970-01-01T17:31:12.12345', 'D ID')", "5 4"),
+    ("to_char(timestamp '1970-01-04T17:31:12.12345', 'D ID')", "1 7"),
+    ("to_char(timestamp '1970-01-05T17:31:12.12345', 'D ID')", "2 1"),
+    ("to_char(timestamp '1970-01-15T17:31:12.12345', 'W')", "3"),
+    ("to_char(timestamp '1970-01-31T17:31:12.12345', 'W')", "5"),
+    ("to_char(timestamp '1970-01-01T17:31:12.12345', 'WW IW')", "01 01"),
+    ("to_char(timestamp '1970-01-01T17:31:12.12345', 'CC')", "20"),
+    ("to_char(timestamp '1999-01-01T17:31:12.12345', 'CC')", "20"),
+    ("to_char(timestamp '2000-01-01T17:31:12.12345', 'CC')", "20"),
+    ("to_char(timestamp '2001-01-01T17:31:12.12345', 'CC')", "21"),
+    ("to_char(timestamp '1970-01-01T17:31:12.12345', 'J')", "2440588"),
+    ("to_char(timestamp '2000-01-01T17:31:12.12345', 'J')", "2451545"),
+    ("to_char(timestamp '2020-01-01T17:31:12.12345', 'J')", "2458850"),
+    ("to_char(timestamp '1970-01-01T17:31:12.12345', 'Q')", "1"),
+    ("to_char(timestamp '1970-05-01T17:31:12.12345', 'Q')", "2"),
+    ("to_char(timestamp '1970-12-01T17:31:12.12345', 'Q')", "4"),
+    ("to_char(timestamp '1970-01-01T17:31:12.12345', 'RM rm')", "I    i   "),
+    ("to_char(timestamp '1970-04-01T17:31:12.12345', 'RM rm')", "IV   iv  "),
+    ("to_char(timestamp '1970-09-01T17:31:12.12345', 'RM rm')", "IX   ix  "),
+    ("to_char(timestamp '1970-12-01T17:31:12.12345', 'RM rm')", "XII  xii "),
+    ("to_char(timestamp '1970-01-01T17:31:12.12345', 'TZ tz')", " "),
+    ("to_char(timestamp '1970-01-01T17:31:12.12345', 'TZH TZM')", " "),
+    ("to_char(timestamp '1970-01-01T17:31:12.12345', 'OF')", ""),
+    ("to_char(timestamp '2005-05-28T20:57:00', 'YYYY-MM-DD\"T\"HH:MI:SSZ')", "2005-05-28T08:57:00Z"),
+    ("to_char(timestamp '2005-05-28T20:57:00', 'YYYY-MM-DD\"T\"HH24:MI:SSZ')", "2005-05-28T20:57:00Z"),
+]
+
+
+@pytest.mark.parametrize("expr,want", TO_CHAR_PG_COMPAT_CASES)
+def test_to_char_pg_compat_reference_constants(sess, expr, want):
+    got = one(sess, expr)
+    assert got == want, (expr, got, want)
+
+
+PG_TYPEOF_CASES = [
+    # PgTypeofFunctionTest.java — PG/crate type-name spellings
+    ("pg_typeof(null)", "undefined"),
+    ("pg_typeof(null::bigint)", "bigint"),
+    ("pg_typeof(true)", "boolean"),
+    ("pg_typeof(10::smallint)", "smallint"),
+    ("pg_typeof(10::integer)", "integer"),
+    ("pg_typeof(1 + 1::short)", "integer"),
+    ("pg_typeof(8765134432441)", "bigint"),
+    ("pg_typeof(42.0::real)", "real"),
+    ("pg_typeof(42.0)", "double precision"),
+    ("pg_typeof('name')", "text"),
+    ("pg_typeof([1, 2, 3])", "integer_array"),
+    ("pg_catalog.pg_typeof(null)", "undefined"),
+]
+
+
+@pytest.mark.parametrize("expr,want", PG_TYPEOF_CASES)
+def test_pg_typeof_reference_constants(sess, expr, want):
+    got = one(sess, expr)
+    assert got == want, (expr, got, want)
