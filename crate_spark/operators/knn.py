@@ -243,24 +243,32 @@ def train_ivf_centroids(
     return cents
 
 
-def _nearest_cells(vec: Column, cents: np.ndarray, nprobe: int) -> Column:
-    """Array of the ``nprobe`` nearest centroid ids for ``vec``.
+def _nearest_cells(vec_col: str, cents: np.ndarray, nprobe: int) -> Column:
+    """Array of the ``nprobe`` nearest centroid ids for column
+    ``vec_col``.
 
     Pure JVM: squared distance to each literal centroid, struct-sort
-    (lexicographic on (dist, cid)), slice. No Python in the row path.
-    """
-    from crate_spark.operators.quant import _lit_vec
+    (lexicographic on (dist, cid)), slice. No Python in the row path —
+    and ONE sql parse for the whole expression: the previous
+    per-centroid ``F.struct(l2_squared(...))`` spelling cost ~50 ms of
+    py4j lambda round-trips per centroid (~0.85 s per call at 16
+    centroids, the top driver-side cost in the routed-PQ profile,
+    r11)."""
+    from crate_spark.operators.quant import _sql_double
 
-    cells = F.array(
-        *[
-            F.struct(
-                l2_squared(vec, _lit_vec(c)).alias("d"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(cents)
-        ]
+    v = f"`{vec_col}`"
+    entries = ", ".join(
+        "named_struct('d', aggregate(zip_with({v}, array({c}), "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0.0D, (a, x) -> a + x), 'cid', {i})".format(
+            v=v, i=i, c=", ".join(_sql_double(x) for x in c)
+        )
+        for i, c in enumerate(cents)
     )
-    return F.transform(F.slice(F.array_sort(cells), 1, nprobe), lambda s: s["cid"])
+    return F.expr(
+        f"transform(slice(array_sort(array({entries})), 1, {nprobe}), "
+        f"s -> s.cid)"
+    )
 
 
 def knn_ivf(
@@ -297,12 +305,12 @@ def knn_ivf(
     c = corpus.select(
         F.col(corpus_id),
         F.col(vec_col).alias("_cvec"),
-        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("_cell"),
+        _nearest_cells(vec_col, centroids, 1)[0].alias("_cell"),
     )
     q = queries.select(
         F.col(query_id),
         F.col(vec_col).alias("_qvec"),
-        F.explode(_nearest_cells(F.col(vec_col), centroids, nprobe)).alias("_cell"),
+        F.explode(_nearest_cells(vec_col, centroids, nprobe)).alias("_cell"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("distance").asc(), F.col(corpus_id))
     return (

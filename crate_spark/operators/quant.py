@@ -230,6 +230,24 @@ def pq_adc_distance(codes, query_vec, codebooks) -> F.Column:
     return total
 
 
+def pq_adc_lut_col_expr(codes, lut_col, m: int) -> F.Column:
+    """ADC distance with the per-query LUT riding AS A COLUMN — the
+    batched counterpart of ``pq_adc_distance``'s literal table: the
+    driver precomputes each query's (m, k) ``||q_sub - centroid||^2``
+    table once (numpy) and ships it on the broadcast query batch, so
+    the per-corpus-row work is m table lookups instead of m*dsub
+    multiply-adds, and the plan carries no codebook literals at all
+    (r11 — replaced pq_adc_distance_expr in the routed path)."""
+    c = F.col(codes) if isinstance(codes, str) else codes
+    lut = F.col(lut_col) if isinstance(lut_col, str) else lut_col
+    total = F.lit(0.0)
+    for j in range(m):
+        total = total + F.element_at(
+            F.element_at(lut, j + 1), F.element_at(c, j + 1) + 1
+        )
+    return total
+
+
 def pq_adc_distance_expr(codes, qvec, codebooks) -> F.Column:
     """ADC distance with the query vector AS A COLUMN — the batched
     form of ``pq_adc_distance``: per subspace, element_at the code's
@@ -301,16 +319,30 @@ def _knn_pq_ivf_routed(
         F.col(id_col),
         F.col(vec_col).alias("_cvec"),
         pq_encode(vec_col, codebooks).alias("_codes"),
-        knn._nearest_cells(F.col(vec_col), centroids, 1)[0].alias("_cell"),
+        knn._nearest_cells(vec_col, centroids, 1)[0].alias("_cell"),
     )
+    # per-query ADC lookup tables, computed ONCE on the driver
+    # (numpy): lut[q][j][c] = ||q_sub_j - codebook[j][c]||^2 — for a
+    # 200-query batch at (m=8, k=16) this is ~200 KB on the broadcast,
+    # and it turns the per-corpus-row ADC into m table lookups
+    import numpy as np
+
+    m_, _k, dsub = codebooks.shape
+    qarr = np.asarray([qv for _, qv in queries], dtype=np.float64)
+    qsub = qarr.reshape(len(queries), m_, dsub)
+    luts = ((qsub[:, :, None, :] - codebooks[None, :, :, :]) ** 2).sum(-1)
     qdf = corpus.sparkSession.createDataFrame(
-        [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
-        "query_id bigint, _qvec array<double>",
+        [
+            (int(qid), [float(x) for x in qv], [[float(d) for d in row] for row in lut])
+            for (qid, qv), lut in zip(queries, luts)
+        ],
+        "query_id bigint, _qvec array<double>, _lut array<array<double>>",
     )
     probes = qdf.select(
         "query_id",
         "_qvec",
-        F.explode(knn._nearest_cells(F.col("_qvec"), centroids, nprobe)).alias("_cell"),
+        "_lut",
+        F.explode(knn._nearest_cells("_qvec", centroids, nprobe)).alias("_cell"),
     )
     # the heavy ADC/L2 expressions materialize in ONE select each
     # (chained withColumns re-analyze the whole tree per call — over a
@@ -322,7 +354,7 @@ def _knn_pq_ivf_routed(
         coded.join(F.broadcast(probes), "_cell")
         .select(
             "*",
-            pq_adc_distance_expr("_codes", "_qvec", codebooks).alias("_adc"),
+            pq_adc_lut_col_expr("_codes", "_lut", m_).alias("_adc"),
         )
         .select("*", F.row_number().over(w_short).alias("_srn"))
         .filter(F.col("_srn") <= shortlist * k_neighbors)
