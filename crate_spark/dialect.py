@@ -619,9 +619,46 @@ _FN_TEMPLATES: dict = {
     # dimension, '???' for unknown oids, NULL for NULL
     "format_type": lambda a, lits: _format_type_sql(a),
     # pg_get_userbyid (PgGetUserByIdFunction.java:36-47): resolves an
-    # oid against the role store — single-superuser engine analog
+    # oid against the role store; unknown oids render
+    # "unknown (OID=<n>)". The crate superuser's oid is
+    # OidHash.userOid("crate") = murmurhash3_x86_32("USERcrate") =
+    # -450373579 (computed with the verified murmur3 reference
+    # implementation, r11)
     "pg_get_userbyid": lambda a, lits: (
-        f"(CASE WHEN {a[0]} IS NOT NULL THEN 'crate' END)" if len(a) == 1 else None
+        f"(CASE WHEN {a[0]} IS NULL THEN NULL "
+        f"WHEN CAST({a[0]} AS INT) = -450373579 THEN 'crate' "
+        f"ELSE concat('unknown (OID=', CAST(CAST({a[0]} AS INT) AS STRING), "
+        f"')') END)"
+        if len(a) == 1
+        else None
+    ),
+    # pg_encoding_to_char (PgEncodingToCharFunction.java): index into
+    # the PG encoding-identifier enum; out-of-range -> NULL
+    "pg_encoding_to_char": lambda a, lits: (
+        f"(CASE WHEN CAST({a[0]} AS INT) >= 0 AND CAST({a[0]} AS INT) < 42 "
+        f"THEN element_at(array({_PG_ENCODINGS}), CAST({a[0]} AS INT) + 1) "
+        f"END)"
+        if len(a) == 1
+        else None
+    ),
+    # CollectionAverage/CollectionCountFunction.java (collection_avg /
+    # collection_mean aliases): plain element average / array size
+    "collection_avg": lambda a, lits: (
+        f"(CASE WHEN size({a[0]}) > 0 THEN "
+        f"aggregate(transform({a[0]}, __x -> CAST(__x AS DOUBLE)), 0.0D, "
+        f"(__a, __x) -> __a + __x) / size({a[0]}) END)"
+        if len(a) == 1
+        else None
+    ),
+    "collection_mean": lambda a, lits: (
+        f"(CASE WHEN size({a[0]}) > 0 THEN "
+        f"aggregate(transform({a[0]}, __x -> CAST(__x AS DOUBLE)), 0.0D, "
+        f"(__a, __x) -> __a + __x) / size({a[0]}) END)"
+        if len(a) == 1
+        else None
+    ),
+    "collection_count": lambda a, lits: (
+        f"CAST(size({a[0]}) AS BIGINT)" if len(a) == 1 else None
     ),
     # PG introspection stubs the reference answers NULL for
     # (PgGetExpr.java:46, PgGetPartkeydefFunction.java,
@@ -1665,6 +1702,37 @@ def _trunc_sql(a: list[str]) -> str | None:
         pow10 = f"1e{int(a[1])}"
         return f"(CAST(CAST(({a[0]}) * {pow10} AS BIGINT) AS DOUBLE) / {pow10})"
     return None  # trunc(date, 'MM') etc.: Spark's own trunc
+
+
+def _engine_version_string() -> str:
+    """The reference's version() render (VersionFunction.java
+    formatVersion): ``CrateDB <v> (built <hash>/<ts>, <os>, <vm>)``.
+    The engine substitutes its Spark runtime for the build/vm slots;
+    computed once per process."""
+    global _VERSION_STRING
+    if _VERSION_STRING is None:
+        import platform
+
+        try:
+            import pyspark
+
+            built = f"built spark/{pyspark.__version__}"
+        except Exception:  # pragma: no cover
+            built = "built spark/unknown"
+        _VERSION_STRING = (
+            f"CrateDB 6.5.0 ({built}, "
+            f"{platform.system()} {platform.release()} {platform.machine()}, "
+            f"PySpark {platform.python_implementation()} "
+            f"{platform.python_version()})"
+        )
+    return _VERSION_STRING
+
+
+_VERSION_STRING: str | None = None
+
+#: PG encoding identifiers by oid index
+#: (PgEncodingToCharFunction.java private enum, pg_wchar.h order)
+_PG_ENCODINGS = "'SQL_ASCII', 'EUC_JP', 'EUC_CN', 'EUC_KR', 'EUC_TW', 'EUC_JIS_2004', 'UTF8', 'MULE_INTERNAL', 'LATIN1', 'LATIN2', 'LATIN3', 'LATIN4', 'LATIN5', 'LATIN6', 'LATIN7', 'LATIN8', 'LATIN9', 'LATIN10', 'WIN1256', 'WIN1258', 'WIN866', 'WIN874', 'KOI8R', 'WIN1251', 'WIN1252', 'ISO_8859_5', 'ISO_8859_6', 'ISO_8859_7', 'ISO_8859_8', 'WIN1250', 'WIN1253', 'WIN1254', 'WIN1255', 'WIN1257', 'KOI8U', 'SJIS', 'BIG5', 'GBK', 'UHC', 'GB18030', 'JOHAB', 'SHIFT_JIS_2004'"
 
 
 def _map_fn_sql(a: list[str], lits: list[str]) -> str | None:
@@ -4575,6 +4643,16 @@ def rewrite(
     )
     sql = re.sub(r"\b(?:pg_catalog\s*[._]\s*)?current_schema\b(\s*\(\s*\))?", "'doc'", sql, flags=re.IGNORECASE)
     sql = re.sub(r"\b(?:pg_catalog\s*[._]\s*)?current_database\s*\(\s*\)", "'crate'", sql, flags=re.IGNORECASE)
+    # version() renders the reference's shape "CrateDB <v> (built ...,
+    # <os>, <vm>)" (VersionFunction.java formatVersion; the engine's
+    # table-version stamp is 6.5.0) — Spark's own version() would
+    # answer "<spark> <sha>"
+    sql = re.sub(
+        r"\b(?:pg_catalog\s*[._]\s*)?version\s*\(\s*\)",
+        lambda m: "'" + _engine_version_string().replace("'", "''") + "'",
+        sql,
+        flags=re.IGNORECASE,
+    )
     # pg-compat tooling scalars (systeminformation/*.java): single-user
     # single-catalog engine -> plan-time constants, as the reference
     # resolves them for the default 'crate' superuser
@@ -4595,7 +4673,6 @@ def rewrite(
         sql,
         flags=re.IGNORECASE,
     )
-    sql = re.sub(rf"\b(?:pg_catalog\s*[._]\s*)?pg_encoding_to_char{_call}", "'UTF8'", sql, flags=re.IGNORECASE)
     sql = re.sub(
         rf"\b(?:pg_catalog\s*[._]\s*)?(?:col|obj)_description{_call}", "CAST(NULL AS STRING)", sql,
         flags=re.IGNORECASE,

@@ -1507,3 +1507,61 @@ PG_TYPEOF_CASES = [
 def test_pg_typeof_reference_constants(sess, expr, want):
     got = one(sess, expr)
     assert got == want, (expr, got, want)
+
+
+SYSINFO_STRING_CASES = [
+    # CollectionAvg/CollectionCountFunctionTest
+    ("collection_avg([3, 7])", 5.0),
+    ("collection_mean([3, 7])", 5.0),
+    ("collection_count([3, 7])", 2),
+    # FormatFunctionTest.java:44
+    ("format('%s bla %s', 'Arthur', 38)", "Arthur bla 38"),
+    # InitCapFunctionTest (PG word rules over space-separated words)
+    ("initcap('hello world!')", "Hello World!"),
+    ("initcap('HELLO WORLD!')", "Hello World!"),
+    ("initcap('HellO 1WORLD !')", "Hello 1world !"),
+    ("initcap('')", ""),
+    ("initcap('ÄÖÜ αß àbc γ')", "Äöü Αß Àbc Γ"),
+    # ChrFunctionTest / StartsWithFunctionTest / StringCaseFunctionTest
+    ("chr(65)", "A"),
+    ("chr(null)", None),
+    ("starts_with('crate', 'cr')", True),
+    ("starts_with('crate', 'db')", False),
+    ("starts_with('crate', '')", True),
+    ("starts_with('', 'crate')", False),
+    ("lower('ABCDEFGHIJKLMNOPQRSTUVWXYZÄÖÜΑΒΓ')",
+     "abcdefghijklmnopqrstuvwxyzäöüαβγ"),
+    ("upper('abcdefghijklmnopqrstuvwxyzäöüαβγ')",
+     "ABCDEFGHIJKLMNOPQRSTUVWXYZÄÖÜΑΒΓ"),
+    # CurrentSettingFunctionTest — single-schema engine constants
+    ("current_setting('search_path')", "doc"),
+    ("current_setting('search_path', true)", "doc"),
+    ("current_setting('foo', true)", None),
+    # PgEncodingToCharFunctionTest — enum index, out-of-range NULL
+    ("pg_encoding_to_char(6)", "UTF8"),
+    ("pg_encoding_to_char(1)", "EUC_JP"),
+    ("pg_encoding_to_char(41)", "SHIFT_JIS_2004"),
+    ("pg_encoding_to_char(-1)", None),
+    # PgGetUserByIdFunctionTest — murmur3 oid of the crate superuser,
+    # unknown oids render "unknown (OID=<n>)"
+    ("pg_get_userbyid(1)", "unknown (OID=1)"),
+    ("pg_get_userbyid(-450373579)", "crate"),
+    ("pg_get_userbyid(null)", None),
+    ("pg_catalog.pg_get_userbyid(1)", "unknown (OID=1)"),
+]
+
+
+@pytest.mark.parametrize("expr,want", SYSINFO_STRING_CASES)
+def test_sysinfo_string_reference_constants(sess, expr, want):
+    got = one(sess, expr)
+    import decimal
+    if isinstance(got, decimal.Decimal):
+        got = float(got)
+    assert got == want, (expr, got, want)
+
+
+def test_version_reference_shape(sess):
+    """VersionFunctionTest: version() starts with 'CrateDB ' and
+    carries the build parenthetical."""
+    v = one(sess, "version()")
+    assert v.startswith("CrateDB ") and "(" in v, v

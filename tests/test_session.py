@@ -525,7 +525,8 @@ def test_session_info_scalars(session):
     ).collect()[0]
     assert row["cs"] == "doc" and row["cd"] == "crate"
     assert list(row["css"]) == ["doc"]
-    assert row["v"]  # Spark's version string stands in for the server version
+    # the reference's render shape (VersionFunction.java; r11)
+    assert row["v"].startswith("CrateDB ")
 
 
 def test_show_statements(session):
