@@ -4183,6 +4183,33 @@ def rewrite(
 
     sql = re.sub(r"\{\s*\}", _empty_obj, sql)
 
+    # subscript_obj(obj, 'k1', 'k2', ...) — the function the grammar
+    # lowers obj['k'] chains to (SubscriptObjectFunction.java); users
+    # may spell it directly. Rewritten to the subscript chain HERE,
+    # before the object-literal/struct-subscript passes, so both
+    # literal and dynamic-column objects resolve through the same
+    # machinery.
+    while True:
+        mso = re.search(r"\bsubscript_obj\s*\(", sql, re.IGNORECASE)
+        if not mso:
+            break
+        depth, i = 1, mso.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            break
+        args = _split_args(sql[mso.end() : i - 1])
+        if len(args) < 2:
+            break
+        chain = "(" + args[0].strip() + ")" + "".join(
+            f"[{k.strip()}]" for k in args[1:]
+        )
+        sql = sql[: mso.start()] + chain + sql[i:]
+
     prev_arr = None
     while prev_arr != sql:
         prev_arr = sql

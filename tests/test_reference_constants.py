@@ -1565,3 +1565,29 @@ def test_version_reference_shape(sess):
     carries the build parenthetical."""
     v = one(sess, "version()")
     assert v.startswith("CrateDB ") and "(" in v, v
+
+
+SUBSCRIPT_OBJ_CASES = [
+    # SubscriptObjectFunctionTest — the function spelling of obj['k']
+    # chains, incl. the array-of-objects fan-out
+    ("subscript_obj({x=10}, 'x')", 10),
+    ("subscript_obj(subscript_obj({x={y=10}}, 'x'), 'y')", 10),
+    ("subscript_obj({o= [{oo= {x= 10}}, {oo= {x= 20}}]}, 'o', 'oo', 'x')",
+     [10, 20]),
+    ("subscript_obj({x=null}, 'x')", None),
+    # ObjectMergeFunctionTest — concat on objects merges, right wins
+    ("concat({a=1}, {b=2})", '{"a":1,"b":2}'),
+    ("concat({a=1, b=1}, {b=2})", '{"a":1,"b":2}'),
+    # ArrayUnnestFunctionTest — one-level flatten, null sub-arrays
+    # skipped, null input null
+    ("array_unnest([[1, 2], [3, 4, 5]])", [1, 2, 3, 4, 5]),
+    ("array_unnest([[1, 2], null, [5, 6]])", [1, 2, 5, 6]),
+]
+
+
+@pytest.mark.parametrize("expr,want", SUBSCRIPT_OBJ_CASES)
+def test_subscript_obj_reference_constants(sess, expr, want):
+    got = one(sess, expr)
+    if isinstance(got, list):
+        got = list(got)
+    assert got == want, (expr, got, want)
