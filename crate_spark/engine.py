@@ -4746,6 +4746,72 @@ def _js_block_to_python(
             )
             i += m.end()
             continue
+        # forEach in STATEMENT position translates to a Python for
+        # loop (r11), so callback bodies may freely rebind enclosing
+        # names (`xs.forEach(x => s += x)`) or run multi-statement
+        # blocks — the expression-position limitation (a Python
+        # lambda cannot rebind its closure) does not apply to the
+        # common imperative spelling
+        m = re.match(
+            r"([\w$]+(?:\s*\.\s*[\w$]+|\[[^\]]*\])*)\s*\.\s*forEach\s*\(",
+            rest,
+        )
+        if m:
+            call, j = _js_balanced(rest, m.end() - 1)
+            am = re.match(
+                r"(?:\(([^)]*)\)|([\w$]+))\s*=>\s*(.*)$",
+                call.strip(),
+                re.DOTALL,
+            )
+            fe_params = (
+                [
+                    p.strip()
+                    for p in (am.group(1) or am.group(2) or "").split(",")
+                    if p.strip()
+                ]
+                if am
+                else []
+            )
+            fe_body = am.group(3).strip() if am else ""
+            was_block = fe_body.startswith("{") and fe_body.endswith("}")
+            if was_block:
+                fe_body = fe_body[1:-1]
+            # only block bodies and plain assignment/increment bodies
+            # take the loop path; anything else (method calls,
+            # already-unwrapped walrus chains) keeps the
+            # expression-position translation
+            if (
+                am
+                and 1 <= len(fe_params) <= 2
+                and all(re.fullmatch(r"[\w$]+", p) for p in fe_params)
+                and (
+                    was_block
+                    or re.match(
+                        r"[\w$]+(?:\[[^\]]*\])*\s*"
+                        r"(?:=(?!=)|\+=|-=|\*=|/=|%=|\+\+|--)",
+                        fe_body,
+                    )
+                )
+                # a callback `return` means "next element" in JS, not
+                # function exit — leave those to the reject path
+                and not re.search(r"\breturn\b", fe_body)
+            ):
+                seq = f"__fe{depth}"
+                recv = _js_expr_to_python(m.group(1), lits)
+                body_lines.append(f"{pad}{seq} = {recv}")
+                body_lines.append(f"{pad}for {seq}_i in range(len({seq})):")
+                body_lines.append(f"{pad}    {fe_params[0]} = {seq}[{seq}_i]")
+                if len(fe_params) == 2:
+                    body_lines.append(f"{pad}    {fe_params[1]} = {seq}_i")
+                before = len(body_lines)
+                _js_block_to_python(
+                    fe_body, depth + 1, body_lines, lits,
+                    (scope_names or set()) | set(fe_params),
+                )
+                if len(body_lines) == before:
+                    body_lines.append(f"{pad}    pass")
+                i += j
+                continue
         # bare call statement — a user-declared helper OR a member
         # call (arr.push(x), out.sort(...)): method calls dispatch
         # through __js_method, whose string/array shims carry JS

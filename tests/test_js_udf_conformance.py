@@ -901,15 +901,35 @@ def test_js_destructuring():
 
 def test_js_still_rejected_constructs():
     """The remaining declared divergences stay CREATE-time rejections:
-    assignment-body callbacks that rebind an ENCLOSING name (a Python
-    lambda cannot rebind its closure) and a non-final rest param
+    assignment-body callbacks rebinding an enclosing name in TRUE
+    expression position (map returns a value a Python lambda cannot
+    produce while rebinding its closure) and a non-final rest param
     (GraalVM rejects it too)."""
     for body in (
-        "function f(xs) { var s = 0; xs.forEach(x => s += x); return s; }",
+        "function f(xs) { return xs.map(x => s += x); }",
         "function f(...xs, a) { return a; }",
     ):
         with pytest.raises(ValueError):
             _run(body, [1])
+
+
+def test_js_foreach_statement_loops():
+    """r11: statement-position forEach compiles to a for loop, so
+    callbacks may rebind enclosing names and run blocks."""
+    assert _run(
+        "function f(xs) { var s = 0; xs.forEach(x => s += x); return s; }",
+        [1, 2, 3],
+    ) == 6
+    assert _run(
+        "function f(xs) { var s = 0; "
+        "xs.forEach((x, i) => { s += x * i; }); return s; }",
+        [5, 7, 9],
+    ) == 7 + 18
+    assert _run(
+        "function f(xs) { var out = []; "
+        "xs.forEach(x => { if (x > 1) { out.push(x); } }); return out; }",
+        [1, 2, 3],
+    ) == [2, 3]
 
 
 def test_js_spread_rest_block_arrows():
