@@ -90,8 +90,16 @@ def bm25_scores(
     """
     # dedupe, preserving order: a repeated query term contributes once
     # (the reference sums per UNIQUE term too)
+    from crate_spark.session import spread_small_input
+
     terms = list(dict.fromkeys(t for t in query.lower().split() if t))
-    toked = docs.select(
+    # tokenization is the dominant per-row cost of both scoring scans;
+    # a single-row-group corpus file runs it on ONE core however many
+    # exist — spread after projecting to the two needed columns
+    # (size-gated no-op at scale; r11: bm25 sf0.1 1.09 s -> 0.81 s)
+    toked = spread_small_input(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col), tokenize(text_col).alias("_toks")
     ).withColumn("_dl", F.size("_toks"))
     tf_cols = [

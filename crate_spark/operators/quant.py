@@ -185,26 +185,69 @@ def _lit_matrix(rows) -> F.Column:
 
 
 def pq_encode(vec, codebooks) -> F.Column:
-    """``array<int>`` of m codes for one vector — pure JVM: per
-    subspace, squared distance to each literal centroid, then the
-    argmin via array_position(array_min). No Python in the row path;
-    the codebooks ride the plan as literals (m*k*d/m doubles, a few
-    KB — same discipline as the IVF probe centroids)."""
-    v = F.col(vec) if isinstance(vec, str) else vec
+    """``array<int>`` of m codes for one vector — pure JVM, ONE sql
+    parse for the whole expression (r11 optimization round).
+
+    Per subspace: a least-fold argmin over the literal codebook —
+    ``aggregate(sequence(1, k), (d=Inf, i=k+1), least)`` with a
+    (distance, index) struct accumulator. vs the previous
+    ``array_position(dists, array_min(dists))`` spelling this
+
+    - costs ONE ``F.expr`` parse instead of m ``_lit_matrix`` parses
+      plus per-subspace py4j lambda round-trips (~0.9 s of driver
+      time per plan build at m=8/k=16, r11 profile), and
+    - evaluates each centroid distance ONCE per row instead of twice:
+      ``dists`` appeared as a child of both array_position and
+      array_min, duplicating the transform subtree, and HOF lambdas
+      run interpreted with no common-subexpression elimination.
+
+    ``least`` on the (d, i) struct is lexicographic, so distance ties
+    keep the lowest index — identical to array_position's first-match
+    rule; the distance arithmetic is the same zip_with fold in the
+    same order, so codes are bit-identical (pinned by the rows-only
+    goldens and tests/test_pipeline.py recall tests)."""
+    if not isinstance(vec, str):
+        # Column input (ad-hoc/test use): route through a one-column
+        # projection is not possible here, so keep the py4j builder.
+        m, k, dsub = codebooks.shape
+        codes = []
+        for j in range(m):
+            sub = F.slice(vec, j * dsub + 1, dsub)
+            dists = F.transform(
+                _lit_matrix(codebooks[j]),
+                lambda c: F.aggregate(
+                    F.zip_with(sub, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+            )
+            codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+        return F.array(*codes)
     m, k, dsub = codebooks.shape
-    codes = []
+    v = f"`{vec}`"
+    subs = []
     for j in range(m):
-        sub = F.slice(v, j * dsub + 1, dsub)
-        dists = F.transform(
-            _lit_matrix(codebooks[j]),
-            lambda c: F.aggregate(
-                F.zip_with(sub, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ),
+        cb = ", ".join(
+            "array(" + ", ".join(_sql_double(x) for x in c) + ")"
+            for c in codebooks[j]
         )
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return F.array(*codes)
+        dist = (
+            f"aggregate(zip_with(slice({v}, {j * dsub + 1}, {dsub}), "
+            f"element_at(array({cb}), i), "
+            f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            f"0.0D, (a, x) -> a + x)"
+        )
+        subs.append(
+            # NULL/short-vector parity with the old spelling (whose
+            # null distances propagated to a null code)
+            f"CASE WHEN {v} IS NULL OR size({v}) < {(j + 1) * dsub} "
+            f"THEN CAST(NULL AS INT) ELSE "
+            f"aggregate(sequence(1, {k}), "
+            f"named_struct('d', CAST('Infinity' AS DOUBLE), 'i', {k + 1}), "
+            f"(acc, i) -> least(acc, named_struct('d', {dist}, 'i', i)), "
+            f"acc -> CAST(acc.i - 1 AS INT)) END"
+        )
+    return F.expr("array(" + ", ".join(subs) + ")")
 
 
 def pq_adc_distance(codes, query_vec, codebooks) -> F.Column:
@@ -315,6 +358,12 @@ def _knn_pq_ivf_routed(
             corpus, vec_col=vec_col, id_col=id_col,
             n_centroids=n_centroids, seed=seed,
         )
+    # NOTE (r11 optimization round, measured): spreading the tiny
+    # corpus (session.spread_small_input) makes the encode stage alone
+    # 2.4x faster (0.87 s -> 0.37 s at sf0.1) but the FULL batch ~0.5 s
+    # SLOWER — the extra exchange multiplies shuffle blocks and task
+    # count through the join + two windows downstream. Deliberately
+    # not applied here (guide §1.1: the "ideal" plan lost empirically).
     coded = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("_cvec"),
@@ -331,42 +380,59 @@ def _knn_pq_ivf_routed(
     qarr = np.asarray([qv for _, qv in queries], dtype=np.float64)
     qsub = qarr.reshape(len(queries), m_, dsub)
     luts = ((qsub[:, :, None, :] - codebooks[None, :, :, :]) ** 2).sum(-1)
+    # verifySchema=False: the rows are built right here with exact
+    # types; per-element verification was ~0.1 s of the per-batch plan
+    # build (r11 optimization-round profile)
     qdf = corpus.sparkSession.createDataFrame(
         [
             (int(qid), [float(x) for x in qv], [[float(d) for d in row] for row in lut])
             for (qid, qv), lut in zip(queries, luts)
         ],
         "query_id bigint, _qvec array<double>, _lut array<array<double>>",
+        verifySchema=False,
     )
+    # probe rows carry ONLY what the candidate stage needs (query_id,
+    # LUT, probed cell) — the query vector rides a separate tiny
+    # broadcast joined AFTER the shortlist cut, so the shortlist
+    # window's exchange never carries it (guide §2.3: project before
+    # the exchange; the ADC distance is computed map-side below for
+    # the same reason, so _lut/_codes stop at the pre-shuffle Project)
     probes = qdf.select(
         "query_id",
-        "_qvec",
         "_lut",
         F.explode(knn._nearest_cells("_qvec", centroids, nprobe)).alias("_cell"),
     )
-    # the heavy ADC/L2 expressions materialize in ONE select each
-    # (chained withColumns re-analyze the whole tree per call — over a
-    # second of driver time per plan at this expression size, r9
-    # profile), and the window sort keys reference the materialized
-    # column so the expression is never evaluated twice
     w_short = Window.partitionBy("query_id").orderBy("_adc", id_col)
     short = (
         coded.join(F.broadcast(probes), "_cell")
         .select(
-            "*",
+            "query_id",
+            F.col(id_col),
+            F.col("_cvec"),
             pq_adc_lut_col_expr("_codes", "_lut", m_).alias("_adc"),
         )
-        .select("*", F.row_number().over(w_short).alias("_srn"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.col("_cvec"),
+            F.row_number().over(w_short).alias("_srn"),
+        )
         .filter(F.col("_srn") <= shortlist * k_neighbors)
     )
     # exact L2 sits ABOVE the shortlist cut (same evaluation-order trap
-    # as the per-query path): it runs on shortlist rows only
-    w = Window.partitionBy("query_id").orderBy("_l2", id_col)
+    # as the per-query path): it runs on shortlist rows only, with the
+    # query vectors re-attached from a broadcast of the (tiny) batch
+    w = Window.partitionBy("query_id").orderBy("_l2", "neighbor_id")
     return (
-        short.select("*", l2_squared("_cvec", "_qvec").alias("_l2"))
+        short.join(F.broadcast(qdf.select("query_id", "_qvec")), "query_id")
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
+            l2_squared("_cvec", "_qvec").alias("_l2"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
             F.round("_l2", 9).alias("l2_dist"),
             F.row_number().over(w).alias("_rn"),
         )

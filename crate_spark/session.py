@@ -101,6 +101,47 @@ def get_spark(
     return spark
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Parallelize a scan whose file layout under-splits (optimization
+    guide §2.5, "input skew — one huge unsplittable file": each driver
+    testdata table is a single-row-group parquet file, so every map
+    stage over it runs as ONE task regardless of available cores).
+
+    When the input is tiny — optimizer size estimate at or below
+    ``crate_spark.exec.spread_small_input_bytes`` (session conf,
+    default 64 MiB) — a round-robin repartition to the session's
+    default parallelism costs a negligible shuffle and un-serializes
+    the map stage. Above the threshold the file layout already yields
+    parallel splits and the repartition would be a full-data shuffle,
+    so it is never taken: at 100 TB this helper is a no-op by
+    construction. Deterministic: round-robin repartition sorts its
+    input before assigning rows (SPARK-23207), and callers only use it
+    where downstream computation is row-order-independent (row-local
+    projections, exact/decimal aggregates, explicitly-ordered
+    windows)."""
+    spark = df.sparkSession
+    try:
+        limit = int(
+            spark.conf.get(
+                "crate_spark.exec.spread_small_input_bytes",
+                str(64 * 1024 * 1024),
+            )
+        )
+    except Exception:
+        limit = 64 * 1024 * 1024
+    if limit <= 0:  # operator opt-out: SET ... = 0
+        return df
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size = int(raw.toString()) if hasattr(raw, "toString") else int(raw)
+    except Exception:
+        return df
+    n = spark.sparkContext.defaultParallelism
+    if size <= limit and n > 1:
+        return df.repartition(n)
+    return df
+
+
 def _normalize_events(df: DataFrame) -> DataFrame:
     """events.ts arrives as raw nanos (long). Produce:
 

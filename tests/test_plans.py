@@ -56,9 +56,16 @@ def test_lookup_join_is_broadcast_semi(spark):
 
 
 def test_partial_aggregation_before_exchange(spark):
+    # the partial (map-side) aggregate must sit BELOW the
+    # hash-partitioning exchange that feeds the final aggregate. (r11:
+    # q1 gained a size-gated RoundRobin spread below the partial agg —
+    # see session.spread_small_input — so "deepest exchange" is no
+    # longer the aggregation shuffle; assert against the hash exchange
+    # itself.)
     plan = plan_of(spark, "q1_pricing_summary")
-    before_exchange = plan.split("Exchange")[-1]  # deepest = before shuffle
-    assert "partial_" in before_exchange, "map-side combine missing"
+    segs = plan.split("Exchange hashpartitioning")
+    assert len(segs) >= 2, plan
+    assert "partial_" in segs[-1], "map-side combine missing"
 
 
 def test_whole_stage_codegen_in_agg_path(spark):
