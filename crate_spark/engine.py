@@ -279,7 +279,32 @@ class CrateSession:
         #: sys.node_checks ids acknowledged via UPDATE (transient,
         #: like the reference's — lost on restart)
         self._node_check_ack: set[int] = set()
-        self._register_system_views()
+        #: system-view registration is LAZY (r11 optimization round):
+        #: rebuilding the ~60 catalog temp views costs ~1 s of
+        #: createDataFrame round-trips, and the old code paid it on
+        #: EVERY DDL/DML statement and session construction. Mutations
+        #: now bump a generation counter; the views rebuild only when
+        #: a statement actually reads them (_ensure_system_views) and
+        #: the registered generation is stale.
+        self._sysviews_gen = 1
+
+    #: per SparkSession id -> (CrateSession id, generation) owning the
+    #: currently-registered system temp views (temp views are global
+    #: to the SparkSession, so another session's registration must
+    #: also invalidate ours)
+    _SYSVIEWS_STATE: dict[int, tuple[int, int]] = {}
+
+    def _mark_sysviews_dirty(self) -> None:
+        self._sysviews_gen += 1
+
+    def _ensure_system_views(self) -> None:
+        """Rebuild the system temp views iff this session's catalog
+        generation is not the one currently registered on the shared
+        SparkSession."""
+        key = id(self.spark)
+        mine = (id(self), self._sysviews_gen)
+        if CrateSession._SYSVIEWS_STATE.get(key) != mine:
+            self._register_system_views()
 
     def _string_object_cols(self) -> set[str]:
         """String-typed columns across the catalog — the engine stores
@@ -396,7 +421,7 @@ class CrateSession:
     def register(self, name: str, df: DataFrame) -> None:
         df.createOrReplaceTempView(name)
         self.tables[name] = df
-        self._register_system_views()
+        self._mark_sysviews_dirty()
 
     def _register_system_views(self) -> None:
         spark = self.spark
@@ -1329,6 +1354,12 @@ class CrateSession:
         ).filter("subname <> ''").createOrReplaceTempView(
             "pg_catalog_pg_subscription"
         )
+        # record who registered, at which catalog generation — the
+        # _ensure_system_views read gate compares against this
+        CrateSession._SYSVIEWS_STATE[id(spark)] = (
+            id(self),
+            getattr(self, "_sysviews_gen", 0),
+        )
 
     @property
     def publications(self):
@@ -1607,12 +1638,27 @@ class CrateSession:
     def _dispatch(self, stmt: str) -> DataFrame:
         upper = stmt.upper()
 
-        # Temp views are global to the SparkSession; if another
-        # CrateSession shares it, catalog views may reflect THAT
-        # session's tables. Re-register ours whenever a statement reads
-        # them, so each session sees its own catalog at query time.
-        if re.search(r"\b(information_schema|sys|pg_catalog)\s*\.", stmt, re.IGNORECASE):
-            self._register_system_views()
+        # Every statement changes runtime-backed system state (the
+        # sys.jobs stack / jobs_log ring were pushed by execute();
+        # SET/cursor statements mutate pg_settings/pg_cursors), so the
+        # catalog generation advances per statement...
+        self._mark_sysviews_dirty()
+        # ...but temp views REBUILD lazily: only when a statement
+        # might actually read them — dotted (sys.jobs) or bare PG
+        # spellings (pg_type) both count. Statements that never touch
+        # the catalog (the common DDL/DML path) skip the ~60-view
+        # rebuild entirely (~1 s each, r11 optimization round: the
+        # old eager rebuild made every lifecycle statement pay it).
+        # Temp views are global to the SparkSession; the generation
+        # state also invalidates when ANOTHER CrateSession registered
+        # last, so each session still sees its own catalog.
+        if re.search(
+            r"\b(information_schema|sys|pg_catalog)\s*\.|\bpg_\w+"
+            r"|\b(sys|information_schema)_\w+",
+            stmt,
+            re.IGNORECASE,
+        ):
+            self._ensure_system_views()
         if re.search(r"\bblob\s*\.", stmt, re.IGNORECASE):
             self._register_blob_views()
 
@@ -1638,7 +1684,7 @@ class CrateSession:
             for cid in ids:
                 (self._node_check_ack.add if flag
                  else self._node_check_ack.discard)(cid)
-            self._register_system_views()
+            self._mark_sysviews_dirty()
             return self.spark.createDataFrame(
                 [(len(ids),)], "rowcount bigint"
             )
@@ -1754,7 +1800,7 @@ class CrateSession:
                     return self.spark.createDataFrame([(0,)], "rowcount bigint")
                 raise ValueError(f"Schema '{name}' already exists")
             self._schemas.add(name)
-            self._register_system_views()
+            self._mark_sysviews_dirty()
             return self.spark.createDataFrame([(1,)], "rowcount bigint")
 
         # DROP SCHEMA [IF EXISTS] name [, ...] [CASCADE|RESTRICT]
@@ -1791,7 +1837,7 @@ class CrateSession:
                     self._dml._drop_table(f'DROP TABLE "{t}"')
                 self._schemas.discard(name)
                 n_dropped += 1
-            self._register_system_views()
+            self._mark_sysviews_dirty()
             return self.spark.createDataFrame([(n_dropped,)], "rowcount bigint")
 
         if upper.startswith("EXPLAIN"):
@@ -1824,7 +1870,7 @@ class CrateSession:
                 self._cluster_settings[key] = val
                 # JSON spelling in the conf: booleans stay lowercase
                 self.spark.conf.set(key, _json.dumps(val) if isinstance(val, bool) else str(val))
-            self._register_system_views()
+            self._mark_sysviews_dirty()
             return self.spark.createDataFrame(
                 [(k, _json.dumps(v) if isinstance(v, bool) else str(v)) for k, v in pairs],
                 "setting string, value string",
@@ -1841,7 +1887,7 @@ class CrateSession:
                     self.spark.conf.unset(key)
                 except Exception:  # noqa: BLE001 - never-set key
                     pass
-            self._register_system_views()
+            self._mark_sysviews_dirty()
             return self.spark.createDataFrame(
                 [(k,) for k in keys], "setting string"
             )
@@ -1934,7 +1980,7 @@ class CrateSession:
         # information_schema queries — same trick here)
         m = re.match(r"SHOW\s+(TABLES|SCHEMAS|COLUMNS\s+(?:FROM|IN)\s+(\w+))\s*$", stmt, re.IGNORECASE)
         if m:
-            self._register_system_views()
+            self._ensure_system_views()
             what = m.group(1).upper()
             if what == "TABLES":
                 return self.spark.sql(
@@ -2091,7 +2137,7 @@ class CrateSession:
             self.spark.catalog.dropTempView(name)
             self.tables.pop(name, None)
             self._views.pop(name, None)
-            self._register_system_views()
+            self._mark_sysviews_dirty()
             return self.spark.createDataFrame([(name,)], "dropped string")
 
         # Cursors (reference session/Cursor.java): DECLARE / FETCH /
@@ -2902,7 +2948,7 @@ class CrateSession:
             "seq": self._udf_seq,
         }
         self._register_udf_dispatch(schema, name.strip('`"').lower())
-        self._register_system_views()
+        self._mark_sysviews_dirty()
         return self.spark.createDataFrame(
             [(f"{schema}.{name}", ret_type)], "function string, returns string"
         )
@@ -3003,7 +3049,7 @@ class CrateSession:
                     self._udf_spark_name(schema, name.lower())
                 )
             )
-        self._register_system_views()
+        self._mark_sysviews_dirty()
         return self.spark.createDataFrame([(qname,)], "dropped string")
 
     def _explain_analyze(self, body: str) -> DataFrame:

@@ -224,23 +224,30 @@ def simhash64(text_col) -> F.Column:
 
     Implemented as pure bit arithmetic over the token array — no
     explode, no shuffle; the fingerprint computes inside the scan.
-    """
-    words = F.split(normalize_text(text_col), " ")
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
-    bit_terms = []
-    for b in range(64):
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + (F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1).cast("bigint"))).cast("int") * 2
-            - 1,
-        )
-        bit_terms.append(F.when(votes > 0, F.lit(1).cast("bigint") * (2**b if b < 63 else -(2**63))).otherwise(F.lit(0).cast("bigint")))
-    out = bit_terms[0]
-    for t in bit_terms[1:]:
-        out = out + t
-    return out
+
+    ONE sql-parsed expression folding the token hashes ONCE into a
+    64-long vote array, then folding the votes into the fingerprint
+    (r11 optimization round). The previous spelling built 64 separate
+    py4j aggregate folds — ~1.3 s of driver time per plan build — and
+    each fold re-derived the token-hash array (HOFs run interpreted,
+    no CSE), ~2.2x the execution cost. Integer arithmetic is
+    identical per bit (same left-fold vote sums; ``shiftleft(1L, 63)``
+    IS the two's-complement -(2^63) the old special case spelled), so
+    fingerprints are bit-equal — verified 0 diffs over the sf0.1
+    corpus and pinned by the text_simhash golden."""
+    if not isinstance(text_col, str):
+        raise TypeError("simhash64 takes a column NAME (sql-compiled)")
+    norm = f"trim(regexp_replace(lower(`{text_col}`), '\\\\s+', ' '))"
+    vote = "(CAST((shiftrightunsigned(h, b) & CAST(1 AS BIGINT)) AS INT) * 2 - 1)"
+    return F.expr(
+        "aggregate("
+        f"  zip_with(aggregate(transform(split({norm}, ' '), w -> xxhash64(w)),"
+        "            transform(sequence(0, 63), b -> 0),"
+        f"            (acc, h) -> zip_with(acc, sequence(0, 63), (a, b) -> a + {vote})),"
+        "           sequence(0, 63),"
+        "           (v, b) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),"
+        "  CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
 
 
 def hamming64(a, b) -> F.Column:

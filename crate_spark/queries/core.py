@@ -357,8 +357,12 @@ def agg_percentile(spark, sf_dir):
     correctness gate (BASELINE.md)."""
     t = load_tables(spark, sf_dir)
     p = F.col("l_extendedprice")
+    # exact percentile buffers every value: the map stage is the whole
+    # data collection pass, and a single-row-group file serializes it
+    # to one task — spread after projecting to the two needed columns
+    # (size-gated no-op at scale; r11: 2.89 s -> 1.54 s at sf0.1)
     return (
-        t["lineitem"]
+        spread_small_input(t["lineitem"].select("l_returnflag", "l_extendedprice"))
         .groupBy("l_returnflag")
         .agg(
             F.round(F.percentile(p, F.lit(0.25)), 6).alias("p25"),

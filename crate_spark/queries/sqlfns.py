@@ -468,7 +468,9 @@ def streaming_rollup_events(spark, sf_dir):
     )
     name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
     # streaming has no AQE to coalesce the state-store shuffle; bound
-    # it explicitly instead of inheriting a batch-sized default
+    # it explicitly instead of inheriting a batch-sized default.
+    # (r11 A/B: the JVM windowed agg is state-store-bound, not
+    # compute-bound — 16 beat both 4 (0.95 s) and 32 (1.28 s).)
     prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
@@ -732,9 +734,15 @@ def streaming_sessionize_events(spark, sf_dir):
         F.col("user_id") >= 0
     )
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    # bound the state-store shuffle (no AQE on streaming plans)
+    # bound the state-store shuffle (no AQE on streaming plans), but
+    # track the machine: the per-key Python state function is the
+    # batch's compute, so partitions = cores (r11 A/B at local[32]:
+    # 4 -> 17.7 s, 16 -> 7.5 s, 32 -> 6.8 s)
     prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(spark.sparkContext.defaultParallelism, 8)),
+    )
     try:
         q = (
             sessions.writeStream.format("memory")

@@ -149,14 +149,61 @@ def vector_ann_ivf(spark, sf_dir):
 def embedding_neardup_cosine(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, blocked by label (the
     blocking key bounds the pair space — at 100 TB the block is an LSH
-    bucket; label stands in for it deterministically here)."""
+    bucket; label stands in for it deterministically here).
+
+    Norms are computed ONCE PER ROW before the join (r11 optimization
+    round): the naive per-pair cosine evaluates three vector folds
+    (dot + both self-dots) per candidate pair; hoisting sqrt(dot(v,v))
+    into the pre-join projections leaves one fold per pair — same
+    doubles, same result (norm(a)*norm(b) is the identical expression
+    either side of the join), 3x less pair work. Measured 6.0 s ->
+    2.2 s at sf0.1."""
+    from crate_spark.functions.vector import dot_product, norm
+
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("embedding").alias("eb"))
-    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    # Salted self-join (guide §2.5 hot keys): the demo blocking key has
+    # ~10 distinct labels, so the pair compute lands on ~10 tasks
+    # however many cores exist. Salt side a by pmod(id) and explode
+    # side b across the salt range — the pair set is unchanged (each
+    # pair keeps exactly one salt) but the join spreads over
+    # label x salt keys. Gated on input size like spread_small_input:
+    # at scale the blocking key (an LSH bucket) is high-cardinality
+    # and replicating side b x salt would multiply shuffle bytes.
+    salt_n = 1
+    try:
+        raw = emb._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size = int(raw.toString()) if hasattr(raw, "toString") else int(raw)
+        if size <= 64 * 1024 * 1024:
+            salt_n = max(1, min(spark.sparkContext.defaultParallelism, 16))
+    except Exception:
+        pass
+    from crate_spark.session import spread_small_input
+
+    # at this size the planner broadcasts side b, so the pair compute
+    # runs inside side a's scan stage — which a single-row-group file
+    # serializes to ONE task; spread it (size-gated no-op at scale)
+    a = spread_small_input(emb).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+        norm(F.col("embedding")).alias("_na"),
+        F.pmod(F.col("vec_id"), F.lit(salt_n)).cast("int").alias("_salt_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+        norm(F.col("embedding")).alias("_nb"),
+    ).withColumn("_salt_b", F.explode(F.array(*[F.lit(i) for i in range(salt_n)])))
+    cos = dot_product(F.col("ea"), F.col("eb")) / (F.col("_na") * F.col("_nb"))
     return (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+        a.join(
+            b,
+            (F.col("la") == F.col("lb"))
+            & (F.col("_salt_a") == F.col("_salt_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
         .withColumn("cos_sim_raw", cos)
         .filter(F.col("cos_sim_raw") > 0.30)
         .select("id_a", "id_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
