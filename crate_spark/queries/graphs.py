@@ -151,8 +151,23 @@ def graph_neardup_clusters(spark, sf_dir):
     from crate_spark.operators import dedup as dd
 
     docs = load_tables(spark, sf_dir)["documents"]
-    pairs = dd.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=32, bands=8)
-    sh = docs.select(F.col("doc_id"), dd.shingles("text").alias("_sh"))
+    # candidate pairs materialize once (tiny: the LSH-collided pair
+    # list) so the verify stage can shingle ONLY the docs that appear
+    # in a pair — the previous form computed the shingle arrays for
+    # the WHOLE corpus on BOTH join branches to verify a handful of
+    # candidates (r11 optimization round; guide §1.2: don't compute
+    # what you throw away). Same verified edge set, bit-identical.
+    pairs = dd.minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=32, bands=8
+    ).localCheckpoint()
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = docs.join(F.broadcast(cand_ids), "doc_id").select(
+        F.col("doc_id"), dd.shingles("text").alias("_sh")
+    )
     verified = (
         pairs.join(sh.withColumnRenamed("_sh", "_sa"), pairs["id_a"] == sh["doc_id"])
         .drop("doc_id")
