@@ -734,15 +734,14 @@ def streaming_sessionize_events(spark, sf_dir):
         F.col("user_id") >= 0
     )
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    # bound the state-store shuffle (no AQE on streaming plans), but
-    # track the machine: the per-key Python state function is the
-    # batch's compute, so partitions = cores (r11 A/B at local[32]:
-    # 4 -> 17.7 s, 16 -> 7.5 s, 32 -> 6.8 s)
+    # bound the state-store shuffle (no AQE on streaming plans).
+    # r11 optimization round measured the knob deliberately: 4
+    # partitions serialize the per-key Python state work (17.7 s);
+    # 16 vs 32 are equal within noise warm AND cold (fresh-process
+    # A/B: cold 16.9/18.3 vs 17.6/17.6) — the fixed 16 stays, small
+    # enough to bound state-store init in the driver's one-shot run.
     prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(max(spark.sparkContext.defaultParallelism, 8)),
-    )
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
         q = (
             sessions.writeStream.format("memory")
