@@ -358,13 +358,17 @@ def _knn_pq_ivf_routed(
             corpus, vec_col=vec_col, id_col=id_col,
             n_centroids=n_centroids, seed=seed,
         )
-    # NOTE (r11 optimization round, measured): spreading the tiny
-    # corpus (session.spread_small_input) makes the encode stage alone
-    # 2.4x faster (0.87 s -> 0.37 s at sf0.1) but the FULL batch ~0.5 s
-    # SLOWER — the extra exchange multiplies shuffle blocks and task
-    # count through the join + two windows downstream. Deliberately
-    # not applied here (guide §1.1: the "ideal" plan lost empirically).
-    coded = corpus.select(
+    from crate_spark.session import spread_small_input
+
+    # r11 optimization round, measured: encode + cell-assign dominate
+    # the batch's executor time and a single-row-group corpus file
+    # runs them on ONE core. Spreading at FULL width (32) lost ~0.5 s
+    # (the extra fan-out multiplies task/shuffle-block overhead
+    # through the broadcast join + two windows downstream), but a
+    # width-8 spread wins robustly: fresh-process alternating A/B
+    # medians 2.55/2.30/2.79 s plain vs 1.54/1.80/1.55 s spread —
+    # hence the max_partitions cap. Size-gated no-op at scale.
+    coded = spread_small_input(corpus, max_partitions=8).select(
         F.col(id_col),
         F.col(vec_col).alias("_cvec"),
         pq_encode(vec_col, codebooks).alias("_codes"),

@@ -80,12 +80,21 @@ def lttb(
     maximizing the triangle area with the previously selected point and
     the next bucket's centroid).
 
-    applyInPandas per series key: Arrow-batched, deterministic,
-    memory = one series. Output: (series, x, y) of <= n_buckets rows.
+    applyInPandas, deterministic. Memory/grouping contract: for SMALL
+    inputs (optimizer size estimate at or below the
+    ``crate_spark.exec.spread_small_input_bytes`` gate, default
+    64 MiB) many series batch into one Arrow group via a hash-bucket
+    key — the per-group Python round-trip was the dominant cost
+    (~2,000 series = ~2,000 pandas calls; r11 optimization round:
+    3.7 s -> ~1 s at sf0.1). Large inputs keep the one-series-per-
+    group shape so task memory stays bounded by one series. The
+    per-series selection is computed independently either way —
+    output rows identical (golden-pinned). Output: (series, x, y) of
+    <= n_buckets rows per series.
     """
     out_schema = f"{series_col} long, x_us long, y double"
 
-    def _lttb_series(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _lttb_one(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("x_us").reset_index(drop=True)
         n = len(pdf)
         key = pdf[series_col].iloc[0]
@@ -114,6 +123,16 @@ def lttb(
         sel = pdf.iloc[picked]
         return sel[[series_col, "x_us", "y"]]
 
+    def _lttb_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one hash bucket = many whole series; per-series selection is
+        # unchanged (same _lttb_one), just amortizing the Arrow
+        # round-trip across the bucket
+        parts = [
+            _lttb_one(g.drop(columns=["_bk"]))
+            for _, g in pdf.groupby(series_col, sort=True)
+        ]
+        return pd.concat(parts) if parts else pdf[[series_col, "x_us", "y"]]
+
     x_us = (
         F.expr("ts_ns div 1000")
         if (x_col == "ts" and "ts_ns" in df.columns)
@@ -124,7 +143,26 @@ def lttb(
         x_us.alias("x_us"),
         F.col(y_col).cast("double").alias("y"),
     )
-    return prepared.groupBy(series_col).applyInPandas(_lttb_series, out_schema)
+    spark = df.sparkSession
+    small = False
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size = int(raw.toString()) if hasattr(raw, "toString") else int(raw)
+        limit = int(
+            spark.conf.get(
+                "crate_spark.exec.spread_small_input_bytes", str(64 * 1024 * 1024)
+            )
+        )
+        small = 0 < limit and size <= limit
+    except Exception:
+        small = False
+    if small:
+        n_groups = 4 * spark.sparkContext.defaultParallelism
+        bucketed = prepared.withColumn(
+            "_bk", F.pmod(F.xxhash64(F.col(series_col)), F.lit(n_groups))
+        )
+        return bucketed.groupBy("_bk").applyInPandas(_lttb_bucket, out_schema)
+    return prepared.groupBy(series_col).applyInPandas(_lttb_one, out_schema)
 
 
 def topk_map(

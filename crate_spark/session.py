@@ -101,7 +101,7 @@ def get_spark(
     return spark
 
 
-def spread_small_input(df: DataFrame) -> DataFrame:
+def spread_small_input(df: DataFrame, max_partitions: int | None = None) -> DataFrame:
     """Parallelize a scan whose file layout under-splits (optimization
     guide §2.5, "input skew — one huge unsplittable file": each driver
     testdata table is a single-row-group parquet file, so every map
@@ -137,6 +137,12 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     except Exception:
         return df
     n = spark.sparkContext.defaultParallelism
+    if max_partitions is not None:
+        # callers whose downstream stage count multiplies with the map
+        # fan-out (e.g. the routed-PQ batch: broadcast join + two
+        # windows) cap the spread — measured there: full width LOST
+        # (+0.5 s) while width 8 won (-0.9 s) at local[32]
+        n = min(n, max_partitions)
     if size <= limit and n > 1:
         return df.repartition(n)
     return df
