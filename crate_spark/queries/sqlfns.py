@@ -649,15 +649,20 @@ def streaming_sessionize_events(spark, sf_dir):
     batch == drained stream for per-key mutable state, not just for
     windowed aggregates (streaming_rollup_events).
 
-    Replay mechanics: the parquet file streams as micro-batch 1; two
-    far-future sentinel events (a reserved user id) stream as batches
-    2 and 3, advancing the event-time watermark past every real
-    session's last+gap so EventTimeTimeout closes and emits them all
-    — the streaming equivalent of end-of-input flush. Sentinel rows
-    are filtered from the result. At 100 TB/day the same operator
-    runs unbounded: state is one tuple per active user, evicted on
-    emit; no flush is needed because live traffic advances the
-    watermark.
+    Replay mechanics: the parquet file streams as micro-batch 1; ONE
+    far-future sentinel event (a reserved user id) streams as batch 2,
+    advancing the event-time watermark past every real session's
+    last+gap; the engine's trailing no-data micro-batch (on by
+    default: spark.sql.streaming.noDataMicroBatches.enabled) then
+    fires every remaining EventTimeTimeout so all sessions emit — the
+    streaming equivalent of end-of-input flush. (r11 optimization
+    round: this replaced a second sentinel batch that existed only to
+    advance the watermark again — the no-data batch already does
+    that, and each extra micro-batch cost ~1.2 s of state-store
+    setup + per-key timeout processing.) Sentinel rows are filtered
+    from the result. At 100 TB/day the same operator runs unbounded:
+    state is one tuple per active user, evicted on emit; no flush is
+    needed because live traffic advances the watermark.
     """
     import os
     import shutil
@@ -694,28 +699,23 @@ def streaming_sessionize_events(spark, sf_dir):
         )
     ).collect()[0][0]
     day_us = 86_400 * 1_000_000
-    for i in (1, 2):
-        sent_us = max_us + i * day_us
-        pq.write_table(
-            pa.table(
-                {
-                    "ts": pa.array(
-                        [sent_us * 1000 if ts_is_ns else sent_us],
-                        type=pa.int64()
-                        if ts_is_ns
-                        else pa.timestamp("us"),
-                    ),
-                    "user_id": pa.array([-1], type=pa.int64()),
-                    "value": pa.array([0.0], type=pa.float64()),
-                }
-            ),
-            f"{stage}/b{i}_sentinel.parquet",
-        )
+    sent_us = max_us + day_us
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(
+                    [sent_us * 1000 if ts_is_ns else sent_us],
+                    type=pa.int64() if ts_is_ns else pa.timestamp("us"),
+                ),
+                "user_id": pa.array([-1], type=pa.int64()),
+                "value": pa.array([0.0], type=pa.float64()),
+            }
+        ),
+        f"{stage}/b1_sentinel.parquet",
+    )
     # the file source orders micro-batches by modification time
     base = time.time() - 100
-    for i, name in enumerate(
-        ["b0_events.parquet", "b1_sentinel.parquet", "b2_sentinel.parquet"]
-    ):
+    for i, name in enumerate(["b0_events.parquet", "b1_sentinel.parquet"]):
         os.utime(f"{stage}/{name}", (base + i * 10, base + i * 10))
     ts_ddl = "bigint" if ts_is_ns else "timestamp_ntz"
     src = (
@@ -740,6 +740,9 @@ def streaming_sessionize_events(spark, sf_dir):
     # 16 vs 32 are equal within noise warm AND cold (fresh-process
     # A/B: cold 16.9/18.3 vs 17.6/17.6) — the fixed 16 stays, small
     # enough to bound state-store init in the driver's one-shot run.
+    # Re-checked after the vectorized-emit rewrite (total ~4.4 s):
+    # 16 vs 8 still equal within noise (4.1-4.6 both), 4 still worse
+    # (5.6-7.0) — unchanged.
     prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:

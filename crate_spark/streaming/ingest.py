@@ -103,6 +103,7 @@ def sessionize_stream(
     Arrow-batched by construction; per group the pandas work is O(rows
     in batch for that user).
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -117,17 +118,23 @@ def sessionize_stream(
     def fn(key, pdf_iter, state):
         (user,) = key
 
-        def emit(seg):
-            start_us, last_us, n, total = seg
+        def emit_many(start_us, last_us, n, total):
+            # one DataFrame for ALL closed segments of this key: the
+            # per-segment 1-row construction was the dominant batch
+            # cost (r11 measured ~95k single-row frames per replay)
             return pd.DataFrame(
                 {
-                    user_col: [user],
-                    "session_start": [pd.Timestamp(start_us, unit="us")],
-                    "session_end": [pd.Timestamp(last_us, unit="us")],
-                    "n_events": [n],
-                    "total": [total],
+                    user_col: np.full(len(n), user, dtype=np.int64),
+                    "session_start": pd.to_datetime(np.asarray(start_us), unit="us"),
+                    "session_end": pd.to_datetime(np.asarray(last_us), unit="us"),
+                    "n_events": np.asarray(n, dtype=np.int64),
+                    "total": np.asarray(total, dtype=np.float64),
                 }
             )
+
+        def emit(seg):
+            start_us, last_us, n, total = seg
+            return emit_many([start_us], [last_us], [n], [total])
 
         if state.hasTimedOut:
             seg = state.get
@@ -135,15 +142,28 @@ def sessionize_stream(
             yield emit(seg)
             return
 
-        rows = pd.concat(list(pdf_iter)).sort_values(ts_col)
-        ts = (rows[ts_col].astype("int64") // 1_000).reset_index(drop=True)
+        chunks = list(pdf_iter)
+        rows = (chunks[0] if len(chunks) == 1 else pd.concat(chunks)).sort_values(
+            ts_col
+        )
+        ts = (rows[ts_col].astype("int64") // 1_000).to_numpy()
         vals = rows[value_col].astype(float).reset_index(drop=True)
-        # vectorized gap split: a new segment starts after a > gap break
-        seg_id = (ts.diff() > gap_us).cumsum()
-        grouped = pd.DataFrame({"t": ts, "v": vals, "g": seg_id}).groupby("g")
+        # vectorized gap split over the sorted event times: segment k
+        # spans [starts[k], ends[k]); ts is sorted so per-segment
+        # min/max are the boundary elements. Per-segment sums keep the
+        # same pandas Series.sum (numpy pairwise) the per-group path
+        # used, so totals are bit-identical.
+        brk = np.flatnonzero(np.diff(ts) > gap_us) + 1
+        starts = np.concatenate(([0], brk))
+        ends = np.concatenate((brk, [len(ts)]))
         segs = [
-            (int(g["t"].min()), int(g["t"].max()), int(len(g)), float(g["v"].sum()))
-            for _, g in grouped
+            (
+                int(ts[s]),
+                int(ts[e - 1]),
+                int(e - s),
+                float(vals.iloc[s:e].sum()),
+            )
+            for s, e in zip(starts, ends)
         ]
         if state.exists:
             s0, l0, n0, t0 = state.get
@@ -154,8 +174,14 @@ def sessionize_stream(
                 segs.insert(0, (s0, l0, n0, t0))
         # every non-tail segment is followed by an observed > gap break:
         # it is definitively closed, regardless of the watermark
-        for seg in segs[:-1]:
-            yield emit(seg)
+        if len(segs) > 1:
+            closed = segs[:-1]
+            yield emit_many(
+                [c[0] for c in closed],
+                [c[1] for c in closed],
+                [c[2] for c in closed],
+                [c[3] for c in closed],
+            )
         tail = segs[-1]
         timeout_ms = -(-(tail[1] + gap_us) // 1000)  # ceil us -> ms
         if timeout_ms <= state.getCurrentWatermarkMs():
