@@ -531,6 +531,25 @@ def knn_pq(
     coded = corpus.select(
         F.col(id_col), F.col(vec_col), pq_encode(vec_col, codebooks).alias("_codes")
     )
+    if len(queries) > 1:
+        # Each per-query TakeOrdered job scans the corpus and re-runs
+        # the PQ encode (the dominant per-scan cost: m interpreted-HOF
+        # argmin folds per row). For SMALL inputs, materialize the
+        # encoded corpus ONCE (localCheckpoint; spread first so the
+        # encode job parallelizes a single-row-group file) and let
+        # every query's TakeOrdered read the in-memory blocks — encode
+        # runs once per batch instead of once per query, and the
+        # final plans stay exchange-free TakeOrderedAndProject (the
+        # spread + encode live in the checkpoint job, pinned in
+        # tests/test_plans.py). Above the size gate this is a no-op:
+        # materializing a 100 TB encode costs more than it saves, and
+        # the per-query scan path keeps its bounded-memory contract.
+        # (r11 optimization round; guide §1.2 "don't recompute what
+        # you can compute once" / §5 localCheckpoint.)
+        from crate_spark.session import input_is_small, spread_small_input
+
+        if input_is_small(corpus):
+            coded = spread_small_input(coded).localCheckpoint(eager=True)
     per_q = []
     for qid, qv in queries:
         qlit = _lit_vec(qv)

@@ -143,20 +143,10 @@ def lttb(
         x_us.alias("x_us"),
         F.col(y_col).cast("double").alias("y"),
     )
+    from crate_spark.session import input_is_small
+
     spark = df.sparkSession
-    small = False
-    try:
-        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        size = int(raw.toString()) if hasattr(raw, "toString") else int(raw)
-        limit = int(
-            spark.conf.get(
-                "crate_spark.exec.spread_small_input_bytes", str(64 * 1024 * 1024)
-            )
-        )
-        small = 0 < limit and size <= limit
-    except Exception:
-        small = False
-    if small:
+    if input_is_small(df):
         n_groups = 4 * spark.sparkContext.defaultParallelism
         bucketed = prepared.withColumn(
             "_bk", F.pmod(F.xxhash64(F.col(series_col)), F.lit(n_groups))

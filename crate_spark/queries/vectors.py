@@ -170,15 +170,11 @@ def embedding_neardup_cosine(spark, sf_dir):
     # label x salt keys. Gated on input size like spread_small_input:
     # at scale the blocking key (an LSH bucket) is high-cardinality
     # and replicating side b x salt would multiply shuffle bytes.
+    from crate_spark.session import input_is_small, spread_small_input
+
     salt_n = 1
-    try:
-        raw = emb._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        size = int(raw.toString()) if hasattr(raw, "toString") else int(raw)
-        if size <= 64 * 1024 * 1024:
-            salt_n = max(1, min(spark.sparkContext.defaultParallelism, 16))
-    except Exception:
-        pass
-    from crate_spark.session import spread_small_input
+    if input_is_small(emb):
+        salt_n = max(1, min(spark.sparkContext.defaultParallelism, 16))
 
     # at this size the planner broadcasts side b, so the pair compute
     # runs inside side a's scan stage — which a single-row-group file

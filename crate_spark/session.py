@@ -101,6 +101,35 @@ def get_spark(
     return spark
 
 
+def input_is_small(df: DataFrame) -> bool:
+    """True when the optimizer's size estimate for ``df`` is at or
+    below ``crate_spark.exec.spread_small_input_bytes`` (session conf,
+    default 64 MiB; ``SET ... = 0`` opts out → always False). The
+    shared gate behind every small-input-only optimization
+    (``spread_small_input``, LTTB series batching, the per-query PQ
+    encode materialization): each is a local-latency win whose cost
+    model inverts at scale, so all of them must be no-ops on large
+    inputs by construction."""
+    spark = df.sparkSession
+    try:
+        limit = int(
+            spark.conf.get(
+                "crate_spark.exec.spread_small_input_bytes",
+                str(64 * 1024 * 1024),
+            )
+        )
+    except Exception:
+        limit = 64 * 1024 * 1024
+    if limit <= 0:  # operator opt-out: SET ... = 0
+        return False
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size = int(raw.toString()) if hasattr(raw, "toString") else int(raw)
+    except Exception:
+        return False
+    return size <= limit
+
+
 def spread_small_input(df: DataFrame, max_partitions: int | None = None) -> DataFrame:
     """Parallelize a scan whose file layout under-splits (optimization
     guide §2.5, "input skew — one huge unsplittable file": each driver
@@ -120,22 +149,6 @@ def spread_small_input(df: DataFrame, max_partitions: int | None = None) -> Data
     projections, exact/decimal aggregates, explicitly-ordered
     windows)."""
     spark = df.sparkSession
-    try:
-        limit = int(
-            spark.conf.get(
-                "crate_spark.exec.spread_small_input_bytes",
-                str(64 * 1024 * 1024),
-            )
-        )
-    except Exception:
-        limit = 64 * 1024 * 1024
-    if limit <= 0:  # operator opt-out: SET ... = 0
-        return df
-    try:
-        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        size = int(raw.toString()) if hasattr(raw, "toString") else int(raw)
-    except Exception:
-        return df
     n = spark.sparkContext.defaultParallelism
     if max_partitions is not None:
         # callers whose downstream stage count multiplies with the map
@@ -143,7 +156,7 @@ def spread_small_input(df: DataFrame, max_partitions: int | None = None) -> Data
         # windows) cap the spread — measured there: full width LOST
         # (+0.5 s) while width 8 won (-0.9 s) at local[32]
         n = min(n, max_partitions)
-    if size <= limit and n > 1:
+    if n > 1 and input_is_small(df):
         return df.repartition(n)
     return df
 

@@ -350,10 +350,26 @@ def test_pq_large_batch_routes_to_one_scan(spark):
     assert plan.count("Scan parquet") == 1, plan
     assert "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan
-    # small batch: per-query TakeOrdered plan, one scan per query
+    # small batch: per-query TakeOrdered plan over the ONE-time
+    # materialized encode (r11: the encoded corpus localCheckpoints
+    # below the size gate, so the per-query jobs read in-memory blocks
+    # instead of re-running the encode scan — no parquet scan and no
+    # exchange in the final plans)
     small = Q.knn_pq(emb, queries[:3], k_neighbors=5)
     splan = small._jdf.queryExecution().executedPlan().toString()
-    assert splan.count("Scan parquet") == 3
+    assert splan.count("Scan parquet") == 0
+    assert splan.count("TakeOrderedAndProject") >= 3
+    assert "Exchange" not in splan
+    # above the size gate (opt-out spelled SET ... = 0) the
+    # materialization is skipped: one parquet scan per query, the
+    # bounded-memory shape that holds at 100 TB
+    spark.conf.set("crate_spark.exec.spread_small_input_bytes", "0")
+    try:
+        big = Q.knn_pq(emb, queries[:3], k_neighbors=5)
+        bplan = big._jdf.queryExecution().executedPlan().toString()
+        assert bplan.count("Scan parquet") == 3
+    finally:
+        spark.conf.unset("crate_spark.exec.spread_small_input_bytes")
     # the threshold is a session setting: lowering it reroutes the
     # same small batch through the single-scan path
     spark.conf.set("crate_spark.vector.pq_route_threshold", "2")
