@@ -22,12 +22,31 @@ def _col(c: Column | str) -> Column:
 
 
 def dot_product(a: Column | str, b: Column | str) -> Column:
-    """Sum of elementwise products (double)."""
+    """Sum of elementwise products (double).
+
+    Column-NAME arguments compile via ONE sql parse — each py4j lambda
+    construction costs a socket round-trip, and plan-build time is part
+    of every timed query (r11 optimization round). The parsed tree is
+    the same zip_with/aggregate fold in the same order, so results are
+    bit-identical to the Column form."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with(`{a}`, `{b}`, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
     prods = F.zip_with(_col(a), _col(b), lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def l2_squared(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):  # one parse (see dot_product)
+        return F.expr(
+            f"aggregate(zip_with(`{a}`, `{b}`, "
+            "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+            "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
     diffs = F.zip_with(
         _col(a), _col(b), lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
     )

@@ -257,7 +257,6 @@ def pq_adc_distance(codes, query_vec, codebooks) -> F.Column:
     (m, k) table — the faiss ADC search loop as a JVM expression."""
     import numpy as np
 
-    c = F.col(codes) if isinstance(codes, str) else codes
     m, k, dsub = codebooks.shape
     q = np.asarray(query_vec, dtype=np.float64)
     lut = np.array(
@@ -266,6 +265,20 @@ def pq_adc_distance(codes, query_vec, codebooks) -> F.Column:
             for j in range(m)
         ]
     )  # (m, k)
+    if isinstance(codes, str):
+        # one sql parse for the whole 0.0 + e_1 + ... + e_m chain (same
+        # left-assoc fold as the Column form below — r11, see
+        # pq_adc_lut_col_expr)
+        terms = " + ".join(
+            "element_at(array({row}), element_at(`{c}`, {j}) + 1)".format(
+                row=", ".join(_sql_double(x) for x in lut[j]),
+                c=codes,
+                j=j + 1,
+            )
+            for j in range(m)
+        )
+        return F.expr(f"0.0D + {terms}")
+    c = codes
     total = F.lit(0.0)
     for j in range(m):
         row = _lit_vec(lut[j])
@@ -280,7 +293,19 @@ def pq_adc_lut_col_expr(codes, lut_col, m: int) -> F.Column:
     table once (numpy) and ships it on the broadcast query batch, so
     the per-corpus-row work is m table lookups instead of m*dsub
     multiply-adds, and the plan carries no codebook literals at all
-    (r11 — replaced pq_adc_distance_expr in the routed path)."""
+    (r11 — replaced pq_adc_distance_expr in the routed path).
+
+    Column-NAME arguments compile via ONE sql parse (the py4j chain
+    cost ~25 socket round-trips ≈ 75 ms per plan build at m=8, r11
+    profile); the parsed tree is the same left-associative
+    0.0 + e_1 + ... + e_m fold, so distances are bit-identical."""
+    if isinstance(codes, str) and isinstance(lut_col, str):
+        terms = " + ".join(
+            f"element_at(element_at(`{lut_col}`, {j + 1}), "
+            f"element_at(`{codes}`, {j + 1}) + 1)"
+            for j in range(m)
+        )
+        return F.expr(f"0.0D + {terms}")
     c = F.col(codes) if isinstance(codes, str) else codes
     lut = F.col(lut_col) if isinstance(lut_col, str) else lut_col
     total = F.lit(0.0)
