@@ -81,11 +81,35 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
-def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
+def _lsh_signature_sql(v: str, planes: np.ndarray) -> str:
+    """SQL spelling of the sign-bit signature — the same left-assoc
+    sum of ``CAST(dot > 0 AS BIGINT) * 2^i`` bits as the Column form,
+    with each dot the same zip_with/aggregate fold, so signatures are
+    bit-identical."""
+    from crate_spark.operators.quant import _sql_double
+
+    bits = []
+    for i, plane in enumerate(planes):
+        arr = ", ".join(_sql_double(x) for x in plane)
+        dot = (
+            f"aggregate(zip_with({v}, array({arr}), "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+        bits.append(f"(CAST(({dot} > 0) AS BIGINT) * {2 ** i})")
+    return " + ".join(bits)
+
+
+def lsh_signature(vec: Column | str, planes: np.ndarray) -> Column:
     """Sign-bit signature of ``vec`` against fixed hyperplanes, as a
     bigint. JVM-side: each bit is a dot product against a literal array
-    (no Python in the row path).
+    (no Python in the row path). A column NAME compiles via ONE sql
+    parse — the py4j builder cost ~2 socket round-trips per plane plus
+    a literal parse each (r11 optimization round: the 8-table x
+    4-plane bucket expression was ~3 s of driver time per plan build).
     """
+    if isinstance(vec, str):
+        return F.expr(_lsh_signature_sql(f"`{vec}`", planes))
     from crate_spark.operators.quant import _lit_vec
 
     bits = []
@@ -99,8 +123,23 @@ def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
     return out
 
 
-def _lsh_buckets(vec: Column, dim: int, n_planes: int, n_tables: int, seed: int) -> Column:
-    """Array of (table, bucket) structs — one signature per hash table."""
+def _lsh_buckets(
+    vec: Column | str, dim: int, n_planes: int, n_tables: int, seed: int
+) -> Column:
+    """Array of (table, bucket) structs — one signature per hash table.
+    A column NAME compiles the whole array via ONE sql parse (see
+    lsh_signature)."""
+    if isinstance(vec, str):
+        entries = ", ".join(
+            "named_struct('table', {t}, 'bucket', {sig})".format(
+                t=t,
+                sig=_lsh_signature_sql(
+                    f"`{vec}`", random_hyperplanes(dim, n_planes, seed + t)
+                ),
+            )
+            for t in range(n_tables)
+        )
+        return F.expr(f"array({entries})")
     return F.array(
         *[
             F.struct(
@@ -302,7 +341,14 @@ def knn_ivf(
             n_centroids=n_centroids,
             seed=seed,
         )
-    c = corpus.select(
+    from crate_spark.session import spread_small_input
+
+    # the literal-centroid cell assignment is the heavy map stage
+    # (n_centroids interpreted L2 folds per row) and a single-row-group
+    # file runs it on ONE task — spread first (size-gated no-op at
+    # scale; r11 optimization round, same pattern as the routed-PQ
+    # encode)
+    c = spread_small_input(corpus).select(
         F.col(corpus_id),
         F.col(vec_col).alias("_cvec"),
         _nearest_cells(vec_col, centroids, 1)[0].alias("_cell"),
@@ -354,10 +400,18 @@ def knn_lsh_cosine(
     |corpus| / 2^n_planes (the expected bucket population); the other
     hash tables still cover queries whose bucket was dropped.
     """
-    c = corpus.select(
+    from crate_spark.session import spread_small_input
+
+    # the signature stage is n_tables * n_planes interpreted dot folds
+    # per corpus row and a single-row-group file runs it on ONE task —
+    # spread first (size-gated no-op at scale; r11 optimization round)
+    # ONE parsed bucket expression reused on both sides (same column
+    # name) — the Column builder paid ~100 py4j round-trips per side
+    tb = _lsh_buckets(vec_col, dim, n_planes, n_tables, seed)
+    c = spread_small_input(corpus).select(
         F.col(corpus_id),
         F.col(vec_col).alias("_cvec"),
-        F.explode(_lsh_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)).alias("_tb"),
+        F.explode(tb).alias("_tb"),
     )
     if max_bucket_size is not None:
         oversized = (
@@ -370,7 +424,7 @@ def knn_lsh_cosine(
     q = queries.select(
         F.col(query_id),
         F.col(vec_col).alias("_qvec"),
-        F.explode(_lsh_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)).alias("_tb"),
+        F.explode(tb).alias("_tb"),
     )
     cands = (
         c.join(F.broadcast(q), c["_tb"] == q["_tb"])
