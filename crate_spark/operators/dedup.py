@@ -158,37 +158,26 @@ def minhash_lsh_candidates(
     # spent ~45 s in janino; hashing a single long column keeps the
     # codegen unit small — first-run compile ~1.4 s, steady-state 2.1x
     # faster at sf0.1.) ANSI-safe: no arithmetic, only hash exprs.
+    # Both the signature aggregate and the banded bucket array compile
+    # via ONE sql parse each (r11 optimization round): the py4j
+    # builders cost ~0.4 s of driver socket round-trips per plan build
+    # (32 x min(xxhash64) agg columns + 8 x band structs with a lambda
+    # each), and the one-parse agg folds straight to the signature
+    # ARRAY, dropping the _m0.._mN repack projection. Identical
+    # expressions -> identical signatures/buckets (golden-pinned).
     base = grams.withColumn("_h0", F.xxhash64("_sh"))
-    sig = base.groupBy("_id").agg(
-        *[
-            F.min(F.xxhash64("_h0", F.lit(i))).alias(f"_m{i}")
-            for i in range(num_hashes)
-        ]
-    ).select(
-        "_id",
-        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig"),
+    mins = ", ".join(f"min(xxhash64(`_h0`, {i}))" for i in range(num_hashes))
+    sig = base.groupBy("_id").agg(F.expr(f"array({mins})").alias("_sig"))
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', xxhash64(array_join("
+        "transform(slice(`_sig`, {start}, {n}), x -> CAST(x AS STRING)), ',')))".format(
+            b=b, start=b * rows_per_band + 1, n=rows_per_band
+        )
+        for b in range(bands)
     )
     banded = sig.select(
         "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("_sig", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.expr(f"explode(array({band_structs}))").alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
     if max_bucket_size is not None:
         bw = Window.partitionBy("band", "bucket")

@@ -577,13 +577,14 @@ def knn_pq(
             coded = spread_small_input(coded).localCheckpoint(eager=True)
     per_q = []
     for qid, qv in queries:
-        qlit = _lit_vec(qv)
-        l2 = F.aggregate(
-            F.zip_with(
-                F.col(vec_col), qlit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
+        # one sql parse for the literal-query L2 (the py4j zip_with/
+        # aggregate builder cost ~4 round-trips + a literal parse per
+        # query; same fold, bit-identical — r11 optimization round)
+        qarr = ", ".join(_sql_double(x) for x in qv)
+        l2 = F.expr(
+            f"aggregate(zip_with(`{vec_col}`, array({qarr}), "
+            "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "0.0D, (a, x) -> a + x)"
         )
         # shortlist FIRST on the cheap ADC distance (the exact-L2
         # expression must sit ABOVE the TakeOrdered cut, or Spark
