@@ -97,13 +97,21 @@ def lttb(
     def _lttb_one(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("x_us").reset_index(drop=True)
         n = len(pdf)
-        key = pdf[series_col].iloc[0]
         if n <= n_buckets:
             return pdf[[series_col, "x_us", "y"]]
-        xs = pdf["x_us"].to_numpy(dtype="float64")
-        ys = pdf["y"].to_numpy(dtype="float64")
+        picked = _pick(
+            pdf["x_us"].to_numpy(dtype="float64"),
+            pdf["y"].to_numpy(dtype="float64"),
+        )
+        return pdf.iloc[picked][[series_col, "x_us", "y"]]
+
+    def _pick(xs: "np.ndarray", ys: "np.ndarray") -> "np.ndarray":
+        # the interior-bucket selection of _lttb_one over pre-sorted
+        # float64 arrays; same arithmetic, same argmax tie-break
+        import numpy as np
+
+        n = len(xs)
         picked = [0]
-        # interior bucket boundaries over points 1..n-2
         bucket_size = (n - 2) / (n_buckets - 2)
         for b in range(n_buckets - 2):
             start = int(b * bucket_size) + 1
@@ -120,18 +128,53 @@ def lttb(
             )
             picked.append(start + int(areas.argmax()))
         picked.append(n - 1)
-        sel = pdf.iloc[picked]
-        return sel[[series_col, "x_us", "y"]]
+        return np.asarray(picked)
 
     def _lttb_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one hash bucket = many whole series; per-series selection is
-        # unchanged (same _lttb_one), just amortizing the Arrow
-        # round-trip across the bucket
-        parts = [
-            _lttb_one(g.drop(columns=["_bk"]))
-            for _, g in pdf.groupby(series_col, sort=True)
-        ]
-        return pd.concat(parts) if parts else pdf[[series_col, "x_us", "y"]]
+        # one hash bucket = many whole series, processed on numpy
+        # arrays end to end (r11 resumed session): the previous
+        # per-series pandas path (groupby -> sort_values -> iloc ->
+        # per-series DataFrame -> concat) cost ~1-2 ms of pandas
+        # machinery per series x ~2000 series. Sort semantics
+        # replicate pandas exactly — groups in sorted key order with
+        # original order within the group (stable argsort ==
+        # groupby(sort=True)), then the same quicksort by x_us
+        # (sort_values' default kind) — so tie permutations, picked
+        # indices, and output rows are identical (proven by a strict
+        # old-vs-new equality sweep at sf0.1; golden-pinned).
+        import numpy as np
+
+        if not len(pdf):
+            return pdf[[series_col, "x_us", "y"]]
+        s = pdf[series_col].to_numpy()
+        xs_i = pdf["x_us"].to_numpy()
+        ys_f = pdf["y"].to_numpy(dtype="float64")
+        order = np.argsort(s, kind="stable")
+        s, xs_i, ys_f = s[order], xs_i[order], ys_f[order]
+        bounds = np.flatnonzero(np.diff(s)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(s)]))
+        out_s, out_x, out_y = [], [], []
+        for st, en in zip(starts, ends):
+            ordx = np.argsort(xs_i[st:en], kind="quicksort")
+            xi = xs_i[st:en][ordx]
+            yi = ys_f[st:en][ordx]
+            n = en - st
+            picked = (
+                np.arange(n)
+                if n <= n_buckets
+                else _pick(xi.astype("float64"), yi)
+            )
+            out_s.append(np.full(len(picked), s[st]))
+            out_x.append(xi[picked])
+            out_y.append(yi[picked])
+        return pd.DataFrame(
+            {
+                series_col: np.concatenate(out_s),
+                "x_us": np.concatenate(out_x),
+                "y": np.concatenate(out_y),
+            }
+        )
 
     x_us = (
         F.expr("ts_ns div 1000")
