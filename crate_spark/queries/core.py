@@ -361,13 +361,23 @@ def agg_percentile(spark, sf_dir):
     # data collection pass, and a single-row-group file serializes it
     # to one task — spread after projecting to the two needed columns
     # (size-gated no-op at scale; r11: 2.89 s -> 1.54 s at sf0.1)
+    # ONE percentile aggregate with a percentage ARRAY: three separate
+    # percentile calls each buffered the full 600k-value column
+    # (~0.5 s apiece at sf0.1 — r11 resumed session); the array form
+    # shares one buffer and computes each percentile with the same
+    # interpolation arithmetic (same expression class), so values are
+    # bit-identical. exec 2.0-2.9 s -> ~1.2 s.
     return (
         spread_small_input(t["lineitem"].select("l_returnflag", "l_extendedprice"))
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile(p, F.lit(0.25)), 6).alias("p25"),
-            F.round(F.percentile(p, F.lit(0.50)), 6).alias("p50"),
-            F.round(F.percentile(p, F.lit(0.75)), 6).alias("p75"),
+            F.percentile(p, F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))).alias("_ps")
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("_ps", 1), 6).alias("p25"),
+            F.round(F.element_at("_ps", 2), 6).alias("p50"),
+            F.round(F.element_at("_ps", 3), 6).alias("p75"),
         )
     )
 
