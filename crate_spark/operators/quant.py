@@ -24,7 +24,13 @@ def quant_scale(vec) -> F.Column:
 
 
 def quantize_int8(vec, scale=None) -> F.Column:
-    """int8 codes: floor(v/scale + 0.5), clamped to [-127, 127]."""
+    """int8 codes: floor(v/scale + 0.5), clamped to [-127, 127].
+
+    Prefer passing ``scale`` as a pre-materialized column: with
+    ``scale=None`` the derived scale subtree is inlined into the
+    per-element lambda, and interpreted HOFs have no CSE — every
+    element re-evaluates the whole-vector ``array_max`` (O(d^2) per
+    row)."""
     v = F.col(vec) if isinstance(vec, str) else vec
     s = quant_scale(v) if scale is None else scale
     return F.transform(

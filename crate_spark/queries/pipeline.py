@@ -260,10 +260,17 @@ def pipeline_knn_quantized(spark, sf_dir):
     from crate_spark.operators import quant as Q
 
     e = load_tables(spark, sf_dir)["embeddings"]
+    # Materialize the scale as a column BEFORE quantizing: passing
+    # scale=None inlines the array_max subtree into the per-element
+    # lambda, and interpreted HOFs have no CSE — every element would
+    # recompute the whole-vector max (O(d^2) per row; measured 0.95 ->
+    # 0.38 s at sf0.1). Same doubles either way.
     coded = e.select(
+        "vec_id", "embedding", Q.quant_scale("embedding").alias("scale")
+    ).select(
         "vec_id",
-        Q.quant_scale("embedding").alias("scale"),
-        Q.quantize_int8("embedding").alias("codes"),
+        "scale",
+        Q.quantize_int8("embedding", F.col("scale")).alias("codes"),
     )
     q = coded.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"),
