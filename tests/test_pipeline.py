@@ -136,6 +136,28 @@ def test_quantized_dot_tracks_exact_cosine(spark):
         assert math.isclose(r["qdot"], r["fdot"], abs_tol=0.35), r
 
 
+def test_quantize_materialized_scale_matches_inline(spark):
+    """quantize_int8 with a pre-materialized scale column yields codes
+    bit-identical to the scale=None inline form — the equivalence the
+    r11 pipeline_knn_quantized optimization rests on (the inline form
+    re-evaluates the derived scale per element: same doubles, O(d^2))."""
+    import random
+
+    from crate_spark.operators import quant as Q
+
+    rng = random.Random(13)
+    vecs = [(i, [rng.uniform(-3, 3) for _ in range(48)]) for i in range(50)]
+    vecs.append((50, [0.0] * 48))  # zero vector: scale falls back to 1.0
+    df = spark.createDataFrame(vecs, "id long, v array<double>")
+    inline = df.select("id", Q.quantize_int8("v").alias("q"))
+    two_step = df.select("id", "v", Q.quant_scale("v").alias("s")).select(
+        "id", Q.quantize_int8("v", F.col("s")).alias("q")
+    )
+    a = {r["id"]: r["q"] for r in inline.collect()}
+    b = {r["id"]: r["q"] for r in two_step.collect()}
+    assert a == b
+
+
 def test_decontaminate_flags_known_overlap(spark):
     """A doc sharing an 8-gram with the benchmark is flagged; a
     disjoint doc is not; counts are per-occurrence."""
