@@ -39,14 +39,21 @@ def dot_product(a: Column | str, b: Column | str) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def l2_squared_sql(a: str, b: str) -> str:
+    """The SQL text of the column-NAME ``l2_squared`` fast path — for
+    callers that compile a whole pipeline into one ``spark.sql`` parse
+    (r12: the routed-PQ batch). Same fold, bit-identical doubles."""
+    return (
+        f"aggregate(zip_with(`{a}`, `{b}`, "
+        "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+        "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def l2_squared(a: Column | str, b: Column | str) -> Column:
     if isinstance(a, str) and isinstance(b, str):  # one parse (see dot_product)
-        return F.expr(
-            f"aggregate(zip_with(`{a}`, `{b}`, "
-            "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
-            "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
-            "0.0D, (acc, x) -> acc + x)"
-        )
+        return F.expr(l2_squared_sql(a, b))
     diffs = F.zip_with(
         _col(a), _col(b), lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
     )

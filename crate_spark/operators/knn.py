@@ -282,17 +282,10 @@ def train_ivf_centroids(
     return cents
 
 
-def _nearest_cells(vec_col: str, cents: np.ndarray, nprobe: int) -> Column:
-    """Array of the ``nprobe`` nearest centroid ids for column
-    ``vec_col``.
-
-    Pure JVM: squared distance to each literal centroid, struct-sort
-    (lexicographic on (dist, cid)), slice. No Python in the row path —
-    and ONE sql parse for the whole expression: the previous
-    per-centroid ``F.struct(l2_squared(...))`` spelling cost ~50 ms of
-    py4j lambda round-trips per centroid (~0.85 s per call at 16
-    centroids, the top driver-side cost in the routed-PQ profile,
-    r11)."""
+def _nearest_cells_sql(vec_col: str, cents: np.ndarray, nprobe: int) -> str:
+    """SQL text of ``_nearest_cells`` — exposed so one-parse callers
+    (the routed-PQ single-statement pipeline, r12) can inline it into
+    a larger ``spark.sql`` string. Identical expression tree."""
     from crate_spark.operators.quant import _sql_double
 
     v = f"`{vec_col}`"
@@ -304,10 +297,24 @@ def _nearest_cells(vec_col: str, cents: np.ndarray, nprobe: int) -> Column:
         )
         for i, c in enumerate(cents)
     )
-    return F.expr(
+    return (
         f"transform(slice(array_sort(array({entries})), 1, {nprobe}), "
         f"s -> s.cid)"
     )
+
+
+def _nearest_cells(vec_col: str, cents: np.ndarray, nprobe: int) -> Column:
+    """Array of the ``nprobe`` nearest centroid ids for column
+    ``vec_col``.
+
+    Pure JVM: squared distance to each literal centroid, struct-sort
+    (lexicographic on (dist, cid)), slice. No Python in the row path —
+    and ONE sql parse for the whole expression: the previous
+    per-centroid ``F.struct(l2_squared(...))`` spelling cost ~50 ms of
+    py4j lambda round-trips per centroid (~0.85 s per call at 16
+    centroids, the top driver-side cost in the routed-PQ profile,
+    r11)."""
+    return F.expr(_nearest_cells_sql(vec_col, cents, nprobe))
 
 
 def knn_ivf(

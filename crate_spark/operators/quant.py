@@ -212,23 +212,30 @@ def pq_encode(vec, codebooks) -> F.Column:
     rule; the distance arithmetic is the same zip_with fold in the
     same order, so codes are bit-identical (pinned by the rows-only
     goldens and tests/test_pipeline.py recall tests)."""
-    if not isinstance(vec, str):
-        # Column input (ad-hoc/test use): route through a one-column
-        # projection is not possible here, so keep the py4j builder.
-        m, k, dsub = codebooks.shape
-        codes = []
-        for j in range(m):
-            sub = F.slice(vec, j * dsub + 1, dsub)
-            dists = F.transform(
-                _lit_matrix(codebooks[j]),
-                lambda c: F.aggregate(
-                    F.zip_with(sub, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                ),
-            )
-            codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-        return F.array(*codes)
+    if isinstance(vec, str):
+        return F.expr(_pq_encode_sql(vec, codebooks))
+    # Column input (ad-hoc/test use): route through a one-column
+    # projection is not possible here, so keep the py4j builder.
+    m, k, dsub = codebooks.shape
+    codes = []
+    for j in range(m):
+        sub = F.slice(vec, j * dsub + 1, dsub)
+        dists = F.transform(
+            _lit_matrix(codebooks[j]),
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+def _pq_encode_sql(vec: str, codebooks) -> str:
+    """SQL text of the column-NAME ``pq_encode`` fast path — exposed so
+    one-parse callers (the routed-PQ single-statement pipeline, r12)
+    can inline it. Identical expression tree to ``pq_encode(vec, cb)``."""
     m, k, dsub = codebooks.shape
     v = f"`{vec}`"
     subs = []
@@ -244,16 +251,22 @@ def pq_encode(vec, codebooks) -> F.Column:
             f"0.0D, (a, x) -> a + x)"
         )
         subs.append(
-            # NULL/short-vector parity with the old spelling (whose
-            # null distances propagated to a null code)
+            # NULL/short-vector parity with the old array_position
+            # spelling (whose null distances propagated to a null
+            # code). The exists() leg covers a NULL *element* inside a
+            # correctly-sized vector: every centroid distance is then
+            # NULL, and least() on a struct whose 'd' is NULL would
+            # sort it before ('d'=Infinity) and return code 0 where
+            # the old path returned NULL (ADVICE r11).
             f"CASE WHEN {v} IS NULL OR size({v}) < {(j + 1) * dsub} "
+            f"OR exists(slice({v}, {j * dsub + 1}, {dsub}), x -> x IS NULL) "
             f"THEN CAST(NULL AS INT) ELSE "
             f"aggregate(sequence(1, {k}), "
             f"named_struct('d', CAST('Infinity' AS DOUBLE), 'i', {k + 1}), "
             f"(acc, i) -> least(acc, named_struct('d', {dist}, 'i', i)), "
             f"acc -> CAST(acc.i - 1 AS INT)) END"
         )
-    return F.expr("array(" + ", ".join(subs) + ")")
+    return "array(" + ", ".join(subs) + ")"
 
 
 def pq_adc_distance(codes, query_vec, codebooks) -> F.Column:
@@ -306,12 +319,7 @@ def pq_adc_lut_col_expr(codes, lut_col, m: int) -> F.Column:
     profile); the parsed tree is the same left-associative
     0.0 + e_1 + ... + e_m fold, so distances are bit-identical."""
     if isinstance(codes, str) and isinstance(lut_col, str):
-        terms = " + ".join(
-            f"element_at(element_at(`{lut_col}`, {j + 1}), "
-            f"element_at(`{codes}`, {j + 1}) + 1)"
-            for j in range(m)
-        )
-        return F.expr(f"0.0D + {terms}")
+        return F.expr(_adc_lut_sql(codes, lut_col, m))
     c = F.col(codes) if isinstance(codes, str) else codes
     lut = F.col(lut_col) if isinstance(lut_col, str) else lut_col
     total = F.lit(0.0)
@@ -320,6 +328,17 @@ def pq_adc_lut_col_expr(codes, lut_col, m: int) -> F.Column:
             F.element_at(lut, j + 1), F.element_at(c, j + 1) + 1
         )
     return total
+
+
+def _adc_lut_sql(codes: str, lut_col: str, m: int) -> str:
+    """SQL text of the column-NAME ``pq_adc_lut_col_expr`` fast path —
+    exposed for the one-parse routed pipeline (r12). Same fold."""
+    terms = " + ".join(
+        f"element_at(element_at(`{lut_col}`, {j + 1}), "
+        f"element_at(`{codes}`, {j + 1}) + 1)"
+        for j in range(m)
+    )
+    return f"0.0D + {terms}"
 
 
 def pq_adc_distance_expr(codes, qvec, codebooks) -> F.Column:
@@ -373,9 +392,7 @@ def _knn_pq_ivf_routed(
     on sparse corpora should raise ``nprobe`` (or lower
     ``n_centroids``); tests/test_pipeline.py pins the under-fill
     behavior on a deliberately sparse-celled corpus."""
-    from pyspark.sql import Window
-
-    from crate_spark.functions.vector import l2_squared
+    from crate_spark.functions.vector import l2_squared_sql
     from crate_spark.operators import knn
 
     if codebooks is None:
@@ -399,12 +416,7 @@ def _knn_pq_ivf_routed(
     # width-8 spread wins robustly: fresh-process alternating A/B
     # medians 2.55/2.30/2.79 s plain vs 1.54/1.80/1.55 s spread —
     # hence the max_partitions cap. Size-gated no-op at scale.
-    coded = spread_small_input(corpus, max_partitions=8).select(
-        F.col(id_col),
-        F.col(vec_col).alias("_cvec"),
-        pq_encode(vec_col, codebooks).alias("_codes"),
-        knn._nearest_cells(vec_col, centroids, 1)[0].alias("_cell"),
-    )
+    spread = spread_small_input(corpus, max_partitions=8)
     # per-query ADC lookup tables, computed ONCE on the driver
     # (numpy): lut[q][j][c] = ||q_sub_j - codebook[j][c]||^2 — for a
     # 200-query batch at (m=8, k=16) this is ~200 KB on the broadcast,
@@ -415,65 +427,87 @@ def _knn_pq_ivf_routed(
     qarr = np.asarray([qv for _, qv in queries], dtype=np.float64)
     qsub = qarr.reshape(len(queries), m_, dsub)
     luts = ((qsub[:, :, None, :] - codebooks[None, :, :, :]) ** 2).sum(-1)
+    # Per-query probe cells, also computed ONCE on the driver (r12):
+    # the query vectors are already in hand, so evaluating
+    # _nearest_cells on the broadcast batch would re-ship the centroid
+    # literal a second time in the SQL text (~20 KB of parse per
+    # build) to compute 200 rows. numpy parity with the SQL fold is
+    # exact: (q - c)^2 elementwise then cumsum[..., -1] reproduces the
+    # left-to-right aggregate rounding step for step, and the stable
+    # argsort ties like array_sort on the (d, cid) struct — verified
+    # bit-identical over the full sf0.01 AND sf0.1 corpora (0 diffs).
+    cents_arr = np.asarray(centroids, dtype=np.float64)
+    qdiff = qarr[:, None, :] - cents_arr[None, :, :]
+    qcells = np.argsort(
+        np.cumsum(qdiff * qdiff, axis=2)[:, :, -1], axis=1, kind="stable"
+    )[:, :nprobe]
     # verifySchema=False: the rows are built right here with exact
     # types; per-element verification was ~0.1 s of the per-batch plan
     # build (r11 optimization-round profile)
     qdf = corpus.sparkSession.createDataFrame(
         [
-            (int(qid), [float(x) for x in qv], [[float(d) for d in row] for row in lut])
-            for (qid, qv), lut in zip(queries, luts)
+            (
+                int(qid),
+                [float(x) for x in qv],
+                [[float(d) for d in row] for row in lut],
+                [int(c) for c in cells],
+            )
+            for (qid, qv), lut, cells in zip(queries, luts, qcells)
         ],
-        "query_id bigint, _qvec array<double>, _lut array<array<double>>",
+        "query_id bigint, _qvec array<double>, _lut array<array<double>>,"
+        " _cells array<int>",
         verifySchema=False,
     )
-    # probe rows carry ONLY what the candidate stage needs (query_id,
-    # LUT, probed cell) — the query vector rides a separate tiny
-    # broadcast joined AFTER the shortlist cut, so the shortlist
-    # window's exchange never carries it (guide §2.3: project before
-    # the exchange; the ADC distance is computed map-side below for
-    # the same reason, so _lut/_codes stop at the pre-shuffle Project)
-    probes = qdf.select(
-        "query_id",
-        "_lut",
-        F.explode(knn._nearest_cells("_qvec", centroids, nprobe)).alias("_cell"),
-    )
-    w_short = Window.partitionBy("query_id").orderBy("_adc", id_col)
-    short = (
-        coded.join(F.broadcast(probes), "_cell")
-        .select(
-            "query_id",
-            F.col(id_col),
-            F.col("_cvec"),
-            pq_adc_lut_col_expr("_codes", "_lut", m_).alias("_adc"),
+    # The whole post-encode pipeline compiles to ONE spark.sql
+    # statement (r12 optimization round): the r11 shape was 7 chained
+    # DataFrame transformations, each of which re-analyzed the
+    # codebook/centroid-literal tree (~60 ms apiece, ~0.6-1.0 s of
+    # driver time per timed iteration — the 8-core bench beat the
+    # 32-core bench on this query because the floor is driver-side).
+    # One statement = one parse + one analysis. The SQL fragments are
+    # the byte-identical texts the Column builders parse
+    # (_pq_encode_sql / _nearest_cells_sql / _adc_lut_sql /
+    # l2_squared_sql), so the analyzed tree — and every result bit —
+    # is unchanged; the plan contract (1 corpus scan, probes + query
+    # batch broadcast, ADC in a map-side Project BELOW the shortlist
+    # window's exchange, exact L2 above the cut) is pinned in
+    # tests/test_plans.py and the rows-only golden.
+    idq = f"`{id_col}`"
+    n_short = shortlist * k_neighbors
+    sql = f"""
+SELECT query_id, neighbor_id, round(_l2, 9) AS l2_dist
+FROM (
+  SELECT query_id, neighbor_id, _l2,
+         row_number() OVER (PARTITION BY query_id ORDER BY _l2, neighbor_id) AS _rn
+  FROM (
+    SELECT /*+ BROADCAST(q) */ s.query_id, s.{idq} AS neighbor_id,
+           {l2_squared_sql("_cvec", "_qvec")} AS _l2
+    FROM (
+      SELECT query_id, {idq}, _cvec
+      FROM (
+        SELECT query_id, {idq}, _cvec,
+               row_number() OVER (PARTITION BY query_id ORDER BY _adc, {idq}) AS _srn
+        FROM (
+          SELECT /*+ BROADCAST(p) */ p.query_id, c.{idq}, c._cvec,
+                 {_adc_lut_sql("_codes", "_lut", m_)} AS _adc
+          FROM (
+            SELECT {idq}, `{vec_col}` AS _cvec,
+                   {_pq_encode_sql(vec_col, codebooks)} AS _codes,
+                   {knn._nearest_cells_sql(vec_col, centroids, 1)}[0] AS _cell
+            FROM {{corpus}}
+          ) c
+          JOIN (
+            SELECT query_id, _lut, explode(_cells) AS _cell
+            FROM {{qdf}}
+          ) p ON c._cell = p._cell
         )
-        .select(
-            "query_id",
-            F.col(id_col),
-            F.col("_cvec"),
-            F.row_number().over(w_short).alias("_srn"),
-        )
-        .filter(F.col("_srn") <= shortlist * k_neighbors)
-    )
-    # exact L2 sits ABOVE the shortlist cut (same evaluation-order trap
-    # as the per-query path): it runs on shortlist rows only, with the
-    # query vectors re-attached from a broadcast of the (tiny) batch
-    w = Window.partitionBy("query_id").orderBy("_l2", "neighbor_id")
-    return (
-        short.join(F.broadcast(qdf.select("query_id", "_qvec")), "query_id")
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            l2_squared("_cvec", "_qvec").alias("_l2"),
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("_l2", 9).alias("l2_dist"),
-            F.row_number().over(w).alias("_rn"),
-        )
-        .filter(F.col("_rn") <= k_neighbors)
-        .drop("_rn")
-    )
+      ) WHERE _srn <= {n_short}
+    ) s
+    JOIN (SELECT query_id, _qvec FROM {{qdf}}) q ON s.query_id = q.query_id
+  )
+) WHERE _rn <= {k_neighbors}
+"""
+    return corpus.sparkSession.sql(sql, corpus=spread, qdf=qdf)
 
 
 def knn_pq(

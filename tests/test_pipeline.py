@@ -349,6 +349,44 @@ def test_pq_codebook_shapes_and_codes_bounded(spark):
     assert stats["lo"] >= 0 and stats["hi"] < 16 and stats["m"] == 4
 
 
+def test_pq_encode_null_element_yields_null_code(spark):
+    """ADVICE r11: a NULL *element* inside a correctly-sized vector must
+    produce a NULL code (the old array_position spelling's behavior),
+    not code 0 — the least-fold's struct comparator sorts a NULL 'd'
+    before ('d'=Infinity) without the exists() guard. Also pins the
+    one-parse SQL path against the Column/array_position reference
+    implementation on NULL-free rows."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from crate_spark.operators import quant as Q
+
+    books = np.arange(2 * 3 * 2, dtype=np.float64).reshape(2, 3, 2)
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, 1.5, 6.0, 7.0]),
+            (2, [0.5, None, 6.0, 7.0]),  # NULL element, subspace 0
+            (3, None),
+            (4, [0.5, 1.5]),  # short vector
+        ],
+        "id bigint, v array<double>",
+    )
+    got = {
+        r["id"]: r["codes"]
+        for r in df.select("id", Q.pq_encode("v", books).alias("codes")).collect()
+    }
+    ref = {
+        r["id"]: r["codes"]
+        for r in df.select(
+            "id", Q.pq_encode(F.col("v"), books).alias("codes")
+        ).collect()
+    }
+    assert got[1] == ref[1] and got[1][0] is not None
+    assert got[2] == [None, ref[2][1]]  # NULL code in the NULL subspace only
+    assert got[3] == [None, None]
+    assert got[4][1] is None
+
+
 def test_training_cache_amortizes_jobs(spark, monkeypatch):
     """VERDICT r7 #6: consecutive routed knn_pq batches — and a knn_ivf
     call over the same corpus — launch ONE IVF-centroid training job
