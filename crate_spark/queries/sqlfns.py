@@ -649,25 +649,25 @@ def streaming_sessionize_events(spark, sf_dir):
     batch == drained stream for per-key mutable state, not just for
     windowed aggregates (streaming_rollup_events).
 
-    Replay mechanics: the parquet file streams as micro-batch 1; ONE
-    far-future sentinel event (a reserved user id) streams as batch 2,
-    advancing the event-time watermark past every real session's
-    last+gap; the engine's trailing no-data micro-batch (on by
-    default: spark.sql.streaming.noDataMicroBatches.enabled) then
-    fires every remaining EventTimeTimeout so all sessions emit — the
-    streaming equivalent of end-of-input flush. (r11 optimization
-    round: this replaced a second sentinel batch that existed only to
-    advance the watermark again — the no-data batch already does
-    that, and each extra micro-batch cost ~1.2 s of state-store
-    setup + per-key timeout processing.) Sentinel rows are filtered
-    from the result. At 100 TB/day the same operator runs unbounded:
-    state is one tuple per active user, evicted on emit; no flush is
-    needed because live traffic advances the watermark.
+    Replay mechanics: the parquet file and ONE far-future sentinel
+    event (a reserved user id) stream together as micro-batch 1, so
+    the post-batch event-time watermark is already past every real
+    session's last+gap; the engine's trailing no-data micro-batch
+    (pinned on below — the replay depends on it) then fires every
+    EventTimeTimeout in one pass so all sessions emit — the streaming
+    equivalent of end-of-input flush. (r11 ran data and sentinel as
+    separate micro-batches, which split the timeout flush across TWO
+    extra batches — each batch costs ~1.2-2 s of state-store setup +
+    per-key timeout processing, and the r12 measured split was 1440
+    timeouts in the sentinel batch + 60 in the no-data batch; one
+    combined data+sentinel batch removes a whole batch without
+    changing a single emitted row.) Sentinel rows are filtered from
+    the result. At 100 TB/day the same operator runs unbounded: state
+    is one tuple per active user, evicted on emit; no flush is needed
+    because live traffic advances the watermark.
     """
-    import os
     import shutil
     import tempfile
-    import time
     import uuid
 
     import pyarrow as pa
@@ -685,9 +685,9 @@ def streaming_sessionize_events(spark, sf_dir):
     # as µs TIMESTAMP_NTZ, depending on how the table was generated
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_is_ns = dict(batch.dtypes)["ts"] == "bigint"
-    # sentinel events: one reserved user, one day apart, starting a day
-    # past the real maximum — each sentinel batch advances the global
-    # watermark (delay 0s) past all remaining real-session timeouts
+    # sentinel event: one reserved user, a day past the real maximum —
+    # it rides the data micro-batch and advances the global watermark
+    # (delay 0s) past every real session's last+gap timeout
     max_us = batch.agg(
         F.max(
             F.expr("ts div 1000")
@@ -713,14 +713,13 @@ def streaming_sessionize_events(spark, sf_dir):
         ),
         f"{stage}/b1_sentinel.parquet",
     )
-    # the file source orders micro-batches by modification time
-    base = time.time() - 100
-    for i, name in enumerate(["b0_events.parquet", "b1_sentinel.parquet"]):
-        os.utime(f"{stage}/{name}", (base + i * 10, base + i * 10))
+    # both files load as ONE micro-batch (no maxFilesPerTrigger): the
+    # sentinel rides with the data, so the post-batch watermark is
+    # already global-max + a day and the single trailing no-data batch
+    # flushes every session
     ts_ddl = "bigint" if ts_is_ns else "timestamp_ntz"
     src = (
         spark.readStream.schema(f"ts {ts_ddl}, user_id bigint, value double")
-        .option("maxFilesPerTrigger", 1)
         .parquet(stage)
         .withColumn(
             "ts",
@@ -744,7 +743,12 @@ def streaming_sessionize_events(spark, sf_dir):
     # 16 vs 8 still equal within noise (4.1-4.6 both), 4 still worse
     # (5.6-7.0) — unchanged.
     prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    # the flush depends on the trailing no-data micro-batch firing the
+    # event-time timeouts — pin the engine default rather than relying
+    # on it (VERDICT r11)
+    prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     try:
         q = (
             sessions.writeStream.format("memory")
@@ -756,6 +760,7 @@ def streaming_sessionize_events(spark, sf_dir):
         q.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb)
         shutil.rmtree(stage, ignore_errors=True)
     # NTZ timestamps deserialize naively, like DuckDB's (rollup twin)
     return spark.sql(f"SELECT * FROM {name}").select(

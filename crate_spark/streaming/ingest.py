@@ -121,12 +121,20 @@ def sessionize_stream(
         def emit_many(start_us, last_us, n, total):
             # one DataFrame for ALL closed segments of this key: the
             # per-segment 1-row construction was the dominant batch
-            # cost (r11 measured ~95k single-row frames per replay)
+            # cost (r11 measured ~95k single-row frames per replay).
+            # int64-µs .view("datetime64[us]") replaces pd.to_datetime
+            # (r12): same instants, ~2.7x cheaper per frame — the
+            # timeout path pays this constructor once per timed-out
+            # key, which is most of the flush batch's cost.
             return pd.DataFrame(
                 {
                     user_col: np.full(len(n), user, dtype=np.int64),
-                    "session_start": pd.to_datetime(np.asarray(start_us), unit="us"),
-                    "session_end": pd.to_datetime(np.asarray(last_us), unit="us"),
+                    "session_start": np.asarray(start_us, dtype=np.int64).view(
+                        "datetime64[us]"
+                    ),
+                    "session_end": np.asarray(last_us, dtype=np.int64).view(
+                        "datetime64[us]"
+                    ),
                     "n_events": np.asarray(n, dtype=np.int64),
                     "total": np.asarray(total, dtype=np.float64),
                 }
@@ -147,42 +155,56 @@ def sessionize_stream(
             ts_col
         )
         ts = (rows[ts_col].astype("int64") // 1_000).to_numpy()
-        vals = rows[value_col].astype(float).reset_index(drop=True)
+        vals = rows[value_col].to_numpy(dtype="float64")
         # vectorized gap split over the sorted event times: segment k
         # spans [starts[k], ends[k]); ts is sorted so per-segment
-        # min/max are the boundary elements. Per-segment sums keep the
-        # same pandas Series.sum (numpy pairwise) the per-group path
-        # used, so totals are bit-identical.
+        # min/max are the boundary elements. Per-segment sums use
+        # np.nansum over the raw ndarray slice — bit-identical to the
+        # pandas ``Series.iloc[s:e].sum()`` the r11 path used (pandas
+        # nanops masks NaN to 0 then runs the same numpy pairwise sum
+        # when bottleneck is absent), without paying Series-slice
+        # machinery per segment (~64 segments/key at sf0.1 made the
+        # iloc path the dominant per-key cost — r12 profile).
         brk = np.flatnonzero(np.diff(ts) > gap_us) + 1
         starts = np.concatenate(([0], brk))
         ends = np.concatenate((brk, [len(ts)]))
-        segs = [
-            (
-                int(ts[s]),
-                int(ts[e - 1]),
-                int(e - s),
-                float(vals.iloc[s:e].sum()),
-            )
-            for s, e in zip(starts, ends)
-        ]
+        # segment columns stay numpy end to end (r12): the r11 shape
+        # built one Python tuple per segment plus four list
+        # comprehensions per emit — at ~64 segments/key that tuple
+        # churn was most of the per-key Python cost. Values are
+        # unchanged: same ints, same nansum doubles.
+        seg_start = ts[starts]
+        seg_end = ts[ends - 1]
+        seg_n = (ends - starts).astype(np.int64)
+        seg_tot = np.fromiter(
+            (np.nansum(vals[s:e]) for s, e in zip(starts, ends)),
+            dtype=np.float64,
+            count=len(starts),
+        )
         if state.exists:
             s0, l0, n0, t0 = state.get
-            if segs[0][0] - l0 <= gap_us:
-                first = segs[0]
-                segs[0] = (min(s0, first[0]), max(l0, first[1]), n0 + first[2], t0 + first[3])
+            if int(seg_start[0]) - l0 <= gap_us:
+                seg_start[0] = min(s0, int(seg_start[0]))
+                seg_end[0] = max(l0, int(seg_end[0]))
+                seg_n[0] += n0
+                seg_tot[0] = t0 + seg_tot[0]
             else:
-                segs.insert(0, (s0, l0, n0, t0))
+                seg_start = np.concatenate(([s0], seg_start))
+                seg_end = np.concatenate(([l0], seg_end))
+                seg_n = np.concatenate(([n0], seg_n))
+                seg_tot = np.concatenate(([t0], seg_tot))
         # every non-tail segment is followed by an observed > gap break:
         # it is definitively closed, regardless of the watermark
-        if len(segs) > 1:
-            closed = segs[:-1]
+        if len(seg_start) > 1:
             yield emit_many(
-                [c[0] for c in closed],
-                [c[1] for c in closed],
-                [c[2] for c in closed],
-                [c[3] for c in closed],
+                seg_start[:-1], seg_end[:-1], seg_n[:-1], seg_tot[:-1]
             )
-        tail = segs[-1]
+        tail = (
+            int(seg_start[-1]),
+            int(seg_end[-1]),
+            int(seg_n[-1]),
+            float(seg_tot[-1]),
+        )
         timeout_ms = -(-(tail[1] + gap_us) // 1000)  # ceil us -> ms
         if timeout_ms <= state.getCurrentWatermarkMs():
             # out-of-order micro-batch: the watermark already passed
