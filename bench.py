@@ -55,6 +55,15 @@ HEADLINE = [
     # 200 queries, one corpus scan — so the ANN batch contract gets
     # timing regression cover like the other headliners
     "vector_ann_pq_routed",
+    # r12 additions (VERDICT r11 #8; additions-only, the r10->r12
+    # comparison stays valid on the original 17): the four optimized
+    # non-headliners from the r11/r12 optimization rounds get driver
+    # timing cover — lazy-sysviews DDL, one-parse LSH ANN, the
+    # 2-micro-batch streaming sessionizer, and bucketed-Arrow LTTB
+    "ddl_sql_lifecycle",
+    "vector_ann_lsh",
+    "streaming_sessionize_events",
+    "ts_lttb_downsample",
 ]
 
 

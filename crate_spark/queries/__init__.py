@@ -91,58 +91,62 @@ _MODULES = (
 #: 50 r7 rows. The r11 window (below) = the 13 remaining r7 rows
 #: (vector_ann_pq..window_value_fns) + the 37 alphabetically-first of
 #: the 50 r8 rows; the 13 r8 leftovers (scalar_object_funcs,
-#: scalar_to_char, the 11 tf_* rows) are the r12 backlog.
+#: scalar_to_char, the 11 tf_* rows) were the r12 backlog. The r12
+#: window (below) = those 13 r8 leftovers + the 37 alphabetically-
+#: first of the 50 r9 rows (last checked in r9, the oldest coverage);
+#: the 13 r9 leftovers (sql_array_subquery..union_distinct) are the
+#: r13 backlog.
 _DRIVER_PRIORITY = (
-    "vector_ann_pq",
-    "vector_knn_exact",
-    "vector_similarity_score",
-    "window_agg_as_window",
-    "window_global_share",
-    "window_lag_lead",
-    "window_moving_avg",
-    "window_range_frame",
-    "window_ranking",
-    "window_running_sum",
-    "window_surplus_distribution",
-    "window_topk_per_group",
-    "window_value_fns",
-    "agg_any_value",
-    "agg_bool_and_or",
-    "agg_collect_set",
-    "agg_distinct_sums",
-    "agg_median_corr",
-    "ddl_sql_lifecycle",
-    "dml_copy_roundtrip",
-    "dml_lifecycle",
-    "geo_area",
-    "geo_distance_topk",
-    "geo_geohash",
-    "geo_intersects",
-    "geo_within_bbox",
-    "geo_within_polygon",
-    "graph_component_stats",
-    "graph_connected_components",
-    "graph_dedup_canonical",
-    "graph_neardup_clusters",
-    "match_boolean_modes",
-    "match_filter_then_query",
-    "match_score_topk",
-    "mm_decode_real_image",
-    "mm_frame_sample",
-    "mm_mime_filter_pushdown",
-    "pipeline_domain_mix",
-    "pipeline_pack_sequences",
-    "pipeline_pii_redact",
-    "pipeline_quality_gate",
-    "pipeline_stratified_sample",
-    "scalar_array_funcs",
-    "scalar_array_numeric",
-    "scalar_bitwise_hash",
-    "scalar_casts",
-    "scalar_conditional",
-    "scalar_datetime_funcs2",
-    "scalar_json_funcs",
-    "scalar_misc_funcs",
+    "scalar_object_funcs",
+    "scalar_to_char",
+    "tf_empty_row",
+    "tf_generate_series",
+    "tf_generate_series_ts",
+    "tf_generate_subscripts",
+    "tf_pg_expandarray",
+    "tf_pg_get_keywords",
+    "tf_regexp_matches",
+    "tf_srf_in_select",
+    "tf_unnest",
+    "tf_unnest_multi",
+    "tf_values_relation",
+    "agg_array_agg",
+    "agg_geometric_mean",
+    "agg_global",
+    "agg_group_having",
+    "agg_minmax_by",
+    "agg_percentile",
+    "agg_stats",
+    "agg_string_agg",
+    "conditional_agg",
+    "count_star",
+    "cte_query",
+    "distinct_flags",
+    "except_intersect",
+    "interval_column_ops",
+    "join_cross",
+    "join_full_outer",
+    "join_inner_multiway",
+    "join_left_outer",
+    "join_q5_regional_revenue",
+    "join_right_outer",
+    "limit_offset",
+    "order_nulls_last",
+    "pipeline_decontaminate",
+    "pipeline_knn_quantized",
+    "pipeline_repetition_metrics",
+    "point_lookup",
+    "q1_pricing_summary",
+    "scalar_array_funcs2",
+    "scalar_date_bin",
+    "scalar_datetime_funcs",
+    "scalar_regexp_funcs",
+    "scalar_string_funcs",
+    "scalar_string_funcs2",
+    "scan_filter_project",
+    "sql_agg_surface",
+    "sql_array_fn_surface",
+    "sql_array_numeric_fns",
 )
 
 
