@@ -116,58 +116,50 @@ def minhash_lsh_candidates(
     """
     from pyspark.sql import Window
 
+    from crate_spark.session import spread_small_input
+
     rows_per_band = num_hashes // bands
-    # Shingle via posexplode + lead window, then num_hashes MIN
-    # aggregations. Array-expression shingling (transform/arrays_zip
-    # over the word array) runs interpreted (HOF lambdas skip codegen)
-    # and re-derives subexpressions per element — 30-100x slower. The
-    # window and the groupBy share the same hash partitioning on _id,
-    # so this is ONE shuffle of skinny (id, word) rows; the minima
-    # combine map-side.
-    words = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.split(normalize_text(text_col), " ")).alias("_pos", "_w"),
+    # Signature is computed ENTIRELY map-side, per document row (r12
+    # optimization round): zip-shift grams over the word array, hash
+    # each gram string once, then ONE aggregate fold producing all
+    # num_hashes minima. The previous shape — posexplode the words,
+    # lead-window shingling, then a 32-buffer min aggregate — shuffled
+    # the whole (id, pos, word) stream (the widest intermediate in the
+    # pipeline at 100 TB) just to reassemble per-document state the
+    # scan already had. Measured at sf0.1: signature stage 0.85 s ->
+    # 0.41 s, signatures bit-identical over the full corpus
+    # (scripts/ab_minhash_mapside.py, 0 diffs).
+    # Interpreted-HOF discipline (the r3 trap this code used to avoid
+    # by exploding): lambdas skip codegen AND common-subexpression
+    # elimination, so every multiply-referenced intermediate must be a
+    # bound column, not a repeated subexpression. _h0s (the per-gram
+    # base hashes) is materialized by its own projection and referenced
+    # exactly ONCE, as the aggregate's input; the fold does
+    # O(grams x num_hashes) xxhash64(long, int) ops per row — the same
+    # hash count the aggregate buffers paid, minus the shuffle.
+    # Hash-family parity: gram string xxhash64'd once, family member i
+    # = xxhash64(base, i) with i an INT (sequence(0, 31) elements are
+    # INT like the old literals), and least-fold from Long.MaxValue
+    # equals min() over the gram multiset — bit-identical signatures
+    # (golden-pinned).
+    words = F.col("_w")
+    shifted = [words if i == 0 else F.slice(words, i + 1, F.size(words)) for i in range(shingle_n)]
+    zipped = F.arrays_zip(*[c.alias(f"w{i}") for i, c in enumerate(shifted)])
+    # keep complete grams; a doc shorter than the shingle contributes
+    # its full text as one gram (slice length floors at 1)
+    full = F.slice(zipped, 1, F.greatest(F.size(words) - shingle_n + 1, F.lit(1)))
+    grams = F.transform(full, lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(shingle_n)]))
+    maxlong = 9223372036854775807
+    init = f"array({', '.join([f'CAST({maxlong} AS BIGINT)'] * num_hashes)})"
+    sig_fold = (
+        f"aggregate(_h0s, {init}, "
+        f"(acc, h) -> zip_with(acc, sequence(0, {num_hashes - 1}), (a, i) -> least(a, xxhash64(h, i))))"
     )
-    w = Window.partitionBy("_id").orderBy("_pos")
-    parts = [F.col("_w")] + [F.lead("_w", i).over(w) for i in range(1, shingle_n)]
-    doc_len = F.max("_pos").over(Window.partitionBy("_id"))
-    grams = (
-        words.select(
-            "_id",
-            F.col("_pos"),
-            F.concat_ws(" ", *parts).alias("_sh"),
-            # a gram is kept if complete, or if the whole doc is shorter
-            # than the shingle (parity with array shingling: short docs
-            # contribute their full text as one gram)
-            (parts[-1].isNotNull() | ((doc_len < shingle_n - 1) & (F.col("_pos") == 0))).alias("_keep"),
-        )
-        .filter(F.col("_keep"))
-        .select("_id", "_sh")
+    sig = (
+        spread_small_input(df.select(F.col(id_col).alias("_id"), F.split(normalize_text(text_col), " ").alias("_w")))
+        .select("_id", F.transform(grams, lambda g: F.xxhash64(g)).alias("_h0s"))
+        .select("_id", F.expr(sig_fold).alias("_sig"))
     )
-    # No distinct on (_id, _sh): min() over a multiset equals min() over
-    # its distinct set, so duplicate grams cannot change the signature —
-    # and skipping dropDuplicates removes a whole shuffle of the gram
-    # stream (the widest intermediate in the pipeline at 100 TB).
-    # Hash families: the gram string is xxhash64'd ONCE; the num_hashes
-    # family members are xxhash64(base, seed) — hashing 12 bytes of
-    # (long, int) instead of re-hashing the string per seed. The minima
-    # run as ONE wide map-side-combining aggregate straight to the
-    # signature array: one shuffle of (id, 32 longs) rows, replacing the
-    # earlier exploded (id, seed, hash) stream + second aggregate.
-    # (An earlier 32-wide form over xxhash64(string, seed) expressions
-    # spent ~45 s in janino; hashing a single long column keeps the
-    # codegen unit small — first-run compile ~1.4 s, steady-state 2.1x
-    # faster at sf0.1.) ANSI-safe: no arithmetic, only hash exprs.
-    # Both the signature aggregate and the banded bucket array compile
-    # via ONE sql parse each (r11 optimization round): the py4j
-    # builders cost ~0.4 s of driver socket round-trips per plan build
-    # (32 x min(xxhash64) agg columns + 8 x band structs with a lambda
-    # each), and the one-parse agg folds straight to the signature
-    # ARRAY, dropping the _m0.._mN repack projection. Identical
-    # expressions -> identical signatures/buckets (golden-pinned).
-    base = grams.withColumn("_h0", F.xxhash64("_sh"))
-    mins = ", ".join(f"min(xxhash64(`_h0`, {i}))" for i in range(num_hashes))
-    sig = base.groupBy("_id").agg(F.expr(f"array({mins})").alias("_sig"))
     band_structs = ", ".join(
         "named_struct('band', {b}, 'bucket', xxhash64(array_join("
         "transform(slice(`_sig`, {start}, {n}), x -> CAST(x AS STRING)), ',')))".format(
