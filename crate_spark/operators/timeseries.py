@@ -80,22 +80,33 @@ def lttb(
     maximizing the triangle area with the previously selected point and
     the next bucket's centroid).
 
-    applyInPandas, deterministic. Memory/grouping contract: for SMALL
-    inputs (optimizer size estimate at or below the
+    Deterministic. Memory/grouping contract: for SMALL inputs
+    (optimizer size estimate at or below the
     ``crate_spark.exec.spread_small_input_bytes`` gate, default
     64 MiB) many series batch into one Arrow group via a hash-bucket
     key — the per-group Python round-trip was the dominant cost
     (~2,000 series = ~2,000 pandas calls; r11 optimization round:
-    3.7 s -> ~1 s at sf0.1). Large inputs keep the one-series-per-
-    group shape so task memory stays bounded by one series. The
-    per-series selection is computed independently either way —
-    output rows identical (golden-pinned). Output: (series, x, y) of
+    3.7 s -> ~1 s at sf0.1). The r12 round moved the bucket path to
+    ``applyInArrow`` (the selection loop is numpy end to end, so the
+    pandas DataFrame on each side of the boundary was pure conversion
+    cost) and dropped the bucket count from 4x to 1x parallelism
+    (fewer, larger Arrow round-trips — guide §2.2 logic at the Python
+    boundary; interleaved A/B at sf0.1: 1.48 -> 1.27 s med, outputs
+    equal). Large inputs keep the one-series-per-group pandas shape
+    so task memory stays bounded by one series. Both paths sort each
+    series by a STABLE (x_us, y) key (ADVICE r11: the bucket path's
+    quicksort over scan-order rows could tie-break duplicate x_us
+    differently across the size gate; testdata has zero duplicate
+    (series, x_us) pairs at every SF, so this is behavior-preserving
+    here and permutation-independent in general). The per-series
+    selection is computed independently either way — output rows
+    identical (golden-pinned). Output: (series, x, y) of
     <= n_buckets rows per series.
     """
     out_schema = f"{series_col} long, x_us long, y double"
 
     def _lttb_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("x_us").reset_index(drop=True)
+        pdf = pdf.sort_values(["x_us", "y"], kind="stable").reset_index(drop=True)
         n = len(pdf)
         if n <= n_buckets:
             return pdf[[series_col, "x_us", "y"]]
@@ -130,25 +141,26 @@ def lttb(
         picked.append(n - 1)
         return np.asarray(picked)
 
-    def _lttb_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _lttb_bucket_arrow(table):
         # one hash bucket = many whole series, processed on numpy
         # arrays end to end (r11 resumed session): the previous
         # per-series pandas path (groupby -> sort_values -> iloc ->
         # per-series DataFrame -> concat) cost ~1-2 ms of pandas
-        # machinery per series x ~2000 series. Sort semantics
-        # replicate pandas exactly — groups in sorted key order with
-        # original order within the group (stable argsort ==
-        # groupby(sort=True)), then the same quicksort by x_us
-        # (sort_values' default kind) — so tie permutations, picked
-        # indices, and output rows are identical (proven by a strict
-        # old-vs-new equality sweep at sf0.1; golden-pinned).
+        # machinery per series x ~2000 series; r12 removed the
+        # remaining pandas conversion on both sides of the boundary
+        # (applyInArrow; to_numpy on the Arrow columns is zero-copy
+        # for the non-null int64/float64 data here). Groups iterate
+        # in stable-argsort key order; each series sorts by the
+        # stable (x_us, y) key (see docstring) — output rows equal
+        # to the pandas path (equality sweep at sf0.1; golden-pinned).
         import numpy as np
+        import pyarrow as pa
 
-        if not len(pdf):
-            return pdf[[series_col, "x_us", "y"]]
-        s = pdf[series_col].to_numpy()
-        xs_i = pdf["x_us"].to_numpy()
-        ys_f = pdf["y"].to_numpy(dtype="float64")
+        if table.num_rows == 0:
+            return table.select([series_col, "x_us", "y"])
+        s = table.column(series_col).to_numpy()
+        xs_i = table.column("x_us").to_numpy()
+        ys_f = table.column("y").to_numpy().astype("float64", copy=False)
         order = np.argsort(s, kind="stable")
         s, xs_i, ys_f = s[order], xs_i[order], ys_f[order]
         bounds = np.flatnonzero(np.diff(s)) + 1
@@ -156,7 +168,7 @@ def lttb(
         ends = np.concatenate((bounds, [len(s)]))
         out_s, out_x, out_y = [], [], []
         for st, en in zip(starts, ends):
-            ordx = np.argsort(xs_i[st:en], kind="quicksort")
+            ordx = np.lexsort((ys_f[st:en], xs_i[st:en]))
             xi = xs_i[st:en][ordx]
             yi = ys_f[st:en][ordx]
             n = en - st
@@ -168,7 +180,7 @@ def lttb(
             out_s.append(np.full(len(picked), s[st]))
             out_x.append(xi[picked])
             out_y.append(yi[picked])
-        return pd.DataFrame(
+        return pa.table(
             {
                 series_col: np.concatenate(out_s),
                 "x_us": np.concatenate(out_x),
@@ -190,11 +202,11 @@ def lttb(
 
     spark = df.sparkSession
     if input_is_small(df):
-        n_groups = 4 * spark.sparkContext.defaultParallelism
+        n_groups = spark.sparkContext.defaultParallelism
         bucketed = prepared.withColumn(
             "_bk", F.pmod(F.xxhash64(F.col(series_col)), F.lit(n_groups))
         )
-        return bucketed.groupBy("_bk").applyInPandas(_lttb_bucket, out_schema)
+        return bucketed.groupBy("_bk").applyInArrow(_lttb_bucket_arrow, out_schema)
     return prepared.groupBy(series_col).applyInPandas(_lttb_one, out_schema)
 
 
