@@ -22,6 +22,7 @@ from __future__ import annotations
 import itertools
 import json as _json
 import re
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -287,12 +288,20 @@ class CrateSession:
         #: a statement actually reads them (_ensure_system_views) and
         #: the registered generation is stale.
         self._sysviews_gen = 1
+        #: monotonic identity token (ADVICE r11: id(self) can be
+        #: reused by CPython after GC, letting a new CrateSession
+        #: collide with a dead one's registration entry and silently
+        #: serve its system views; the counter never repeats)
+        self._sysviews_token = next(CrateSession._SYSVIEWS_TOKENS)
 
-    #: per SparkSession id -> (CrateSession id, generation) owning the
+    #: per SparkSession -> (CrateSession token, generation) owning the
     #: currently-registered system temp views (temp views are global
     #: to the SparkSession, so another session's registration must
-    #: also invalidate ours)
-    _SYSVIEWS_STATE: dict[int, tuple[int, int]] = {}
+    #: also invalidate ours). Weak keys: entries die with their
+    #: SparkSession instead of accumulating, and keying on the live
+    #: object rules out id-reuse collisions on the session side too.
+    _SYSVIEWS_STATE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+    _SYSVIEWS_TOKENS = itertools.count(1)
 
     def _mark_sysviews_dirty(self) -> None:
         self._sysviews_gen += 1
@@ -301,9 +310,8 @@ class CrateSession:
         """Rebuild the system temp views iff this session's catalog
         generation is not the one currently registered on the shared
         SparkSession."""
-        key = id(self.spark)
-        mine = (id(self), self._sysviews_gen)
-        if CrateSession._SYSVIEWS_STATE.get(key) != mine:
+        mine = (self._sysviews_token, self._sysviews_gen)
+        if CrateSession._SYSVIEWS_STATE.get(self.spark) != mine:
             self._register_system_views()
 
     def _string_object_cols(self) -> set[str]:
@@ -1356,8 +1364,8 @@ class CrateSession:
         )
         # record who registered, at which catalog generation — the
         # _ensure_system_views read gate compares against this
-        CrateSession._SYSVIEWS_STATE[id(spark)] = (
-            id(self),
+        CrateSession._SYSVIEWS_STATE[spark] = (
+            getattr(self, "_sysviews_token", 0),
             getattr(self, "_sysviews_gen", 0),
         )
 
