@@ -433,16 +433,27 @@ def knn_lsh_cosine(
         F.col(vec_col).alias("_qvec"),
         F.explode(tb).alias("_tb"),
     )
+    # similarity computes BEFORE the (query, corpus) dedup (r12,
+    # guide §2.3 shuffle keys/metadata, not payloads): the dedup used
+    # to shuffle both 64-double vectors (~1 KB/row) just to drop
+    # multi-table duplicates; computing the cosine map-side on the
+    # join output lets the dedup run as a map-side-combining first()
+    # aggregate over skinny (q_id, c_id, sim) rows (~24 B). Duplicate
+    # candidates compute the same cosine more than once map-side —
+    # bounded per-row work traded for shuffle bytes, the trade that
+    # wins at 100 TB. first() over per-pair-identical values is
+    # deterministic; outputs collect-equal at sf0.1 and the recall
+    # tests pin semantics (scripts/profile_lsh.py: 0.97 -> 0.86 s).
     cands = (
         c.join(F.broadcast(q), c["_tb"] == q["_tb"])
         .filter(F.col(corpus_id) != F.col(query_id))
-        .select(query_id, corpus_id, "_cvec", "_qvec")
-        .dropDuplicates([query_id, corpus_id])
+        .withColumn("similarity", cosine_similarity(F.col("_cvec"), F.col("_qvec")))
+        .groupBy(query_id, corpus_id)
+        .agg(F.first("similarity").alias("similarity"))
     )
     w = Window.partitionBy(query_id).orderBy(F.col("similarity").desc(), F.col(corpus_id))
     return (
-        cands.withColumn("similarity", cosine_similarity(F.col("_cvec"), F.col("_qvec")))
-        .withColumn("rank", F.row_number().over(w))
+        cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "similarity", "rank")
     )
