@@ -135,6 +135,25 @@ def test_minhash_capped_exchange_budget(spark):
     assert plan.count("Exchange hashpartitioning") <= 5
 
 
+def test_lsh_dedup_exchange_is_vector_free(spark):
+    """LSH kNN (r12): the (q_id, c_id) candidate dedup must shuffle
+    only (ids, partial first(similarity)) — never the 64-double
+    vectors (~1 KB/row vs ~24 B). The cosine computes map-side below
+    the exchange; a regression reintroduces payload bytes into the
+    candidate shuffle (guide §2.3)."""
+    plan = plan_of(spark, "vector_ann_lsh", mode="formatted")
+    import re
+
+    blocks = [
+        b
+        for b in re.split(r"\n\s*\n", plan)
+        if re.match(r"\(\d+\) Exchange\b", b.strip()) and "hashpartitioning" in b
+    ]
+    assert blocks, "no hash exchange found - plan shape changed?"
+    for block in blocks:
+        assert "_cvec" not in block and "_qvec" not in block, block
+
+
 def test_topk_uses_ordered_limit_not_full_sort(spark):
     plan = plan_of(spark, "topk_orders")
     assert "TakeOrderedAndProject" in plan
